@@ -1,0 +1,463 @@
+"""Lowering: capture-node DAG → PySpark logical plan.
+
+The Spark-native analogue of the reference's render pass (reference:
+``render.py`` — recursive walk with a memo table so the same source node
+always renders to the *identical* output object, giving backends CSE
+identity; ``render_callable`` re-enters the machinery for deferred
+lambdas).  Here:
+
+* memoization keys on capture-node identity (``id(node)``) and returns the
+  identical lowered object — shared sub-DAGs lower once, so a shared heavy
+  subplan becomes ONE Spark ``Column``/``DataFrame`` object and Catalyst
+  sees the sharing;
+* instead of emitting a Python ``ast`` for an external backend, we emit
+  ``pyspark.sql.Column`` trees directly and let Catalyst do predicate
+  pushdown / pruning / codegen (the reference had no optimizer at all —
+  SURVEY.md §4);
+* nested-collection semantics (the reference's raison d'être: per-event
+  variable-length collections) lower to Spark higher-order functions:
+  ``F.transform`` (per-element projection), ``F.filter`` (per-element
+  mask), ``F.size`` / ``F.aggregate`` (nested aggregates).  All JVM-side,
+  whole-stage-codegen friendly — no Python in the hot path.
+
+Level inference is schema-driven and deferred until lowering (the
+reference defers it to the backend): an attribute that resolves to an
+``ArrayType`` column is a collection; attribute access on a collection
+becomes a per-element expression; mixing a per-event scalar into a
+per-element lambda is legal (Spark HOF lambdas may reference outer row
+columns).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional
+
+from pyspark.sql import Column as SCol
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .nodes import Column, DataFrame, Node
+
+__all__ = ["Lowerer", "to_spark", "select"]
+
+
+# ---------------------------------------------------------------------------
+# Lowered value kinds
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LFrame:
+    """An event set: the base Spark DataFrame with event-level filters."""
+
+    df: SDF
+
+
+@dataclass
+class LCol:
+    """A per-event column expression (scalar or array-typed collection)."""
+
+    col: SCol
+    is_collection: bool = False
+    elem_type: Optional[T.DataType] = None  # element type when is_collection
+
+
+@dataclass
+class LElem:
+    """A per-element expression over a collection: ``fn`` maps the lambda
+    variable (one element) to a Spark Column.  ``source`` is the capture
+    node of the collection it ranges over."""
+
+    source: Node
+    fn: Callable[[SCol], SCol]
+    elem_type: Optional[T.DataType] = None
+
+
+# numpy-ufunc name → pyspark.sql.functions name
+_UFUNC_MAP = {
+    "abs": "abs",
+    "absolute": "abs",
+    "sqrt": "sqrt",
+    "sin": "sin",
+    "cos": "cos",
+    "tan": "tan",
+    "arcsin": "asin",
+    "arccos": "acos",
+    "arctan": "atan",
+    "exp": "exp",
+    "log": "log",
+    "log10": "log10",
+    "log2": "log2",
+    "floor": "floor",
+    "ceil": "ceil",
+    "rint": "round",
+    "sign": "signum",
+}
+
+_BIN_OPS: Dict[str, Callable[[Any, Any], Any]] = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "**": lambda a, b: a**b,
+    "%": lambda a, b: a % b,
+}
+
+_CMP_OPS: Dict[str, Callable[[Any, Any], Any]] = {
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+}
+
+
+class LoweringError(TypeError):
+    pass
+
+
+class Lowerer:
+    """One lowering session: a root capture node bound to a Spark DataFrame.
+
+    Memoized like the reference's ``render_context`` (reference:
+    ``render.py`` memo table): ``lower()`` on the same node object returns
+    the identical lowered object.
+    """
+
+    def __init__(self, root: DataFrame, base_df: SDF) -> None:
+        self.root = root
+        self.base_df = base_df
+        self._memo: Dict[int, Any] = {}
+        self._keepalive = []  # nodes must outlive the memo (id() reuse)
+
+    # -- public entry points ------------------------------------------------
+
+    def frame(self, node: DataFrame) -> SDF:
+        """Lower a node that denotes an event set."""
+        low = self.lower(node)
+        if isinstance(low, LFrame):
+            return low.df
+        raise LoweringError(f"Node does not denote an event frame: {node!r}")
+
+    def column(self, node: Node) -> SCol:
+        """Lower a node that denotes a per-event value (materializing
+        per-element expressions to array columns via ``F.transform``)."""
+        return self._materialize(self.lower(node)).col
+
+    # -- core ---------------------------------------------------------------
+
+    def lower(self, node: Any) -> Any:
+        if not isinstance(node, Node):
+            return node  # literal
+        key = id(node)
+        if key in self._memo:
+            return self._memo[key]
+        result = self._lower_uncached(node)
+        self._memo[key] = result
+        self._keepalive.append(node)
+        return result
+
+    def _lower_uncached(self, node: Node) -> Any:
+        op = node.op
+        if op == "root":
+            if node is not self.root:
+                raise LoweringError(
+                    "Expression references a different root DataFrame() than "
+                    "the one bound to this lowering"
+                )
+            return LFrame(self.base_df)
+        if op == "attr":
+            return self._lower_attr(node)
+        if op == "filter":
+            return self._lower_filter(node)
+        if op == "bin":
+            opname, left, right = node.args
+            return self._lift_binary(_BIN_OPS[opname], left, right)
+        if op == "cmp":
+            opname, left, right = node.args
+            return self._lift_binary(_CMP_OPS[opname], left, right)
+        if op in ("and", "or"):
+            fn = (lambda a, b: a & b) if op == "and" else (lambda a, b: a | b)
+            return self._lift_binary(fn, node.args[0], node.args[1])
+        if op == "not":
+            return self._lift_unary(lambda a: ~a, node.args[0])
+        if op == "ufunc":
+            return self._lower_ufunc(node)
+        if op == "call":
+            return self._lower_call(node)
+        if op == "udf":
+            return self._lower_udf(node)
+        if op == "elemvar":
+            (collection,) = node.args
+            low = self.lower(collection)
+            if not (isinstance(low, LCol) and low.is_collection):
+                raise LoweringError("elemvar over a non-collection")
+            return LElem(collection, lambda e: e, low.elem_type)
+        raise LoweringError(f"Unknown capture op: {op}")
+
+    # -- attribute resolution (schema-driven level inference) ---------------
+
+    def _lower_attr(self, node: Node) -> Any:
+        parent_node, name = node.args
+        parent = self.lower(parent_node)
+        if isinstance(parent, LFrame):
+            try:
+                field = parent.df.schema[name]
+            except KeyError:
+                raise LoweringError(
+                    f"Column {name!r} not found in schema "
+                    f"{[f.name for f in parent.df.schema.fields]}"
+                ) from None
+            if isinstance(field.dataType, T.ArrayType):
+                return LCol(F.col(name), True, field.dataType.elementType)
+            return LCol(F.col(name))
+        if isinstance(parent, LCol):
+            if parent.is_collection:
+                et = parent.elem_type
+                sub = self._struct_field_type(et, name)
+                return LElem(parent_node, lambda e: e[name], sub)
+            return LCol(parent.col[name])
+        if isinstance(parent, LElem):
+            et = self._struct_field_type(parent.elem_type, name)
+            pfn = parent.fn
+            return LElem(parent.source, lambda e: pfn(e)[name], et)
+        raise LoweringError(f"Cannot project attribute {name!r} from {parent!r}")
+
+    @staticmethod
+    def _struct_field_type(
+        elem_type: Optional[T.DataType], name: str
+    ) -> Optional[T.DataType]:
+        if isinstance(elem_type, T.StructType):
+            try:
+                return elem_type[name].dataType
+            except KeyError:
+                raise LoweringError(
+                    f"Field {name!r} not in element struct "
+                    f"{[f.name for f in elem_type.fields]}"
+                ) from None
+        return None
+
+    # -- filters --------------------------------------------------------------
+
+    def _lower_filter(self, node: Node) -> Any:
+        parent_node, mask_node = node.args
+        parent = self.lower(parent_node)
+        mask = self.lower(mask_node)
+        if isinstance(parent, LFrame):
+            if not isinstance(mask, LCol):
+                raise LoweringError(
+                    "Event-level filter requires an event-level boolean mask "
+                    "(a per-element mask must be applied to the collection, "
+                    "or aggregated with .Count() first)"
+                )
+            return LFrame(parent.df.where(mask.col))
+        if isinstance(parent, LCol) and parent.is_collection:
+            if isinstance(mask, LElem):
+                self._check_same_family(mask.source, parent_node)
+                return LCol(F.filter(parent.col, mask.fn), True, parent.elem_type)
+            if isinstance(mask, LCol):
+                # event-level condition filtering a collection: all-or-nothing
+                return LCol(
+                    F.when(mask.col, parent.col).otherwise(
+                        F.array().cast(T.ArrayType(parent.elem_type))
+                    ),
+                    True,
+                    parent.elem_type,
+                )
+        raise LoweringError(f"Cannot apply filter to {parent!r}")
+
+    def _check_same_family(self, mask_source: Node, collection: Node) -> None:
+        """The mask must range over the collection being filtered (or an
+        ancestor of it through pure filters) — same discipline the
+        reference enforces structurally at render (reference: render.py,
+        parent-binding of filter masks)."""
+        seen = set()
+        cur: Any = collection
+        while isinstance(cur, Node):
+            seen.add(id(cur))
+            if cur.op == "filter":
+                cur = cur.args[0]
+            else:
+                break
+        anc: Any = mask_source
+        while isinstance(anc, Node):
+            if id(anc) in seen:
+                return
+            if anc.op == "filter":
+                anc = anc.args[0]
+            else:
+                break
+        if id(mask_source) not in seen:
+            raise LoweringError(
+                "Per-element mask ranges over a different collection than "
+                "the one being filtered"
+            )
+
+    # -- operator lifting (scalar / element level polymorphism) ---------------
+
+    def _lift_binary(self, fn: Callable[[Any, Any], Any], left: Any, right: Any):
+        l, r = self.lower(left), self.lower(right)
+        if isinstance(l, LElem) or isinstance(r, LElem):
+            source = l.source if isinstance(l, LElem) else r.source
+            if (
+                isinstance(l, LElem)
+                and isinstance(r, LElem)
+                and l.source is not r.source
+            ):
+                self._check_same_family(r.source, l.source)
+            lf = self._as_elem_fn(l)
+            rf = self._as_elem_fn(r)
+            return LElem(source, lambda e: fn(lf(e), rf(e)))
+        lv = l.col if isinstance(l, LCol) else self._lit(l)
+        rv = r.col if isinstance(r, LCol) else self._lit(r)
+        return LCol(fn(lv, rv))
+
+    def _lift_unary(self, fn: Callable[[Any], Any], operand: Any):
+        v = self.lower(operand)
+        if isinstance(v, LElem):
+            vf = v.fn
+            return LElem(v.source, lambda e: fn(vf(e)))
+        if isinstance(v, LCol):
+            return LCol(fn(v.col))
+        return LCol(fn(self._lit(v)))
+
+    @staticmethod
+    def _lit(value: Any) -> Any:
+        # Spark Column operators accept plain literals; keep them raw so
+        # e.g. `30 > col` reverses correctly via Column.__gt__.
+        return F.lit(value)
+
+    def _as_elem_fn(self, low: Any) -> Callable[[SCol], SCol]:
+        if isinstance(low, LElem):
+            return low.fn
+        if isinstance(low, LCol):
+            col = low.col  # outer-row reference inside the HOF lambda
+            return lambda e: col
+        lit = self._lit(low)
+        return lambda e: lit
+
+    # -- ufuncs ----------------------------------------------------------------
+
+    def _lower_ufunc(self, node: Node) -> Any:
+        name = node.args[0]
+        spark_name = _UFUNC_MAP.get(name)
+        if spark_name is None:
+            raise LoweringError(f"Unsupported ufunc: numpy.{name}")
+        sfn = getattr(F, spark_name)
+        operands = node.args[1:]
+        if len(operands) == 1:
+            return self._lift_unary(sfn, operands[0])
+        return self._lift_binary(lambda a, b: sfn(a, b), operands[0], operands[1])
+
+    # -- method calls (Count() convention and friends) --------------------------
+
+    def _lower_call(self, node: Node) -> Any:
+        parent_node, name, args, kwargs = node.args
+        parent = self.lower(parent_node)
+        handler = getattr(self, f"_call_{name.lower()}", None)
+        if handler is None:
+            raise LoweringError(
+                f"Captured method {name!r} has no lowering rule "
+                "(reference leaves method meaning to the backend; ours are "
+                "Count/Sum/Min/Max/Mean/First/map)"
+            )
+        return handler(parent_node, parent, args)
+
+    def _collection_array(self, parent_node: Node, parent: Any) -> SCol:
+        """Array column for a collection or materialized per-element expr."""
+        if isinstance(parent, LCol) and parent.is_collection:
+            return parent.col
+        if isinstance(parent, LElem):
+            return self._materialize(parent).col
+        raise LoweringError("Nested aggregate applied to a non-collection")
+
+    def _call_count(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+        if isinstance(parent, LFrame):
+            # event-level Count(): a full aggregate over the frame
+            return LFrame(parent.df.agg(F.count(F.lit(1)).alias("count")))
+        return LCol(F.size(self._collection_array(parent_node, parent)))
+
+    def _call_sum(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+        arr = self._collection_array(parent_node, parent)
+        return LCol(
+            F.aggregate(
+                arr, F.lit(0.0), lambda acc, x: acc + x.cast(T.DoubleType())
+            )
+        )
+
+    def _call_min(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+        return LCol(F.array_min(self._collection_array(parent_node, parent)))
+
+    def _call_max(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+        return LCol(F.array_max(self._collection_array(parent_node, parent)))
+
+    def _call_mean(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+        arr = self._collection_array(parent_node, parent)
+        total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast(T.DoubleType()))
+        return LCol(total / F.size(arr))
+
+    def _call_first(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+        return LCol(F.element_at(self._collection_array(parent_node, parent), 1))
+
+    def _call_map(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+        """``coll.map(lambda elem: expr)`` — deferred lambda, expanded here
+        against an element proxy (the Spark analogue of the reference's
+        ``render_callable``, reference: render.py)."""
+        if len(args) != 1 or not callable(args[0]):
+            raise LoweringError(".map() takes exactly one callable")
+        if not (isinstance(parent, LCol) and parent.is_collection):
+            raise LoweringError(".map() applies to nested collections")
+        proxy = DataFrame("elemvar", parent_node)
+        result_node = args[0](proxy)
+        low = self.lower(result_node)
+        if not isinstance(low, LElem):
+            raise LoweringError(".map() lambda must produce a per-element value")
+        return LElem(parent_node, low.fn, low.elem_type)
+
+    # -- user functions → pandas UDF --------------------------------------------
+
+    def _lower_udf(self, node: Node) -> Any:
+        captured, args = node.args
+        lowered = [self.lower(a) for a in args]
+        if any(isinstance(a, LElem) for a in lowered):
+            raise LoweringError("@user_func over per-element values: materialize first")
+        cols = [a.col if isinstance(a, LCol) else self._lit(a) for a in lowered]
+        return LCol(captured.spark_udf()(*cols))
+
+    # -- materialization ---------------------------------------------------------
+
+    def _materialize(self, low: Any) -> LCol:
+        if isinstance(low, LCol):
+            return low
+        if isinstance(low, LElem):
+            src = self.lower(low.source)
+            if not (isinstance(src, LCol) and src.is_collection):
+                raise LoweringError("Per-element expression over a non-collection")
+            return LCol(F.transform(src.col, low.fn), True, None)
+        if isinstance(low, LFrame):
+            raise LoweringError("Expected a column expression, got an event frame")
+        return LCol(self._lit(low))
+
+
+# ---------------------------------------------------------------------------
+# Convenience entry points
+# ---------------------------------------------------------------------------
+
+
+def to_spark(root: DataFrame, base_df: SDF, node: DataFrame) -> SDF:
+    """Lower ``node`` (an event frame) to a Spark DataFrame."""
+    return Lowerer(root, base_df).frame(node)
+
+
+def select(
+    root: DataFrame, base_df: SDF, frame: DataFrame, **columns: Node
+) -> SDF:
+    """Lower an event frame plus named column expressions in ONE shared
+    lowering context (shared sub-DAGs lower once — CSE identity, reference:
+    render.py memo discipline)."""
+    low = Lowerer(root, base_df)
+    df = low.frame(frame)
+    return df.select(*[low.column(node).alias(name) for name, node in columns.items()])

@@ -1,0 +1,106 @@
+"""Table loading + the reference-faithful nested view.
+
+The reference's data model is hierarchical: events carrying
+variable-length collections of structs (reference: README — jets/electrons
+examples; SURVEY.md §1).  The driver's testdata is flat TPC-H-ish parquet,
+so we derive ``orders_nested`` (orders + their lineitems as an
+``array<struct>``) to exercise nested semantics — exactly mirrored in the
+DuckDB oracle CTE (see operators/oracle fragments).
+
+Scale notes (100 TB thinking):
+
+* ``orders_nested`` is a groupBy-collect on the fact table's natural key —
+  one shuffle on ``l_orderkey``, map-side partial aggregation applies, and
+  the result is partitioned by the same key every nested query then uses.
+  On a real lake this view would be written once, bucketed by
+  ``l_orderkey``, and all nested queries become shuffle-free scans.
+* ``sort_array`` on structs with ``l_linenumber`` leading gives
+  deterministic element order without a per-group sort-within-shuffle.
+* Loads go through ``spark.read.parquet`` → Catalyst prunes columns and
+  pushes filters into the scan for every downstream query.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["TABLE_NAMES", "load_table", "load_tables", "orders_nested", "ORDERS_NESTED_SQL"]
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> SDF:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Dict[str, SDF]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+_ITEM_FIELDS = (
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_shipdate",
+)
+
+
+def orders_nested(spark: SparkSession, sf_dir: str) -> SDF:
+    """orders ⋈ (lineitem grouped per order as sorted array<struct>).
+
+    Inner join: orders without lineitems are dropped (identical rule in the
+    oracle CTE, so both engines see the same universe).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    items = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(*[F.col(c) for c in _ITEM_FIELDS]))
+            ).alias("items")
+        )
+    )
+    return orders.join(items, orders.o_orderkey == items.l_orderkey, "inner").drop(
+        "l_orderkey"
+    )
+
+
+# DuckDB mirror of orders_nested — prepend to every nested-query oracle.
+ORDERS_NESTED_SQL = """
+WITH orders_nested AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+         o.o_orderdate, o.o_orderpriority, li.items
+  FROM orders o
+  JOIN (
+    SELECT l_orderkey,
+           list(struct_pack(
+               l_linenumber := l_linenumber,
+               l_quantity := l_quantity,
+               l_extendedprice := l_extendedprice,
+               l_discount := l_discount,
+               l_tax := l_tax,
+               l_returnflag := l_returnflag,
+               l_shipdate := l_shipdate) ORDER BY l_linenumber) AS items
+    FROM lineitem GROUP BY l_orderkey
+  ) li ON li.l_orderkey = o.o_orderkey
+)
+"""

@@ -1,0 +1,199 @@
+"""Lowering tests against real sf0.001 parquet, including the known-good
+anchor from SURVEY.md §7: lineitem.where(l_quantity > 30)
+.groupBy(l_returnflag).agg(sum(l_extendedprice*(1-l_discount))) must give
+A=38,314,207.58  N=43,058,188.77  R=39,480,352.69 at sf0.001.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_expressions_spark import (
+    DataFrame,
+    Lowerer,
+    LoweringError,
+    define_alias,
+    select,
+    user_func,
+)
+from dataframe_expressions_spark.sources.tables import load_table, orders_nested
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return load_table(spark, SF_SMOKE, "lineitem")
+
+
+@pytest.fixture(scope="module")
+def nested(spark):
+    return orders_nested(spark, SF_SMOKE).cache()
+
+
+def test_flagship_anchor(spark, lineitem):
+    d = DataFrame()
+    filtered = d[d.l_quantity > 30]
+    revenue = d.l_extendedprice * (1 - d.l_discount)
+    low = Lowerer(d, lineitem)
+    out = (
+        low.frame(filtered)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum(low.column(revenue)), 2).alias("rev"))
+        .collect()
+    )
+    got = {r["l_returnflag"]: r["rev"] for r in out}
+    assert got == {
+        "A": 38314207.58,
+        "N": 43058188.77,
+        "R": 39480352.69,
+    }
+
+
+def test_select_projection(spark, lineitem):
+    d = DataFrame()
+    df = select(d, lineitem, d, okey=d.l_orderkey, qty=d.l_quantity)
+    assert df.columns == ["okey", "qty"]
+    assert df.count() == lineitem.count()
+
+
+def test_event_filter_composition(spark, lineitem):
+    d = DataFrame()
+    f = d[d.l_quantity > 30][d.l_discount < 0.05]
+    n = select(d, lineitem, f, k=d.l_orderkey).count()
+    expect = lineitem.where("l_quantity > 30 and l_discount < 0.05").count()
+    assert n == expect
+
+
+def test_nested_collection_count(spark, nested):
+    d = DataFrame()
+    df = select(d, nested, d, okey=d.o_orderkey, n=d.items.Count())
+    expect = nested.select(F.size("items").alias("n"), "o_orderkey")
+    assert df.agg(F.sum("n")).first()[0] == expect.agg(F.sum("n")).first()[0]
+
+
+def test_nested_count_cut(spark, nested):
+    d = DataFrame()
+    cut = d[d.items.Count() > 2]
+    n = select(d, nested, cut, k=d.o_orderkey).count()
+    expect = nested.where(F.size("items") > 2).count()
+    assert n == expect and n > 0
+
+
+def test_nested_filter_agg(spark, nested):
+    """d.items[d.items.l_quantity > 30].Count() — the CSE-identity case."""
+    d = DataFrame()
+    big = d.items[d.items.l_quantity > 30]
+    df = select(d, nested, d, okey=d.o_orderkey, n_big=big.Count())
+    expect = nested.select(
+        F.size(F.filter("items", lambda it: it["l_quantity"] > 30)).alias("n")
+    )
+    assert df.agg(F.sum("n_big")).first()[0] == expect.agg(F.sum("n")).first()[0]
+
+
+def test_nested_filter_lambda(spark, nested):
+    d = DataFrame()
+    a = d.items[lambda it: it.l_quantity > 30].Count()
+    b = d.items[d.items.l_quantity > 30].Count()
+    df = select(d, nested, d, a=a, b=b)
+    assert df.where("a != b").count() == 0
+
+
+def test_elementwise_arith_and_sum(spark, nested):
+    d = DataFrame()
+    rev = d.items.map(lambda it: it.l_extendedprice * (1 - it.l_discount)).Sum()
+    df = select(d, nested, d, okey=d.o_orderkey, rev=rev)
+    expect = nested.select(
+        F.aggregate(
+            "items",
+            F.lit(0.0),
+            lambda acc, it: acc + it["l_extendedprice"] * (1 - it["l_discount"]),
+        ).alias("rev")
+    )
+    got = df.agg(F.round(F.sum("rev"), 2)).first()[0]
+    want = expect.agg(F.round(F.sum("rev"), 2)).first()[0]
+    assert got == want
+
+
+def test_elem_attr_after_filter(spark, nested):
+    d = DataFrame()
+    big = d.items[d.items.l_quantity > 30]
+    qty_sum = big.l_quantity.Sum()
+    df = select(d, nested, d, s=qty_sum)
+    total = df.agg(F.sum("s")).first()[0]
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    expect = lineitem.where("l_quantity > 30").agg(F.sum("l_quantity")).first()[0]
+    assert abs(total - expect) < 1e-6
+
+
+def test_cross_level_mix(spark, nested):
+    """Per-element mask referencing an event-level scalar (outer column)."""
+    d = DataFrame()
+    pricey = d.items[d.items.l_extendedprice > d.o_totalprice * 0.3]
+    df = select(d, nested, d, okey=d.o_orderkey, n=pricey.Count())
+    expect = nested.select(
+        F.size(
+            F.filter("items", lambda it: it["l_extendedprice"] > F.col("o_totalprice") * 0.3)
+        ).alias("n")
+    )
+    assert df.agg(F.sum("n")).first()[0] == expect.agg(F.sum("n")).first()[0]
+
+
+def test_ufunc_lowering(spark, lineitem):
+    d = DataFrame()
+    df = select(d, lineitem, d, r=np.sqrt(d.l_quantity), a=abs(d.l_discount - 0.05))
+    row = df.agg(F.round(F.sum("r"), 2), F.round(F.sum("a"), 2)).first()
+    expect = lineitem.select(
+        F.sqrt("l_quantity").alias("r"), F.abs(F.col("l_discount") - 0.05).alias("a")
+    ).agg(F.round(F.sum("r"), 2), F.round(F.sum("a"), 2)).first()
+    assert row == expect
+
+
+def test_alias_through_lowering(spark, nested):
+    define_alias(".", "big_items", lambda o: o.items[o.items.l_quantity > 30])
+    d = DataFrame()
+    df = select(d, nested, d, n=d.big_items.Count())
+    expect = nested.select(
+        F.size(F.filter("items", lambda it: it["l_quantity"] > 30)).alias("n")
+    )
+    assert df.agg(F.sum("n")).first()[0] == expect.agg(F.sum("n")).first()[0]
+
+
+def test_user_func_pandas_udf(spark):
+    @user_func
+    def clv(balance: float) -> float:
+        return balance * 1.1 + 5.0
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    d = DataFrame()
+    df = select(d, customer, d, k=d.c_custkey, v=clv(d.c_acctbal))
+    expect = customer.select(
+        (F.col("c_acctbal") * 1.1 + 5.0).alias("v")
+    ).agg(F.round(F.sum("v"), 2)).first()[0]
+    assert df.agg(F.round(F.sum("v"), 2)).first()[0] == expect
+
+
+def test_unknown_column_fails_at_lowering(spark, lineitem):
+    d = DataFrame()
+    node = d.not_a_column  # capture always succeeds (schemaless)
+    with pytest.raises(LoweringError, match="not_a_column"):
+        select(d, lineitem, d, x=node)
+
+
+def test_foreign_collection_mask_rejected(spark, nested):
+    d = DataFrame()
+    with pytest.raises(LoweringError):
+        # mask over `items` applied to a different... build artificial case:
+        other = DataFrame()
+        select(d, nested, d, x=d.items[other.items.l_quantity > 30].Count())
+
+
+def test_wholestage_codegen_nested_plan(spark, nested):
+    """Nested ops must stay JVM-side: plan contains no Python eval nodes."""
+    d = DataFrame()
+    big = d.items[d.items.l_quantity > 30]
+    df = select(d, nested, d, n=big.Count())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
