@@ -1,0 +1,300 @@
+"""Tier 1 — the reference's actual surface, expressed THROUGH the capture
+DSL and lowered to Spark (SURVEY.md §2 #1–#13).
+
+Each query here builds a lazy expression with ``DataFrame()`` capture
+nodes (reference semantics: DataFrame.py / render.py) and lowers it via
+``plans/lowering.py``; nothing calls pyspark functions directly except the
+final ``select``.  The DuckDB oracles mirror nested semantics with
+``list_filter`` / ``list_transform`` / ``len`` over the identical
+``orders_nested`` CTE.
+
+Scale notes: every lowered plan is pure JVM higher-order-function /
+column arithmetic — no Python in the hot path; filters land in parquet
+``PushedFilters`` and unused columns are pruned (verified via
+``.explain("formatted")`` in tests/test_lowering.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+
+import numpy as np
+
+from ..plans.alias import clear_aliases, define_alias
+from ..plans.nodes import DataFrame
+from ..plans.lowering import select
+from ..functions.user import user_func
+from ..sources.tables import ORDERS_NESTED_SQL, load_table, orders_nested
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# 1 — attribute projection (reference: DataFrame.py __getattr__)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "project_scalar",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def project_scalar(spark: SparkSession, sf_dir: str) -> SDF:
+    lin = load_table(spark, sf_dir, "lineitem")
+    d = DataFrame()
+    return select(
+        d, lin, d,
+        l_orderkey=d.l_orderkey, l_linenumber=d.l_linenumber, l_quantity=d.l_quantity,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2 — boolean-mask filter (reference: DataFrame.py __getitem__)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_mask",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 30",
+)
+def filter_mask(spark: SparkSession, sf_dir: str) -> SDF:
+    lin = load_table(spark, sf_dir, "lineitem")
+    d = DataFrame()
+    f = d[d.l_quantity > 30]
+    return select(
+        d, lin, f,
+        l_orderkey=d.l_orderkey, l_linenumber=d.l_linenumber, l_quantity=d.l_quantity,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3 — callable filter (reference: DataFrame.py __getitem__ + ast_Callable)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_lambda",
+    ORDERS_NESTED_SQL
+    + "SELECT o_orderkey, len(list_filter(items, it -> it.l_quantity > 30)) AS n_big "
+    "FROM orders_nested",
+)
+def filter_lambda(spark: SparkSession, sf_dir: str) -> SDF:
+    nested = orders_nested(spark, sf_dir)
+    d = DataFrame()
+    big = d.items[lambda it: it.l_quantity > 30]
+    return select(d, nested, d, o_orderkey=d.o_orderkey, n_big=big.Count())
+
+
+# ---------------------------------------------------------------------------
+# 4 — comparisons (reference: DataFrame.py rich comparisons)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cmp_ops",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_quantity <  25  AS lt,
+           l_quantity <= 25  AS le,
+           l_quantity >  25  AS gt,
+           l_quantity >= 25  AS ge,
+           l_returnflag = 'A'  AS eq,
+           l_linestatus != 'O' AS ne
+    FROM lineitem
+    """,
+)
+def cmp_ops(spark: SparkSession, sf_dir: str) -> SDF:
+    lin = load_table(spark, sf_dir, "lineitem")
+    d = DataFrame()
+    return select(
+        d, lin, d,
+        l_orderkey=d.l_orderkey, l_linenumber=d.l_linenumber,
+        lt=d.l_quantity < 25, le=d.l_quantity <= 25,
+        gt=d.l_quantity > 25, ge=d.l_quantity >= 25,
+        eq=d.l_returnflag == "A", ne=d.l_linestatus != "O",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5 — mask combinators & | ~ (reference: DataFrame.py BoolOp capture)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bool_ops",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_quantity > 30 AND (l_discount < 0.02 OR NOT l_returnflag = 'A')
+    """,
+)
+def bool_ops(spark: SparkSession, sf_dir: str) -> SDF:
+    lin = load_table(spark, sf_dir, "lineitem")
+    d = DataFrame()
+    mask = (d.l_quantity > 30) & ((d.l_discount < 0.02) | ~(d.l_returnflag == "A"))
+    return select(d, lin, d[mask], l_orderkey=d.l_orderkey, l_linenumber=d.l_linenumber)
+
+
+# ---------------------------------------------------------------------------
+# 6 — arithmetic (reference: DataFrame.py BinOp capture)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "arith_ops",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_quantity / 7.0 + 1 AS ratio,
+           l_extendedprice - l_quantity * 10 AS diff
+    FROM lineitem
+    """,
+)
+def arith_ops(spark: SparkSession, sf_dir: str) -> SDF:
+    lin = load_table(spark, sf_dir, "lineitem")
+    d = DataFrame()
+    return select(
+        d, lin, d,
+        l_orderkey=d.l_orderkey, l_linenumber=d.l_linenumber,
+        charge=d.l_extendedprice * (1 - d.l_discount) * (1 + d.l_tax),
+        ratio=d.l_quantity / 7.0 + 1,
+        diff=d.l_extendedprice - d.l_quantity * 10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7 — abs() + numpy ufuncs (reference: DataFrame.py __abs__/__array_ufunc__)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           sqrt(l_quantity) AS r,
+           abs(l_discount - 0.05) AS a,
+           floor(l_extendedprice / 100) AS f,
+           ceil(l_tax * 100) AS c
+    FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> SDF:
+    lin = load_table(spark, sf_dir, "lineitem")
+    d = DataFrame()
+    return select(
+        d, lin, d,
+        l_orderkey=d.l_orderkey, l_linenumber=d.l_linenumber,
+        r=np.sqrt(d.l_quantity),
+        a=abs(d.l_discount - 0.05),
+        f=np.floor(d.l_extendedprice / 100),
+        c=np.ceil(d.l_tax * 100),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8 — Count() convention (reference: DataFrame.py __call__; README)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "count_agg",
+    ORDERS_NESTED_SQL + "SELECT o_orderkey, len(items) AS n_items FROM orders_nested",
+)
+def count_agg(spark: SparkSession, sf_dir: str) -> SDF:
+    nested = orders_nested(spark, sf_dir)
+    d = DataFrame()
+    return select(d, nested, d, o_orderkey=d.o_orderkey, n_items=d.items.Count())
+
+
+# ---------------------------------------------------------------------------
+# 9 — event cut on nested aggregate (reference: render.py cross-level refs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nested_count_cut",
+    ORDERS_NESTED_SQL
+    + "SELECT o_orderkey, o_totalprice FROM orders_nested WHERE len(items) > 2",
+)
+def nested_count_cut(spark: SparkSession, sf_dir: str) -> SDF:
+    nested = orders_nested(spark, sf_dir)
+    d = DataFrame()
+    busy = d[d.items.Count() > 2]
+    return select(d, nested, busy, o_orderkey=d.o_orderkey, o_totalprice=d.o_totalprice)
+
+
+# ---------------------------------------------------------------------------
+# 10 — filtered-collection aggregate (reference: render.py CSE identity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nested_filter_agg",
+    ORDERS_NESTED_SQL
+    + "SELECT o_orderkey, len(list_filter(items, it -> it.l_quantity > 20)) AS n_big "
+    "FROM orders_nested",
+)
+def nested_filter_agg(spark: SparkSession, sf_dir: str) -> SDF:
+    nested = orders_nested(spark, sf_dir)
+    d = DataFrame()
+    big = d.items[d.items.l_quantity > 20]  # mask and source share the parent
+    return select(d, nested, d, o_orderkey=d.o_orderkey, n_big=big.Count())
+
+
+# ---------------------------------------------------------------------------
+# 11 — alias macros (reference: alias.py define_alias)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "alias_expand",
+    ORDERS_NESTED_SQL
+    + "SELECT o_orderkey, len(list_filter(items, it -> it.l_quantity > 30)) AS n_big "
+    "FROM orders_nested",
+)
+def alias_expand(spark: SparkSession, sf_dir: str) -> SDF:
+    nested = orders_nested(spark, sf_dir)
+    clear_aliases()
+    define_alias(".", "big_items", lambda o: o.items[o.items.l_quantity > 30])
+    d = DataFrame()
+    return select(d, nested, d, o_orderkey=d.o_orderkey, n_big=d.big_items.Count())
+
+
+# ---------------------------------------------------------------------------
+# 12 — @user_func (reference: utils.py ast_FunctionPlaceholder)
+# ---------------------------------------------------------------------------
+
+
+@user_func
+def _clv(balance: float) -> float:
+    """Toy 'customer lifetime value' — numpy-vectorizable, so the pandas
+    UDF path runs it on whole Arrow batches."""
+    return balance * 1.1 + 5.0
+
+
+@query(
+    "user_func_udf",
+    "SELECT c_custkey, c_acctbal * 1.1 + 5.0 AS clv FROM customer",
+)
+def user_func_udf(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = load_table(spark, sf_dir, "customer")
+    d = DataFrame()
+    return select(d, cust, d, c_custkey=d.c_custkey, clv=_clv(d.c_acctbal))
+
+
+# ---------------------------------------------------------------------------
+# 13 — deferred lambda via .map (reference: render.py render_callable)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "callable_capture",
+    # DECIMAL fold mirrors the engine's exact order-independent Sum
+    ORDERS_NESTED_SQL
+    + "SELECT o_orderkey, CAST(list_sum("
+    "list_transform(items, it -> CAST(it.l_extendedprice * (1 - it.l_discount)"
+    " AS DECIMAL(38,6)))) AS DOUBLE) AS rev "
+    "FROM orders_nested",
+)
+def callable_capture(spark: SparkSession, sf_dir: str) -> SDF:
+    nested = orders_nested(spark, sf_dir)
+    d = DataFrame()
+    rev = d.items.map(lambda it: it.l_extendedprice * (1 - it.l_discount)).Sum()
+    return select(d, nested, d, o_orderkey=d.o_orderkey, rev=rev)

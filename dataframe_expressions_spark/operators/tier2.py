@@ -1,0 +1,566 @@
+"""Tier 2 — relational capability extensions (SURVEY.md §2 #15–#31).
+
+These do not exist in the reference (it is a capture front-end with no
+engine — reference: README scope statement); they are the relational
+surface the north star mandates, expressed declaratively on Spark
+built-ins so Catalyst/AQE owns the physical strategy.
+
+Determinism discipline (driver hash-matches DuckDB):
+
+* Double-typed SUM/AVG aggregate in DECIMAL(38,6) then cast to double —
+  exact and independent of partition/merge order on BOTH engines.  A raw
+  double sum drifts in the last ulps with partition count, which would
+  make results nondeterministic on a real cluster anyway.
+* Every ranking window carries a unique tie-break key.
+* Count-like outputs cast to bigint to match SQL COUNT.
+
+Scale notes per query are inline — each states its shuffle/broadcast
+strategy and why the plan survives a 1000-executor 100 TB run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+from .registry import query
+
+_DEC = "decimal(38,6)"
+
+
+def _dsum(col) -> F.Column:
+    """Exact order-independent sum of a double expression → double."""
+    c = col if isinstance(col, F.Column) else F.col(col)
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# 15 — source scan (parquet → count; csv/json round-trips in tests)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_parquet",
+    "SELECT (SELECT count(*) FROM lineitem) AS n_lineitem, "
+    "(SELECT count(*) FROM orders) AS n_orders, "
+    "(SELECT count(*) FROM events) AS n_events",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> SDF:
+    """Scale: count(*) over parquet reads footers/row-group stats only —
+    no full materialization at any SF."""
+    lin = load_table(spark, sf_dir, "lineitem").count()
+    orders = load_table(spark, sf_dir, "orders").count()
+    events = load_table(spark, sf_dir, "events").count()
+    return spark.createDataFrame(
+        [(lin, orders, events)], "n_lineitem long, n_orders long, n_events long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 16 — equi inner join (fact ⋈ fact-side dim)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_hash",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice, o.o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> SDF:
+    """Scale: both sides shuffle-partition on the join key (sort-merge or
+    shuffled-hash per AQE stats); at 100 TB pre-bucketing both tables by
+    orderkey makes this shuffle-free."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return lin.join(orders, lin.l_orderkey == orders.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "o_totalprice", "o_orderstatus"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 17 — broadcast join (small dims)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_broadcast",
+    """
+    SELECT c.c_custkey, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> SDF:
+    """Scale: nation (25) and region (5) are broadcast — zero shuffle of
+    the big customer side at any SF; explicitly hinted so the plan cannot
+    regress to sort-merge when stats are stale."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 18 — left semi + anti (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_left_semi_anti",
+    """
+    SELECT 'semi' AS kind, c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'anti' AS kind, c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_left_semi_anti(spark: SparkSession, sf_dir: str) -> SDF:
+    """Scale: semi/anti joins shuffle only the key column of the probe
+    side; Spark builds on the (smaller) distinct key set."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    on = cust.c_custkey == orders.o_custkey
+    semi = cust.join(orders, on, "left_semi").select(
+        F.lit("semi").alias("kind"), "c_custkey"
+    )
+    anti = cust.join(orders, on, "left_anti").select(
+        F.lit("anti").alias("kind"), "c_custkey"
+    )
+    return semi.unionByName(anti)
+
+
+# ---------------------------------------------------------------------------
+# 19 — left outer join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_outer",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    SELECT n.n_nationkey, n.n_name, s.s_suppkey
+    FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> SDF:
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    return nation.join(supp, nation.n_nationkey == supp.s_nationkey, "full").select(
+        "n_nationkey", "n_name", "s_suppkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 20 — range/theta join (time-proximity self-join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_range_theta",
+    """
+    SELECT x.event_id AS a, y.event_id AS b
+    FROM events x JOIN events y
+      ON x.user_id = y.user_id
+     AND CAST(y.ts AS TIMESTAMP) >  CAST(x.ts AS TIMESTAMP)
+     AND CAST(y.ts AS TIMESTAMP) <= CAST(x.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+    """,
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> SDF:
+    """Scale: the equi part (user_id) drives the shuffle; the range
+    predicate evaluates post-match inside each key group, so this stays a
+    hash/sort-merge join — never a cartesian.  Skewed users are split by
+    AQE skew-join."""
+    ev = load_table(spark, sf_dir, "events")
+    x, y = ev.alias("x"), ev.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("y.ts") > F.col("x.ts"))
+            & (F.col("y.ts") <= F.col("x.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(F.col("x.event_id").alias("a"), F.col("y.event_id").alias("b"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 21 — hash aggregation, multi-measure (TPC-H Q1 — the flagship)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_groupby",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> SDF:
+    """Scale: partial (map-side) aggregation collapses each input split to
+    ≤|groups| rows before the shuffle — 100 TB in, kilobytes shuffled.
+    DECIMAL sums keep results bit-identical across partition counts."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        lin.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum("l_quantity") / n).alias("avg_qty"),
+            (_dsum("l_extendedprice") / n).alias("avg_price"),
+            (_dsum("l_discount") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 22 — distinct + count-distinct (+ approx variant, rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> SDF:
+    """Scale: Spark expands multi-distinct into an expand+two-phase agg;
+    partial aggregation still applies per distinct column."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    return lin.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("agg_approx_distinct", None)  # HLL sketch — engine-specific, rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> SDF:
+    """approx_count_distinct = HyperLogLog++: fixed-size sketch, partial
+    merge, no shuffle of raw keys — THE 100 TB cardinality path."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    return lin.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 23 — rollup / cube grouping sets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_rollup_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> SDF:
+    lin = load_table(spark, sf_dir, "lineitem")
+    return lin.rollup("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 24 — ranking windows (top-3 orders per customer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             rank()       OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC) AS rnk,
+             dense_rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC) AS drnk
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> SDF:
+    """Scale: one shuffle on o_custkey serves all three window functions
+    (same partitioning); rank/dense_rank are tie-stable, row_number gets a
+    unique tie-break so results are deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    by_cust = W.partitionBy("o_custkey")
+    w_unique = by_cust.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w_ties = by_cust.orderBy(F.desc("o_totalprice"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_unique).alias("rn"),
+            F.rank().over(w_ties).alias("rnk"),
+            F.dense_rank().over(w_ties).alias("drnk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 25 — analytic windows: lag/lead/running sum with frame
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_analytic",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> SDF:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(running).cast("double").alias(
+            "running_spend"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 26 — global sort + limit (top-k)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit_topk",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> SDF:
+    """Scale: Catalyst plans TakeOrderedAndProject — each partition keeps
+    its local top-100, driver merges; no global sort ever materializes."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    return (
+        lin.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 27 — set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_ops",
+    """
+    WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+         b AS (SELECT DISTINCT o_custkey AS k FROM orders)
+    SELECT 'intersect' AS kind, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+    UNION ALL
+    SELECT 'except' AS kind, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+    UNION ALL
+    SELECT 'union' AS kind, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> SDF:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    b = orders.select(F.col("o_custkey").alias("k")).distinct()
+    tag = lambda df, kind: df.select(F.lit(kind).alias("kind"), "k")  # noqa: E731
+    return (
+        tag(a.intersect(b), "intersect")
+        .unionByName(tag(a.subtract(b), "except"))
+        .unionByName(tag(a.union(b).distinct(), "union"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 28 — string functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS low,
+           CAST(length(p_name) AS BIGINT) AS len,
+           substr(p_type, 1, 5) AS ty5,
+           concat_ws('-', p_brand, p_type) AS tag,
+           (p_name LIKE '%a%') AS has_a,
+           regexp_extract(p_name, '^[a-z]+') AS first_word
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> SDF:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("low"),
+        F.length("p_name").cast("long").alias("len"),
+        F.substring("p_type", 1, 5).alias("ty5"),
+        F.concat_ws("-", "p_brand", "p_type").alias("tag"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 29 — date functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> SDF:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 30 — JSON / array scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "array_map_json_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           split_part(event_type, '_', 1) AS ty_head,
+           CAST(length(event_type) AS BIGINT) AS ty_len
+    FROM events
+    """,
+)
+def array_map_json_funcs(spark: SparkSession, sf_dir: str) -> SDF:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.split_part(F.col("event_type"), F.lit("_"), F.lit(1)).alias("ty_head"),
+        F.length("event_type").cast("long").alias("ty_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 31 — grouped pandas UDAF (Arrow-vectorized median per group)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udaf_pandas",
+    """
+    SELECT l_returnflag, median(l_extendedprice) AS med_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas(spark: SparkSession, sf_dir: str) -> SDF:
+    """GROUPED_AGG pandas UDF: whole group arrives as one Arrow batch;
+    median is order-insensitive so the result is deterministic.  Scale:
+    partial aggregation is impossible for exact medians — the shuffle
+    carries raw values; for 100 TB use approx_percentile instead."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udf(v: pd.Series) -> float:
+        return float(v.median())
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg, so the
+    # row count is a pandas aggregate too.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_udf(v: pd.Series) -> int:
+        return int(len(v))
+
+    lin = load_table(spark, sf_dir, "lineitem")
+    return lin.groupBy("l_returnflag").agg(
+        median_udf("l_extendedprice").alias("med_price"),
+        count_udf("l_extendedprice").alias("n"),
+    )

@@ -346,7 +346,12 @@ class Lowerer:
         spark_name = _UFUNC_MAP.get(name)
         if spark_name is None:
             raise LoweringError(f"Unsupported ufunc: numpy.{name}")
-        sfn = getattr(F, spark_name)
+        base = getattr(F, spark_name)
+        if spark_name in ("floor", "ceil"):
+            # numpy floor/ceil are double→double; Spark's return bigint
+            sfn = lambda c: base(c).cast(T.DoubleType())  # noqa: E731
+        else:
+            sfn = base
         operands = node.args[1:]
         if len(operands) == 1:
             return self._lift_unary(sfn, operands[0])
@@ -378,15 +383,23 @@ class Lowerer:
         if isinstance(parent, LFrame):
             # event-level Count(): a full aggregate over the frame
             return LFrame(parent.df.agg(F.count(F.lit(1)).alias("count")))
-        return LCol(F.size(self._collection_array(parent_node, parent)))
+        # bigint like SQL COUNT (F.size is int32; oracle len() is int64)
+        return LCol(F.size(self._collection_array(parent_node, parent)).cast(T.LongType()))
+
+    # Nested sums fold in DECIMAL: exact and order-independent, so results
+    # are deterministic regardless of partition/element order (a double
+    # fold would drift in the last ulps between runs/engines at scale).
+    _SUM_DECIMAL = T.DecimalType(38, 6)
 
     def _call_sum(self, parent_node: Node, parent: Any, args: tuple) -> Any:
         arr = self._collection_array(parent_node, parent)
-        return LCol(
-            F.aggregate(
-                arr, F.lit(0.0), lambda acc, x: acc + x.cast(T.DoubleType())
-            )
+        dec = self._SUM_DECIMAL
+        total = F.aggregate(
+            arr,
+            F.lit(0).cast(dec),
+            lambda acc, x: acc + x.cast(dec),
         )
+        return LCol(total.cast(T.DoubleType()))
 
     def _call_min(self, parent_node: Node, parent: Any, args: tuple) -> Any:
         return LCol(F.array_min(self._collection_array(parent_node, parent)))
@@ -396,7 +409,10 @@ class Lowerer:
 
     def _call_mean(self, parent_node: Node, parent: Any, args: tuple) -> Any:
         arr = self._collection_array(parent_node, parent)
-        total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast(T.DoubleType()))
+        dec = self._SUM_DECIMAL
+        total = F.aggregate(
+            arr, F.lit(0).cast(dec), lambda a, x: a + x.cast(dec)
+        ).cast(T.DoubleType())
         return LCol(total / F.size(arr))
 
     def _call_first(self, parent_node: Node, parent: Any, args: tuple) -> Any:

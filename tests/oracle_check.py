@@ -1,0 +1,118 @@
+"""DuckDB oracle parity harness — local stand-in for the driver's t2 gate.
+
+Runs each registered query on Spark at sf0.01 AND its DuckDB oracle SQL on
+the same parquet; compares row count, column names, and values
+order-insensitively (exact for ints/strings/bools, exact-first with a
+reported max-abs-diff for floats so near-misses are visible).
+
+Usage:
+    python tests/oracle_check.py            # all queries
+    python tests/oracle_check.py q1 q2 ...  # subset
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from dataframe_expressions_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def duck_con(sf_dir: str = SF_DIR) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> Optional[str]:
+    """Return None on match, else a description of the first mismatch."""
+    if len(spark_pdf) != len(duck_pdf):
+        return f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    a_cols, b_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if a_cols != b_cols:
+        return f"columns: spark={a_cols} duck={b_cols}"
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            both_nan = av.isna() & bv.isna()
+            eq = (av == bv) | both_nan
+            if not eq.all():
+                diff = (av - bv).abs().max()
+                n_bad = int((~eq).sum())
+                return f"col {c!r}: {n_bad} float mismatches, max|diff|={diff}"
+        else:
+            if av.isna().any() or bv.isna().any():
+                eq = (av.astype(object) == bv.astype(object)) | (av.isna() & bv.isna())
+            else:
+                eq = av == bv
+            if not eq.all():
+                i = int(np.argmax(~eq.values))
+                return f"col {c!r}: mismatch at sorted row {i}: {av.iloc[i]!r} != {bv.iloc[i]!r}"
+    return None
+
+
+def run_one(qid: str, spark, con, sf_dir: str = SF_DIR) -> Optional[str]:
+    from dataframe_expressions_spark.operators.registry import QUERIES
+
+    q = QUERIES[qid]
+    sdf = q.fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if q.oracle is None:
+        if len(spark_pdf) == 0 and qid not in ():
+            return "rows-only check: 0 rows (suspicious)"
+        return None
+    duck_pdf = con.execute(q.oracle).fetchdf()
+    return compare_frames(spark_pdf, duck_pdf)
+
+
+def main() -> int:
+    from dataframe_expressions_spark.operators.registry import load_all
+    from dataframe_expressions_spark.session import get_spark
+
+    queries = load_all()
+    ids = sys.argv[1:] or list(queries)
+    spark = get_spark("oracle-check")
+    con = duck_con()
+    failed = []
+    for qid in ids:
+        try:
+            err = run_one(qid, spark, con)
+        except Exception as e:  # noqa: BLE001
+            err = f"EXCEPTION: {type(e).__name__}: {e}"
+        status = "OK  " if err is None else "FAIL"
+        print(f"{status} {qid}" + (f"  -- {err}" if err else ""), flush=True)
+        if err:
+            failed.append(qid)
+    print(f"\n{len(ids) - len(failed)}/{len(ids)} queries match", flush=True)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
