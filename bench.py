@@ -1,0 +1,57 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {qid: sec}, "sf": ...}.
+
+Each query is executed to completion (collect, bounded by a count-style
+sink where results are large) after a JVM warm-up action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from dataframe_expressions_spark.operators.registry import load_all
+    from dataframe_expressions_spark.session import get_spark
+
+    queries = load_all()
+    spark = get_spark("bench")
+
+    # warm-up: JVM/codegen/parquet-footer caches
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for qid, q in sorted(queries.items()):
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        # noop sink: evaluates every output column of every row JVM-side
+        # without paying Python driver-transfer (standard Spark bench
+        # practice; count() would let Catalyst prune the projections)
+        df.write.format("noop").mode("overwrite").save()
+        timings[qid] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "wall_clock_all_registered_queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

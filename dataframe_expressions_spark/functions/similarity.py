@@ -1,0 +1,120 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set,
+score every corpus vector JVM-side (``zip_with`` product + sequential
+``aggregate`` fold, mirroring DuckDB's ``list_inner_product`` order so
+results hash-match bitwise), rank per query.
+
+Scale path: LSH sign-bucketing (random-hyperplane sketch) so each query
+only scores one bucket — candidate generation becomes an equi-join on the
+bucket key exactly like the dedup operators.  At 100 TB you'd persist the
+bucketed corpus partitioned by bucket id; the per-query probe then touches
+1/2^bits of the data (IVF-style).  Swap in real IVF centroids by replacing
+``_bucket_expr`` with an argmin-over-centroids expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = ["dot", "cosine", "cosine_topk", "lsh_bucket", "cosine_topk_lsh"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left fold over the element products — deterministic and
+    identical to DuckDB's list_inner_product evaluation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for a fixed query set.
+
+    Scale: queries are broadcast (no shuffle of the corpus); scoring is a
+    single codegen'd map stage; ranking shuffles only (n_queries × corpus)
+    scored rows — use the LSH variant when that product is too large.
+    """
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vvec")
+    )
+    scored = corpus.join(F.broadcast(q), F.col("vid") != F.col("qid")).select(
+        "qid",
+        "vid",
+        F.round(cosine(F.col("qvec"), F.col("vvec")), 4).alias("sim"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "vid", "sim", "rk")
+    )
+
+
+def lsh_bucket(vec: Column, bits: int = 4) -> Column:
+    """Random-hyperplane sign sketch using fixed deterministic hyperplanes
+    (dimension parity pattern) — bucket id in [0, 2^bits)."""
+    # Hyperplane b: pseudo-random ±1 pattern from xxhash64(b, dim index).
+    def plane_sign(b: int) -> Column:
+        prods = F.transform(
+            vec,
+            lambda x, i: F.when(
+                F.xxhash64(F.lit(b), i).bitwiseAND(F.lit(1)) == 1, x
+            ).otherwise(-x),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda a, v: a + v)
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(plane_sign(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket (equi-join on bucket id → shuffle-light at scale)."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("vvec"),
+        lsh_bucket(_as_double(F.col(vec_col)), bits).alias("bucket"),
+    )
+    q = emb.where(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("qid"), F.col("vvec").alias("qvec"), "bucket"
+    )
+    scored = emb.join(F.broadcast(q), "bucket").where(
+        F.col("vid") != F.col("qid")
+    ).select(
+        "qid", "vid", F.round(cosine(F.col("qvec"), F.col("vvec")), 4).alias("sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "vid", "sim", "rk")
+    )

@@ -1,0 +1,97 @@
+"""Text-analysis column builders for LLM-data pipelines (north-star scope;
+no counterpart in the reference — it has no string surface at all).
+
+All pure ``pyspark.sql.functions`` compositions: JVM-side, codegen-friendly,
+zero Python in the hot path.  Each has an exact DuckDB mirror used by the
+oracle queries in operators/tier3.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "stopword_count",
+    "alpha_ratio",
+    "avg_token_len",
+    "char_fingerprint",
+    "LANG_STOPWORDS",
+    "lang_scores",
+    "lang_pred",
+]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens with empties dropped (mirror:
+    ``list_filter(regexp_split_to_array(x,'\\s+'), t -> t != '')``)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def stopword_count(col: Column, words: Sequence[str]) -> Column:
+    lst = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(lst, t))).cast(
+        "long"
+    )
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Share of [a-z] characters — a standard cheap quality signal."""
+    return F.length(F.regexp_replace(col, "[^a-z]", "")) / F.length(col)
+
+
+def avg_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.size(toks)
+
+
+# Rolling polynomial hash over characters, mod 1e9+7 — a deterministic,
+# engine-portable document fingerprint (unlike xxhash64, DuckDB can mirror
+# it exactly: list_reduce(list_prepend(0, codes), (a,c)->(a*31+c)%p)).
+_FP_MOD = 1_000_000_007
+
+
+def char_fingerprint(col: Column) -> Column:
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(F.substring(col, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, c: (acc * 31 + c) % _FP_MOD
+    )
+
+
+# Tiny distinctive-stopword lists: a classic n-gram/stopword language-ID
+# heuristic (scores are exact set-membership counts → oracle-mirrorable).
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "de", "que", "y"),
+}
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {lang: stopword_count(col, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_pred(col: Column) -> Column:
+    """argmax over language scores with a fixed tie order (en > de > es >
+    unknown) so the prediction is deterministic."""
+    s = lang_scores(col)
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] > 0), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] > 0), "de")
+        .when(s["es"] > 0, "es")
+        .otherwise("unknown")
+    )

@@ -1,1 +1,448 @@
-"""Tier 3 LLM-data + streaming operators — populated incrementally."""
+"""Tier 3 — LLM-data-pipeline + streaming operators (SURVEY.md §2 #32–#38
+plus the north star's dedup/similarity/text/multimodal additions).
+
+Oracle discipline matches tier2: DECIMAL folding for double sums, bigint
+counts, rounded similarities ranked AFTER rounding with unique tie-breaks,
+and DuckDB mirrors built from list_* higher-order functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedup as D
+from ..functions import multimodal as MM
+from ..functions import similarity as S
+from ..functions import text as TX
+from ..sources.tables import load_table
+from ..streaming.windows import run_to_memory, stream_events
+from .registry import query
+
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+
+
+# ---------------------------------------------------------------------------
+# 32 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    "SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies "
+    "FROM documents GROUP BY text",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> SDF:
+    """Scale: group-by-text shuffles full text bytes; at 100 TB group by
+    xxhash64(text) instead (collision-safe at 2^64) so the shuffle carries
+    8-byte keys — same plan shape, shown here with the portable key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keep_doc_id", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# 33 — MinHash + LSH near-dup (rows-only: xxhash64 signatures are
+#      engine-specific, not expressible in the oracle)
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_near_minhash", None)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_dup_pairs(docs, threshold=0.4)
+
+
+@query("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(docs, max_hamming=16)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup — exact, blocked, fully SQL-mirrorable
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             list_distinct(list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])) AS sh
+      FROM (SELECT doc_id, source, n_chars, {_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                 4) AS jac
+    FROM t a JOIN t b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 4
+     AND len(a.sh) > 0 AND len(b.sh) > 0
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> SDF:
+    """Blocked exact Jaccard: candidate pairs limited to same source and
+    |Δn_chars| ≤ 4 — the equi part (source) drives the join; at scale the
+    blocking key would be a length bucket + source."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        D.word_shingles(TX.tokens(F.col("text")), 2).alias("sh"),
+    )
+    a = t.select(
+        F.col("doc_id").alias("a"),
+        F.col("source").alias("src_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("b"),
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("src_a") == F.col("src_b"))
+        & (F.col("a") < F.col("b"))
+        & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 4)
+        & (F.size("sh_a") > 0)
+        & (F.size("sh_b") > 0),
+    )
+    # materialize the intersection once per pair; repeating array_intersect
+    # in filter+projection triples the dominant cost
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b")
+    scored = pairs.select(
+        "a", "b", inter.alias("i"), union.alias("u")
+    ).withColumn("jac", F.col("i") / (F.col("u") - F.col("i")))
+    return scored.where(F.col("jac") >= 0.1).select(
+        "a", "b", F.round("jac", 4).alias("jac")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup: exact blocked cosine pairs
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_inner_product({l}.v, {r}.v) / "
+    "(sqrt(list_inner_product({l}.v, {l}.v)) * sqrt(list_inner_product({r}.v, {r}.v)))"
+)
+
+
+@query(
+    "dedup_near_embedding",
+    f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round({_COS.format(l='a', r='b')}, 4) AS sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS.format(l='a', r='b')} >= 0.5
+    """,
+)
+def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> SDF:
+    """Exact near-dup pairs blocked by label (the class column plays the
+    IVF-cell role a clustering step would at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("a"), F.col("label").alias("la"), F.col("v").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b"), F.col("label").alias("lb"), F.col("v").alias("vb")
+    )
+    sim = S.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("a") < F.col("b")))
+        .where(sim >= 0.5)
+        .select("a", "b", F.round(sim, 4).alias("sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 34 — embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_search_topk",
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id AS vid, round({_COS.format(l='q', r='e')}, 4) AS sim
+           FROM e JOIN q ON e.vec_id != q.qid),
+         ranked AS (
+           SELECT qid, vid, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rk
+           FROM scored)
+    SELECT qid, vid, sim, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+@query("sim_search_lsh", None)  # bucketing uses xxhash64 → rows-only
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> SDF:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+# ---------------------------------------------------------------------------
+# 35 — text statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_chars,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+             / length(text) AS alpha_ratio,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks) AS avg_token_len,
+           CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a')))
+                AS DOUBLE) / len(toks) AS stopword_ratio
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-document quality signals (length/stopword/alpha ratios) — the
+    standard cheap filters before expensive model-based scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        TX.alpha_ratio(F.col("text")).alias("alpha_ratio"),
+        TX.avg_token_len(F.col("text")).alias("avg_token_len"),
+        (
+            TX.stopword_count(F.col("text"), TX.LANG_STOPWORDS["en"]).cast("double")
+            / F.size(toks)
+        ).alias("stopword_ratio"),
+    )
+    return out.where(F.col("n_tokens") > 0)
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id,
+                 len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS s_en,
+                 len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+                 len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es
+               FROM t)
+    SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'unknown' END AS pred_lang
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_pred(F.col("text")).alias("pred_lang"))
+
+
+@query(
+    "doc_fingerprint",
+    """
+    WITH c AS (SELECT doc_id,
+                      list_transform(range(1, length(text) + 1),
+                                     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes
+               FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                       (a, x) -> (a * 31 + x) % 1000000007) AS fp
+    FROM c
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> SDF:
+    """Rolling polynomial hash over characters — portable content
+    fingerprint (same value in any engine, unlike xxhash64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.char_fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary column + mapInPandas decode stub
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+           CAST((octet_length(encode(text)) * 31) % 480 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> SDF:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_meta(MM.attach_fake_image(docs))
+
+
+# ---------------------------------------------------------------------------
+# 36 — streaming tumbling window (Trigger.AvailableNow)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_tumbling",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> SDF:
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(F.col("window.start").alias("window_start"), "n", "sum_value")
+
+
+# ---------------------------------------------------------------------------
+# 37 — sliding + session windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_sliding_session",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+             - (k * INTERVAL '15 minutes') AS window_start,
+           count(*) AS n
+    FROM events, (SELECT unnest(generate_series(0, 3)) AS k) ks
+    GROUP BY 1
+    """,
+)
+def stream_sliding_session(spark: SparkSession, sf_dir: str) -> SDF:
+    """Sliding 1h/15m window counts via streaming AvailableNow; the oracle
+    expands each event into its 4 overlapping windows."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = run_to_memory(agg, "complete")
+    return out.select(F.col("window.start").alias("window_start"), "n")
+
+
+@query(
+    "session_window",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         flags AS (
+           SELECT user_id, ts,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            <= INTERVAL '30 minutes'
+                       THEN 0 ELSE 1 END AS new_sess
+           FROM e),
+         sess AS (
+           SELECT user_id, ts,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flags)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window(spark: SparkSession, sf_dir: str) -> SDF:
+    """30-minute-gap sessionization via session_window (batch mode; the
+    oracle is the classic gaps-and-islands rewrite).  Scale: one shuffle
+    on user_id; state-store-backed in the streaming variant."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 38 — watermark + late data + streaming dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """Streaming dropDuplicates — with AvailableNow over a bounded source
+    this equals batch DISTINCT, so it gets a full SQL oracle."""
+    ev = stream_events(spark, sf_dir)
+    out = run_to_memory(
+        ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"]),
+        "append",
+    )
+    return out
+
+
+@query("stream_watermark_late", None)  # emitted-window set depends on
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> SDF:
+    """Watermarked tumbling counts in append mode: only windows finalized
+    by the 10-minute watermark emit; rows-only check (the emitted set
+    depends on micro-batch boundaries, not SQL-expressible)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_to_memory(agg, "append")
+    return out.select(F.col("window.start").alias("window_start"), "n")

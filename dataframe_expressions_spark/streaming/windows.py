@@ -1,0 +1,63 @@
+"""Structured Streaming operators over the events table.
+
+File-source micro-batches with ``Trigger.AvailableNow`` (SURVEY.md §7 M7):
+each helper builds a ``readStream`` pipeline, runs it to a memory sink,
+and returns the result as a batch DataFrame so the driver/oracle harness
+can hash it like any other query.
+
+Scale notes: the same pipelines run unchanged against Kafka/files on a
+cluster — watermarks bound state, session/tumbling aggregations keep
+per-key state in the state store, and ``AvailableNow`` is the standard
+backfill trigger (process everything available, then stop).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["stream_events", "run_to_memory"]
+
+
+def _staged_dir(sf_dir: str) -> str:
+    """The streaming file source requires a directory; stage the single
+    events.parquet into a tmp dir keyed by sf (testdata is read-only)."""
+    import hashlib
+    import os
+    import shutil
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/spark_stream_src_{key}"
+    dst = os.path.join(d, "events.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", dst + ".tmp")
+        os.rename(dst + ".tmp", dst)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> SDF:
+    """events.parquet as a file-source stream (same nanos→us conversion as
+    the batch loader in sources/tables.py)."""
+    src = _staged_dir(sf_dir)
+    schema = spark.read.parquet(src).schema  # ts arrives as long (nanos)
+    sdf = spark.readStream.schema(schema).parquet(src)
+    return sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_to_memory(df: SDF, mode: str) -> SDF:
+    """Execute a streaming DataFrame with Trigger.AvailableNow into a
+    uniquely-named memory sink; return the sink contents."""
+    name = "mem_" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

@@ -1,0 +1,113 @@
+"""Unit tests for the Tier-3 function library (text/dedup/similarity/
+multimodal) against hand-computed expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_expressions_spark.functions import dedup as D
+from dataframe_expressions_spark.functions import multimodal as MM
+from dataframe_expressions_spark.functions import similarity as S
+from dataframe_expressions_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different words entirely here now"),
+        (4, "  spaced   out    tokens  "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tokens_drop_empties(spark, docs):
+    out = docs.select("doc_id", TX.token_count(F.col("text")).alias("n")).collect()
+    got = {r.doc_id: r.n for r in out}
+    assert got == {1: 9, 2: 9, 3: 6, 4: 3}
+
+
+def test_char_fingerprint_matches_python(spark, docs):
+    out = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id", TX.char_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+
+    def poly(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % 1_000_000_007
+        return acc
+
+    rows = {
+        1: "the quick brown fox jumps over the lazy dog",
+        4: "  spaced   out    tokens  ",
+    }
+    for did, text in rows.items():
+        assert out[did] == poly(text)
+
+
+def test_minhash_finds_near_dup_pair(spark, docs):
+    pairs = D.minhash_near_dup_pairs(
+        docs, threshold=0.3, n_hashes=16, bands=8
+    ).collect()
+    assert any(r.a == 1 and r.b == 2 for r in pairs)
+    assert not any({r.a, r.b} == {1, 3} for r in pairs)
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    out = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", D.simhash64(TX.tokens(F.col("text"))).alias("h")
+        ).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & ((1 << 63) - 1)).count("1")  # noqa: E731
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_cosine_self_similarity(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.cosine_topk(emb, [0], k=2).collect()
+    by_rank = {r.rk: r for r in out}
+    assert by_rank[1].vid == 1 and by_rank[1].sim == 1.0
+    assert by_rank[2].vid == 2 and abs(by_rank[2].sim) < 1e-9
+
+
+def test_multimodal_decode_stub(spark, docs):
+    media = MM.attach_fake_image(
+        docs.withColumn("n_chars", F.length("text")).select("doc_id", "text")
+    )
+    out = {r.doc_id: r for r in MM.decode_meta(media).collect()}
+    assert out[1].n_bytes == 43 and out[1].width == 43 % 640
+    assert out[1].height == (43 * 31) % 480
+
+
+def test_multimodal_strict_raises(spark, docs):
+    media = MM.attach_fake_image(docs.select("doc_id", "text"))
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc_info:
+        MM.decode_meta(media, strict=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, Py4JJavaError
+    )
+
+
+def test_lang_pred_rule(spark):
+    rows = [
+        (1, "the cat and the dog of a to"),
+        (2, "der hund und die katze ist"),
+        (3, "el gato y la casa de que"),
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.p for r in df.select("doc_id", TX.lang_pred(F.col("text")).alias("p")).collect()}
+    assert out == {1: "en", 2: "de", 3: "es", 4: "unknown"}
