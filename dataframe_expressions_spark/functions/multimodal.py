@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["attach_fake_image", "decode_meta", "DECODED_SCHEMA"]
+__all__ = [
+    "attach_fake_image",
+    "decode_meta",
+    "frame_sample",
+    "DECODED_SCHEMA",
+    "FRAME_SCHEMA",
+]
 
 
 def attach_fake_image(docs: DataFrame) -> DataFrame:
@@ -77,3 +83,43 @@ def decode_meta(media: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(decode, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_off", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every: int = 256, strict: bool = False) -> DataFrame:
+    """Sample fixed-stride 'frames' from each payload (1 output row per
+    frame — the explode-shaped mapInPandas pattern a video pipeline uses).
+
+    The codec is stubbed: a 'frame' is the 16-byte slice at each stride
+    offset.  Real decoders drop into the same iterator — one input batch
+    yields a variable number of output rows, and Arrow handles the fan-out.
+    """
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real frame extraction requires libav (not in container)"
+                )
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["img_bytes"]):
+                buf = bytes(payload)
+                for idx, off in enumerate(range(0, len(buf), every)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_off"].append(off)
+                    out["frame_bytes"].append(buf[off : off + 16])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(sample, FRAME_SCHEMA)

@@ -40,6 +40,6 @@ def query(qid: str, oracle: Optional[str] = None):
 
 def load_all() -> Dict[str, Query]:
     """Import every operator module so registrations run."""
-    from . import tier1, tier2, tier3  # noqa: F401
+    from . import tier1, tier2, tier3, tier4  # noqa: F401
 
     return QUERIES

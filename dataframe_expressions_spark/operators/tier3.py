@@ -92,31 +92,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> SDF:
     |Δn_chars| ≤ 4 — the equi part (source) drives the join; at scale the
     blocking key would be a length bucket + source."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
+    t = D.spread(docs.select("doc_id", "source", "n_chars", "text")).select(
         "doc_id",
         "source",
         "n_chars",
         D.word_shingles(TX.tokens(F.col("text")), 2).alias("sh"),
     )
+    # Blocking join key = (source, n_chars bucket of width 5): the left
+    # side explodes to its bucket ± 1 so every |Δn_chars| ≤ 4 pair meets
+    # in exactly one bucket (the right row's own).  This turns the
+    # candidate join into a selective equi-join — source alone has ~20
+    # values, so post-shuffle parallelism and pair count were both bad.
+    bucket = F.floor(F.col("n_chars") / 5)
     a = t.select(
         F.col("doc_id").alias("a"),
-        F.col("source").alias("src_a"),
+        F.col("source").alias("src"),
         F.col("n_chars").alias("nc_a"),
         F.col("sh").alias("sh_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("jb"),
     )
     b = t.select(
         F.col("doc_id").alias("b"),
-        F.col("source").alias("src_b"),
+        F.col("source").alias("src"),
         F.col("n_chars").alias("nc_b"),
         F.col("sh").alias("sh_b"),
+        bucket.alias("jb"),
     )
-    pairs = a.join(
-        b,
-        (F.col("src_a") == F.col("src_b"))
-        & (F.col("a") < F.col("b"))
+    pairs = a.join(b, ["src", "jb"]).where(
+        (F.col("a") < F.col("b"))
         & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 4)
         & (F.size("sh_a") > 0)
-        & (F.size("sh_b") > 0),
+        & (F.size("sh_b") > 0)
     )
     # materialize the intersection once per pair; repeating array_intersect
     # in filter+projection triples the dominant cost
@@ -155,7 +161,7 @@ _COS = (
 def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> SDF:
     """Exact near-dup pairs blocked by label (the class column plays the
     IVF-cell role a clustering step would at scale)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = D.spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     a = emb.select(
@@ -446,3 +452,45 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> SDF:
     )
     out = run_to_memory(agg, "append")
     return out.select(F.col("window.start").alias("window_start"), "n")
+
+
+@query(
+    "stream_stateful_count",
+    "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> SDF:
+    """Custom stateful streaming operator (applyInPandasWithState running
+    per-user counts).  The bounded source arrives as one micro-batch, so
+    the final update equals the batch group count — full SQL oracle."""
+    from ..streaming.windows import stateful_running_count
+
+    return stateful_running_count(spark, sf_dir)
+
+
+@query(
+    "multimodal_framesample",
+    """
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n FROM documents),
+         f AS (SELECT doc_id, hx,
+                      unnest(generate_series(0, (n-1)//256)) AS k
+               FROM b)
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_idx,
+           CAST(k * 256 AS BIGINT) AS frame_off,
+           lower(substring(hx, k*512+1, 32)) AS frame_hex
+    FROM f
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> SDF:
+    """Fixed-stride frame sampling from binary payloads — the
+    explode-shaped mapInPandas stage of a video pipeline (frames emitted
+    as hex so the oracle compare is byte-exact across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = MM.frame_sample(MM.attach_fake_image(docs), every=256)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_off",
+        F.lower(F.hex("frame_bytes")).alias("frame_hex"),
+    )

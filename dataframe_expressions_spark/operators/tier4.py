@@ -1,0 +1,437 @@
+"""Tier 4 — beyond-survey relational extensions: statistical aggregates,
+exact quantiles, pivot, explode/unnest, as-of join, range-frame windows,
+csv/json source round-trips, partitioned parquet sink.
+
+Same oracle discipline as tier2 (DECIMAL folding, bigint counts, rounded
+doubles with unique tie-breaks).  Variance/stddev/correlation are computed
+from exact DECIMAL(38,6) moment sums — order-independent on both engines,
+unlike the built-in streaming variance accumulators whose double error
+depends on partition count.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, orders_nested
+from .registry import query
+
+_DEC = "decimal(38,6)"
+
+
+def _dsum(col) -> F.Column:
+    c = col if isinstance(col, F.Column) else F.col(col)
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates from exact moment sums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_stats",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           n,
+           round((sxx - sx*sx/n) / (n - 1), 4) AS var_qty,
+           round(sqrt((sxx - sx*sx/n) / (n - 1)), 4) AS stddev_qty,
+           round((sxy - sx*sy/n)
+                 / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)), 4) AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> SDF:
+    """Variance / stddev / correlation per group via exact decimal moment
+    sums (single shuffle, map-side partial agg).  Scale: moments compose
+    associatively, so this is the textbook 100 TB-safe formulation — the
+    built-in var_samp/corr accumulate in doubles whose rounding depends on
+    partition order."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = lin.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(q).alias("sx"),
+        _dsum(q * q).alias("sxx"),
+        _dsum(p).alias("sy"),
+        _dsum(p * p).alias("syy"),
+        _dsum(q * p).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (sxx - sx * sx / n) / (n - 1)
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(var, 4).alias("var_qty"),
+        F.round(F.sqrt(var), 4).alias("stddev_qty"),
+        F.round(corr, 4).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "agg_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> SDF:
+    """Exact interpolated percentiles (SQL percentile_cont semantics on
+    both engines).  Scale: exact percentile gathers per-group values —
+    fine for bounded group counts; unbounded cardinality switches to
+    approx_percentile (see agg_approx_distinct for the sketch pattern)."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    out = lin.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("q25", 4).alias("p25"),
+        F.round("q50", 4).alias("p50"),
+        F.round("q75", 4).alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_ALIAS = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+@query(
+    "pivot_wide",
+    """
+    SELECT o_orderstatus,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS p1_urgent,
+           count(*) FILTER (o_orderpriority = '2-HIGH') AS p2_high,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3_medium,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+           count(*) FILTER (o_orderpriority = '5-LOW') AS p5_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> SDF:
+    """Pivot with an explicit value list — Spark then skips the extra
+    distinct-values job and the output schema is static (a cluster
+    requirement: schema can't depend on data)."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    named = piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a)
+          for v, a in zip(_PRIORITIES, _PRIO_ALIAS)],
+    )
+    return named
+
+
+@query(
+    "unpivot_long",
+    """
+    WITH wide AS (
+      SELECT o_orderstatus,
+             CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
+             CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, 'p1_urgent' AS priority, p1_urgent AS n FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'p5_low' AS priority, p5_low AS n FROM wide
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> SDF:
+    """unpivot/melt back to long form — wide→long is a narrow (no-shuffle)
+    transformation."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("p1_urgent"),
+        F.count(F.when(F.col("o_orderpriority") == "5-LOW", 1)).alias("p5_low"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"], ["p1_urgent", "p5_low"], "priority", "n"
+    )
+
+
+# ---------------------------------------------------------------------------
+# explode / unnest (inverse of the nested view)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "explode_unnest",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def explode_unnest(spark: SparkSession, sf_dir: str) -> SDF:
+    """Explode the nested array<struct> view back to flat rows — the
+    round-trip (collect_list ∘ explode = id) that validates the nested
+    data model.  Scale: explode is narrow; the cost is the nested view's
+    one shuffle."""
+    nested = orders_nested(spark, sf_dir)
+    item = F.explode("items").alias("item")
+    return nested.select("o_orderkey", "o_totalprice", item).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("item.l_linenumber").alias("l_linenumber"),
+        F.col("item.l_quantity").alias("l_quantity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (time-series: latest click at or before each purchase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof",
+    """
+    WITH purchases AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+         clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                    FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, round(CAST(p.value AS DOUBLE), 4) AS value,
+           c.click_id, c.click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> SDF:
+    """As-of join via the union+window rewrite: tag both streams, sort
+    within user by (ts, tag), carry the last click forward with
+    last_value(ignorenulls) — ONE shuffle on user_id, no range-join row
+    explosion.  This is the scalable formulation: a naive range join is
+    O(clicks × purchases) per user; this is O(n log n) per user and the
+    state is one row.  (ts values are unique per user in the testdata, so
+    tag ordering only breaks exact-equality ties, where the click wins —
+    matching ASOF's >= semantics.)"""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        "event_id",
+        "value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "tag",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return merged.where(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value"), 4).alias("value"),
+        "click_id",
+        "click_ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# range-frame window (sliding 30-day revenue per customer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_30d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> SDF:
+    """RANGE frame over event-time (trailing 30 days of revenue).  Spark's
+    rangeBetween needs a numeric ordering column → order by epoch seconds;
+    the oracle uses the identical integer ordering.  Scale: one shuffle on
+    the partition key; frame evaluation is a per-partition scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("rev_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# csv / json source round-trips + partitioned parquet sink
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"/tmp/spark_graft_{fmt}_{key}"
+
+
+@query(
+    "scan_csv",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> SDF:
+    """CSV sink+source round-trip (writer → header CSV → schema'd reader).
+    The explicit schema keeps the reader single-pass (no inference job) —
+    mandatory at scale."""
+    out = _roundtrip_dir(sf_dir, "csv")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema("n_nationkey long, n_name string, n_regionkey long").option(
+        "header", True
+    ).csv(out)
+
+
+@query(
+    "scan_json",
+    "SELECT s_suppkey, s_name, s_nationkey, round(CAST(s_acctbal AS DOUBLE), 4) AS s_acctbal "
+    "FROM supplier",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> SDF:
+    """JSON-lines sink+source round-trip with explicit schema (JSON
+    inference reads the data twice — never at scale)."""
+    out = _roundtrip_dir(sf_dir, "json")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 4).alias("s_acctbal")
+    )
+    sup.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double"
+    ).json(out)
+
+
+@query(
+    "sink_partitioned",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> SDF:
+    """Hive-style partitioned parquet sink (partitionBy year) read back
+    with partition pruning available to every downstream query.  Scale:
+    year-partitioned layout is the standard time-series lake pattern;
+    the partition column comes back from directory names."""
+    out = _roundtrip_dir(sf_dir, "part")
+    shutil.rmtree(out, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("revenue"),
+    )
+    agg.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(F.col("o_year").cast("long"), "n_orders", "revenue")
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join (shuffle-free at any scale)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_bucketed",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> SDF:
+    """Write both sides bucketed+sorted by the join key, then join the
+    bucketed tables: the plan has NO Exchange before the join — each
+    bucket pair joins in place.  This is THE 100 TB pattern for repeated
+    fact-fact joins (pay one bucketed write, every later join is
+    shuffle-free); the one-time write cost is why it's a separate query
+    from join_inner_hash."""
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    loc = f"/tmp/spark_graft_bucketed_{key}"
+    for name, src, col in (
+        ("lineitem_b", "lineitem", "l_orderkey"),
+        ("orders_b", "orders", "o_orderkey"),
+    ):
+        tbl = f"{name}_{key}"
+        if not spark.catalog.tableExists(tbl):
+            df = load_table(spark, sf_dir, src)
+            (
+                df.write.bucketBy(8, col)
+                .sortBy(col)
+                .option("path", f"{loc}/{name}")
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+    lin = spark.table(f"lineitem_b_{key}")
+    orders = spark.table(f"orders_b_{key}")
+    # merge hint: at test SF the dim side is broadcast-sized, which would
+    # bypass the bucket-wise plan this query exists to demonstrate — at
+    # 100 TB both sides are fact-sized and SMJ is what AQE picks anyway
+    joined = lin.hint("merge").join(orders, lin.l_orderkey == orders.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("l_extendedprice").alias("revenue"),
+    )

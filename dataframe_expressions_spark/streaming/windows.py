@@ -61,3 +61,38 @@ def run_to_memory(df: SDF, mode: str) -> SDF:
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def stateful_running_count(spark: SparkSession, sf_dir: str) -> SDF:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count kept in the state store, emitted each micro-batch.
+
+    Scale: state is one long per user partitioned by the grouping key —
+    the state store shards with the shuffle, and RocksDB-backed state
+    handles key counts far beyond memory on a real cluster.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+    from typing import Iterator
+
+    import pandas as pd
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("n", LongType())]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def update(
+        key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+    ) -> "Iterator[pd.DataFrame]":
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    ev = stream_events(spark, sf_dir)
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return run_to_memory(counted, "update")
