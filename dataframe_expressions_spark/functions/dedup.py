@@ -55,14 +55,15 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
-    """MinHash signature: per seed i, min over xxhash64(i ++ shingle).
-    Seeding by prefix-concat keeps everything inside one codegen stage."""
+def minhash_signature(hashed: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature from pre-hashed shingles (``array<long>``): lane i
+    = min over xxhash64(i, h).  The base string hash is computed ONCE per
+    shingle by the caller; each lane re-hashes only 8-byte longs.  (A
+    multiplicative xor-mix would be cheaper still, but Spark 4's default
+    ANSI mode makes wrapping long multiplication throw.)"""
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(F.concat(F.lit(f"{i}:"), s)))
-            )
+            F.array_min(F.transform(hashed, lambda h: F.xxhash64(F.lit(i), h)))
             for i in range(n_hashes)
         ]
     )
@@ -104,27 +105,32 @@ def minhash_near_dup_pairs(
         F.col(id_col).alias("id"),
         word_shingles(tokens(F.col(text_col))).alias("sh"),
     ).where(F.size("sh") > 0)
-    banded = sh.select(
+    # materialize the base hashes in their own projection so each of the
+    # 16 lanes reads the long array instead of re-hashing the strings
+    sh = sh.persist()
+    hashed = sh.withColumn("hs", F.transform("sh", lambda s: F.xxhash64(s)))
+    # banding/candidate generation carries ONLY (id, band, bucket) — the
+    # shingle arrays would otherwise ride the explode ×bands and the
+    # dedup shuffle; they are re-joined just for the verify step
+    banded = hashed.select(
         "id",
-        "sh",
-        F.posexplode(band_keys(minhash_signature(F.col("sh"), n_hashes), bands, rows)).alias(
+        F.posexplode(band_keys(minhash_signature(F.col("hs"), n_hashes), bands, rows)).alias(
             "band", "bucket"
         ),
     )
-    left = banded.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("a"), F.col("sh").alias("sh_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("b"), F.col("sh").alias("sh_b")
-    )
+    left = banded.select("band", "bucket", F.col("id").alias("a"))
+    right = banded.select("band", "bucket", F.col("id").alias("b"))
     cand = (
         left.join(right, ["band", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sh_a", "sh_b")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    pairs = cand.join(
+        sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a"
+    ).join(sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
     return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
     )

@@ -494,3 +494,67 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> SDF:
         "frame_off",
         F.lower(F.hex("frame_bytes")).alias("frame_hex"),
     )
+
+
+@query(
+    "stream_dedup_watermarked",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> SDF:
+    """dropDuplicatesWithinWatermark: state for a key is dropped once the
+    watermark passes it — bounded state, the production form of streaming
+    dedup (plain dropDuplicates keeps keys forever).  The bounded source
+    is in-order within the watermark, so output equals batch DISTINCT."""
+    ev = stream_events(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 day")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    out = run_to_memory(deduped, "append")
+    return out.select("user_id", "event_type")
+
+
+@query(
+    "stream_stream_join",
+    """
+    WITH v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts AS buy_ts, round(CAST(value AS DOUBLE), 4) AS value
+               FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.buy_ts, p.value, v.view_ts
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.view_ts BETWEEN p.buy_ts - INTERVAL 1 HOUR AND p.buy_ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> SDF:
+    """Watermarked stream-stream inner join: purchases joined to views by
+    the same user within the preceding hour.  Both sides carry watermarks
+    + the time-range predicate, so Spark bounds join state to ~1 h per
+    key — the canonical clickstream attribution shape.  The bounded
+    AvailableNow run emits every qualifying pair, equal to the batch
+    range join the oracle runs."""
+    ev = stream_events(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("buy_ts"),
+            F.round(F.col("value"), 4).alias("value"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = buys.join(
+        views,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("view_ts") >= F.col("buy_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("buy_ts")),
+        "inner",
+    )
+    out = run_to_memory(joined, "append")
+    return out.select("user_id", "buy_ts", "value", "view_ts")

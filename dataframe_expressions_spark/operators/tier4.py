@@ -435,3 +435,19 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> SDF:
         F.count(F.lit(1)).alias("n"),
         _dsum("l_extendedprice").alias("revenue"),
     )
+
+
+@query(
+    "scan_orc",
+    "SELECT p_partkey, p_name, p_brand, round(CAST(p_retailprice AS DOUBLE), 4) AS p_retailprice "
+    "FROM part",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> SDF:
+    """ORC sink+source round-trip — same columnar pushdown/pruning story
+    as parquet, kept for lake interop."""
+    out = _roundtrip_dir(sf_dir, "orc")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", F.round("p_retailprice", 4).alias("p_retailprice")
+    )
+    part.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
