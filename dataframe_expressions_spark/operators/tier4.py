@@ -451,3 +451,29 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> SDF:
     )
     part.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@query(
+    "agg_skew_twophase",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> SDF:
+    """Skew-safe distinct count: expand the distinct key into the grouping
+    key (groupBy(user, type) → groupBy(user)) so no reducer ever holds one
+    hot user's full value set — the two-phase rewrite Spark itself applies
+    to COUNT(DISTINCT), spelled out as the pattern for aggs it can't
+    rewrite (collect_set, exact percentile of a hot key).  Phase 1 keys
+    are (user, type): skew on user alone is sharded across reducers."""
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return phase1.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
