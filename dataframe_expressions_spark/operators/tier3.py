@@ -486,7 +486,7 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> SDF:
     """Fixed-stride frame sampling from binary payloads — the
     explode-shaped mapInPandas stage of a video pipeline (frames emitted
     as hex so the oracle compare is byte-exact across engines)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
     frames = MM.frame_sample(MM.attach_fake_image(docs), every=256)
     return frames.select(
         "doc_id",

@@ -48,19 +48,33 @@ def stream_events(spark: SparkSession, sf_dir: str) -> SDF:
     return sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
-def run_to_memory(df: SDF, mode: str) -> SDF:
+def run_to_memory(df: SDF, mode: str, shuffle_partitions: int | None = 8) -> SDF:
     """Execute a streaming DataFrame with Trigger.AvailableNow into a
-    uniquely-named memory sink; return the sink contents."""
+    uniquely-named memory sink; return the sink contents.
+
+    ``shuffle_partitions`` is pinned at checkpoint creation and sets the
+    state-store shard count.  8 fits the local test volumes (32 shards
+    paid ~4× fixed commit/Python-worker overhead per micro-batch for the
+    same data); a production job sizes it to keys × state per executor
+    and CANNOT change it after the first checkpoint — pick deliberately.
+    """
+    spark = df.sparkSession
     name = "mem_" + uuid.uuid4().hex[:12]
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.table(name)
 
 
 def stateful_running_count(spark: SparkSession, sf_dir: str) -> SDF:
