@@ -51,12 +51,18 @@ def _dsum(col) -> F.Column:
 )
 def scan_parquet(spark: SparkSession, sf_dir: str) -> SDF:
     """Scale: count(*) over parquet reads footers/row-group stats only —
-    no full materialization at any SF."""
-    lin = load_table(spark, sf_dir, "lineitem").count()
-    orders = load_table(spark, sf_dir, "orders").count()
-    events = load_table(spark, sf_dir, "events").count()
-    return spark.createDataFrame(
-        [(lin, orders, events)], "n_lineitem long, n_orders long, n_events long"
+    no full materialization at any SF.  The three counts cross-join into
+    ONE job (each .count() action was a separate driver round-trip)."""
+
+    def n(table: str, alias: str) -> SDF:
+        return load_table(spark, sf_dir, table).agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    return (
+        n("lineitem", "n_lineitem")
+        .crossJoin(n("orders", "n_orders"))
+        .crossJoin(n("events", "n_events"))
     )
 
 

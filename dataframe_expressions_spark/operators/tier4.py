@@ -416,12 +416,25 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> SDF:
         ("orders_b", "orders", "o_orderkey"),
     ):
         tbl = f"{name}_{key}"
-        if not spark.catalog.tableExists(tbl):
-            df = load_table(spark, sf_dir, src)
+        if spark.catalog.tableExists(tbl):
+            continue
+        df = load_table(spark, sf_dir, src)
+        path = f"{loc}/{name}"
+        if os.path.exists(f"{path}/_SUCCESS"):
+            # bucketed files survive across sessions but the in-memory
+            # catalog doesn't — re-register the existing layout (bucket
+            # spec lives in the catalog, so it must be restated)
+            ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+            spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({col}) SORTED BY ({col}) INTO 8 BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        else:
             (
                 df.write.bucketBy(8, col)
                 .sortBy(col)
-                .option("path", f"{loc}/{name}")
+                .option("path", path)
                 .mode("overwrite")
                 .saveAsTable(tbl)
             )
