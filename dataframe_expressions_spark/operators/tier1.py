@@ -298,3 +298,46 @@ def callable_capture(spark: SparkSession, sf_dir: str) -> SDF:
     d = DataFrame()
     rev = d.items.map(lambda it: it.l_extendedprice * (1 - it.l_discount)).Sum()
     return select(d, nested, d, o_orderkey=d.o_orderkey, rev=rev)
+
+
+# ---------------------------------------------------------------------------
+# aggregation-by-convention beyond Count/Sum: Min/Max/Mean/First
+# (reference: DataFrame.py __getattr__+__call__ capture any method name;
+#  meaning is assigned by the backend — here, the lowering pass)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nested_minmax_agg",
+    ORDERS_NESTED_SQL
+    + """
+    , f AS (SELECT o_orderkey, items,
+                   list_filter(items, it -> it.l_quantity > 10) AS big
+            FROM orders_nested)
+    SELECT o_orderkey,
+           list_min(list_transform(big, it -> it.l_quantity)) AS min_q,
+           list_max(list_transform(big, it -> it.l_quantity)) AS max_q,
+           CAST(list_sum(list_transform(big,
+                it -> CAST(it.l_extendedprice AS DECIMAL(38,6)))) AS DOUBLE)
+             / len(big) AS mean_price,
+           items[1].l_returnflag AS first_flag
+    FROM f WHERE len(big) > 0
+    """,
+)
+def nested_minmax_agg(spark: SparkSession, sf_dir: str) -> SDF:
+    """Min/Max/Mean/First over a filtered nested collection — the full
+    aggregate-by-convention family, each lowering to one JVM array
+    function (array_min/array_max/decimal-fold aggregate/element_at)."""
+    nested = orders_nested(spark, sf_dir)
+    d = DataFrame()
+    big = d.items[d.items.l_quantity > 10]
+    return select(
+        d,
+        nested,
+        d[big.Count() > 0],
+        o_orderkey=d.o_orderkey,
+        min_q=big.l_quantity.Min(),
+        max_q=big.l_quantity.Max(),
+        mean_price=big.l_extendedprice.Mean(),
+        first_flag=d.items.l_returnflag.First(),
+    )

@@ -105,7 +105,12 @@ WITH orders_nested AS (
                l_discount := l_discount,
                l_tax := l_tax,
                l_returnflag := l_returnflag,
-               l_shipdate := l_shipdate) ORDER BY l_linenumber) AS items
+               l_shipdate := l_shipdate)
+               -- full field order: l_linenumber is NOT unique per order in
+               -- the testdata, and Spark's sort_array compares structs
+               -- field-by-field — mirror that exactly or First() diverges
+               ORDER BY l_linenumber, l_quantity, l_extendedprice,
+                        l_discount, l_tax, l_returnflag, l_shipdate) AS items
     FROM lineitem GROUP BY l_orderkey
   ) li ON li.l_orderkey = o.o_orderkey
 )
