@@ -558,3 +558,30 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> SDF:
     )
     out = run_to_memory(joined, "append")
     return out.select("user_id", "buy_ts", "value", "view_ts")
+
+
+@query(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+           CAST((octet_length(encode(text)) * 31) % 480 AS BIGINT) AS height,
+           CAST(least(octet_length(encode(text)) % 640, 224) AS BIGINT) AS out_w,
+           CAST(least((octet_length(encode(text)) * 31) % 480, 224) AS BIGINT) AS out_h
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> SDF:
+    """Resize stage stub: decode metadata → clamp to a 224x224 target box
+    (the real resample is a codec call inside the same mapInPandas
+    iterator; the Spark-side schema/partition/Arrow plumbing is what this
+    exercises)."""
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    meta = MM.decode_meta(MM.attach_fake_image(docs))
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.least("width", F.lit(224)).cast("long").alias("out_w"),
+        F.least("height", F.lit(224)).cast("long").alias("out_h"),
+    )

@@ -490,3 +490,57 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> SDF:
         F.sum("n").cast("long").alias("n_events"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
     )
+
+
+@query(
+    "window_ntile_pct",
+    """
+    SELECT o_orderkey, o_custkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_pct(spark: SparkSession, sf_dir: str) -> SDF:
+    """Distribution-rank window functions (quartile bucketing, percentile
+    position).  Same single-shuffle profile as window_rank; o_orderkey
+    tie-break keeps every rank deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "scalar_subquery_rewrite",
+    """
+    SELECT o.o_orderkey, round(CAST(o.o_totalprice AS DOUBLE), 4) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT CAST(avg(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def scalar_subquery_rewrite(spark: SparkSession, sf_dir: str) -> SDF:
+    """Correlated scalar subquery (orders 1.5x above the customer's own
+    average), rewritten as one window aggregation — the scalable form:
+    the naive correlated shape is a per-row subquery; as a window it is a
+    single shuffle on the correlation key with no second scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    avg_price = (
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        orders.withColumn("cust_avg", avg_price)
+        .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+    )
