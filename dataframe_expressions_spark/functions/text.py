@@ -95,3 +95,17 @@ def lang_pred(col: Column) -> Column:
         .when(s["es"] > 0, "es")
         .otherwise("unknown")
     )
+
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single symbol — the
+# standard pre-tokenization split (GPT-2-style) before merges; identical
+# regex semantics in Java (Spark) and RE2 (DuckDB) for this class set.
+BPE_SPLIT_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_tokens(col: Column) -> Column:
+    return F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col)).cast("long")

@@ -585,3 +585,55 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> SDF:
         F.least("width", F.lit(224)).cast("long").alias("out_w"),
         F.least("height", F.lit(224)).cast("long").alias("out_h"),
     )
+
+
+@query(
+    "text_token_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> SDF:
+    """Token counting both ways the north star names: whitespace tokens
+    and a BPE-ish pre-tokenizer regex (letter runs / digit runs / single
+    symbols).  Pure JVM regexp — the usual 10x-cheaper proxy for real BPE
+    when sizing corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_ws_tokens"),
+        TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "emb_centroid",
+    """
+    WITH e AS (SELECT label, unnest(embedding) AS v,
+                      unnest(range(1, len(embedding)+1)) AS pos
+               FROM embeddings)
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*), 6) AS c
+    FROM e GROUP BY label, pos
+    """,
+)
+def emb_centroid(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-label embedding centroids (long format) — the IVF training
+    step: posexplode → groupBy(label, pos) with decimal-folded sums.
+    Scale: one shuffle of (label, pos, partial-sum) pairs; the wide
+    per-dimension layout never materializes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("p0", "v")
+    )
+    return e.groupBy("label", (F.col("p0") + 1).cast("long").alias("pos")).agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
