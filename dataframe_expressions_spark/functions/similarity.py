@@ -118,3 +118,56 @@ def cosine_topk_lsh(
         .where(F.col("rk") <= k)
         .select("qid", "vid", "sim", "rk")
     )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame, vec_col: str = "vvec") -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF cell) by cosine.
+
+    ``centroids``: (cell: long, cvec: array<double>), broadcast — the
+    cell count is small by construction (≈ sqrt(n) cells at scale), so
+    assignment is a broadcast nested-loop scored map stage followed by a
+    per-vector argmax; no shuffle of the corpus.
+    """
+    scored = emb.join(F.broadcast(centroids)).withColumn(
+        "csim", cosine(F.col(vec_col), F.col("cvec"))
+    )
+    w = W.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cell"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk", "cvec", "csim")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus and queries are assigned to
+    their nearest centroid cell; each query scores ONLY its own cell
+    (nprobe=1).  At 100 TB the corpus is written partitioned by cell, so
+    a probe touches one partition — candidate generation is the same
+    equi-join-on-bucket shape as every other ANN operator here.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vvec")
+    )
+    assigned = ivf_assign(emb, centroids)
+    q = assigned.where(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("qid"), F.col("vvec").alias("qvec"), "cell"
+    )
+    scored = assigned.join(F.broadcast(q), "cell").where(
+        F.col("vid") != F.col("qid")
+    ).select(
+        "qid", "vid", F.round(cosine(F.col("qvec"), F.col("vvec")), 4).alias("sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "vid", "sim", "rk")
+    )

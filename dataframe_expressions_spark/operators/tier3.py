@@ -637,3 +637,20 @@ def emb_centroid(spark: SparkSession, sf_dir: str) -> SDF:
             6,
         ).alias("c")
     )
+
+
+@query("sim_search_ivf", None)  # approximate (nprobe=1) → rows-only
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> SDF:
+    """IVF probe built on emb_centroid's cells: assign corpus + queries
+    to nearest centroid, score within the query's cell only."""
+    emb = D.spread(load_table(spark, sf_dir, "embeddings"))
+    cent = (
+        emb_centroid(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").cast("long").alias("cell"),
+            F.transform("pc", lambda x: x["c"]).alias("cvec"),
+        )
+    )
+    return S.cosine_topk_ivf(emb, cent, query_ids=[0, 1, 2, 3, 4], k=10)
