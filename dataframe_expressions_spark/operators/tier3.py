@@ -654,3 +654,77 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> SDF:
         )
     )
     return S.cosine_topk_ivf(emb, cent, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+@query(
+    "sample_content_hash",
+    """
+    WITH c AS (SELECT doc_id, lang, n_chars,
+                      list_transform(range(1, length(text) + 1),
+                                     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes
+               FROM documents)
+    SELECT doc_id, lang, n_chars
+    FROM c
+    WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                      (a, x) -> (a * 31 + x) % 1000000007) % 20 = 0
+    """,
+)
+def sample_content_hash(spark: SparkSession, sf_dir: str) -> SDF:
+    """Deterministic ~5% content-hash sample: keep docs whose rolling
+    fingerprint ≡ 0 (mod 20).  Unlike rand()-based sampling this is
+    reproducible across engines, partitionings, and reruns — the only
+    sampling that belongs in a lineage-tracked 100 TB pipeline — and it
+    keys on CONTENT, so exact duplicates land in the same stratum."""
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    return docs.where(
+        TX.char_fingerprint(F.col("text")) % 20 == 0
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query("agg_freq_items", None)  # sketch contents are engine-specific
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> SDF:
+    """Approximate heavy hitters (Karp-Papadimitriou-Shenker sketch via
+    DataFrame.freqItems) over event types — the sketch-merge pattern for
+    'what dominates this corpus' at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.freqItems(["event_type", "user_id"], support=0.05)
+
+
+@query(
+    "stream_foreach_batch_sink",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> SDF:
+    """foreachBatch sink: each micro-batch lands as parquet via the batch
+    writer (the standard bridge to any batch-only sink — JDBC, MERGE,
+    multi-table fan-out), then the landed files are re-aggregated.
+    AvailableNow + append of raw rows keeps the landing idempotent."""
+    import shutil
+    import uuid as _uuid
+
+    out = f"/tmp/spark_graft_fb_{_uuid.uuid4().hex[:8]}"
+
+    def land(batch_df: SDF, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    ev = stream_events(spark, sf_dir).select("event_type", "value")
+    q = (
+        ev.writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out}_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(out)
+    result = landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
+    rows = result.collect()  # materialize before cleaning the landing dir
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)

@@ -544,3 +544,66 @@ def scalar_subquery_rewrite(spark: SparkSession, sf_dir: str) -> SDF:
         .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
         .select("o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
     )
+
+
+@query(
+    "cdc_upsert_compact",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events)
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type
+    FROM ranked WHERE rk = 1
+    """,
+)
+def cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> SDF:
+    """Latest-wins compaction — the merge/upsert kernel of a CDC pipeline:
+    collapse a change log to the newest row per key.  Scale: one shuffle
+    on the key; on a lakehouse table this is the MERGE INTO / compaction
+    job run over new partitions only."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+
+
+@query(
+    "sql_interface",
+    """
+    SELECT n.n_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sql_interface(spark: SparkSession, sf_dir: str) -> SDF:
+    """The spark.sql entry point: every table registered as a temp view,
+    query written in ANSI SQL verbatim — same Catalyst plan as the
+    DataFrame form, proving the SQL surface is first-class."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
