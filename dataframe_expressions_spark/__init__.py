@@ -13,7 +13,8 @@ define_alias, user_func, render — reference: dataframe_expressions/__init__.py
 
 from .plans.nodes import Column, DataFrame
 from .plans.alias import clear_aliases, define_alias
-from .plans.lowering import Lowerer, LoweringError, select, to_spark
+from .plans.lowering import (Lowerer, LoweringError, render,
+                             render_callable, select, to_spark)
 from .functions.user import user_func
 
 __all__ = [
@@ -23,6 +24,8 @@ __all__ = [
     "LoweringError",
     "clear_aliases",
     "define_alias",
+    "render",
+    "render_callable",
     "select",
     "to_spark",
     "user_func",

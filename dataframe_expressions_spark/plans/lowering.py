@@ -477,3 +477,25 @@ def select(
     low = Lowerer(root, base_df)
     df = low.frame(frame)
     return df.select(*[low.column(node).alias(name) for name, node in columns.items()])
+
+
+def render(root: DataFrame, base_df: SDF, node: Node):
+    """Reference-API-parity entry point (reference: render.py ``render``):
+    lower a node and return ``(lowered, context)`` — the lowered value is
+    a Spark DataFrame for event frames or a ``pyspark.sql.Column`` for
+    expressions, and the context is the memoizing ``Lowerer``, reusable
+    for incremental re-renders exactly like the reference's
+    ``render_context``."""
+    ctx = Lowerer(root, base_df)
+    low = ctx.lower(node)
+    if isinstance(low, LFrame):
+        return low.df, ctx
+    return ctx.column(node), ctx
+
+
+def render_callable(ctx: "Lowerer", fn, collection: Node):
+    """Reference-API parity (reference: render.py ``render_callable``):
+    expand a deferred lambda against the elements of ``collection`` inside
+    an existing context, returning the resulting per-element Column."""
+    proxy = DataFrame("elemvar", collection)
+    return ctx.column(fn(proxy))

@@ -197,3 +197,24 @@ def test_wholestage_codegen_nested_plan(spark, nested):
     df = select(d, nested, d, n=big.Count())
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_render_parity_entry_points(spark, nested):
+    """render()/render_callable() — name-level parity with the reference's
+    render.py API: frame render, column render, deferred lambda expansion
+    in an existing context."""
+    from dataframe_expressions_spark import DataFrame, render, render_callable
+    from pyspark.sql import functions as F
+
+    d = DataFrame()
+    df, ctx = render(d, nested, d[d.items.Count() > 2])
+    assert df.count() > 0
+
+    col, ctx2 = render(d, nested, d.items[d.items.l_quantity > 30].Count())
+    total = nested.select(col.alias("n")).agg(F.sum("n")).first()[0]
+    assert total > 0
+
+    elem = render_callable(
+        ctx2, lambda it: it.l_extendedprice * (1 - it.l_discount), d.items
+    )
+    assert nested.select(elem.alias("x")).count() == nested.count()
