@@ -341,3 +341,28 @@ def nested_minmax_agg(spark: SparkSession, sf_dir: str) -> SDF:
         mean_price=big.l_extendedprice.Mean(),
         first_flag=d.items.l_returnflag.First(),
     )
+
+
+@query(
+    "nested_topn_slice",
+    ORDERS_NESTED_SQL
+    + """
+    SELECT o_orderkey,
+           list_sort(list_transform(items, it -> it.l_extendedprice), 'DESC')[1:2]
+             AS top2_prices
+    FROM orders_nested
+    WHERE len(items) >= 2
+    """,
+)
+def nested_topn_slice(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-event top-n: sort the nested collection's values descending and
+    slice — all inside the row (array_sort + slice), no explode, no
+    shuffle beyond the nested view's own."""
+    from pyspark.sql import functions as F
+
+    nested = orders_nested(spark, sf_dir)
+    prices = F.transform("items", lambda it: it["l_extendedprice"])
+    return nested.where(F.size("items") >= 2).select(
+        "o_orderkey",
+        F.slice(F.sort_array(prices, asc=False), 1, 2).alias("top2_prices"),
+    )

@@ -570,3 +570,39 @@ def udaf_pandas(spark: SparkSession, sf_dir: str) -> SDF:
         median_udf("l_extendedprice").alias("med_price"),
         count_udf("l_extendedprice").alias("n"),
     )
+
+
+@query(
+    "array_hof_funcs",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_big,
+           len(list_filter(embedding, x -> abs(x) >= 1.0)) = 0 AS all_small,
+           round(CAST(list_sum(list_transform(embedding,
+                 x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE), 6)
+             AS dim_sum
+    FROM embeddings
+    """,
+)
+def array_hof_funcs(spark: SparkSession, sf_dir: str) -> SDF:
+    """The higher-order array function family in one query: filter,
+    exists, forall, transform + aggregate — each a single codegen'd
+    JVM pass over the array, the workhorse layer under every nested and
+    embedding operator here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    dec_sum = F.aggregate(
+        F.transform(arr, lambda x: x.cast("double").cast("decimal(38,12)")),
+        F.lit(0).cast("decimal(38,12)"),
+        # decimal addition widens to (38,11); cast back so the merge
+        # lambda's type matches the accumulator's
+        lambda a, x: (a + x).cast("decimal(38,12)"),
+    ).cast("double")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(arr, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.exists(arr, lambda x: x > 0.5).alias("any_big"),
+        F.forall(arr, lambda x: F.abs(x) < 1.0).alias("all_small"),
+        F.round(dec_sum, 6).alias("dim_sum"),
+    )
