@@ -606,3 +606,103 @@ def array_hof_funcs(spark: SparkSession, sf_dir: str) -> SDF:
         F.forall(arr, lambda x: F.abs(x) < 1.0).alias("all_small"),
         F.round(dec_sum, 6).alias("dim_sum"),
     )
+
+
+@query(
+    "map_funcs",
+    """
+    SELECT event_id,
+           ['k'] AS ks,
+           [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vs,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(1 AS BIGINT) AS n_entries
+    FROM events
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> SDF:
+    """Map-type surface: parse JSON into a real MapType column, then
+    map_keys / map_values / element_at / size — the typed alternative to
+    repeated get_json_object parses (one parse, many accesses)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).cast("long").alias("n_entries"),
+    )
+
+
+@query(
+    "cond_null_funcs",
+    """
+    SELECT c.c_custkey,
+           coalesce(CAST(o.o_totalprice AS DOUBLE), 0.0) AS price_or_zero,
+           o.o_orderkey IS NULL AS no_order,
+           CASE WHEN o.o_totalprice > 200000 THEN 'big'
+                WHEN o.o_totalprice > 100000 THEN 'mid'
+                WHEN o.o_totalprice IS NOT NULL THEN 'small'
+                ELSE 'none' END AS bucket,
+           nullif(c.c_mktsegment, 'BUILDING') AS seg_nb
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def cond_null_funcs(spark: SparkSession, sf_dir: str) -> SDF:
+    """Conditional/null-handling scalars over outer-join nulls: coalesce,
+    isNull, chained CASE WHEN, nullif."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    price = F.col("o_totalprice")
+    return j.select(
+        "c_custkey",
+        F.coalesce(price, F.lit(0.0)).alias("price_or_zero"),
+        F.col("o_orderkey").isNull().alias("no_order"),
+        F.when(price > 200000, "big")
+        .when(price > 100000, "mid")
+        .when(price.isNotNull(), "small")
+        .otherwise("none")
+        .alias("bucket"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nb"),
+    )
+
+
+@query(
+    "join_salted",
+    """
+    WITH prof AS (
+      SELECT user_id,
+             CAST(avg(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS avg_value
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, round(CAST(e.value AS DOUBLE), 4) AS value,
+           round(p.avg_value, 4) AS avg_value
+    FROM events e JOIN prof p ON e.user_id = p.user_id
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> SDF:
+    """Manually salted join: the fact side takes salt = event_id % 8 and
+    the dim side replicates ×8, so one hot user's rows spread over 8
+    reducers.  This is the pre-AQE/skew-beyond-AQE technique (AQE splits
+    skewed SMJ partitions, but salting also fixes skewed shuffled-hash
+    and grouped-state paths); the deterministic salt keeps it
+    reproducible."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy("user_id").agg(
+        (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_value"
+        )
+    )
+    salts = F.array(*[F.lit(i) for i in range(8)])
+    prof_salted = prof.select(
+        "user_id", "avg_value", F.explode(salts).alias("salt")
+    )
+    fact = ev.select(
+        "event_id", "user_id", "value", (F.col("event_id") % 8).cast("int").alias("salt")
+    )
+    return fact.join(prof_salted, ["user_id", "salt"]).select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round("avg_value", 4).alias("avg_value"),
+    )
