@@ -44,7 +44,18 @@ TABLE_NAMES = (
 )
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses to
+    read unless nanosAsLong is on.  Our session factory sets it, but the
+    driver harness passes its OWN plain session — the conf is dynamic, so
+    set it defensively before every read."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> SDF:
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS) read as long (see session.py);

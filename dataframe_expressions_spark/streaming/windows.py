@@ -42,6 +42,9 @@ def _staged_dir(sf_dir: str) -> str:
 def stream_events(spark: SparkSession, sf_dir: str) -> SDF:
     """events.parquet as a file-source stream (same nanos→us conversion as
     the batch loader in sources/tables.py)."""
+    from ..sources.tables import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     src = _staged_dir(sf_dir)
     schema = spark.read.parquet(src).schema  # ts arrives as long (nanos)
     sdf = spark.readStream.schema(schema).parquet(src)
