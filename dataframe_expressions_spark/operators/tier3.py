@@ -728,3 +728,55 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> SDF:
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "timeseries_gapfill",
+    """
+    WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+                      count(*) AS n
+               FROM events GROUP BY 1),
+         bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+         grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                  FROM bounds)
+    SELECT g.h AS bucket, coalesce(b.n, 0) AS n
+    FROM grid g LEFT JOIN b ON b.h = g.h
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> SDF:
+    """Hypertable-style gap-filled hourly rollup: aggregate to buckets,
+    generate the dense bucket grid with sequence+explode, left-join and
+    zero-fill.  Scale: the grid is tiny (one row per hour), so the fill
+    join broadcasts; the only real shuffle is the rollup's."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = b.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    return grid.join(b, grid.bucket == b.h, "left").select(
+        "bucket", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+
+
+@query(
+    "dedup_keep_best",
+    """
+    SELECT text, count(*) AS n_copies,
+           arg_max(doc_id, CAST(n_chars AS BIGINT) * 1000000 - doc_id) AS keep_id
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> SDF:
+    """Dedup keeping the BEST copy per group, not an arbitrary one —
+    max_by on a quality score (here: longest doc, ties to lowest id).
+    The argmax rides the same single groupBy shuffle as a plain count;
+    no self-join back to fetch the winner."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.col("n_chars").cast("long") * 1000000 - F.col("doc_id")
+    return docs.groupBy("text").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max_by("doc_id", score).alias("keep_id"),
+    )
