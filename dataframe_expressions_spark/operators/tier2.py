@@ -790,3 +790,49 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> SDF:
         .groupBy("n_name")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
+
+
+@query(
+    "window_first_last",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING) AS last_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> SDF:
+    """first_value / last_value / nth_value with the full-partition frame
+    (the default running frame makes last_value just 'current row' — the
+    classic trap, avoided explicitly on both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
+
+
+@query("agg_approx_quantile", None)  # t-digest sketch — engine-specific
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> SDF:
+    """approx_percentile: the sketch that replaces exact percentile when
+    group value sets no longer fit a reducer (mergeable, bounded-memory,
+    single shuffle of sketches not values)."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    return lin.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000)
+        .alias("p50_p95")
+    )

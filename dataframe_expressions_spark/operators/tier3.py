@@ -780,3 +780,49 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> SDF:
         F.count(F.lit(1)).alias("n_copies"),
         F.max_by("doc_id", score).alias("keep_id"),
     )
+
+
+@query(
+    "text_ngram_freq",
+    """
+    WITH t AS (SELECT lang, lower(text) AS lt FROM documents),
+         g AS (SELECT lang,
+                      unnest(list_transform(range(1, length(lt) - 1),
+                                            i -> substr(lt, i, 3))) AS tri
+               FROM t),
+         counted AS (
+           SELECT lang, tri, count(*) AS n
+           FROM g
+           WHERE NOT contains(tri, ' ')
+           GROUP BY lang, tri),
+         ranked AS (
+           SELECT lang, tri, n,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, tri) AS rk
+           FROM counted)
+    SELECT lang, tri, n, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> SDF:
+    """Top character trigrams per language — the n-gram profile that
+    drives real language-ID models.  Explode is narrow; the count is one
+    shuffle on (lang, tri) with map-side partial agg, then a per-lang
+    top-k window over the (small) distinct-trigram set."""
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    lt = F.lower(F.col("text"))
+    tris = F.transform(
+        F.sequence(F.lit(1), F.length(lt) - 2),
+        lambda i: F.substring(lt, i, F.lit(3)),
+    )
+    g = docs.select("lang", F.explode(tris).alias("tri")).where(
+        ~F.contains(F.col("tri"), F.lit(" "))
+    )
+    counted = g.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.desc("n"), "tri")
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("lang", "tri", "n", "rk")
+    )
