@@ -826,3 +826,49 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> SDF:
         .where(F.col("rk") <= 5)
         .select("lang", "tri", "n", "rk")
     )
+
+
+@query(
+    "pipeline_clean_corpus",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, source, n_chars, text, {_TOKS} AS tk
+                  FROM documents),
+         quality AS (
+           SELECT doc_id, lang, source, n_chars, text
+           FROM toks
+           WHERE len(tk) >= 10
+             AND CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                   / length(text) >= 0.4),
+         dedup AS (
+           SELECT min(doc_id) AS doc_id, text,
+                  min(lang) AS lang, count(*) AS n_copies
+           FROM quality GROUP BY text),
+         fp AS (
+           SELECT doc_id, lang, n_copies,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(text) + 1),
+                                     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                      (a, x) -> (a * 31 + x) % 1000000007) AS fp
+           FROM dedup)
+    SELECT doc_id, lang, n_copies FROM fp WHERE fp % 2 = 0
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> SDF:
+    """End-to-end corpus cleaning in ONE composed plan: cheap quality
+    gates (token count, alpha ratio) → exact dedup keeping the first
+    copy → deterministic 50% content-hash sample.  Everything fuses into
+    two stages (scan+filter, dedup shuffle) — the filters run before the
+    shuffle, so the expensive stage sees only surviving docs; this
+    ordering is THE core cost lever of a 100 TB cleaning job."""
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    toks = TX.tokens(F.col("text"))
+    quality = docs.where(
+        (F.size(toks) >= 10) & (TX.alpha_ratio(F.col("text")) >= 0.4)
+    )
+    deduped = quality.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    sampled = deduped.where(TX.char_fingerprint(F.col("text")) % 2 == 0)
+    return sampled.select("doc_id", "lang", "n_copies")
