@@ -44,8 +44,10 @@ def stopword_count(col: Column, words: Sequence[str]) -> Column:
 
 
 def alpha_ratio(col: Column) -> Column:
-    """Share of [a-z] characters — a standard cheap quality signal."""
-    return F.length(F.regexp_replace(col, "[^a-z]", "")) / F.length(col)
+    """Share of [a-z] characters — a standard cheap quality signal.
+    try_divide: empty documents yield null instead of aborting the whole
+    job under ANSI mode's DIVIDE_BY_ZERO."""
+    return F.try_divide(F.length(F.regexp_replace(col, "[^a-z]", "")), F.length(col))
 
 
 def avg_token_len(col: Column) -> Column:
@@ -53,7 +55,8 @@ def avg_token_len(col: Column) -> Column:
     total = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    return total / F.size(toks)
+    # try_divide: whitespace-only documents have zero tokens → null.
+    return F.try_divide(total, F.size(toks))
 
 
 # Rolling polynomial hash over characters, mod 1e9+7 — a deterministic,

@@ -25,7 +25,13 @@ from ..plans.alias import clear_aliases, define_alias
 from ..plans.nodes import DataFrame
 from ..plans.lowering import select
 from ..functions.user import user_func
-from ..sources.tables import ORDERS_NESTED_SQL, load_table, orders_nested
+from ..sources.tables import (
+    CUSTOMER_NESTED_SQL,
+    ORDERS_NESTED_SQL,
+    customer_nested,
+    load_table,
+    orders_nested,
+)
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -348,21 +354,80 @@ def nested_minmax_agg(spark: SparkSession, sf_dir: str) -> SDF:
     ORDERS_NESTED_SQL
     + """
     SELECT o_orderkey,
-           list_sort(list_transform(items, it -> it.l_extendedprice), 'DESC')[1:2]
-             AS top2_prices
+           list_sort(list_transform(items, it -> it.l_extendedprice), 'DESC')[1]
+             AS top1_price,
+           list_sort(list_transform(items, it -> it.l_extendedprice), 'DESC')[2]
+             AS top2_price
     FROM orders_nested
     WHERE len(items) >= 2
     """,
 )
 def nested_topn_slice(spark: SparkSession, sf_dir: str) -> SDF:
     """Per-event top-n: sort the nested collection's values descending and
-    slice — all inside the row (array_sort + slice), no explode, no
-    shuffle beyond the nested view's own."""
+    slice — all inside the row (array_sort + element_at), no explode, no
+    shuffle beyond the nested view's own.  Emitted as two scalar columns
+    (the driver's canonicalizer cannot hash array columns); element_at is
+    safe under ANSI because of the len >= 2 filter."""
     from pyspark.sql import functions as F
 
     nested = orders_nested(spark, sf_dir)
     prices = F.transform("items", lambda it: it["l_extendedprice"])
+    sorted_desc = F.sort_array(prices, asc=False)
     return nested.where(F.size("items") >= 2).select(
         "o_orderkey",
-        F.slice(F.sort_array(prices, asc=False), 1, 2).alias("top2_prices"),
+        F.element_at(sorted_desc, 1).alias("top1_price"),
+        F.element_at(sorted_desc, 2).alias("top2_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# two-level nesting: customer → orders → items (the reference's attribute
+# chains compose to arbitrary depth — d.jets.tracks-style; SURVEY.md §1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nested_two_level",
+    CUSTOMER_NESTED_SQL
+    + """
+    , f AS (
+      SELECT c_custkey,
+             list_filter(orders, o -> o.o_totalprice > 150000) AS big_o
+      FROM customer_nested),
+      g AS (
+      SELECT c_custkey, big_o,
+             list_transform(big_o,
+                 o -> list_filter(o.items, it -> it.l_quantity > 25)) AS big_i
+      FROM f WHERE len(big_o) > 0)
+    SELECT c_custkey,
+           CAST(len(big_o) AS BIGINT) AS n_big_orders,
+           CAST(list_sum(list_transform(big_i,
+                x -> CAST(CAST(len(x) AS BIGINT) AS DECIMAL(38,6)))) AS DOUBLE)
+             AS n_big_items,
+           CAST(list_sum(list_transform(big_i,
+                x -> CAST(coalesce(CAST(list_sum(list_transform(x,
+                         it -> CAST(it.l_extendedprice AS DECIMAL(38,6))))
+                     AS DOUBLE), 0.0) AS DECIMAL(38,6)))) AS DOUBLE) AS rev
+    FROM g
+    """,
+)
+def nested_two_level(spark: SparkSession, sf_dir: str) -> SDF:
+    """Two-level nested query straight through the capture DSL:
+    ``d.orders[o-mask].items[i-mask]`` filters at BOTH depths, then
+    ``Count().Sum()`` and ``Sum().Sum()`` collapse level by level — the
+    lowering emits nested ``F.filter``/``F.transform``/``F.aggregate``
+    with no explode and no extra shuffle (reference semantics: arbitrary
+    attribute-chain depth, d.jets.tracks; SURVEY.md §1)."""
+    nested = customer_nested(spark, sf_dir)
+    d = DataFrame()
+    big_orders = d.orders[d.orders.o_totalprice > 150000]
+    big_items = big_orders.items[big_orders.items.l_quantity > 25]
+    return select(
+        d,
+        nested,
+        d[big_orders.Count() > 0],
+        c_custkey=d.c_custkey,
+        n_big_orders=big_orders.Count(),
+        n_big_items=big_items.Count().Sum(),
+        rev=big_items.l_extendedprice.Sum().Sum(),
     )

@@ -287,13 +287,34 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> SDF:
     )
 
 
-@query("agg_approx_distinct", None)  # HLL sketch — engine-specific, rows-only
+@query(
+    "agg_approx_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           true AS approx_ok,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> SDF:
     """approx_count_distinct = HyperLogLog++: fixed-size sketch, partial
-    merge, no shuffle of raw keys — THE 100 TB cardinality path."""
+    merge, no shuffle of raw keys — THE 100 TB cardinality path.
+
+    Oracle contract: the HLL estimate itself is engine-specific, so the
+    query emits the EXACT count plus ``approx_ok`` = sketch within its
+    configured 2% relative error (checked in-plan); DuckDB mirrors the
+    exact count and asserts the flag.  A broken sketch or a broken exact
+    path both flip a column the driver hashes."""
     lin = load_table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey").cast("long")
+    approx = F.approx_count_distinct("l_partkey", 0.02)
     return lin.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        exact.alias("exact_parts"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.02 * 3 * exact.cast("double")  # 3 sigma of configured rsd
+        ).alias("approx_ok"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -612,8 +633,8 @@ def array_hof_funcs(spark: SparkSession, sf_dir: str) -> SDF:
     "map_funcs",
     """
     SELECT event_id,
-           ['k'] AS ks,
-           [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vs,
+           'k' AS ks_csv,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS v_first,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
            CAST(1 AS BIGINT) AS n_entries
     FROM events
@@ -622,13 +643,15 @@ def array_hof_funcs(spark: SparkSession, sf_dir: str) -> SDF:
 def map_funcs(spark: SparkSession, sf_dir: str) -> SDF:
     """Map-type surface: parse JSON into a real MapType column, then
     map_keys / map_values / element_at / size — the typed alternative to
-    repeated get_json_object parses (one parse, many accesses)."""
+    repeated get_json_object parses (one parse, many accesses).  Outputs
+    are flattened to scalars (concat_ws over keys, first value) because
+    the driver's canonicalizer cannot hash array columns."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        F.concat_ws(",", F.map_keys(m)).alias("ks_csv"),
+        F.element_at(F.map_values(m), 1).alias("v_first"),
         F.element_at(m, "k").alias("k_val"),
         F.size(m).cast("long").alias("n_entries"),
     )
@@ -826,13 +849,38 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> SDF:
     )
 
 
-@query("agg_approx_quantile", None)  # t-digest sketch — engine-specific
+@query(
+    "agg_approx_quantile",
+    """
+    SELECT l_returnflag, true AS p50_ok, true AS p95_ok, count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> SDF:
     """approx_percentile: the sketch that replaces exact percentile when
     group value sets no longer fit a reducer (mergeable, bounded-memory,
-    single shuffle of sketches not values)."""
+    single shuffle of sketches not values).
+
+    Oracle contract: sketch values are engine-specific, so the query
+    emits per-group booleans asserting the sketch is within 1% relative
+    of the exact percentile (computed in the same plan); DuckDB mirrors
+    the group keys/counts and asserts the flags.  Output is scalar-only —
+    the driver's canonicalizer cannot hash array columns (round-1 redness)."""
     lin = load_table(spark, sf_dir, "lineitem")
-    return lin.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000)
-        .alias("p50_p95")
+    qs = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000
+    )
+    agg = lin.groupBy("l_returnflag").agg(
+        F.element_at(qs, 1).alias("a50"),
+        F.element_at(qs, 2).alias("a95"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ok = lambda a, e: (F.abs(F.col(a) - F.col(e)) <= 0.01 * F.col(e))  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        ok("a50", "e50").alias("p50_ok"),
+        ok("a95", "e95").alias("p95_ok"),
+        "n_rows",
     )

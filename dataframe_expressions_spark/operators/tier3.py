@@ -391,7 +391,7 @@ def stream_sliding_session(spark: SparkSession, sf_dir: str) -> SDF:
          flags AS (
            SELECT user_id, ts,
                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                            <= INTERVAL '30 minutes'
+                            < INTERVAL '30 minutes'
                        THEN 0 ELSE 1 END AS new_sess
            FROM e),
          sess AS (
@@ -405,8 +405,11 @@ def stream_sliding_session(spark: SparkSession, sf_dir: str) -> SDF:
 )
 def session_window(spark: SparkSession, sf_dir: str) -> SDF:
     """30-minute-gap sessionization via session_window (batch mode; the
-    oracle is the classic gaps-and-islands rewrite).  Scale: one shuffle
-    on user_id; state-store-backed in the streaming variant."""
+    oracle is the classic gaps-and-islands rewrite).  Boundary semantics:
+    Spark's session_window [t, t+gap) merges only on STRICT overlap — an
+    event at exactly gap distance starts a NEW session — so the oracle's
+    same-session test is strict '<', not '<='.  Scale: one shuffle on
+    user_id; state-store-backed in the streaming variant."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
@@ -681,13 +684,52 @@ def sample_content_hash(spark: SparkSession, sf_dir: str) -> SDF:
     ).select("doc_id", "lang", "n_chars")
 
 
-@query("agg_freq_items", None)  # sketch contents are engine-specific
+@query(
+    "agg_freq_items",
+    """
+    WITH t AS (SELECT count(*) AS n FROM events)
+    SELECT 'event_type' AS col_name,
+           (SELECT count(*) FROM (SELECT event_type FROM events
+             GROUP BY event_type
+             HAVING count(*) > 0.05 * (SELECT n FROM t))) AS n_heavy,
+           true AS all_contained
+    UNION ALL
+    SELECT 'user_id',
+           (SELECT count(*) FROM (SELECT user_id FROM events
+             GROUP BY user_id
+             HAVING count(*) > 0.05 * (SELECT n FROM t))),
+           true
+    """,
+)
 def agg_freq_items(spark: SparkSession, sf_dir: str) -> SDF:
     """Approximate heavy hitters (Karp-Papadimitriou-Shenker sketch via
     DataFrame.freqItems) over event types — the sketch-merge pattern for
-    'what dominates this corpus' at scale."""
+    'what dominates this corpus' at scale.
+
+    Oracle contract: sketch contents are engine-specific (false positives
+    allowed), but the KPS guarantee is that every TRUE heavy hitter
+    (freq > support) is contained — so the query emits, per column, the
+    exact heavy-hitter count and an all-contained flag verified against
+    the sketch in-plan; DuckDB mirrors the exact side and asserts the
+    flag."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.freqItems(["event_type", "user_id"], support=0.05)
+    fi = ev.freqItems(["event_type", "user_id"], support=0.05)
+
+    def summary(col: str) -> SDF:
+        counts = ev.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        total = ev.agg(F.count(F.lit(1)).alias("n"))
+        heavy = counts.crossJoin(F.broadcast(total)).where(
+            F.col("c") > 0.05 * F.col("n")
+        )
+        checked = heavy.crossJoin(F.broadcast(fi)).select(
+            F.array_contains(F.col(f"{col}_freqItems"), F.col("v")).alias("in_sketch")
+        )
+        return checked.agg(
+            F.count(F.lit(1)).alias("n_heavy"),
+            F.coalesce(F.min("in_sketch"), F.lit(True)).alias("all_contained"),
+        ).select(F.lit(col).alias("col_name"), "n_heavy", "all_contained")
+
+    return summary("event_type").unionAll(summary("user_id"))
 
 
 @query(

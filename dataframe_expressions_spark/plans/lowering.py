@@ -221,6 +221,14 @@ class Lowerer:
                 return LElem(parent_node, lambda e: e[name], sub)
             return LCol(parent.col[name])
         if isinstance(parent, LElem):
+            if isinstance(parent.elem_type, T.ArrayType):
+                # Collection-valued per-element expression (two-level
+                # nesting, e.g. customer.orders[i].items): attribute access
+                # descends INTO the inner collection — this attr node
+                # becomes the new, one-level-deeper source (reference
+                # semantics: d.jets.tracks.pt ranges over tracks).
+                sub = self._struct_field_type(parent.elem_type.elementType, name)
+                return LElem(parent_node, lambda ie: ie[name], sub)
             et = self._struct_field_type(parent.elem_type, name)
             pfn = parent.fn
             return LElem(parent.source, lambda e: pfn(e)[name], et)
@@ -266,6 +274,16 @@ class Lowerer:
                     ),
                     True,
                     parent.elem_type,
+                )
+        if isinstance(parent, LElem) and isinstance(parent.elem_type, T.ArrayType):
+            # Filtering an INNER collection (two-level nesting): the mask
+            # must range over this collection-valued node; the result stays
+            # a collection-valued expression at the same outer level.
+            if isinstance(mask, LElem):
+                self._check_same_family(mask.source, parent_node)
+                pfn, mfn = parent.fn, mask.fn
+                return LElem(
+                    parent.source, lambda e: F.filter(pfn(e), mfn), parent.elem_type
                 )
         raise LoweringError(f"Cannot apply filter to {parent!r}")
 
@@ -371,12 +389,33 @@ class Lowerer:
             )
         return handler(parent_node, parent, args)
 
-    def _collection_array(self, parent_node: Node, parent: Any) -> SCol:
-        """Array column for a collection or materialized per-element expr."""
+    def _agg_over(
+        self, parent_node: Node, parent: Any, scalar_agg: Callable[[SCol], SCol]
+    ) -> Any:
+        """Apply an array-collapsing aggregate at the correct nesting level.
+
+        * top-level collection (or per-element scalar over one) → per-event
+          scalar (LCol);
+        * collection-valued per-element expression (two-level nesting, e.g.
+          ``customer.orders[i].items``) → aggregate INSIDE each outer
+          element, yielding a per-outer-element scalar (LElem) that further
+          aggregates can collapse — ``…items[m].Count().Sum()`` composes to
+          any depth.
+        """
         if isinstance(parent, LCol) and parent.is_collection:
-            return parent.col
+            return LCol(scalar_agg(parent.col))
         if isinstance(parent, LElem):
-            return self._materialize(parent).col
+            if isinstance(parent.elem_type, T.ArrayType):
+                pfn = parent.fn
+                return LElem(parent.source, lambda e: scalar_agg(pfn(e)))
+            src = self.lower(parent.source)
+            if isinstance(src, LCol) and src.is_collection:
+                return LCol(scalar_agg(F.transform(src.col, parent.fn)))
+            if isinstance(src, LElem):
+                sfn, pfn = src.fn, parent.fn
+                return LElem(
+                    src.source, lambda e: scalar_agg(F.transform(sfn(e), pfn))
+                )
         raise LoweringError("Nested aggregate applied to a non-collection")
 
     def _call_count(self, parent_node: Node, parent: Any, args: tuple) -> Any:
@@ -384,39 +423,47 @@ class Lowerer:
             # event-level Count(): a full aggregate over the frame
             return LFrame(parent.df.agg(F.count(F.lit(1)).alias("count")))
         # bigint like SQL COUNT (F.size is int32; oracle len() is int64)
-        return LCol(F.size(self._collection_array(parent_node, parent)).cast(T.LongType()))
+        return self._agg_over(
+            parent_node, parent, lambda arr: F.size(arr).cast(T.LongType())
+        )
 
     # Nested sums fold in DECIMAL: exact and order-independent, so results
     # are deterministic regardless of partition/element order (a double
     # fold would drift in the last ulps between runs/engines at scale).
     _SUM_DECIMAL = T.DecimalType(38, 6)
 
-    def _call_sum(self, parent_node: Node, parent: Any, args: tuple) -> Any:
-        arr = self._collection_array(parent_node, parent)
+    def _decimal_fold(self, arr: SCol) -> SCol:
         dec = self._SUM_DECIMAL
-        total = F.aggregate(
-            arr,
-            F.lit(0).cast(dec),
-            lambda acc, x: acc + x.cast(dec),
-        )
-        return LCol(total.cast(T.DoubleType()))
+        return F.aggregate(
+            arr, F.lit(0).cast(dec), lambda acc, x: acc + x.cast(dec)
+        ).cast(T.DoubleType())
+
+    def _call_sum(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+        return self._agg_over(parent_node, parent, self._decimal_fold)
 
     def _call_min(self, parent_node: Node, parent: Any, args: tuple) -> Any:
-        return LCol(F.array_min(self._collection_array(parent_node, parent)))
+        return self._agg_over(parent_node, parent, F.array_min)
 
     def _call_max(self, parent_node: Node, parent: Any, args: tuple) -> Any:
-        return LCol(F.array_max(self._collection_array(parent_node, parent)))
+        return self._agg_over(parent_node, parent, F.array_max)
 
     def _call_mean(self, parent_node: Node, parent: Any, args: tuple) -> Any:
-        arr = self._collection_array(parent_node, parent)
-        dec = self._SUM_DECIMAL
-        total = F.aggregate(
-            arr, F.lit(0).cast(dec), lambda a, x: a + x.cast(dec)
-        ).cast(T.DoubleType())
-        return LCol(total / F.size(arr))
+        # try_divide: an empty collection yields null, matching the
+        # reference's null-ish aggregate semantics — under Spark 4's
+        # default ANSI mode a bare division would abort the job with
+        # DIVIDE_BY_ZERO when a filter empties the collection.
+        return self._agg_over(
+            parent_node,
+            parent,
+            lambda arr: F.try_divide(self._decimal_fold(arr), F.size(arr)),
+        )
 
     def _call_first(self, parent_node: Node, parent: Any, args: tuple) -> Any:
-        return LCol(F.element_at(self._collection_array(parent_node, parent), 1))
+        # try_element_at: null on empty collections instead of ANSI's
+        # INVALID_ARRAY_INDEX_IN_ELEMENT_AT job abort.
+        return self._agg_over(
+            parent_node, parent, lambda arr: F.try_element_at(arr, F.lit(1))
+        )
 
     def _call_map(self, parent_node: Node, parent: Any, args: tuple) -> Any:
         """``coll.map(lambda elem: expr)`` — deferred lambda, expanded here
@@ -450,9 +497,16 @@ class Lowerer:
             return low
         if isinstance(low, LElem):
             src = self.lower(low.source)
-            if not (isinstance(src, LCol) and src.is_collection):
-                raise LoweringError("Per-element expression over a non-collection")
-            return LCol(F.transform(src.col, low.fn), True, None)
+            if isinstance(src, LCol) and src.is_collection:
+                return LCol(F.transform(src.col, low.fn), True, None)
+            if isinstance(src, LElem):
+                # deeper nesting: map one level down and recurse — the
+                # value materializes as nested arrays
+                sfn, lfn = src.fn, low.fn
+                return self._materialize(
+                    LElem(src.source, lambda e: F.transform(sfn(e), lfn), None)
+                )
+            raise LoweringError("Per-element expression over a non-collection")
         if isinstance(low, LFrame):
             raise LoweringError("Expected a column expression, got an event frame")
         return LCol(self._lit(low))

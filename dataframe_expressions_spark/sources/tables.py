@@ -28,7 +28,15 @@ from pyspark.sql import DataFrame as SDF
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["TABLE_NAMES", "load_table", "load_tables", "orders_nested", "ORDERS_NESTED_SQL"]
+__all__ = [
+    "TABLE_NAMES",
+    "load_table",
+    "load_tables",
+    "orders_nested",
+    "ORDERS_NESTED_SQL",
+    "customer_nested",
+    "CUSTOMER_NESTED_SQL",
+]
 
 TABLE_NAMES = (
     "region",
@@ -99,6 +107,65 @@ def orders_nested(spark: SparkSession, sf_dir: str) -> SDF:
     return orders.join(items, orders.o_orderkey == items.l_orderkey, "inner").drop(
         "l_orderkey"
     )
+
+
+def customer_nested(spark: SparkSession, sf_dir: str) -> SDF:
+    """Two-level nesting: customer → orders → items (the reference allows
+    arbitrary attribute-chain depth — ``d.jets.tracks``-style; SURVEY.md
+    §1).  Built from ``orders_nested`` by one more groupBy-collect on
+    ``o_custkey``; inner joins at both levels so both engines see the same
+    universe.  Element order is deterministic: ``o_orderkey`` (unique)
+    leads the order struct, so ``sort_array`` needs no tie-breaking.
+
+    Scale: two shuffles total (items→orders, orders→customer), each with
+    map-side combine; at 100 TB this view is written once bucketed by
+    ``c_custkey`` and every two-level query after that is shuffle-free."""
+    cust = load_table(spark, sf_dir, "customer")
+    nested = orders_nested(spark, sf_dir)
+    per_cust = nested.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("o_orderkey", "o_totalprice", "o_orderdate", "items")
+            )
+        ).alias("orders")
+    )
+    return cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "inner"
+    ).drop("o_custkey")
+
+
+# DuckDB mirror of customer_nested — prepend to every two-level oracle.
+CUSTOMER_NESTED_SQL = """
+WITH orders_items AS (
+  SELECT l_orderkey,
+         list(struct_pack(
+             l_linenumber := l_linenumber,
+             l_quantity := l_quantity,
+             l_extendedprice := l_extendedprice,
+             l_discount := l_discount,
+             l_tax := l_tax,
+             l_returnflag := l_returnflag,
+             l_shipdate := l_shipdate)
+             ORDER BY l_linenumber, l_quantity, l_extendedprice,
+                      l_discount, l_tax, l_returnflag, l_shipdate) AS items
+  FROM lineitem GROUP BY l_orderkey
+),
+customer_nested AS (
+  SELECT c.*, co.orders
+  FROM customer c
+  JOIN (
+    SELECT o.o_custkey,
+           list(struct_pack(
+               o_orderkey := o.o_orderkey,
+               o_totalprice := o.o_totalprice,
+               o_orderdate := o.o_orderdate,
+               items := li.items)
+               ORDER BY o.o_orderkey) AS orders
+    FROM orders o JOIN orders_items li ON li.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+  ) co ON co.o_custkey = c.c_custkey
+)
+"""
 
 
 # DuckDB mirror of orders_nested — prepend to every nested-query oracle.

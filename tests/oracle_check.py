@@ -83,6 +83,18 @@ def run_one(qid: str, spark, con, sf_dir: str = SF_DIR) -> Optional[str]:
 
     q = QUERIES[qid]
     sdf = q.fn(spark, sf_dir)
+    # Driver contract guard: its canonicalizer sorts a pandas frame of the
+    # result and crashes on unhashable cells — no Array/Map/Struct columns
+    # may ever leave a registered query (round-1 lesson).
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if complex_cols:
+        return f"complex-typed output columns {complex_cols} break the driver canonicalizer"
     spark_pdf = sdf.toPandas()
     if q.oracle is None:
         if len(spark_pdf) == 0 and qid not in ():

@@ -218,3 +218,36 @@ def test_render_parity_entry_points(spark, nested):
         ctx2, lambda it: it.l_extendedprice * (1 - it.l_discount), d.items
     )
     assert nested.select(elem.alias("x")).count() == nested.count()
+
+
+def test_empty_collection_aggregates_yield_null(spark, nested):
+    """A filter that empties a collection must make First/Mean null, not
+    abort the job under ANSI mode (ADVICE round 1: element_at → 
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT, size-division → DIVIDE_BY_ZERO)."""
+    d = DataFrame()
+    none = d.items[d.items.l_quantity > 1e12]  # matches nothing
+    df = select(
+        d,
+        nested,
+        d,
+        okey=d.o_orderkey,
+        f=none.l_quantity.First(),
+        m=none.l_extendedprice.Mean(),
+    )
+    rows = df.collect()  # would raise under the pre-fix lowering
+    assert len(rows) > 0
+    assert all(r["f"] is None and r["m"] is None for r in rows)
+
+
+def test_empty_text_ratios_yield_null(spark):
+    """alpha_ratio / avg_token_len on empty or whitespace-only documents
+    must yield null (try_divide), not DIVIDE_BY_ZERO."""
+    from dataframe_expressions_spark.functions import text as TX
+
+    df = spark.createDataFrame([("",), ("   ",), ("hello world",)], ["text"])
+    out = df.select(
+        TX.alpha_ratio(F.col("text")).alias("ar"),
+        TX.avg_token_len(F.col("text")).alias("atl"),
+    ).collect()
+    assert out[0]["ar"] is None and out[1]["atl"] is None
+    assert out[2]["ar"] is not None and out[2]["atl"] == 5.0
