@@ -27,7 +27,8 @@ __all__ = [
     "minhash_signature",
     "band_keys",
     "minhash_near_dup_pairs",
-    "simhash64",
+    "token_hashes",
+    "simhash63",
     "simhash_near_dup_pairs",
     "jaccard",
 ]
@@ -91,23 +92,34 @@ def minhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_hashes: int = 16,
-    bands: int = 8,
-    threshold: float = 0.4,
+    n_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
     Pipeline: shingle → minhash → band → explode(band) → self-equi-join on
     (band_id, bucket) → distinct candidate pairs → exact Jaccard ≥ t.
+
+    Oracle contract: the EMITTED set is defined by the exact-Jaccard
+    verify alone ("all pairs with true Jaccard ≥ t"); LSH is purely a
+    candidate pruner.  With 16 bands × 2 rows a qualifying pair at s = t
+    is missed with probability (1-t²)^16 — at the corpus's observed
+    near-dup range (s ≥ 0.89) that is < 1e-10, so DuckDB can mirror the
+    output as a blocked exact all-pairs Jaccard without modelling the
+    sketch.
     """
     rows = n_hashes // bands
     sh = spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         word_shingles(tokens(F.col(text_col))).alias("sh"),
     ).where(F.size("sh") > 0)
-    # materialize the base hashes in their own projection so each of the
-    # 16 lanes reads the long array instead of re-hashing the strings
-    sh = sh.persist()
+    # materialize the shingle arrays once so each of the 32 lanes reads
+    # the long array instead of re-hashing strings; localCheckpoint
+    # (eager) instead of persist() so the blocks are released when this
+    # plan is GC'd — repeated invocations in a long session (bench) must
+    # not accumulate storage (round-1 ADVICE)
+    sh = sh.localCheckpoint(eager=True)
     hashed = sh.withColumn("hs", F.transform("sh", lambda s: F.xxhash64(s)))
     # banding/candidate generation carries ONLY (id, band, bucket) — the
     # shingle arrays would otherwise ride the explode ×bands and the
@@ -136,20 +148,46 @@ def minhash_near_dup_pairs(
     )
 
 
-def simhash64(toks: Column) -> Column:
-    """64-bit SimHash over tokens: per bit, vote +1/-1 by that bit of
-    xxhash64(token); bit set where the vote is positive (sign bit left 0
-    — irrelevant for Hamming comparisons).
+# Portable token hash: rolling polynomial hash of the token's characters
+# mod 1e9+7 — same value in any engine (DuckDB mirrors it exactly with
+# list_reduce over ascii codes), unlike xxhash64.  ~30 bits of entropy,
+# spread over 63 simhash lanes by a per-lane LCG (see _simhash_votes).
+_TOKEN_HASH_MOD = 1_000_000_007
 
-    Tokenize+hash stay JVM-side (one ``transform``); the 64-lane vote
-    accumulation is a vectorized pandas UDF.  This is the documented
+
+def token_hashes(toks: Column) -> Column:
+    """array<long> of portable per-token rolling hashes (JVM-side nested
+    higher-order functions: per token, fold (a*31 + ascii(char)) % p)."""
+    def one(t: Column) -> Column:
+        codes = F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: F.ascii(F.substring(t, i, F.lit(1))).cast("long"),
+        )
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda a, c: (a * 31 + c) % _TOKEN_HASH_MOD,
+        )
+
+    return F.transform(toks, one)
+
+
+def simhash63(toks: Column) -> Column:
+    """63-bit SimHash over tokens: lane i's vote for a token with portable
+    hash h is the parity of ((2i+1)·h + i²) mod 1e9+7; bit i is set where
+    more than half the tokens vote 1.  Every ingredient (rolling token
+    hash, per-lane LCG parity, majority vote) is exact integer arithmetic
+    that DuckDB mirrors bit-for-bit, so the signature — and therefore the
+    near-dup pair set — has a full SQL oracle.
+
+    Token hashing stays JVM-side (one nested ``transform``); the 63-lane
+    vote accumulation is a vectorized pandas UDF.  This is the documented
     exception to "stay JVM-side": a pure higher-order-function version
-    (zip_with over a per-token 64-array) is interpreted, allocates one
+    (zip_with over a per-token 63-array) is interpreted, allocates one
     array per token, and measured 263 s at sf0.1 vs ~2 s for the Arrow
-    path — np.unpackbits turns the votes into one matrix op per batch.
-    """
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return _simhash_votes(hashes)
+    path — numpy broadcasting turns the votes into one matrix op per
+    batch."""
+    return _simhash_votes(token_hashes(toks))
 
 
 # type object, not a DDL string: string return types are parsed via the
@@ -158,19 +196,19 @@ def simhash64(toks: Column) -> Column:
 def _simhash_votes(hcol: pd.Series) -> pd.Series:
     import numpy as np
 
-    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    weights[63] = 0  # keep the sign bit clear
+    lanes = np.arange(63, dtype=np.int64)
+    mult = 2 * lanes + 1
+    add = lanes * lanes
+    weights = np.int64(1) << lanes
     out = np.zeros(len(hcol), dtype=np.int64)
     for i, arr in enumerate(hcol):
         if arr is None or len(arr) == 0:
             continue
-        h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-        # (n_tokens, 64) bit matrix; bit j of hash = column j
-        bits = np.unpackbits(
-            h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        )
-        votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
-        out[i] = weights[votes > 0].sum(dtype=np.uint64).astype(np.int64)
+        h = np.asarray(arr, dtype=np.int64)
+        # (n_tokens, 63) parity matrix of the per-lane LCG
+        bits = ((h[:, None] * mult[None, :] + add[None, :]) % 1_000_000_007) & 1
+        ones = bits.sum(axis=0, dtype=np.int64)
+        out[i] = weights[2 * ones > len(h)].sum(dtype=np.int64)
     return pd.Series(out)
 
 
@@ -180,12 +218,27 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 10,
 ) -> DataFrame:
-    """SimHash near-dups: candidates share one of four 16-bit chunks
-    (pigeonhole: any pair with hamming ≤ 16/4·3 shares a chunk), verified
-    by exact Hamming distance ≤ max_hamming via bit_count(xor)."""
-    with_hash = spread(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"), simhash64(tokens(F.col(text_col))).alias("h")
+    """SimHash near-dups: candidates share one of four 16-bit chunks of
+    the 63-bit signature, verified by exact Hamming ≤ max_hamming via
+    bit_count(xor).  Pigeonhole guarantee: a shared chunk is CERTAIN only
+    for hamming ≤ 3 (chunks-1); pairs with 4 ≤ hamming ≤ max_hamming are
+    found only when their differing bits cluster into ≤ 3 chunks — the
+    standard recall/cost trade of chunked simhash blocking (more chunks
+    or multi-chunk banding would raise the guarantee).  The emitted set
+    (chunk-sharing AND hamming ≤ h) is deterministic, so the oracle
+    mirrors both conditions exactly."""
+    # The spread() exchanges sandwich the token-hash projection: the first
+    # parallelizes the compute-heavy rolling hash beyond the single-task
+    # scan, the second stops CollapseProject from fusing the hash
+    # projection into the UDF's — Catalyst cannot extract a Python UDF
+    # whose argument nests aggregate-HOF lambdas (codegen error), so the
+    # UDF must see a plain column reference.  The second exchange carries
+    # only (id, 8B·n_tokens hashes), not text.
+    hashed = spread(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"),
+        token_hashes(tokens(F.col(text_col))).alias("hs"),
     )
+    with_hash = spread(hashed).select("id", _simhash_votes(F.col("hs")).alias("h"))
     chunks = with_hash.select(
         "id",
         "h",

@@ -70,15 +70,30 @@ def cosine_topk(
     )
 
 
+# LCG constants for the portable hyperplane pattern — plain bigint
+# arithmetic both Spark and DuckDB evaluate identically, so the bucket
+# assignment (and therefore the emitted top-k) has a full SQL oracle.
+_LSH_A, _LSH_B, _LSH_C, _LSH_M = 1103515245, 12347, 54321, 2147483647
+
+
 def lsh_bucket(vec: Column, bits: int = 4) -> Column:
-    """Random-hyperplane sign sketch using fixed deterministic hyperplanes
-    (dimension parity pattern) — bucket id in [0, 2^bits)."""
-    # Hyperplane b: pseudo-random ±1 pattern from xxhash64(b, dim index).
+    """Random-hyperplane sign sketch with fixed deterministic hyperplanes:
+    plane b's sign at dimension i is the parity of the LCG
+    ``(A·(i + B·b) + C) mod M`` — portable integer arithmetic (DuckDB
+    mirrors it exactly, unlike xxhash64).  Bucket id in [0, 2^bits).
+    The projection folds ±x sequentially from 0.0, matching DuckDB's
+    ``list_inner_product`` with a ±1 vector bit-for-bit."""
+
     def plane_sign(b: int) -> Column:
+        # 64-bit arithmetic throughout: the 32-bit product overflows and
+        # ANSI mode turns that into a job abort
+        a_lit = F.lit(_LSH_A).cast("long")
         prods = F.transform(
             vec,
             lambda x, i: F.when(
-                F.xxhash64(F.lit(b), i).bitwiseAND(F.lit(1)) == 1, x
+                ((a_lit * (i.cast("long") + _LSH_B * b) + _LSH_C) % _LSH_M) % 2
+                == 1,
+                x,
             ).otherwise(-x),
         )
         return F.aggregate(prods, F.lit(0.0), lambda a, v: a + v)

