@@ -372,11 +372,17 @@ def nested_topn_slice(spark: SparkSession, sf_dir: str) -> SDF:
 
     nested = orders_nested(spark, sf_dir)
     prices = F.transform("items", lambda it: it["l_extendedprice"])
-    sorted_desc = F.sort_array(prices, asc=False)
-    return nested.where(F.size("items") >= 2).select(
+    # materialize the sorted array ONCE in its own projection — two
+    # element_at calls on the same sort_array expression are NOT merged by
+    # Catalyst (no CSE across projection expressions), which doubled the
+    # dominant per-row cost
+    sorted_once = nested.where(F.size("items") >= 2).select(
+        "o_orderkey", F.sort_array(prices, asc=False).alias("sorted_prices")
+    )
+    return sorted_once.select(
         "o_orderkey",
-        F.element_at(sorted_desc, 1).alias("top1_price"),
-        F.element_at(sorted_desc, 2).alias("top2_price"),
+        F.element_at("sorted_prices", 1).alias("top1_price"),
+        F.element_at("sorted_prices", 2).alias("top2_price"),
     )
 
 

@@ -744,10 +744,56 @@ def emb_centroid(spark: SparkSession, sf_dir: str) -> SDF:
     )
 
 
-@query("sim_search_ivf", None)  # approximate (nprobe=1) → rows-only
+_IVF_COS = (
+    "list_inner_product({l}, {r}) / "
+    "(sqrt(list_inner_product({l}, {l})) * sqrt(list_inner_product({r}, {r})))"
+)
+
+
+@query(
+    "sim_search_ivf",
+    f"""
+    WITH e AS (SELECT vec_id AS vid,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         cent AS (
+           SELECT CAST(label AS BIGINT) AS cell, list(c ORDER BY pos) AS cvec
+           FROM (
+             SELECT label, pos,
+                    round(CAST(sum(CAST(CAST(ev AS DOUBLE) AS DECIMAL(38,12)))
+                          AS DOUBLE) / count(*), 6) AS c
+             FROM (SELECT label, unnest(embedding) AS ev,
+                          unnest(range(1, len(embedding) + 1)) AS pos
+                   FROM embeddings)
+             GROUP BY label, pos) GROUP BY label),
+         cell_scored AS (
+           SELECT e.vid, e.v, c.cell,
+                  {_IVF_COS.format(l='e.v', r='c.cvec')} AS csim
+           FROM e CROSS JOIN cent c),
+         assigned AS (
+           SELECT vid, v, cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vid
+                                          ORDER BY csim DESC, cell) AS crk
+             FROM cell_scored) WHERE crk = 1),
+         q AS (SELECT vid AS qid, v AS qv, cell FROM assigned WHERE vid < 5),
+         scored AS (
+           SELECT q.qid, a.vid,
+                  round({_IVF_COS.format(l='q.qv', r='a.v')}, 4) AS sim
+           FROM assigned a JOIN q ON a.cell = q.cell AND a.vid != q.qid),
+         ranked AS (
+           SELECT qid, vid, sim,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, vid) AS rk
+           FROM scored)
+    SELECT qid, vid, sim, rk FROM ranked WHERE rk <= 10
+    """,
+)
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> SDF:
     """IVF probe built on emb_centroid's cells: assign corpus + queries
-    to nearest centroid, score within the query's cell only."""
+    to nearest centroid, score within the query's cell only (nprobe=1).
+    The 'training' is a deterministic per-label mean (6dp-rounded,
+    decimal-folded), so cell assignment AND the emitted top-k mirror
+    exactly in DuckDB — an approximate-ANN operator with a full oracle."""
     emb = D.spread(load_table(spark, sf_dir, "embeddings"))
     cent = (
         emb_centroid(spark, sf_dir)
