@@ -31,6 +31,7 @@ __all__ = [
     "simhash63",
     "simhash_near_dup_pairs",
     "jaccard",
+    "connected_components",
 ]
 
 
@@ -261,3 +262,57 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 15
+) -> DataFrame:
+    """Connected components over a near-dup pair list — the step that turns
+    pairwise matches into dedup GROUPS (keep one doc per component).
+
+    Iterative min-label propagation (Pregel-style): every node starts
+    labelled with itself; each round a node takes the min of its own and
+    its neighbors' labels; stop at fixpoint.  Rounds needed = component
+    diameter — near-dup clusters are tiny (a handful of copies), so this
+    converges in 2-4 rounds.  Each round is ONE shuffle (join on dst +
+    groupBy src); lineage is cut per round with localCheckpoint so plans
+    don't grow, exactly how GraphX/GraphFrames' CC runs under the hood.
+    The per-round driver-side convergence check reads a 1-row count, not
+    the data.  At 100 TB scale the same loop applies with the edge list
+    pre-partitioned by src (alternating small-star/large-star would cut
+    rounds for high-diameter graphs; near-dup graphs don't need it).
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("nmin") < F.col("comp")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = new_labels.where(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))

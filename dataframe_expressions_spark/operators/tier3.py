@@ -1062,3 +1062,189 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> SDF:
     )
     sampled = deduped.where(TX.char_fingerprint(F.col("text")) % 2 == 0)
     return sampled.select("doc_id", "lang", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing, chunking, stratified sampling, embedding normalization —
+# the remaining standard stages of a training-data pipeline
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+             regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '[0-9]+', '#', 'g') AS scrubbed
+      FROM documents)
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_digit_runs AS BIGINT) AS n_digit_runs,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(scrubbed) + 1),
+                   i -> CAST(ascii(substr(scrubbed, i, 1)) AS BIGINT))),
+               (a, x) -> (a * 31 + x) % 1000000007) AS scrubbed_fp
+    FROM s
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> SDF:
+    """PII scrubbing: replace emails and digit runs in one codegen'd
+    regexp pass (patterns restricted to the class set where Java and RE2
+    agree).  The scrubbed text is proven byte-identical across engines by
+    its portable rolling fingerprint — no raw text in the output."""
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), "[0-9]+", "#"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0))
+        .cast("long")
+        .alias("n_digit_runs"),
+        TX.char_fingerprint(scrubbed).alias("scrubbed_fp"),
+    )
+
+
+@query(
+    "text_chunk_windows",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+                      unnest(range(1, greatest(len(toks) - 49, 1) + 1, 25)) AS s
+               FROM t WHERE len(toks) > 0)
+    SELECT doc_id, CAST((s - 1) / 25 AS BIGINT) AS chunk_idx,
+           CAST(len(toks[s:s+49]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[s:s+49], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> SDF:
+    """Sliding-window chunking (50-token windows, stride 25) — how long
+    documents become training samples.  The window starts generate as a
+    per-row sequence + posexplode: a narrow explode whose fan-out is
+    len/stride, no shuffle at all; short docs yield exactly one chunk."""
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    toks = TX.tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks") - 49, F.lit(1)), F.lit(25)
+    )
+    c = t.select("doc_id", "toks", F.explode(starts).alias("s"))
+    chunk = F.slice(F.col("toks"), F.col("s"), 50)
+    return c.select(
+        "doc_id",
+        ((F.col("s") - 1) / 25).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+@query(
+    "sample_stratified",
+    """
+    WITH f AS (
+      SELECT doc_id, lang,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(text) + 1),
+                     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                 (a, x) -> (a * 31 + x) % 1000000007) AS fp
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM f)
+    SELECT doc_id, lang FROM r WHERE rk <= ceil(0.1 * n)
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> SDF:
+    """Stratified 10% sample per language, deterministic: rank docs inside
+    each stratum by content fingerprint (reproducible across engines,
+    partitionings and reruns — no rand()) and keep the first ceil(10%).
+    One shuffle on the stratum key; the two windows share it."""
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+
+    f = docs.select(
+        "doc_id", "lang", TX.char_fingerprint(F.col("text")).alias("fp")
+    )
+    w = W.partitionBy("lang")
+    r = f.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w.orderBy("fp", "doc_id")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return r.where(F.col("rk") <= F.ceil(0.1 * F.col("n"))).select("doc_id", "lang")
+
+
+@query(
+    "emb_norm_quantize",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS n_dims,
+           round(sqrt(list_inner_product(v, v)), 6) AS l2_norm,
+           round(list_max(list_transform(v, x -> abs(x))), 6) AS max_abs,
+           round(list_max(list_transform(v, x -> abs(x))) / 127, 8) AS int8_scale
+    FROM e
+    """,
+)
+def emb_norm_quantize(spark: SparkSession, sf_dir: str) -> SDF:
+    """Embedding normalization / int8-quantization prep: per-vector L2
+    norm (sequential fold, bit-identical to list_inner_product), max-abs
+    component and the symmetric int8 scale factor — the metadata pass that
+    precedes writing a quantized ANN index.  Pure JVM array math, one
+    narrow stage."""
+    emb = D.spread(load_table(spark, sf_dir, "embeddings"))
+    v = F.col("embedding").cast("array<double>")
+    max_abs = F.array_max(F.transform(v, F.abs))
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("long").alias("n_dims"),
+        F.round(F.sqrt(S.dot(v, v)), 6).alias("l2_norm"),
+        F.round(max_abs, 6).alias("max_abs"),
+        F.round(max_abs / 127, 8).alias("int8_scale"),
+    )
+
+
+@query(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE t AS ({_SHINGLES3}),
+    p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+    e AS (SELECT a AS src, b AS dst FROM p
+          UNION SELECT b, a FROM p
+          UNION SELECT a, a FROM p
+          UNION SELECT b, b FROM p),
+    r(n, m) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.n, e.dst FROM r JOIN e ON r.m = e.src)
+    SELECT n AS doc_id, min(m) AS component FROM r GROUP BY n
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> SDF:
+    """Near-dup pairs -> dedup GROUPS: connected components over the
+    MinHash-verified pair list via iterative min-label propagation
+    (functions/dedup.py connected_components).  The oracle computes the
+    same components with a recursive transitive-closure CTE — closure is
+    fine at oracle scale, while the Spark side runs the O(diameter)-round
+    Pregel loop that survives 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(docs, threshold=0.5)
+    return D.connected_components(pairs)

@@ -607,3 +607,87 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> SDF:
         GROUP BY n.n_name
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 / Q10 — the classic scan-heavy filter-agg and the 4-table
+# join + group + top-k reporting shape
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+           AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q6: pure scan + filter + global agg.  Every predicate reaches
+    the parquet scan (PushedFilters on date/discount/quantity), the agg is
+    a two-phase partial — the plan is a single stage and the whole query
+    is bandwidth-bound, exactly what you want for a 100 TB scan."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    return (
+        lin.where(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '1993-10-01'
+      AND o.o_orderdate < DATE '1994-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q10: 4-table join -> group -> top-20.  Join order: lineitem
+    (filtered on returnflag at the scan) joins date-filtered orders on the
+    fact key; customer joins the aggregated result; nation broadcasts.
+    The TopK is a TakeOrderedAndProject - no full sort of the aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lin = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    o = orders.where(
+        (F.col("o_orderdate") >= "1993-10-01") & (F.col("o_orderdate") < "1994-01-01")
+    )
+    l = lin.where(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -141,3 +141,13 @@ def test_lang_pred_rule(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.p for r in df.select("doc_id", TX.lang_pred(F.col("text")).alias("p")).collect()}
     assert out == {1: "en", 2: "de", 3: "es", 4: "unknown"}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3, pair 10-11, singleton via self-pair: min-label
+    propagation must converge to the min id per component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 7)], "a long, b long"
+    )
+    out = {r.doc_id: r.component for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 7: 7}
