@@ -282,7 +282,11 @@ def connected_components(
     pre-partitioned by src (alternating small-star/large-star would cut
     rounds for high-diameter graphs; near-dup graphs don't need it).
     """
+    # materialize the (possibly expensive) pair plan ONCE before the
+    # symmetrizing union — unionAll duplicates the subtree, which would
+    # run the whole candidate-generation pipeline twice
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    e = e.localCheckpoint(eager=True)
     edges = (
         e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
