@@ -1248,3 +1248,68 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_near_dup_pairs(docs, threshold=0.5)
     return D.connected_components(pairs)
+
+
+@query(
+    "dedup_cross_source",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             list_distinct(list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])) AS sh
+      FROM (SELECT doc_id, source, n_chars, {_TOKS} AS toks FROM documents)
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b, a.source AS src_a, b.source AS src_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                 4) AS jac
+    FROM t a JOIN t b
+      ON a.source < b.source AND abs(a.n_chars - b.n_chars) <= 4
+     AND len(a.sh) > 0 AND len(b.sh) > 0
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> SDF:
+    """Cross-source contamination check: near-identical documents that
+    appear under DIFFERENT sources (the train/test decontamination query
+    every LLM pipeline runs).  Same blocked-Jaccard engine as
+    dedup_ngram_jaccard but blocking on the length bucket only, with a
+    source inequality — candidates stay an equi-join (bucket), the source
+    predicate rides along."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = D.spread(docs.select("doc_id", "source", "n_chars", "text")).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        D.word_shingles(TX.tokens(F.col("text")), 2).alias("sh"),
+    )
+    bucket = F.floor(F.col("n_chars") / 5)
+    a = t.select(
+        F.col("doc_id").alias("a"),
+        F.col("source").alias("src_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("sh").alias("sh_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("jb"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("b"),
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("sh").alias("sh_b"),
+        bucket.alias("jb"),
+    )
+    pairs = a.join(b, "jb").where(
+        (F.col("src_a") < F.col("src_b"))
+        & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 4)
+        & (F.size("sh_a") > 0)
+        & (F.size("sh_b") > 0)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b")
+    scored = pairs.select(
+        "a", "b", "src_a", "src_b", inter.alias("i"), union.alias("u")
+    ).withColumn("jac", F.col("i") / (F.col("u") - F.col("i")))
+    return scored.where(F.col("jac") >= 0.5).select(
+        "a", "b", "src_a", "src_b", F.round("jac", 4).alias("jac")
+    )

@@ -691,3 +691,102 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> SDF:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# event-analytics shapes: funnel conversion + cohort retention
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+         p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS first_buy
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'purchase'
+                 AND CAST(e.ts AS TIMESTAMP) >= v.first_view
+               GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM p) AS n_converted,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / (SELECT count(*) FROM v), 4) AS conv_rate
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> SDF:
+    """View→purchase funnel: users whose first purchase follows their
+    first view.  One shuffle on user_id serves both stage aggregates
+    (conditional min-timestamps in a single groupBy), then a 1-row
+    summary — the standard product-analytics funnel shape."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy_any"
+        ),
+    )
+    # first purchase AT OR AFTER the first view needs the conditional min
+    # against first_view — second pass over the same user partition
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts")
+    )
+    pj = per_user.where(F.col("first_view").isNotNull())
+    conv = (
+        buys.join(pj, "user_id")
+        .where(F.col("buy_ts") >= F.col("first_view"))
+        .select("user_id")
+        .distinct()
+    )
+    n_viewed = pj.agg(F.count(F.lit(1)).alias("n_viewed"))
+    n_conv = conv.agg(F.count(F.lit(1)).alias("n_converted"))
+    return (
+        n_viewed.crossJoin(n_conv)
+        .select(
+            "n_viewed",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_viewed"), 4
+            ).alias("conv_rate"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH f AS (SELECT user_id,
+                      min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_day
+               FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                      date_diff('day', f.cohort_day,
+                                CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS day_offset
+               FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           count(*) AS n_users
+    FROM a WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> SDF:
+    """Cohort retention: users grouped by first-seen day, counted on each
+    of their active day-offsets (0..7).  Two shuffles total — first-seen
+    per user, then the (cohort, offset) rollup; the user→cohort join
+    rides the first shuffle's partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = (
+        ev.select("user_id", day.alias("d"))
+        .join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("d", "cohort_day").alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return active.groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
