@@ -544,11 +544,25 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     return out
 
 
-@query("stream_watermark_late", None)  # emitted-window set depends on
+@query(
+    "stream_watermark_late",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+         m AS (SELECT max(ts) - INTERVAL '10 minutes' AS wm FROM e)
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, count(*) AS n
+    FROM e GROUP BY 1
+    HAVING window_start + INTERVAL 1 HOUR <= (SELECT wm FROM m)
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> SDF:
     """Watermarked tumbling counts in append mode: only windows finalized
-    by the 10-minute watermark emit; rows-only check (the emitted set
-    depends on micro-batch boundaries, not SQL-expressible)."""
+    by the 10-minute watermark emit.  The source stages ONE parquet file,
+    so AvailableNow processes a single micro-batch and the final watermark
+    is deterministic: max(ts) - 10 min.  The emitted set is therefore
+    exactly the windows whose end <= that watermark — SQL-expressible
+    (boundary note: no test window ends exactly at the watermark, so the
+    <=/< distinction is moot on this data; documented like session_window's
+    gap boundary)."""
     ev = stream_events(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
