@@ -1327,3 +1327,144 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> SDF:
     return scored.where(F.col("jac") >= 0.5).select(
         "a", "b", "src_a", "src_b", F.round("jac", 4).alias("jac")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 batch: repetition quality signals, decontamination, vocabulary
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_rep_bigram",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1]) AS bgs
+               FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+         e AS (SELECT doc_id, unnest(bgs) AS bg FROM t WHERE len(bgs) > 0),
+         g AS (SELECT doc_id, bg, count(*) AS c FROM e GROUP BY doc_id, bg)
+    SELECT doc_id,
+           round(1 - CAST(count(*) AS DOUBLE) / sum(c), 4) AS dup_frac,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_frac
+    FROM g GROUP BY doc_id
+    """,
+)
+def text_rep_bigram(spark: SparkSession, sf_dir: str) -> SDF:
+    """Gopher-style repetition quality signals per document: fraction of
+    duplicate word-bigrams and the share held by the single most frequent
+    bigram.  Computed entirely IN-ROW (sort_array + an aggregate() run-
+    length scan over the sorted bigram array) — zero shuffle, codegen'd,
+    embarrassingly parallel at 100 TB.  The DuckDB mirror uses the
+    explode/groupBy formulation; identical results, different plan shape
+    (the in-row form is the scale-right one — no (doc, bigram) shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+    bgs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    t = D.spread(docs.select("doc_id", "text")).select(
+        "doc_id", F.sort_array(bgs).alias("sb")
+    )
+    t = t.where(F.size("sb") > 0)
+    zero = F.lit(0).cast("long")
+    new_run = lambda acc, x: (  # noqa: E731
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+    )
+    best = F.aggregate(
+        F.col("sb"),
+        F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            new_run(acc, x).alias("run"),
+            F.greatest(acc["best"], new_run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    total = F.size("sb").cast("double")
+    distinct = F.size(F.array_distinct("sb")).cast("double")
+    return t.select(
+        "doc_id",
+        F.round(F.lit(1.0) - distinct / total, 4).alias("dup_frac"),
+        F.round(best.cast("double") / total, 4).alias("top_frac"),
+    )
+
+
+@query(
+    "decontam_ngram",
+    f"""
+    WITH g AS (SELECT doc_id, source,
+                      unnest(list_distinct(list_transform(
+                          range(1, len(toks) - 3),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                               || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS gram
+               FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+               WHERE len(toks) >= 5)
+    SELECT t.doc_id,
+           count(DISTINCT r.doc_id) AS n_train_docs,
+           count(DISTINCT t.gram) AS n_shared_grams
+    FROM (SELECT * FROM g WHERE source = 'src0') t
+    JOIN (SELECT * FROM g WHERE source <> 'src0') r ON t.gram = r.gram
+    GROUP BY t.doc_id
+    """,
+)
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> SDF:
+    """Train/test decontamination by 5-gram containment: for each doc in
+    the held-out slice (source 'src0'), how many training docs share at
+    least one 5-gram, and how many distinct 5-grams leak.  Candidate
+    generation is an equi-join on the gram — never all-pairs; the test
+    side is tiny relative to the corpus, so it is explicitly broadcast
+    (at 100 TB the eval set's grams fit in memory; the train side streams
+    through map-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = D.spread(docs.select("doc_id", "source", "text")).select(
+        "doc_id",
+        "source",
+        F.explode(D.word_shingles(TX.tokens(F.col("text")), 5)).alias("gram"),
+    )
+    test = g.where(F.col("source") == "src0").select(
+        F.col("doc_id").alias("t_doc"), "gram"
+    )
+    train = g.where(F.col("source") != "src0").select(
+        F.col("doc_id").alias("r_doc"), "gram"
+    )
+    return (
+        F.broadcast(test)
+        .join(train, "gram")
+        .groupBy(F.col("t_doc").alias("doc_id"))
+        .agg(
+            F.countDistinct("r_doc").alias("n_train_docs"),
+            F.countDistinct("gram").alias("n_shared_grams"),
+        )
+    )
+
+
+@query(
+    "vocab_topk",
+    f"""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 25
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> SDF:
+    """Corpus vocabulary extraction: top-25 tokens by frequency with a
+    deterministic lexicographic tie-break.  Explode → partial-aggregated
+    count (map-side combine carries (token, partial_n), never raw token
+    streams) → TakeOrderedAndProject — the two-stage wordcount shape that
+    scales linearly; the final top-k never materializes the full
+    vocabulary on one node."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = D.spread(docs.select("text")).select(
+        F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(25)
+    )

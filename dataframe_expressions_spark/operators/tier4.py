@@ -790,3 +790,162 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> SDF:
     return active.groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 batch: histogram, winsorized stats, TPC-H Q14 + Q18
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hist_totalprice",
+    """
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+             AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def hist_totalprice(spark: SparkSession, sf_dir: str) -> SDF:
+    """Fixed-width numeric histogram (25k-wide buckets of order value) —
+    the binning shape behind every distribution dashboard.  One hash
+    aggregate on a derived long key, map-side combined; bucket count is
+    bounded (price range / width), so the reduce side is tiny at any
+    scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"), 2
+            ).alias("total"),
+        )
+    )
+
+
+@query(
+    "stats_winsorize",
+    """
+    WITH q AS (SELECT l_returnflag,
+                      quantile_cont(l_extendedprice, 0.05) AS lo,
+                      quantile_cont(l_extendedprice, 0.95) AS hi
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           round(CAST(sum(CAST(least(greatest(l.l_extendedprice, q.lo), q.hi)
+                              AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4)
+             AS wins_mean,
+           count(*) AS n
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def stats_winsorize(spark: SparkSession, sf_dir: str) -> SDF:
+    """Winsorized (p05/p95-clipped) mean per group — outlier-robust stats
+    without dropping rows.  Two passes: an exact-percentile aggregate
+    produces a GROUPS-sized table (3 rows) that is broadcast back onto the
+    fact scan, so the second pass is shuffle-free map-side clamp + partial
+    agg.  At 100 TB the percentile pass switches to approx_percentile
+    (same plan shape, sketch instead of gather)."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    q = lin.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    clipped = lin.join(F.broadcast(q), "l_returnflag").select(
+        "l_returnflag",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+        .cast(_DEC)
+        .alias("w"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum("w").cast("double") / F.count(F.lit(1)), 4
+        ).alias("wins_mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                 ELSE 0 END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(38,6))) AS DOUBLE), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q14 (promotion effect, adapted to this schema's single-word
+    p_type): share of one month's revenue from promo parts.  The date
+    filter is pushed to the lineitem scan (one month ≈ 1% of rows read),
+    part is broadcast, and the conditional ratio folds in DECIMAL for
+    partition-order determinism."""
+    lin = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    j = lin.join(F.broadcast(part), lin.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_DEC))).cast("double")
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "tpch_q18_large_volume",
+    """
+    WITH big AS (SELECT l_orderkey FROM lineitem
+                 GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, o.o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds 250, joined back to customer detail, top-100 by price.  The
+    HAVING pre-aggregate runs FIRST and is left-semi-shaped: the big
+    fact-fact join probes only qualifying orderkeys (a few hundred), which
+    Spark broadcasts after AQE sees the tiny build side.  Quantity sums
+    ride the same l_orderkey shuffle as the qualifier."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        lin.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 250)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    j = (
+        orders.join(big, orders.o_orderkey == big.big_okey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(lin, orders.o_orderkey == lin.l_orderkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
