@@ -1,0 +1,687 @@
+"""Tier 5 — round-2 additions: the remaining oracle-able TPC-H family
+(Q4/Q7/Q8/Q12/Q13/Q15/Q17/Q19/Q21/Q22, adapted to this testdata's schema —
+no partsupp table, no l_commitdate/l_receiptdate/l_shipmode columns, so
+the late-shipment predicate is l_shipdate vs o_orderdate and Q12's
+shipmode axis becomes l_linestatus) plus training-pipeline sequence
+packing / mixture sampling and per-user time-series smoothing/anomaly
+detection over the events table.
+
+Oracle discipline matches tier2: DECIMAL(38,6)-folded double sums, bigint
+counts, doubles rounded AFTER ranking with unique tie-breaks, identical
+column aliases on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions import dedup as D
+from ..functions import text as TX
+from ..sources.tables import load_table
+from .registry import query
+from .tier3 import _TOKS
+
+_DEC = "decimal(38,6)"
+
+
+def _rev() -> F.Column:
+    """l_extendedprice * (1 - l_discount), DECIMAL-folded for
+    partition-order-independent sums."""
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H remainder (adapted)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q4_late_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_late_exists(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q4 (order priority checking), late-ship EXISTS adapted to
+    l_shipdate > o_orderdate + 60d (no l_commitdate in this schema).  The
+    correlated EXISTS lowers to a LEFT SEMI join whose equi-key
+    (orderkey) drives the shuffle; the date predicate rides along as a
+    residual condition, so no per-order subquery ever executes — the
+    scale-right decorrelation."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lin = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        lin,
+        (orders.o_orderkey == lin.l_orderkey)
+        & (lin.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q7 (volume shipping between a nation pair, both directions,
+    by year).  lineitem⨝orders is the only big-big join (equi on
+    orderkey); supplier+nation and customer+nation are dimension chains —
+    nation is broadcast explicitly, supplier/customer sides are left to
+    AQE (at 100 TB customer no longer fits a broadcast and falls back to
+    the shuffle the plan already declares).  The nation-pair filter
+    applies before the fact join, shrinking both sides."""
+    lin = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                                F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"),
+                                F.col("n_name").alias("cust_nation")))
+    j = (
+        lin.join(sup, lin.l_suppkey == sup.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, lin.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_rev()).cast("double"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    """
+    WITH flat AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS vol,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                              AND TIMESTAMP '1997-12-31')
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol
+                               ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                 / CAST(sum(vol) AS DOUBLE), 4) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q8 (national market share): NATION_2's share of STANDARD-part
+    revenue sold into ASIA-region customers, per order-year.  part is
+    pre-filtered and broadcast (one p_type ≈ 1/6 of parts), nation/region
+    are broadcast; the only key that ever carries fact-table volume is
+    l_orderkey.  The conditional share folds in DECIMAL so the ratio is
+    partition-order deterministic."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n2 = F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                                F.col("n_name").alias("supp_nation")))
+    asia_nat = F.broadcast(
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    j = (
+        lin.join(F.broadcast(part), lin.l_partkey == part.p_partkey)
+        .join(sup, lin.l_suppkey == sup.s_suppkey)
+        .join(n2, F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, lin.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(asia_nat, F.col("c_nationkey") == F.col("cn_key"))
+    )
+    zero = F.lit(0).cast(_DEC)
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", _rev()).otherwise(zero)).cast("double")
+                / F.sum(_rev()).cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q12_priority_class",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q12 (shipping priority by mode), adapted: l_linestatus plays
+    the l_shipmode axis this schema lacks.  One equi-join on orderkey with
+    the year filter pushed to the lineitem scan; the urgent/other split is
+    a conditional sum riding the same aggregate — two output counters,
+    one shuffle."""
+    lin = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = lin.join(orders, lin.l_orderkey == orders.o_orderkey)
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@query(
+    "tpch_q13_cust_order_dist",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def tpch_q13_cust_order_dist(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join so
+    order-less customers keep c_count=0, a residual predicate inside the
+    join condition (not a post-filter — that would turn the join inner),
+    then a second tiny aggregate over the distinct counts.  The first
+    aggregate rides the custkey shuffle; the second one's input is
+    |distinct counts| rows."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    j = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "4-NOT SPECIFIED"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q15 (top supplier by quarterly revenue).  The revenue CTE is
+    one suppkey-shuffled aggregate; the scalar-max subquery decorrelates
+    to a 1-row aggregate broadcast back onto it (never a global sort).
+    The max compare happens on the exact DECIMAL sum — ties keep every
+    argmax row on both engines, no double-rounding ambiguity."""
+    lin = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = lin.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_rev")
+    )
+    top = F.broadcast(rev.agg(F.max("total_rev").alias("mx")))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(top, rev.total_rev == F.col("mx"))
+        .join(sup, F.col("supplier_no") == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q17_small_qty",
+    """
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS lim
+          FROM lineitem GROUP BY l_partkey) a ON a.pk = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.lim
+    """,
+)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    `0.2 * avg(l_quantity)` per part decorrelates into a partkey
+    aggregate joined back to the fact — both sides ride the same partkey
+    shuffle, so the "subquery" costs one extra aggregate, not N probes.
+    avg(l_quantity) is exact on both engines (quantities are small
+    integers stored as doubles; the sum is exact in IEEE range), so the
+    strict `<` cut agrees bit-for-bit."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    lim = lin.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("lim")
+    )
+    j = (
+        lin.join(F.broadcast(part), lin.l_partkey == part.p_partkey)
+        .join(lim, lin.l_partkey == lim.pk)
+        .where(F.col("l_quantity") < F.col("lim"))
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0, 2
+        ).alias("avg_yearly")
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    """
+    SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q19 (discounted revenue under disjunctive predicates).  The
+    OR-of-ANDs can't push below the join as-is, but its single-table
+    implications can: Catalyst derives `p_brand IN (…)` for the part scan
+    and `l_quantity BETWEEN 1 AND 30` for the lineitem scan from the
+    disjunction, so both scans still prune; the full predicate evaluates
+    post-join on the broadcast hash probe."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = lin.join(F.broadcast(part), lin.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(_rev()).cast("double"), 2).alias("revenue")
+    )
+
+
+@query(
+    "tpch_q21_late_supplier",
+    """
+    WITH lo AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                 THEN l_suppkey END) AS n_late,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN l_suppkey END) AS late_supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey)
+    SELECT s_name, count(*) AS numwait
+    FROM lo JOIN supplier ON s_suppkey = late_supp
+    WHERE n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_late_supplier(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    l_shipdate>o_orderdate+60d lateness predicate.  The classic
+    EXISTS + NOT-EXISTS double correlation collapses into ONE orderkey
+    aggregate: an order qualifies iff it has >1 distinct supplier and
+    exactly 1 distinct late supplier — `max(case when late)` then names
+    that supplier for free on the same shuffle.  Three correlated scans
+    in the spec, one pass here; this is the decorrelation that survives
+    100 TB."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    lo = (
+        lin.join(orders, lin.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        lo.join(F.broadcast(sup), lo.late_supp == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q22_idle_customers",
+    """
+    WITH thr AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             / count(*) AS ab
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey AS cntry, count(*) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2)
+             AS totacctbal
+    FROM customer, thr
+    WHERE c_acctbal > thr.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q22 (global sales opportunity), adapted: "has no orders"
+    never fires on this data (every customer orders), so the dormancy
+    predicate is "no orders since 2000-06-01"; nationkey stands in for
+    the phone country code.  Shape preserved exactly: a scalar-average
+    subquery (decorrelated to a broadcast 1-row aggregate, DECIMAL-folded
+    so the threshold double is identical on both engines) + a LEFT ANTI
+    join against the filtered orders, then a nationkey aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    thr = F.broadcast(
+        cust.where(F.col("c_acctbal") > 0).agg(
+            (F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+             / F.count(F.lit(1))).alias("ab")
+        )
+    )
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = cust.crossJoin(thr).where(F.col("c_acctbal") > F.col("ab"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy(F.col("c_nationkey").alias("cntry")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast(_DEC)).cast("double"), 2).alias(
+            "totacctbal"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline: sequence packing + mixture sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seq_pack_fill",
+    f"""
+    WITH t AS (SELECT doc_id, source, len({_TOKS}) AS n_tok FROM documents),
+         w AS (SELECT source, n_tok,
+                      sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tok
+                        AS cum_prev
+               FROM t)
+    SELECT source, CAST(floor(cum_prev / 2048) AS BIGINT) AS chunk,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM w GROUP BY source, chunk
+    """,
+)
+def seq_pack_fill(spark: SparkSession, sf_dir: str) -> SDF:
+    """Sequence packing for LM training (concat-and-chunk): documents are
+    concatenated in doc_id order per source and sliced into 2048-token
+    context windows; a doc lands in the chunk where its first token falls
+    (floor(cumulative-prefix / 2048)).  One window cumsum per source —
+    deterministic, no greedy bin-packing state — then a per-chunk rollup
+    on the same partitioning.  At 100 TB the PARTITION BY source keeps
+    every source independent, so packing parallelizes across sources and
+    the window never sees more than one source's docs."""
+    docs = D.spread(load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ))
+    t = docs.select(
+        "doc_id", "source", F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = t.select(
+        "source",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("cum_prev"),
+    )
+    return packed.groupBy(
+        "source", F.floor(F.col("cum_prev") / 2048).cast("long").alias("chunk")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "mixture_sample",
+    f"""
+    WITH t AS (
+      SELECT source,
+             CAST(substr(source, 4) AS INTEGER) AS src_idx,
+             len({_TOKS}) AS n_tok,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(text) + 1),
+                     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                 (a, x) -> (a * 31 + x) % 1000000007) AS fp
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+           sum(CASE WHEN fp % 100 < (CASE WHEN src_idx < 4 THEN 100
+                                          WHEN src_idx < 10 THEN 50
+                                          ELSE 20 END)
+                    THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN fp % 100 < (CASE WHEN src_idx < 4 THEN 100
+                                               WHEN src_idx < 10 THEN 50
+                                               ELSE 20 END)
+                         THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM t GROUP BY source
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> SDF:
+    """Deterministic data-mixture sampling: each source gets a target keep
+    rate (srcs 0-3 → 100 %, 4-9 → 50 %, rest → 20 %) enforced by a
+    content-fingerprint mod — reproducible across runs/engines, no RNG
+    state, and re-running on a grown corpus keeps previously-kept docs
+    (hash-stable sampling).  Pure map-side decision + one aggregate; at
+    100 TB the keep decision costs one fused projection, no shuffle
+    beyond the final per-source rollup."""
+    docs = D.spread(load_table(spark, sf_dir, "documents").select("source", "text"))
+    idx = F.substring("source", 4, 10).cast("int")
+    pct = (
+        F.when(idx < 4, 100).when(idx < 10, 50).otherwise(20)
+    )
+    keep = TX.char_fingerprint(F.col("text")) % 100 < pct
+    n_tok = F.size(TX.tokens(F.col("text"))).cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(keep, n_tok).otherwise(F.lit(0))).cast("long").alias(
+            "tokens_kept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series: EWMA smoothing + z-score anomaly detection over events
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ewma_smooth",
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                             (a, x) -> 0.25 * x + 0.75 * a), 4) AS ewma
+    FROM events GROUP BY user_id
+    """,
+)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-user exponentially-weighted moving average (alpha=0.25) over the
+    event stream, seeded with the first observation.  The fold is a
+    sequential recurrence, so it lowers to sort_array(collect_list(...))
+    + an in-row aggregate() — ONE shuffle on user_id, the recurrence runs
+    inside the row.  Both engines fold identical doubles in identical
+    (ts, event_id) order, so the IEEE result matches bit-for-bit.  At
+    100 TB per-user event counts are bounded (state ≈ one user's events);
+    unbounded keys would move this to applyInPandasWithState."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("xs")
+    )
+    vals = F.col("xs").getField("value")
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+    )
+    return g.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        F.round(ewma, 4).alias("ewma"),
+    )
+
+
+@query(
+    "anomaly_zscore",
+    """
+    WITH s AS (
+      SELECT user_id, value,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,6)))
+                  OVER (PARTITION BY user_id) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(38,6)))
+                  OVER (PARTITION BY user_id) AS DOUBLE) AS sxx
+      FROM events),
+         z AS (
+      SELECT user_id, n,
+             (value - sx / n)
+               / sqrt((sxx - sx * sx / n) / (n - 1)) AS zs
+      FROM s WHERE n > 1 AND (sxx - sx * sx / n) > 0)
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           count(*) AS n_anomalies
+    FROM z WHERE abs(zs) > 2 GROUP BY user_id
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-user z-score anomaly detection: events more than 2 sample
+    standard deviations from the user's mean.  Mean/variance come from
+    exact DECIMAL moment sums over an unbounded user window (one shuffle;
+    the same pass scores every row — no stats-table join), so the double
+    arithmetic downstream is partition-order deterministic and the |z|>2
+    cut agrees across engines.  Degenerate users (n=1 or zero variance)
+    are excluded before the division."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    w = W.partitionBy("user_id")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+    sxx = F.sum((F.col("value") * F.col("value")).cast(_DEC)).over(w).cast("double")
+    s = ev.select(
+        "user_id",
+        "value",
+        n.alias("n"),
+        sx.alias("sx"),
+        sxx.alias("sxx"),
+    ).where((F.col("n") > 1) & (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n") > 0))
+    zs = (F.col("value") - F.col("sx") / F.col("n")) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        s.where(F.abs(zs) > 2)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("n_anomalies"),
+        )
+    )
