@@ -287,15 +287,25 @@ def connected_components(
     # run the whole candidate-generation pipeline twice
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     e = e.localCheckpoint(eager=True)
+    # Size the loop's shuffle width to the EDGE list, not the corpus: the
+    # graph is orders of magnitude smaller than the documents that produced
+    # it (only near-dup pairs survive), so running every round at the
+    # session's 32 shuffle partitions pays ~rounds×32 empty-task overhead.
+    # ~1M edges per partition keeps a partition comfortably in memory at
+    # any scale; at 100 TB the same formula widens the loop automatically.
+    n_edges = e.count()
+    parts = max(1, min(200, int(n_edges // 1_000_000) + 1))
     edges = (
         e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition(parts, "dst")
         .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
+        .repartition(parts, "node")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
@@ -313,6 +323,7 @@ def connected_components(
                 ),
                 (F.col("nmin") < F.col("comp")).alias("changed"),
             )
+            .repartition(parts, "node")
             .localCheckpoint(eager=True)
         )
         n_changed = new_labels.where(F.col("changed")).count()
