@@ -685,3 +685,135 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> SDF:
             F.count(F.lit(1)).alias("n_anomalies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped-map Pandas UDF (applyInPandas) — the batch custom-operator boundary
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouped_map_pandas",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+         d AS (SELECT user_id, t,
+                      t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+               FROM e)
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(max(t) - min(t) AS BIGINT) AS span_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us,
+           CAST(min(gap) AS BIGINT) AS min_gap_us
+    FROM d GROUP BY user_id HAVING count(*) >= 2
+    """,
+)
+def grouped_map_pandas(spark: SparkSession, sf_dir: str) -> SDF:
+    """Grouped-map Pandas UDF (``applyInPandas``): per-user inter-event
+    gap statistics computed imperatively over each user's full history —
+    the API boundary for custom batch operators whose per-group logic
+    doesn't decompose into built-in aggregates (sessionization variants,
+    per-entity model fits, trajectory features).
+
+    These particular stats ARE window-expressible (the oracle proves it
+    with lag()); the query exists to pin the grouped-map contract: one
+    hash shuffle on user_id, Arrow-batched transfer, each group processed
+    as a pandas frame.  All outputs are exact int64 microsecond arithmetic
+    (unix_micros / epoch_us), so both engines agree bit-for-bit — no
+    float summation-order hazard crosses the Python boundary.  Scale: a
+    GROUP (one user's events) must fit in one executor's memory — the
+    operative constraint of applyInPandas at 100 TB; per-user event
+    counts are bounded, the fleet of users parallelizes."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("t")
+    )
+
+    def gap_stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        t = pdf["t"].sort_values().to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame(
+                columns=["user_id", "n_events", "span_us",
+                         "max_gap_us", "min_gap_us"]
+            )
+        gaps = t[1:] - t[:-1]
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(t)],
+                "span_us": [int(t[-1] - t[0])],
+                "max_gap_us": [int(gaps.max())],
+                "min_gap_us": [int(gaps.min())],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        gap_stats,
+        schema="user_id long, n_events long, span_us long, "
+        "max_gap_us long, min_gap_us long",
+    )
+
+
+@query(
+    "cogrouped_asof_pandas",
+    """
+    WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS bt FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, epoch_us(ts) AS vt FROM events
+               WHERE event_type = 'view')
+    SELECT b.user_id, b.event_id,
+           CAST(b.bt AS BIGINT) AS buy_t,
+           CAST(max(v.vt) AS BIGINT) AS last_view_t
+    FROM b JOIN v ON b.user_id = v.user_id AND v.vt <= b.bt
+    GROUP BY b.user_id, b.event_id, b.bt
+    """,
+)
+def cogrouped_asof_pandas(spark: SparkSession, sf_dir: str) -> SDF:
+    """Cogrouped-map Pandas UDF (``groupBy().cogroup().applyInPandas``):
+    for every purchase, the most recent preceding view by the same user —
+    a per-key as-of merge done imperatively with numpy searchsorted over
+    the two cogrouped frames.  This is the two-input custom-operator
+    boundary (the one-input twin is grouped_map_pandas); the relational
+    as-of composition lives in join_asof — this pins the cogroup API
+    contract on exact int64 microseconds.  Scale: ONE co-partitioned
+    hash shuffle on user_id for both sides, Arrow-batched; each user's
+    two frames meet in memory — state bounded per key, never global.
+    Purchases with no preceding view are dropped (inner as-of)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("bt")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("vt")
+    )
+
+    def asof(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                columns=["user_id", "event_id", "buy_t", "last_view_t"]
+            )
+        vt = np.sort(right["vt"].to_numpy())
+        bt = left["bt"].to_numpy()
+        # index of the last view at-or-before each buy; 0 → no such view
+        idx = np.searchsorted(vt, bt, side="right")
+        keep = idx > 0
+        return pd.DataFrame(
+            {
+                "user_id": left["user_id"].to_numpy()[keep],
+                "event_id": left["event_id"].to_numpy()[keep],
+                "buy_t": bt[keep],
+                "last_view_t": vt[idx[keep] - 1],
+            }
+        )
+
+    return (
+        buys.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            schema="user_id long, event_id long, buy_t long, last_view_t long",
+        )
+    )
