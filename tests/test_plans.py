@@ -63,3 +63,62 @@ def test_nested_ops_stay_jvm_side(spark):
         plan = _formatted_plan(df)
         assert "BatchEvalPython" not in plan, qid
         assert "ArrowEvalPython" not in plan, qid
+
+
+def test_tpch_tier5_broadcast_dims(spark):
+    """Q7/Q8/Q21/Q22: every dimension (nation/region/supplier/part and the
+    1-row scalar threshold) must broadcast — a plain hash Exchange on a
+    dim side would shuffle the fact table needlessly at 100 TB."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    qs = load_all()
+    for qid in (
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q21_late_supplier",
+        "tpch_q22_idle_customers",
+    ):
+        plan = _formatted_plan(qs[qid].fn(spark, SF_SMOKE))
+        assert "BroadcastExchange" in plan, qid
+
+
+def test_tpch_tier5_filters_pushed(spark):
+    """Q12's year bounds and Q19's disjunctive quantity/size implications
+    must reach the parquet scan as PushedFilters."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    qs = load_all()
+    plan = _formatted_plan(qs["tpch_q12_priority_class"].fn(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan, plan
+    plan = _formatted_plan(qs["tpch_q19_disjunctive"].fn(spark, SF_SMOKE))
+    assert "GreaterThanOrEqual(l_quantity" in plan, plan
+
+
+def test_no_row_at_a_time_python_anywhere(spark):
+    """Repo-wide scale guard: NO registered query may evaluate Python
+    row-at-a-time (BatchEvalPython).  The Python boundary is allowed only
+    as Arrow-vectorized pandas exchange, and only in the queries that
+    declare it."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    declared_pandas = {
+        "udaf_pandas",
+        "dedup_simhash",
+        "dedup_components",
+        "multimodal_meta",
+        "multimodal_framesample",
+        "multimodal_resize",
+        "grouped_map_pandas",
+        "cogrouped_asof_pandas",
+        "user_func_udf",
+    }
+    for qid, q in load_all().items():
+        if "stream" in qid or qid in ("sink_partitioned", "scan_orc",
+                                      "cdc_upsert_compact", "join_bucketed"):
+            continue  # side-effecting/streaming: planned in their own tests
+        plan = _formatted_plan(q.fn(spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, qid
+        if qid not in declared_pandas:
+            assert "ArrowEvalPython" not in plan, qid
+            assert "FlatMapGroupsInPandas" not in plan, qid
+            assert "FlatMapCoGroupsInPandas" not in plan, qid
