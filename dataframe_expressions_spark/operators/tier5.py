@@ -817,3 +817,227 @@ def cogrouped_asof_pandas(spark: SparkSession, sf_dir: str) -> SDF:
             schema="user_id long, event_id long, buy_t long, last_view_t long",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization, TF-IDF, iterative k-means
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_batch",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+         d AS (SELECT user_id, t,
+                      CASE WHEN lag(t) OVER w IS NULL
+                             OR t - lag(t) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         s AS (SELECT user_id, t,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+               FROM d)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(min(t) AS BIGINT) AS start_us,
+           CAST(max(t) AS BIGINT) AS end_us
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> SDF:
+    """Batch sessionization (gaps-and-islands): a new session starts after
+    a >30-minute silence.  The streaming twin is session_window; this is
+    the backfill shape every clickstream pipeline runs over history.
+    ONE shuffle on user_id — the lag window, the running break-count
+    window and the final (user, session) aggregate all ride the same
+    hash partitioning, and Catalyst plans exactly one Exchange.  Exact
+    int64 microseconds end-to-end; the >-strict boundary is identical
+    SQL semantics on both engines (no session_window edge asymmetry)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("t")
+    )
+    wl = W.partitionBy("user_id").orderBy("t")
+    brk = F.when(
+        F.lag("t").over(wl).isNull()
+        | ((F.col("t") - F.lag("t").over(wl)) > 1_800_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    s = ev.select(
+        "user_id",
+        "t",
+        F.sum(brk).over(
+            wl.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("sid"),
+    )
+    return s.groupBy("user_id", F.col("sid").cast("long").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").cast("long").alias("start_us"),
+        F.max("t").cast("long").alias("end_us"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM tok GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n FROM documents),
+         s AS (SELECT doc_id, term,
+                      tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+               FROM tf JOIN df USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, score,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term) AS rk
+               FROM s)
+    SELECT doc_id, term, CAST(rk AS BIGINT) AS rk,
+           round(score, 6) AS tfidf
+    FROM r WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-document top-3 TF-IDF terms — the classic keyword/feature
+    extraction pass.  Two shuffles total: (doc, term) term-frequency
+    rollup, then a term-keyed join against document frequencies (df is
+    derived from tf with a map-side partial, so the raw token explosion
+    is shuffled ONCE); the corpus size N joins as a broadcast 1-row
+    aggregate.  Determinism across engines: score = tf · ln(N/df) is
+    pure IEEE arithmetic on identical ints (no float summation anywhere),
+    ranked BEFORE rounding with a unique (score DESC, term) tie-break."""
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    s = tf.join(df, "term").crossJoin(n).select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias(
+            "score"
+        ),
+    )
+    wr = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        s.select("doc_id", "term", F.row_number().over(wr).alias("rk"), "score")
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id", "term", F.col("rk").cast("long"),
+            F.round("score", 6).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "kmeans_lloyd",
+    """
+    WITH x AS (SELECT vec_id,
+                      list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+               FROM embeddings),
+         c0 AS (SELECT vec_id AS cid, v AS c FROM x WHERE vec_id < 8),
+         d1 AS (SELECT x.vec_id, c0.cid,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(range(1, 65),
+                           i -> (x.v[i] - c0.c[i]) * (x.v[i] - c0.c[i]))),
+                         (a, b) -> a + b) AS d
+                FROM x CROSS JOIN c0),
+         a1 AS (SELECT vec_id, cid FROM
+                  (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d, cid) AS rk
+                   FROM d1) WHERE rk = 1),
+         u AS (SELECT a1.cid, p.pos,
+                      CAST(sum(CAST(x.v[p.pos] AS DECIMAL(38,12))) AS DOUBLE)
+                        / count(*) AS c
+               FROM a1 JOIN x USING (vec_id)
+                    CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+               GROUP BY a1.cid, p.pos),
+         c1 AS (SELECT cid, list(c ORDER BY pos) AS c FROM u GROUP BY cid),
+         d2 AS (SELECT x.vec_id, c1.cid,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(range(1, 65),
+                           i -> (x.v[i] - c1.c[i]) * (x.v[i] - c1.c[i]))),
+                         (a, b) -> a + b) AS d
+                FROM x CROSS JOIN c1),
+         a2 AS (SELECT vec_id, cid FROM
+                  (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d, cid) AS rk
+                   FROM d2) WHERE rk = 1)
+    SELECT cid AS cluster_id, count(*) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS min_vec
+    FROM a2 GROUP BY cid
+    """,
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> SDF:
+    """Lloyd k-means (k=8, two assignment passes over the embeddings, one
+    centroid update) — the iterative-algorithm template beyond connected
+    components.  The scale shape: centroids are O(k·d) and ride in a
+    BROADCAST 1-row array, so each assignment pass is a map-only stage
+    (argmin folded in-row over the centroid array — no k-way row
+    explosion, no shuffle, no driver collect); the only shuffle per
+    iteration is the (cid, dim) centroid update, DECIMAL(38,12)-folded
+    like emb_centroid so the new centroids are bit-identical on both
+    engines.  Distances are sequential in-row folds (deterministic IEEE),
+    ties broken by lowest centroid id via strict-< over the cid-sorted
+    array.  Seeds = the 8 lowest vec_ids."""
+    emb = D.spread(load_table(spark, sf_dir, "embeddings"))
+    x = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def pack(cdf: SDF) -> SDF:
+        """k (cid, centroid) rows → ONE row holding the cid-sorted array."""
+        return cdf.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cid"), F.col("c")))
+            ).alias("cents")
+        )
+
+    def assign(pts: SDF, cents_one_row: SDF) -> SDF:
+        """Map-only nearest-centroid: fold over the broadcast array."""
+        j = pts.crossJoin(F.broadcast(cents_one_row))
+        dist = lambda ct: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("v"), ct["c"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        best = F.aggregate(
+            F.col("cents"),
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(-1).cast("long").alias("cid")
+            ),
+            lambda acc, ct: F.when(
+                dist(ct) < acc["d"],
+                F.struct(dist(ct).alias("d"), ct["cid"].alias("cid")),
+            ).otherwise(acc),
+        )
+        return j.select("vec_id", "v", best["cid"].alias("cid"))
+
+    def update(assigned: SDF) -> SDF:
+        """(cid, dim)-grouped DECIMAL-folded mean → k centroid rows."""
+        u = assigned.select(
+            "cid", F.posexplode("v").alias("pos", "val")
+        ).groupBy("cid", "pos").agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        return u.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("c")
+        )
+
+    c0 = pack(
+        x.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("c")
+        )
+    )
+    a1 = assign(x, c0)
+    c1 = pack(update(a1))
+    a2 = assign(x, c1)
+    return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").cast("long").alias("min_vec"),
+    )
