@@ -1041,3 +1041,102 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> SDF:
         F.count(F.lit(1)).alias("n_vecs"),
         F.min("vec_id").cast("long").alias("min_vec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lakehouse maintenance: small-file compaction, sorted-write data skipping
+# ---------------------------------------------------------------------------
+
+
+def _maint_dir(sf_dir: str, name: str) -> str:
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"/tmp/spark_graft_{name}_{key}"
+
+
+@query(
+    "compact_small_files",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> SDF:
+    """The small-files maintenance pass: a fragmented table (staged here
+    as 64 tiny parquet files, the classic streaming-ingest residue) is
+    rewritten to ceil(bytes / 128 MB) right-sized files, then served to
+    readers.  Compaction uses coalesce() — a NARROW rewrite, no shuffle:
+    each output task concatenates input splits, which is exactly how
+    OPTIMIZE bin-packing behaves when no clustering key is requested.
+    The returned aggregate runs against the COMPACTED copy and must equal
+    the oracle on the original — compaction is proven content-preserving,
+    not just smaller.  At 100 TB the same job sizes output partitions off
+    `spark.sql.files.maxPartitionBytes` and runs per table-partition."""
+    import math
+    import os
+    import shutil
+
+    frag = _maint_dir(sf_dir, "frag")
+    compact = _maint_dir(sf_dir, "compact")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    if not os.path.exists(frag):
+        ev.repartition(64).write.mode("overwrite").parquet(frag)
+    shutil.rmtree(compact, ignore_errors=True)
+    small = spark.read.parquet(frag)
+    n_bytes = sum(
+        f.stat().st_size for f in os.scandir(frag) if f.name.endswith(".parquet")
+    )
+    target = max(1, math.ceil(n_bytes / (128 * 1024 * 1024)))
+    small.coalesce(target).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@query(
+    "sink_sorted_skipping",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+      AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+)
+def sink_sorted_skipping(spark: SparkSession, sf_dir: str) -> SDF:
+    """Sorted-write data skipping: lineitem is rewritten range-partitioned
+    AND sorted by l_shipdate (repartitionByRange + sortWithinPartitions),
+    so every file covers a tight, disjoint shipdate interval and its
+    parquet row-group min/max stats let a date-filtered scan skip almost
+    every file — the open-format stand-in for Z-ordering on a single key.
+    The returned month aggregate reads the SORTED copy with the filter
+    pushed to the scan (PushedFilters asserts in tests/test_plans.py);
+    the oracle computes the same month over the original table, proving
+    the rewrite preserved content.  At 100 TB this layout turns a
+    full-table scan per time-slice query into reading ~1/240th of the
+    files."""
+    import os
+
+    out = _maint_dir(sf_dir, "sorted")
+    if not os.path.exists(out):
+        lin = load_table(spark, sf_dir, "lineitem").select(
+            "l_shipdate", "l_quantity"
+        )
+        (
+            lin.repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out).where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+    )

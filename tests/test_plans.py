@@ -122,3 +122,14 @@ def test_no_row_at_a_time_python_anywhere(spark):
             assert "ArrowEvalPython" not in plan, qid
             assert "FlatMapGroupsInPandas" not in plan, qid
             assert "FlatMapCoGroupsInPandas" not in plan, qid
+
+
+def test_sorted_skipping_pushes_date_filter(spark):
+    """The data-skipping rewrite only pays off if the date filter reaches
+    the parquet scan of the sorted copy."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    df = load_all()["sink_sorted_skipping"].fn(spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "LessThan(l_shipdate" in plan, plan
