@@ -1140,3 +1140,82 @@ def sink_sorted_skipping(spark: SparkSession, sf_dir: str) -> SDF:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "dedup_fuzzy_edit",
+    """
+    WITH t AS (SELECT doc_id, substr(text, 1, 24) AS ttl FROM documents)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(levenshtein(a.ttl, b.ttl) AS BIGINT) AS dist
+    FROM t a JOIN t b
+      ON substr(a.ttl, 1, 4) = substr(b.ttl, 1, 4) AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.ttl, b.ttl) <= 6
+    """,
+)
+def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> SDF:
+    """Fuzzy-match dedup by edit distance — the record-linkage member of
+    the dedup family (exact / minhash / simhash / ngram / embedding /
+    edit-distance): near-identical 24-char title prefixes within 6 edits.
+    Candidates come from an EQUI-join on a 4-char prefix block — the
+    O(n²) levenshtein only runs inside blocks, never all-pairs, and the
+    strings are clamped to 24 chars so each comparison is O(24²) bounded.
+    Blocking on a raw prefix is the demo stand-in; at 100 TB the same
+    shape runs with length + q-gram blocking keys (several blocking
+    passes unioned), which keeps recall without widening any block."""
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", F.substring("text", 1, 24).alias("ttl"))
+    a = t.select(
+        F.col("doc_id").alias("a"),
+        F.col("ttl").alias("ttl_a"),
+        F.substring("ttl", 1, 4).alias("blk"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("b"),
+        F.col("ttl").alias("ttl_b"),
+        F.substring("ttl", 1, 4).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.levenshtein("ttl_a", "ttl_b").cast("long").alias("dist")
+        )
+        .where(F.col("dist") <= 6)
+    )
+
+
+@query(
+    "observe_metrics",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_long,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> SDF:
+    """Single-pass pipeline health metrics via ``df.observe`` — counters
+    ride the SAME job that materializes the data (here a noop sink
+    standing in for the real write), so a 100 TB cleaning run gets its
+    row/volume accounting for free instead of paying a second full scan.
+    The observed values are exact integer aggregates, returned as a
+    1-row frame the oracle recomputes relationally; metrics transfer is
+    O(metrics), driver-side by design (like any accumulator)."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("corpus_health")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("n_chars") >= 200).cast("long")).alias("n_long"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_long"], m["total_chars"])],
+        "n_rows long, n_long long, total_chars long",
+    )
