@@ -1219,3 +1219,128 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> SDF:
         [(m["n_rows"], m["n_long"], m["total_chars"])],
         "n_rows long, n_long long, total_chars long",
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-static enrichment, data-quality constraints, schema evolution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_static_join",
+    """
+    SELECT c.c_nationkey AS nation, count(*) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> SDF:
+    """Stream-static enrichment join — the OTHER streaming join shape
+    (stream_stream_join covers stream×stream): each micro-batch of events
+    joins a STATIC dimension (customer) to attach nationkey, then feeds a
+    running per-nation aggregate.  The static side needs no watermark and
+    holds no join state — Spark re-plans it per micro-batch, broadcasting
+    the dim; state exists only for the aggregation keys.  That asymmetry
+    (stateless enrich, stateful agg) is the standard Kafka-enrichment
+    topology.  Deterministic: one AvailableNow batch over the staged file
+    → final counts equal the batch join the oracle runs."""
+    from ..streaming.windows import run_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir).select("user_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    enriched = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = enriched.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    out = run_to_memory(agg, "complete")
+    # exact per-nation user counts aren't streamable (countDistinct is
+    # unsupported in streaming aggs; the production path is an HLL sketch
+    # merged downstream) — the check-side exact values join from batch
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+    return out.select("nation", "n_events").join(exact, "nation")
+
+
+@query(
+    "dq_constraints",
+    """
+    SELECT 'orders' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           count(*) = count(DISTINCT o_orderkey) AS pk_unique,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_cust,
+           min(o_totalprice) >= 0 AS price_nonneg,
+           CAST(sum(CASE WHEN o_orderpriority IN
+                    ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_bad_priority
+    FROM orders
+    """,
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> SDF:
+    """Deequ-style data-quality constraint suite evaluated in ONE pass:
+    primary-key uniqueness, null counts, range and domain checks all fold
+    into a single aggregate over one table scan — the profile-then-gate
+    step that fronts every production ingest.  Only the uniqueness check
+    shuffles (distinct count rides the same aggregate); everything else
+    is a map-side CASE.  Emits measured values alongside booleans so a
+    failing gate reports WHAT it saw, not just that it failed."""
+    orders = load_table(spark, sf_dir, "orders")
+    good = F.col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+    )
+    return orders.agg(
+        F.lit("orders").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) == F.countDistinct("o_orderkey")).alias("pk_unique"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null_cust"),
+        (F.min("o_totalprice") >= 0).alias("price_nonneg"),
+        F.sum((~good).cast("long")).alias("n_bad_priority"),
+    )
+
+
+@query(
+    "schema_evolution_merge",
+    """
+    WITH v1 AS (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0),
+         v2 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation
+                WHERE n_regionkey <> 0)
+    SELECT n_nationkey, n_name,
+           CAST(r AS BIGINT) AS n_regionkey
+    FROM (SELECT n_nationkey, n_name, NULL AS r FROM v1
+          UNION ALL
+          SELECT n_nationkey, n_name, n_regionkey AS r FROM v2)
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> SDF:
+    """Schema evolution at the scan: two parquet generations of one table
+    (v1 lacks the later n_regionkey column) read together with
+    ``mergeSchema`` — old files surface the missing column as NULL, the
+    standard additive-column drift story for long-lived ingest
+    directories.  mergeSchema pays a footer read per file at planning
+    (fine for a demo; at 100 TB you pin the latest schema explicitly and
+    get the same null-fill without the footer sweep — the read semantics
+    this query locks in are identical either way)."""
+    import os
+
+    out = _maint_dir(sf_dir, "evolve")
+    nation = load_table(spark, sf_dir, "nation")
+    if not os.path.exists(out):
+        nation.where(F.col("n_regionkey") == 0).select(
+            "n_nationkey", "n_name"
+        ).write.mode("overwrite").parquet(out + "/gen=1")
+        nation.where(F.col("n_regionkey") != 0).select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).write.mode("overwrite").parquet(out + "/gen=2")
+    back = spark.read.option("mergeSchema", True).parquet(
+        out + "/gen=1", out + "/gen=2"
+    )
+    return back.select(
+        "n_nationkey", "n_name", F.col("n_regionkey").cast("long")
+    )
