@@ -1344,3 +1344,43 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> SDF:
     return back.select(
         "n_nationkey", "n_name", F.col("n_regionkey").cast("long")
     )
+
+
+@query(
+    "udtf_sentence_split",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, '. ') AS ss FROM documents),
+         i AS (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM t)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+           CAST(length(ss[i]) AS BIGINT) AS sent_chars
+    FROM i
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> SDF:
+    """Python UDTF (table function) splitting documents into indexed
+    sentence segments via LATERAL — the row-GENERATING custom-operator
+    API (the set-returning sibling of grouped_map_pandas /
+    cogrouped_asof_pandas).  Arrow-optimized UDTF evaluation is enabled;
+    still, per-row Python is the slow path — the JVM twin of this exact
+    shape is text_chunk_windows (explode over split()), which is what a
+    hot path should use.  Registered for API-surface completeness with
+    bounded output width (segments of one document)."""
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="sent_idx: long, sent_chars: long")
+    class SplitSents:
+        def eval(self, text: str):
+            for i, s in enumerate(text.split(". ")):
+                yield i, len(s)
+
+    spark.udtf.register("split_sents", SplitSents)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sent_chars
+        FROM udtf_docs_v d, LATERAL split_sents(d.text) s
+        """
+    )

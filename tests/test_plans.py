@@ -111,6 +111,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "grouped_map_pandas",
         "cogrouped_asof_pandas",
         "user_func_udf",
+        "udtf_sentence_split",
     }
     for qid, q in load_all().items():
         if "stream" in qid or qid in ("sink_partitioned", "scan_orc",
