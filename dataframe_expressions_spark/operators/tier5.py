@@ -1384,3 +1384,186 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> SDF:
         FROM udtf_docs_v d, LATERAL split_sents(d.text) s
         """
     )
+
+
+@query(
+    "agg_hll_rollup",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_2pct
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> SDF:
+    """Mergeable HLL sketch rollup (Spark 4 `hll_sketch_agg` /
+    `hll_union_agg`, Apache DataSketches): per-(day, event_type) user
+    sketches are built in one pass, then UNIONED up to event_type —
+    re-aggregation without touching raw data.  This is THE 100 TB
+    distinct-count pattern: daily sketch partials are tiny (2^14 buckets
+    ≈ 16 KB), persistable, and any rollup (weekly, per-type, global) is
+    a sketch merge instead of a rescan; exact countDistinct would
+    re-shuffle every raw (key, user) pair per rollup level.  DuckDB has
+    no compatible HLL, so the contract is a property oracle: the emitted
+    estimate must land within 2% of the exact count (exact side fully
+    SQL-mirrored; `within_2pct` must be TRUE row-for-row)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    rolled = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(rolled, "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("est") - F.col("n_exact"))
+         <= 0.02 * F.col("n_exact")).alias("within_2pct"),
+    )
+
+
+@query(
+    "json_variant_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> SDF:
+    """Semi-structured JSON via the Spark 4 VARIANT type: `parse_json`
+    once into a binary variant, then typed `variant_get` paths — the
+    engine shreds the document instead of re-parsing strings per field
+    (vs `get_json_object`, which re-parses the full JSON for every
+    extraction).  At 100 TB a props column parsed once and pruned to the
+    single accessed path is the difference between a CPU-bound scan and
+    an IO-bound one.  Filter and aggregate both run on the extracted
+    long, JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+@query(
+    "sink_zorder",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_custkey BETWEEN 40 AND 119
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    """,
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> SDF:
+    """Z-order (Morton-interleaved) multi-dimension data layout: orders
+    is rewritten range-partitioned + sorted by the bit-interleave of
+    (o_custkey, epoch-day(o_orderdate)), so parquet row-group min/max
+    stats stay tight on BOTH dimensions at once — a 2-d filter skips
+    most files, where a single-key sort (sink_sorted_skipping) helps
+    only its own key.  The interleave is pure JVM bit arithmetic
+    (shiftleft/or chains, the classic magic-number bit spread), no UDF.
+    The read-back aggregate runs with both predicates pushed to the
+    scan; the oracle computes the same filter on the ORIGINAL table,
+    proving the rewrite preserved content.  This is what Delta/Iceberg
+    `OPTIMIZE ZORDER BY` does, expressed with open Spark primitives."""
+    import os
+
+    out = _maint_dir(sf_dir, "zorder")
+    if not os.path.exists(out):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderdate", "o_totalprice"
+        )
+        # 16-bit inputs → 32-bit Morton code.  _spread16(x) inserts a 0
+        # bit between each of the low 16 bits of x (x86 PDEP equivalent,
+        # built from shift/mask so it stays in whole-stage codegen).
+        def _spread16(col):
+            x = col.bitwiseAND(F.lit(0xFFFF))
+            x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+            x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+            x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+            x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+            return x
+
+        day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        z = _spread16(F.col("o_custkey")).bitwiseOR(
+            F.shiftleft(_spread16(day), 1)
+        )
+        (
+            orders.withColumn("zval", z)
+            .repartitionByRange(8, "zval")
+            .sortWithinPartitions("zval")
+            .drop("zval")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out).where(
+        F.col("o_custkey").between(40, 119)
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("sum_price"),
+    )
+
+
+@query(
+    "mapinarrow_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def mapinarrow_token_stats(spark: SparkSession, sf_dir: str) -> SDF:
+    """`mapInArrow` custom batch operator: the lowest-overhead Python
+    boundary — raw Arrow RecordBatches in and out with NO pandas
+    conversion, columns processed by pyarrow.compute kernels (C++
+    vectorized, zero-copy).  The right API tier for byte-level /
+    columnar work (tokenizer shims, codec probes) where even the
+    pandas_udf Series round-trip is wasted motion.  Per-batch output
+    row-count equals input here, but the API allows re-batching —
+    unlike pandas_udf, which is 1:1 per batch.  The JVM twin
+    (`split` + `size`) remains the hot path for THIS trivial kernel;
+    registered to pin the API surface and its exact-arity semantics
+    (split on single space keeps empty segments — mirrored by DuckDB's
+    string_split)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from typing import Iterator
+
+    def stats(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for b in batches:
+            text = b.column(1)
+            toks = pc.split_pattern(text, " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pc.cast(pc.list_value_length(toks), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                ["doc_id", "n_ws_tokens", "n_chars"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        stats, "doc_id long, n_ws_tokens long, n_chars long"
+    )

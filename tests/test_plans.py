@@ -112,6 +112,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "cogrouped_asof_pandas",
         "user_func_udf",
         "udtf_sentence_split",
+        "mapinarrow_token_stats",
     }
     for qid, q in load_all().items():
         if "stream" in qid or qid in ("sink_partitioned", "scan_orc",
@@ -123,6 +124,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
             assert "ArrowEvalPython" not in plan, qid
             assert "FlatMapGroupsInPandas" not in plan, qid
             assert "FlatMapCoGroupsInPandas" not in plan, qid
+            assert "MapInArrow" not in plan, qid
 
 
 def test_sorted_skipping_pushes_date_filter(spark):
@@ -134,3 +136,16 @@ def test_sorted_skipping_pushes_date_filter(spark):
     plan = _formatted_plan(df)
     assert "GreaterThanOrEqual(l_shipdate" in plan, plan
     assert "LessThan(l_shipdate" in plan, plan
+
+
+def test_zorder_pushes_both_dimension_filters(spark):
+    """Z-order only pays off if BOTH dimension predicates reach the scan
+    of the rewritten copy (row-group min/max skipping needs them there)."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    df = load_all()["sink_zorder"].fn(spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    assert "GreaterThanOrEqual(o_custkey,40)" in plan, plan
+    assert "LessThanOrEqual(o_custkey,119)" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "LessThan(o_orderdate" in plan, plan
