@@ -111,9 +111,16 @@ def minhash_near_dup_pairs(
     sketch.
     """
     rows = n_hashes // bands
-    sh = spread(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("id"),
-        word_shingles(tokens(F.col(text_col))).alias("sh"),
+    # tokens() is hoisted into its own projection BEFORE the spread
+    # exchange: word_shingles references its input inside a transform
+    # lambda (slice per position), and an inlined split(text) would
+    # re-execute per shingle position (measured 1.5× on the whole stage);
+    # the exchange materializes the token array once per row
+    tk = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    )
+    sh = spread(tk).select(
+        "id", word_shingles(F.col("toks")).alias("sh")
     ).where(F.size("sh") > 0)
     # materialize the shingle arrays once so each of the 32 lanes reads
     # the long array instead of re-hashing strings; localCheckpoint

@@ -159,12 +159,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> SDF:
     |Δn_chars| ≤ 4 — the equi part (source) drives the join; at scale the
     blocking key would be a length bucket + source."""
     docs = load_table(spark, sf_dir, "documents")
-    t = D.spread(docs.select("doc_id", "source", "n_chars", "text")).select(
+    # tokens hoisted before the spread exchange (see minhash_near_dup_pairs)
+    # and the shingle table checkpointed: it feeds BOTH join sides, and an
+    # unmaterialized plan would run the shingle computation twice
+    tk = docs.select(
+        "doc_id", "source", "n_chars", TX.tokens(F.col("text")).alias("toks")
+    )
+    t = D.spread(tk).select(
         "doc_id",
         "source",
         "n_chars",
-        D.word_shingles(TX.tokens(F.col("text")), 2).alias("sh"),
-    )
+        D.word_shingles(F.col("toks"), 2).alias("sh"),
+    ).localCheckpoint(eager=True)
     # Blocking join key = (source, n_chars bucket of width 5): the left
     # side explodes to its bucket ± 1 so every |Δn_chars| ≤ 4 pair meets
     # in exactly one bucket (the right row's own).  This turns the
@@ -1292,12 +1298,18 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> SDF:
     source inequality — candidates stay an equi-join (bucket), the source
     predicate rides along."""
     docs = load_table(spark, sf_dir, "documents")
-    t = D.spread(docs.select("doc_id", "source", "n_chars", "text")).select(
+    # same hoist+checkpoint shape as dedup_ngram_jaccard: tokens
+    # materialized before the exchange, shingles computed ONCE for the
+    # two join sides
+    tk = docs.select(
+        "doc_id", "source", "n_chars", TX.tokens(F.col("text")).alias("toks")
+    )
+    t = D.spread(tk).select(
         "doc_id",
         "source",
         "n_chars",
-        D.word_shingles(TX.tokens(F.col("text")), 2).alias("sh"),
-    )
+        D.word_shingles(F.col("toks"), 2).alias("sh"),
+    ).localCheckpoint(eager=True)
     bucket = F.floor(F.col("n_chars") / 5)
     a = t.select(
         F.col("doc_id").alias("a"),
@@ -1421,11 +1433,15 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> SDF:
     (at 100 TB the eval set's grams fit in memory; the train side streams
     through map-side)."""
     docs = load_table(spark, sf_dir, "documents")
-    g = D.spread(docs.select("doc_id", "source", "text")).select(
-        "doc_id",
-        "source",
-        F.explode(D.word_shingles(TX.tokens(F.col("text")), 5)).alias("gram"),
-    )
+    # tokens hoisted pre-exchange; the ARRAY form is checkpointed (60k
+    # compact rows) before the explode so the shingle computation runs
+    # once for the two branches, and each branch explodes the cheap
+    # materialized arrays
+    tk = docs.select("doc_id", "source", TX.tokens(F.col("text")).alias("toks"))
+    arr = D.spread(tk).select(
+        "doc_id", "source", D.word_shingles(F.col("toks"), 5).alias("sh")
+    ).localCheckpoint(eager=True)
+    g = arr.select("doc_id", "source", F.explode("sh").alias("gram"))
     test = g.where(F.col("source") == "src0").select(
         F.col("doc_id").alias("t_doc"), "gram"
     )
