@@ -1567,3 +1567,157 @@ def mapinarrow_token_stats(spark: SparkSession, sf_dir: str) -> SDF:
     return docs.mapInArrow(
         stats, "doc_id long, n_ws_tokens long, n_chars long"
     )
+
+
+@query(
+    "dedup_incremental",
+    f"""
+    WITH f AS (
+      SELECT doc_id, n_chars, doc_id % 5 = 0 AS is_batch,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(text) + 1),
+                     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                 (a, x) -> (a * 31 + x) % 1000000007) AS fp,
+             list_distinct(list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1])) AS sh
+      FROM (SELECT doc_id, n_chars, text, {_TOKS} AS toks FROM documents)
+    ),
+    exact_hit AS (
+      SELECT DISTINCT b.doc_id FROM f b JOIN f c
+        ON b.is_batch AND NOT c.is_batch AND b.fp = c.fp),
+    near_hit AS (
+      SELECT DISTINCT b.doc_id FROM f b JOIN f c
+        ON b.is_batch AND NOT c.is_batch
+       AND abs(b.n_chars - c.n_chars) <= 4
+       AND len(b.sh) > 0 AND len(c.sh) > 0
+      WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+             / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.5)
+    SELECT doc_id, n_chars FROM f
+    WHERE is_batch
+      AND doc_id NOT IN (SELECT doc_id FROM exact_hit)
+      AND doc_id NOT IN (SELECT doc_id FROM near_hit)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> SDF:
+    """Incremental ingestion dedup — the shape every production corpus
+    update runs: an incoming BATCH (here doc_id % 5 = 0, ~20%) is
+    checked against the EXISTING corpus, never corpus-vs-corpus.  Two
+    gates: (1) exact — anti-join on the 8-byte content fingerprint, the
+    shuffle carries hashes, not documents; (2) near — blocked exact
+    Jaccard (length bucket ±1) with the BATCH side broadcast: the batch
+    is orders of magnitude smaller than the corpus, so the corpus
+    streams map-side with zero shuffle.  At 100 TB the corpus side would
+    read a persisted fingerprint/shingle index instead of recomputing —
+    the join topology is identical.  Returns the surviving batch docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.col("doc_id") % 5 == 0).alias("is_batch"),
+        TX.char_fingerprint(F.col("text")).alias("fp"),
+        TX.tokens(F.col("text")).alias("toks"),
+    )
+    base = D.spread(tk).select(
+        "doc_id",
+        "n_chars",
+        "is_batch",
+        "fp",
+        D.word_shingles(F.col("toks"), 2).alias("sh"),
+    ).localCheckpoint(eager=True)
+    batch = base.where(F.col("is_batch"))
+    corpus = base.where(~F.col("is_batch"))
+
+    exact_hit = batch.select("doc_id", "fp").join(
+        corpus.select("fp").distinct(), "fp", "left_semi"
+    ).select("doc_id")
+
+    bucket = F.floor(F.col("n_chars") / 5)
+    b_side = batch.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("sh").alias("sh_b"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("jb"),
+    ).where(F.size("sh_b") > 0)
+    c_side = corpus.select(
+        F.col("n_chars").alias("nc_c"),
+        F.col("sh").alias("sh_c"),
+        bucket.alias("jb"),
+    ).where(F.size("sh_c") > 0)
+    cand = F.broadcast(b_side).join(c_side, "jb").where(
+        F.abs(F.col("nc_b") - F.col("nc_c")) <= 4
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_c")).cast("double")
+    union = F.size("sh_b") + F.size("sh_c")
+    near_hit = (
+        cand.withColumn("jac", inter / (union - inter))
+        .where(F.col("jac") >= 0.5)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        batch.join(exact_hit, "doc_id", "left_anti")
+        .join(near_hit, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+    )
+
+
+@query(
+    "stream_stream_left_outer",
+    """
+    WITH v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts AS buy_ts, round(CAST(value AS DOUBLE), 4) AS value
+               FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.buy_ts, p.value, v.view_ts
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.view_ts BETWEEN p.buy_ts - INTERVAL 1 HOUR AND p.buy_ts
+    UNION ALL
+    SELECT p.user_id, p.buy_ts, p.value, NULL
+    FROM p
+    WHERE NOT EXISTS (
+            SELECT 1 FROM v
+            WHERE v.user_id = p.user_id
+              AND v.view_ts BETWEEN p.buy_ts - INTERVAL 1 HOUR AND p.buy_ts)
+      AND p.buy_ts < (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+                                   (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+                             - INTERVAL 1 HOUR)
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> SDF:
+    """Watermarked stream-stream LEFT OUTER join: like stream_stream_join
+    but unmatched purchases are emitted with a null view_ts — only once
+    the watermark proves no qualifying view can still arrive (state
+    eviction), which is the part inner joins never exercise.  The global
+    watermark is the MIN across the two watermark operators — each side
+    advances from the max event time IT has seen (verified here: the
+    gate lands at max(view_ts) - 1h, not max(all ts) - 1h) — so the
+    emitted outer rows are exactly the unmatched purchases older than
+    that, which the oracle mirrors as a watermark-gated NOT EXISTS.
+    Purchases younger than the final watermark stay in state, exactly
+    as an unbounded run would hold them."""
+    from ..streaming.windows import run_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user_id"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("buy_ts"),
+            F.round(F.col("value"), 4).alias("value"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = buys.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("buy_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("view_ts") <= F.col("buy_ts")),
+        "left_outer",
+    )
+    out = run_to_memory(joined, "append")
+    return out.select("user_id", "buy_ts", "value", "view_ts")
