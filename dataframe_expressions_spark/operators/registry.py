@@ -41,67 +41,69 @@ def query(qid: str, oracle: Optional[str] = None):
 # The external driver verifies only the FIRST 50 entries of ``queries()``
 # (confirmed round 1: CORRECTNESS_r01.json = exactly the first 50 in
 # registration order).  We rotate which queries occupy that window each
-# round: round 2 fronts the 41 queries the round-1 window never reached,
-# plus the re-check set (array-output fixes, newly-oracled sketches, the
-# re-planned dedup_exact, and new queries).  Everything outside the window
-# stays guarded by tests/test_oracle_parity.py, which checks ALL entries
-# against DuckDB on every pytest run.
+# round.  Round 3 fronts (a) every events-touching id — all 31 are
+# unverified under the regenerated timestamp[us] testdata (15 red in r2,
+# 4 r1-green-now-broken, 12 never in any window), and (b) 19 of the 50
+# ids no driver window has ever reached (tier-5 TPC-H family, k-means,
+# connected components, incremental dedup, UDTF, Z-order, mapInArrow).
+# The remaining 19 never-checked ids rotate in round 4.  Everything
+# outside the window stays guarded by tests/test_oracle_parity.py, which
+# checks ALL entries against DuckDB on every pytest run.
 DRIVER_WINDOW_PRIORITY: tuple = (
-    # re-check: outputs flattened to scalars (round-1 canonicalizer crash)
-    "nested_topn_slice",
+    # -- events ids red in the round-2 window (ts-vintage fix re-check)
     "map_funcs",
-    "agg_approx_quantile",
-    # re-check: sketches that now carry a checkable oracle contract
-    "agg_approx_distinct",
-    "dedup_near_minhash",
-    "dedup_simhash",
-    "sim_search_lsh",
-    # re-check: same answer, new hash-keyed shuffle plan
-    "dedup_exact",
-    # new this round
-    "nested_two_level",
-    # the 41 queries registered after the round-1 window cut
-    "text_quality",
-    "text_lang_id",
-    "doc_fingerprint",
-    "multimodal_meta",
     "stream_tumbling",
     "stream_sliding_session",
     "session_window",
     "stream_dedup",
     "stream_watermark_late",
     "stream_stateful_count",
-    "multimodal_framesample",
     "stream_dedup_watermarked",
     "stream_stream_join",
-    "multimodal_resize",
-    "text_token_bpe",
-    "emb_centroid",
-    "sim_search_ivf",
-    "sample_content_hash",
     "agg_freq_items",
     "stream_foreach_batch_sink",
     "timeseries_gapfill",
-    "dedup_keep_best",
-    "text_ngram_freq",
-    "pipeline_clean_corpus",
-    "agg_stats",
-    "agg_quantiles",
-    "pivot_wide",
-    "unpivot_long",
-    "explode_unnest",
     "join_asof",
-    "window_range_frame",
-    "scan_csv",
-    "scan_json",
-    "sink_partitioned",
-    "join_bucketed",
-    "scan_orc",
     "agg_skew_twophase",
-    "window_ntile_pct",
-    "scalar_subquery_rewrite",
     "cdc_upsert_compact",
-    "sql_interface",
+    # -- events ids green in round 1 but broken by the vintage change
+    "scan_parquet",
+    "array_map_json_funcs",
+    "join_range_theta",
+    "join_salted",
+    # -- events ids never in any driver window
+    "funnel_conversion",
+    "cohort_retention",
+    "ewma_smooth",
+    "anomaly_zscore",
+    "grouped_map_pandas",
+    "cogrouped_asof_pandas",
+    "sessionize_batch",
+    "compact_small_files",
+    "stream_static_join",
+    "agg_hll_rollup",
+    "json_variant_extract",
+    "stream_stream_left_outer",
+    # -- never-driver-checked non-events ids (19 of 38)
+    "tpch_q4_late_exists",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q12_priority_class",
+    "tpch_q13_cust_order_dist",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q21_late_supplier",
+    "tpch_q22_idle_customers",
+    "kmeans_lloyd",
+    "dedup_components",
+    "dedup_incremental",
+    "udtf_sentence_split",
+    "mapinarrow_token_stats",
+    "sink_zorder",
+    "tfidf_top_terms",
+    "seq_pack_fill",
+    "mixture_sample",
 )
 
 

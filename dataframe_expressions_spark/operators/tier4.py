@@ -250,7 +250,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> SDF:
         "ts",
         F.lit(1).alias("tag"),
         F.lit(None).cast("long").alias("click_id"),
-        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
         "event_id",
         "value",
     )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions import dedup as D
 from ..functions import text as TX
-from ..sources.tables import load_table
+from ..sources.tables import epoch_us, load_table
 from .registry import query
 from .tier3 import _TOKS
 
@@ -718,7 +718,7 @@ def grouped_map_pandas(spark: SparkSession, sf_dir: str) -> SDF:
     with lag()); the query exists to pin the grouped-map contract: one
     hash shuffle on user_id, Arrow-batched transfer, each group processed
     as a pandas frame.  All outputs are exact int64 microsecond arithmetic
-    (unix_micros / epoch_us), so both engines agree bit-for-bit — no
+    (epoch_us on both sides), so both engines agree bit-for-bit — no
     float summation-order hazard crosses the Python boundary.  Scale: a
     GROUP (one user's events) must fit in one executor's memory — the
     operative constraint of applyInPandas at 100 TB; per-user event
@@ -726,7 +726,7 @@ def grouped_map_pandas(spark: SparkSession, sf_dir: str) -> SDF:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros(F.col("ts")).alias("t")
+        "user_id", epoch_us("ts").alias("t")
     )
 
     def gap_stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -784,10 +784,10 @@ def cogrouped_asof_pandas(spark: SparkSession, sf_dir: str) -> SDF:
 
     ev = load_table(spark, sf_dir, "events")
     buys = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("bt")
+        "user_id", "event_id", epoch_us("ts").alias("bt")
     )
     views = ev.where(F.col("event_type") == "view").select(
-        "user_id", F.unix_micros(F.col("ts")).alias("vt")
+        "user_id", epoch_us("ts").alias("vt")
     )
 
     def asof(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
@@ -854,7 +854,7 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> SDF:
     int64 microseconds end-to-end; the >-strict boundary is identical
     SQL semantics on both engines (no session_window edge asymmetry)."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros(F.col("ts")).alias("t")
+        "user_id", epoch_us("ts").alias("t")
     )
     wl = W.partitionBy("user_id").orderBy("t")
     brk = F.when(

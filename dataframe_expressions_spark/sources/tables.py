@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "TABLE_NAMES",
+    "epoch_us",
     "load_table",
     "load_tables",
     "orders_nested",
@@ -53,23 +54,78 @@ TABLE_NAMES = (
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses to
-    read unless nanosAsLong is on.  Our session factory sets it, but the
-    driver harness passes its OWN plain session — the conf is dynamic, so
-    set it defensively before every read."""
+    """Some events.parquet vintages carry TIMESTAMP(NANOS), which Spark 4
+    refuses to read unless nanosAsLong is on (harmless for micros files).
+    Our session factory sets it, but the driver harness passes its OWN
+    plain session — the conf is dynamic, so set it defensively before
+    every read."""
     key = "spark.sql.legacy.parquet.nanosAsLong"
     if spark.conf.get(key, "false") != "true":
         spark.conf.set(key, "true")
+    # Pin the session timezone too: every LTZ cast (streaming event time)
+    # and epoch extraction must agree with the DuckDB oracle's naive-UTC
+    # reading regardless of which session the driver hands us.
+    tz = "spark.sql.session.timeZone"
+    if spark.conf.get(tz, "") != "UTC":
+        spark.conf.set(tz, "UTC")
+
+
+def normalize_event_ts(df: SDF) -> SDF:
+    """Normalize ``events.ts`` to TIMESTAMP_NTZ across testdata vintages.
+
+    The driver has regenerated events.parquet with different physical
+    types between rounds (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)); a loader
+    hard-coded to one vintage breaks on the next regeneration — the same
+    way a 100 TB lake reader breaks on its first schema-evolved partition.
+    Branch on the dtype Spark actually loaded:
+
+    * ``long`` — the nanos vintage read under ``nanosAsLong``; integer-div
+      ns→us (truncation, matching DuckDB's ns→us cast) and anchor to the
+      NTZ epoch with pure arithmetic — no session-timezone dependency.
+    * ``timestamp_ntz`` — the micros vintage; already exactly DuckDB's
+      naive-timestamp semantics.  Pass through.
+    * ``timestamp`` (LTZ) — a hypothetical isAdjustedToUTC vintage; strip
+      the zone via UTC so the wall clock equals the stored instant.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    if isinstance(dt, TimestampNTZType):
+        return df
+    if isinstance(dt, TimestampType):
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "convert_timezone(current_timezone(), 'UTC',"
+                " cast(ts as timestamp_ntz))"
+            ),
+        )
+    raise TypeError(f"events.ts: unsupported parquet vintage {dt}")
+
+
+def epoch_us(col: str = "ts"):
+    """Exact int64 microseconds-since-epoch from the normalized
+    TIMESTAMP_NTZ ``ts`` — the tz-independent twin of DuckDB's
+    ``epoch_us()``.  (``F.unix_micros`` requires TIMESTAMP(LTZ) and would
+    reintroduce a session-timezone dependency.)"""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> SDF:
     ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) read as long (see session.py);
-        # integer-div to microseconds = truncation, matching DuckDB's
-        # ns→us cast, so both engines see identical timestamps.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_event_ts(df)
     return df
 
 

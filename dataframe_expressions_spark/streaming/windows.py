@@ -40,15 +40,20 @@ def _staged_dir(sf_dir: str) -> str:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> SDF:
-    """events.parquet as a file-source stream (same nanos→us conversion as
-    the batch loader in sources/tables.py)."""
-    from ..sources.tables import ensure_nanos_conf
+    """events.parquet as a file-source stream (same vintage-tolerant ts
+    normalization as the batch loader — see sources.tables.normalize_event_ts).
+
+    Event time is cast to TIMESTAMP (LTZ): Spark's watermark machinery
+    rejects TIMESTAMP_NTZ (`EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`).  The
+    session timezone is pinned UTC (session.py), so the LTZ instant
+    equals the normalized naive-UTC wall clock bit-for-bit."""
+    from ..sources.tables import ensure_nanos_conf, normalize_event_ts
 
     ensure_nanos_conf(spark)
     src = _staged_dir(sf_dir)
-    schema = spark.read.parquet(src).schema  # ts arrives as long (nanos)
+    schema = spark.read.parquet(src).schema  # whatever vintage is staged
     sdf = spark.readStream.schema(schema).parquet(src)
-    return sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(sdf).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(df: SDF, mode: str, shuffle_partitions: int | None = 8) -> SDF:
