@@ -37,12 +37,19 @@ __all__ = [
 
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to full parallelism before a compute-heavy
-    narrow stage.  The testdata parquet is one row group per file, so the
-    scan is a single task no matter what — without this, signature
-    computation runs on 1 of N cores.  On a real lake (many files / row
-    groups) the scan parallelizes itself and AQE coalesces this into a
-    no-op-sized shuffle of pruned columns only."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    narrow stage — GATED on the input actually being under-parallel.  The
+    testdata parquet is one row group per file, so the scan is a single
+    task no matter what — without this, signature computation runs on 1
+    of N cores.  On a real lake (many files / row groups) the scan
+    already parallelizes, so the exchange is skipped entirely rather than
+    inherited as a gratuitous testdata workaround (VERDICT r2 item 7);
+    the threshold is half the cluster's parallelism — below that, the
+    narrow compute stage leaves cores idle and the one-time shuffle of
+    pruned columns pays for itself."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, target // 2):
+        return df
+    return df.repartition(target)
 
 
 def word_shingles(toks: Column, k: int = 3) -> Column:

@@ -499,7 +499,7 @@ def stream_sliding_session(spark: SparkSession, sf_dir: str) -> SDF:
          flags AS (
            SELECT user_id, ts,
                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                            < INTERVAL '30 minutes'
+                            <= INTERVAL '30 minutes'
                        THEN 0 ELSE 1 END AS new_sess
            FROM e),
          sess AS (
@@ -513,10 +513,11 @@ def stream_sliding_session(spark: SparkSession, sf_dir: str) -> SDF:
 )
 def session_window(spark: SparkSession, sf_dir: str) -> SDF:
     """30-minute-gap sessionization via session_window (batch mode; the
-    oracle is the classic gaps-and-islands rewrite).  Boundary semantics:
-    Spark's session_window [t, t+gap) merges only on STRICT overlap — an
-    event at exactly gap distance starts a NEW session — so the oracle's
-    same-session test is strict '<', not '<='.  Scale: one shuffle on
+    oracle is the classic gaps-and-islands rewrite).  Boundary semantics,
+    pinned empirically by tests/test_session_boundary.py: Spark merges
+    two sessions when the next event's start is <= the previous session's
+    end — an event at EXACTLY gap distance still merges — so the oracle's
+    same-session test is '<=', not strict '<'.  Scale: one shuffle on
     user_id; state-store-backed in the streaming variant."""
     ev = load_table(spark, sf_dir, "events")
     return (

@@ -409,7 +409,15 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> SDF:
     fact-fact joins (pay one bucketed write, every later join is
     shuffle-free); the one-time write cost is why it's a separate query
     from join_inner_hash."""
-    key = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    from ..sources.tables import source_fingerprint
+
+    # key carries the source fingerprint: regenerated testdata gets fresh
+    # bucketed tables (catalog names included) instead of a stale layout
+    key = (
+        sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+        + "_"
+        + source_fingerprint(sf_dir)
+    )
     loc = f"/tmp/spark_graft_bucketed_{key}"
     for name, src, col in (
         ("lineitem_b", "lineitem", "l_orderkey"),

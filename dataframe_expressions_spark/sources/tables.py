@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "TABLE_NAMES",
     "epoch_us",
+    "source_fingerprint",
     "load_table",
     "load_tables",
     "orders_nested",
@@ -144,19 +145,40 @@ _ITEM_FIELDS = (
 )
 
 
+def source_fingerprint(sf_dir: str, tables=("orders", "lineitem")) -> str:
+    """Identity of the source tables feeding a derived /tmp artifact
+    (nested views, bucketed tables, maintenance copies).  The driver
+    regenerates testdata between rounds (round 2 changed the events
+    timestamp vintage in place); a cache keyed only on the sf name would
+    silently serve artifacts built from the previous generation.
+    mtime+size of the parquet footprint is the cheap, rename-safe
+    identity — the same check a lake-side materialized view does against
+    its source snapshot id."""
+    import hashlib
+    import os
+
+    sig = []
+    for t in tables:
+        st = os.stat(f"{sf_dir}/{t}.parquet")
+        sig.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5(";".join(sig).encode()).hexdigest()[:10]
+
+
 def _materialize(spark: SparkSession, sf_dir: str, name: str, build) -> SDF:
-    """Write-once materialization of a derived view, keyed by sf dir and a
-    version tag (bump the tag when the view definition changes).  This IS
-    the 100 TB shape the docstrings describe: the nested view is built
-    once (one shuffle) and every query after that scans the materialized
-    copy shuffle-free, instead of re-running the groupBy-collect per
-    query.  The build lands in a pid-suffixed temp dir and is renamed
-    into place, so concurrent first-callers don't corrupt each other."""
+    """Write-once materialization of a derived view, keyed by sf dir, a
+    version tag (bump the tag when the view definition changes) and the
+    source-file fingerprint (so regenerated testdata invalidates the
+    cache).  This IS the 100 TB shape the docstrings describe: the nested
+    view is built once (one shuffle) and every query after that scans the
+    materialized copy shuffle-free, instead of re-running the
+    groupBy-collect per query.  The build lands in a pid-suffixed temp
+    dir and is renamed into place, so concurrent first-callers don't
+    corrupt each other."""
     import os
     import shutil
 
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out = f"/tmp/spark_graft_view_{name}_v1_{key}"
+    out = f"/tmp/spark_graft_view_{name}_v1_{key}_{source_fingerprint(sf_dir)}"
     if not os.path.exists(out):
         tmp = f"{out}.tmp{os.getpid()}"
         # 8 files so the read-back parallelizes (testdata parquet is one

@@ -24,12 +24,16 @@ __all__ = ["stream_events", "run_to_memory"]
 
 def _staged_dir(sf_dir: str) -> str:
     """The streaming file source requires a directory; stage the single
-    events.parquet into a tmp dir keyed by sf (testdata is read-only)."""
+    events.parquet into a tmp dir keyed by sf AND the source file's
+    mtime+size (testdata is read-only, but the driver regenerates it
+    between rounds — a stale staged copy must never be served)."""
     import hashlib
     import os
     import shutil
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    st = os.stat(f"{sf_dir}/events.parquet")
+    ident = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    key = hashlib.md5(ident.encode()).hexdigest()[:10]
     d = f"/tmp/spark_stream_src_{key}"
     dst = os.path.join(d, "events.parquet")
     if not os.path.exists(dst):

@@ -149,3 +149,17 @@ def test_zorder_pushes_both_dimension_filters(spark):
     assert "LessThanOrEqual(o_custkey,119)" in plan, plan
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan
     assert "LessThan(o_orderdate" in plan, plan
+
+
+def test_spread_skips_exchange_on_parallel_input(spark):
+    """spread() exists to fix single-row-group testdata scans; a
+    many-partition input (the real-lake case) must pass through with NO
+    added exchange (VERDICT r2 item 7)."""
+    from dataframe_expressions_spark.functions.dedup import spread
+
+    wide = spark.range(0, 1000, numPartitions=64)
+    assert spread(wide) is wide  # gate short-circuits, no new plan node
+
+    narrow = spark.range(0, 1000, numPartitions=1)
+    out = spread(narrow)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
