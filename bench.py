@@ -25,8 +25,21 @@ def main() -> None:
     queries = load_all()
     spark = get_spark("bench")
 
-    # warm-up: JVM/codegen/parquet-footer caches
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm-up: JVM/codegen/parquet-footer caches, one shuffle, one HOF
+    # and one Arrow/pandas-UDF round-trip — without these the first few
+    # (alphabetically early) queries absorb all the one-time init cost
+    # and read as false regressions
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.count()
+    li.groupBy("l_returnflag").count().collect()
+    spark.range(8).select(
+        F.aggregate(
+            F.array(F.col("id")), F.lit(0).cast("long"), lambda a, x: a + x
+        )
+    ).collect()
+    spark.range(8).toPandas()
 
     timings: dict[str, float] = {}
     for qid, q in sorted(queries.items()):
@@ -46,11 +59,27 @@ def main() -> None:
     # The driver captures only the tail of long stdout lines (round 1:
     # BENCH_r01 parsed=null), so the printed line stays SHORT; per-query
     # timings go to BENCH_DETAIL.json next to this script.
+    # Anchor every per-query number against the round-1 driver bench
+    # (bench_anchor_r01.json) so regressions are computable from ONE
+    # artifact instead of cross-referencing stale rounds (VERDICT r2
+    # item 8).
+    anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_anchor_r01.json")
+    anchor: dict[str, float] = {}
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as fh:
+            anchor = json.load(fh).get("queries", {})
     detail = {
         "metric": "wall_clock_all_registered_queries",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "r1_driver_sec": anchor,
+        "vs_r1": {
+            q: round(timings[q] / anchor[q], 2)
+            for q in timings
+            if q in anchor and anchor[q] > 0
+        },
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

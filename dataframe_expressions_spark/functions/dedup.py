@@ -174,10 +174,9 @@ def token_hashes(toks: Column) -> Column:
     """array<long> of portable per-token rolling hashes (JVM-side nested
     higher-order functions: per token, fold (a*31 + ascii(char)) % p)."""
     def one(t: Column) -> Column:
-        codes = F.transform(
-            F.sequence(F.lit(1), F.length(t)),
-            lambda i: F.ascii(F.substring(t, i, F.lit(1))).cast("long"),
-        )
+        # split('') is one pass over the token; per-index substring()
+        # re-scans from the start each time (see text.char_fingerprint)
+        codes = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
         return F.aggregate(
             codes,
             F.lit(0).cast("long"),

@@ -51,16 +51,21 @@ def cosine_topk(
     single codegen'd map stage; ranking shuffles only (n_queries × corpus)
     scored rows — use the LSH variant when that product is too large.
     """
+    # norms are computed ONCE per vector, not once per (query, vector)
+    # pair — bit-identical to cosine() (same fold order, same sqrt) but
+    # one dot instead of three per scored pair
     q = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
-    )
+    ).withColumn("qnrm", F.sqrt(dot(F.col("qvec"), F.col("qvec"))))
     corpus = embeddings.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vvec")
-    )
+    ).withColumn("vnrm", F.sqrt(dot(F.col("vvec"), F.col("vvec"))))
     scored = corpus.join(F.broadcast(q), F.col("vid") != F.col("qid")).select(
         "qid",
         "vid",
-        F.round(cosine(F.col("qvec"), F.col("vvec")), 4).alias("sim"),
+        F.round(
+            dot(F.col("qvec"), F.col("vvec")) / (F.col("qnrm") * F.col("vnrm")), 4
+        ).alias("sim"),
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vid"))
     return (
@@ -118,14 +123,19 @@ def cosine_topk_lsh(
         F.col(id_col).alias("vid"),
         _as_double(F.col(vec_col)).alias("vvec"),
         lsh_bucket(_as_double(F.col(vec_col)), bits).alias("bucket"),
-    )
+    ).withColumn("vnrm", F.sqrt(dot(F.col("vvec"), F.col("vvec"))))
     q = emb.where(F.col("vid").isin(query_ids)).select(
-        F.col("vid").alias("qid"), F.col("vvec").alias("qvec"), "bucket"
+        F.col("vid").alias("qid"), F.col("vvec").alias("qvec"),
+        F.col("vnrm").alias("qnrm"), "bucket",
     )
     scored = emb.join(F.broadcast(q), "bucket").where(
         F.col("vid") != F.col("qid")
     ).select(
-        "qid", "vid", F.round(cosine(F.col("qvec"), F.col("vvec")), 4).alias("sim")
+        "qid",
+        "vid",
+        F.round(
+            dot(F.col("qvec"), F.col("vvec")) / (F.col("qnrm") * F.col("vnrm")), 4
+        ).alias("sim"),
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vid"))
     return (
@@ -171,14 +181,21 @@ def cosine_topk_ivf(
     emb = embeddings.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vvec")
     )
-    assigned = ivf_assign(emb, centroids)
+    assigned = ivf_assign(emb, centroids).withColumn(
+        "vnrm", F.sqrt(dot(F.col("vvec"), F.col("vvec")))
+    )
     q = assigned.where(F.col("vid").isin(query_ids)).select(
-        F.col("vid").alias("qid"), F.col("vvec").alias("qvec"), "cell"
+        F.col("vid").alias("qid"), F.col("vvec").alias("qvec"),
+        F.col("vnrm").alias("qnrm"), "cell",
     )
     scored = assigned.join(F.broadcast(q), "cell").where(
         F.col("vid") != F.col("qid")
     ).select(
-        "qid", "vid", F.round(cosine(F.col("qvec"), F.col("vvec")), 4).alias("sim")
+        "qid",
+        "vid",
+        F.round(
+            dot(F.col("qvec"), F.col("vvec")) / (F.col("qnrm") * F.col("vnrm")), 4
+        ).alias("sim"),
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vid"))
     return (

@@ -234,20 +234,30 @@ _COS = (
 def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> SDF:
     """Exact near-dup pairs blocked by label (the class column plays the
     IVF-cell role a clustering step would at scale)."""
-    emb = D.spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    emb = (
+        D.spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+        # norm ONCE per row, not once per pair: cosine(a,b) re-folds both
+        # self-dots for every candidate pair (3 full-dim folds, and the
+        # filter+project pair doubled it to 6); precomputing leaves ONE
+        # dot per pair — bit-identical (same fold order, same sqrt)
+        .withColumn("nrm", F.sqrt(S.dot(F.col("v"), F.col("v"))))
     )
     a = emb.select(
-        F.col("vec_id").alias("a"), F.col("label").alias("la"), F.col("v").alias("va")
+        F.col("vec_id").alias("a"), F.col("label").alias("la"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("b"), F.col("label").alias("lb"), F.col("v").alias("vb")
+        F.col("vec_id").alias("b"), F.col("label").alias("lb"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
-    sim = S.cosine(F.col("va"), F.col("vb"))
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("a") < F.col("b")))
-        .where(sim >= 0.5)
-        .select("a", "b", F.round(sim, 4).alias("sim"))
+        .withColumn(
+            "sim", S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .where(F.col("sim") >= 0.5)
+        .select("a", "b", F.round("sim", 4).alias("sim"))
     )
 
 
@@ -366,15 +376,17 @@ def text_quality(spark: SparkSession, sf_dir: str) -> SDF:
     """Per-document quality signals (length/stopword/alpha ratios) — the
     standard cheap filters before expensive model-based scoring."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens(F.col("text"))
-    out = docs.select(
+    # tokenize ONCE into a staged column: each inline helper would embed
+    # its own regex split of the full text (4 splits per row here)
+    staged = docs.select("doc_id", "text", TX.tokens(F.col("text")).alias("tk"))
+    out = staged.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.size("tk").cast("long").alias("n_tokens"),
         TX.alpha_ratio(F.col("text")).alias("alpha_ratio"),
-        TX.avg_token_len(F.col("text")).alias("avg_token_len"),
+        TX.avg_token_len_toks(F.col("tk")).alias("avg_token_len"),
         (
-            TX.stopword_count(F.col("text"), TX.LANG_STOPWORDS["en"]).cast("double")
-            / F.size(toks)
+            TX.stopword_count_toks(F.col("tk"), TX.LANG_STOPWORDS["en"]).cast("double")
+            / F.size("tk")
         ).alias("stopword_ratio"),
     )
     return out.where(F.col("n_tokens") > 0)
@@ -398,8 +410,30 @@ def text_quality(spark: SparkSession, sf_dir: str) -> SDF:
     """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> SDF:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.lang_pred(F.col("text")).alias("pred_lang"))
+    # stage tokens, then scores, then the argmax: the inline lang_pred
+    # when-chain references each score up to 3× and each reference embeds
+    # a full re-tokenization — 9 regex splits per row (2.97 s vs 0.53 s
+    # at sf0.1).  Two staged projections make every signal compute once.
+    docs = D.spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", TX.tokens(F.col("text")).alias("tk")
+    )
+    scored = docs.select(
+        "doc_id",
+        *[
+            TX.stopword_count_toks(F.col("tk"), TX.LANG_STOPWORDS[lang]).alias(
+                f"s_{lang}"
+            )
+            for lang in ("en", "de", "es")
+        ],
+    )
+    s_en, s_de, s_es = F.col("s_en"), F.col("s_de"), F.col("s_es")
+    pred = (
+        F.when((s_en >= s_de) & (s_en >= s_es) & (s_en > 0), "en")
+        .when((s_de >= s_es) & (s_de > 0), "de")
+        .when(s_es > 0, "es")
+        .otherwise("unknown")
+    )
+    return scored.select("doc_id", pred.alias("pred_lang"))
 
 
 @query(
@@ -1020,12 +1054,21 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> SDF:
     shuffle on (lang, tri) with map-side partial agg, then a per-lang
     top-k window over the (small) distinct-trigram set."""
     docs = D.spread(load_table(spark, sf_dir, "documents"))
-    lt = F.lower(F.col("text"))
-    tris = F.transform(
-        F.sequence(F.lit(1), F.length(lt) - 2),
-        lambda i: F.substring(lt, i, F.lit(3)),
-    )
-    g = docs.select("lang", F.explode(tris).alias("tri")).where(
+    # one-pass char array + O(1) slices instead of per-index substring()
+    # (which re-scans the string per trigram — O(n²) per doc).  The char
+    # array MUST be a materialized column: referenced inline inside the
+    # transform lambda, Catalyst re-evaluates the split per element
+    # (measured 64 s vs 1.8 s at sf0.1).  The size guard mirrors the
+    # oracle's range(1, len-1), empty for len < 3.
+    staged = docs.select("lang", F.split(F.lower("text"), "").alias("chars"))
+    tris = F.when(
+        F.size("chars") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("chars") - 2),
+            lambda i: F.concat_ws("", F.slice(F.col("chars"), i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = staged.select("lang", F.explode(tris).alias("tri")).where(
         ~F.contains(F.col("tri"), F.lit(" "))
     )
     counted = g.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
@@ -1371,19 +1414,27 @@ def text_rep_bigram(spark: SparkSession, sf_dir: str) -> SDF:
     explode/groupBy formulation; identical results, different plan shape
     (the in-row form is the scale-right one — no (doc, bigram) shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens(F.col("text"))
-    n = F.size(toks)
+    staged = D.spread(
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("tk"))
+    )
+    # bigrams via zip_with over two shifted slices: the lambda touches
+    # only its own arguments, so even when CollapseProject/filter-pushdown
+    # re-inlines ``tk`` (it does — the sequence+slice(tk, i, 2) form kept
+    # a tk reference INSIDE the lambda and re-ran the regex split per
+    # bigram, O(n²)/doc, 5.5 s at sf0.1), the split evaluates a bounded
+    # number of times per row, never per element
+    n = F.size("tk")
     bgs = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        F.zip_with(
+            F.slice(F.col("tk"), 1, n - 1),
+            F.slice(F.col("tk"), 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    t = D.spread(docs.select("doc_id", "text")).select(
-        "doc_id", F.sort_array(bgs).alias("sb")
-    )
-    t = t.where(F.size("sb") > 0)
+    # filter on tk BEFORE deriving sb (size(sb)>0 ⇔ size(tk)>=2): a
+    # filter on sb would re-inline its whole defining expression
+    t = staged.where(n >= 2).select("doc_id", F.sort_array(bgs).alias("sb"))
     zero = F.lit(0).cast("long")
     new_run = lambda acc, x: (  # noqa: E731
         F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))

@@ -163,3 +163,18 @@ def test_spread_skips_exchange_on_parallel_input(spark):
     narrow = spark.range(0, 1000, numPartitions=1)
     out = spread(narrow)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_staged_text_queries_tokenize_once(spark):
+    """Token/char arrays must be staged columns, not inline expressions:
+    referenced inside a HOF lambda, Catalyst re-evaluates the split per
+    element (O(n²) per doc — text_ngram_freq measured 64 s vs 1.8 s at
+    sf0.1).  Guard: at most 2 split( calls survive in the optimized plan."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    qs = load_all()
+    for qid in ("text_lang_id", "text_quality", "text_rep_bigram", "text_ngram_freq"):
+        df = qs[qid].fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        n = plan.count("split(")
+        assert n <= 2, f"{qid}: {n} split( occurrences — tokenization re-inlined"
