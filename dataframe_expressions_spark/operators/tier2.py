@@ -28,6 +28,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.dedup import spread
 from ..sources.tables import load_table
 from .registry import query
 
@@ -308,7 +309,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> SDF:
     configured 2% relative error (checked in-plan); DuckDB mirrors the
     exact count and asserts the flag.  A broken sketch or a broken exact
     path both flip a column the driver hashes."""
-    lin = load_table(spark, sf_dir, "lineitem")
+    # single-row-group testdata scans serialize the partial-agg phase;
+    # spread() is a no-op on a properly-chunked lake (gated)
+    lin = spread(load_table(spark, sf_dir, "lineitem"))
     exact = F.countDistinct("l_partkey").cast("long")
     approx = F.approx_count_distinct("l_partkey", 0.02)
     return lin.groupBy("l_returnflag").agg(
@@ -869,7 +872,7 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> SDF:
     of the exact percentile (computed in the same plan); DuckDB mirrors
     the group keys/counts and asserts the flags.  Output is scalar-only —
     the driver's canonicalizer cannot hash array columns (round-1 redness)."""
-    lin = load_table(spark, sf_dir, "lineitem")
+    lin = spread(load_table(spark, sf_dir, "lineitem"))
     qs = F.approx_percentile(
         "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000
     )

@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, orders_nested
+from ..functions.dedup import spread
 from .registry import query
 
 _DEC = "decimal(38,6)"
@@ -62,7 +63,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> SDF:
     associatively, so this is the textbook 100 TB-safe formulation — the
     built-in var_samp/corr accumulate in doubles whose rounding depends on
     partition order."""
-    lin = load_table(spark, sf_dir, "lineitem")
+    lin = spread(load_table(spark, sf_dir, "lineitem"))
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     m = lin.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -102,7 +103,7 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> SDF:
     both engines).  Scale: exact percentile gathers per-group values —
     fine for bounded group counts; unbounded cardinality switches to
     approx_percentile (see agg_approx_distinct for the sketch pattern)."""
-    lin = load_table(spark, sf_dir, "lineitem")
+    lin = spread(load_table(spark, sf_dir, "lineitem"))
     out = lin.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
         F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
@@ -858,7 +859,7 @@ def stats_winsorize(spark: SparkSession, sf_dir: str) -> SDF:
     fact scan, so the second pass is shuffle-free map-side clamp + partial
     agg.  At 100 TB the percentile pass switches to approx_percentile
     (same plan shape, sketch instead of gather)."""
-    lin = load_table(spark, sf_dir, "lineitem")
+    lin = spread(load_table(spark, sf_dir, "lineitem"))
     q = lin.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
         F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
