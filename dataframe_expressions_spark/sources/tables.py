@@ -65,9 +65,11 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
         spark.conf.set(key, "true")
     # Pin the session timezone too: every LTZ cast (streaming event time)
     # and epoch extraction must agree with the DuckDB oracle's naive-UTC
-    # reading regardless of which session the driver hands us.
+    # reading regardless of which session the driver hands us.  NB: the
+    # fallback passed to conf.get() is VALIDATED as a timezone on
+    # sessions that never set the conf — '' throws INVALID_CONF_VALUE.
     tz = "spark.sql.session.timeZone"
-    if spark.conf.get(tz, "") != "UTC":
+    if spark.conf.get(tz, "UTC") != "UTC":
         spark.conf.set(tz, "UTC")
 
 
