@@ -1,0 +1,38 @@
+"""The external driver hands the engine its OWN vanilla SparkSession —
+none of session.py's confs (timezone, nanosAsLong, AQE, Arrow) can be
+assumed.  Round 3 nearly shipped a probe that crashed every query on
+exactly such a session (conf.get validates its fallback for confs never
+set explicitly).  This guard drives representative registry entries in a
+SUBPROCESS with a deliberately unconfigured session — in-process a
+getOrCreate would silently reuse the tuned test session and hide the
+problem.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .appName("plain-session-guard").config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+qs = e.queries()
+# one batch-events, one streaming, one scan, one pandas-UDF query
+for qid in ("map_funcs", "session_window", "scan_parquet", "grouped_map_pandas"):
+    n = qs[qid](spark, "/root/testdata/sf0.001").count()
+    assert n >= 0, qid
+print("PLAIN_SESSION_OK")
+"""
+
+
+def test_registry_runs_on_vanilla_session():
+    out = subprocess.run(
+        [sys.executable, "-c", _SCRIPT], capture_output=True, text=True, timeout=600
+    )
+    assert "PLAIN_SESSION_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
