@@ -153,14 +153,24 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, vec_col: str = "vvec") -> D
     assignment is a broadcast nested-loop scored map stage followed by a
     per-vector argmax; no shuffle of the corpus.
     """
-    scored = emb.join(F.broadcast(centroids)).withColumn(
-        "csim", cosine(F.col(vec_col), F.col("cvec"))
+    # norms staged once per vector / per centroid (bit-identical to
+    # cosine() — same fold order, same sqrt) instead of two self-dot
+    # folds per (vector, centroid) pair
+    emb_n = emb.withColumn(
+        "_vn", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    )
+    cents_n = centroids.withColumn(
+        "_cn", F.sqrt(dot(F.col("cvec"), F.col("cvec")))
+    )
+    scored = emb_n.join(F.broadcast(cents_n)).withColumn(
+        "csim",
+        dot(F.col(vec_col), F.col("cvec")) / (F.col("_vn") * F.col("_cn")),
     )
     w = W.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cell"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
-        .drop("rk", "cvec", "csim")
+        .drop("rk", "cvec", "csim", "_vn", "_cn")
     )
 
 

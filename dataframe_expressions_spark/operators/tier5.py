@@ -1000,15 +1000,15 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> SDF:
             F.lit(0.0),
             lambda acc, e: acc + e,
         )
-        best = F.aggregate(
-            F.col("cents"),
-            F.struct(
-                F.lit(float("inf")).alias("d"), F.lit(-1).cast("long").alias("cid")
-            ),
-            lambda acc, ct: F.when(
-                dist(ct) < acc["d"],
-                F.struct(dist(ct).alias("d"), ct["cid"].alias("cid")),
-            ).otherwise(acc),
+        # array_min over (d, cid) structs: ONE distance fold per centroid
+        # (the aggregate/when form evaluated dist(ct) twice — condition
+        # and result); lexicographic struct compare = min distance with
+        # lowest-cid tie-break, identical to the documented strict-< rule
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda ct: F.struct(dist(ct).alias("d"), ct["cid"].alias("cid")),
+            )
         )
         return j.select("vec_id", "v", best["cid"].alias("cid"))
 
