@@ -23,6 +23,7 @@ def main() -> None:
     from dataframe_expressions_spark.session import get_spark
 
     queries = load_all()
+    load1_at_start = round(os.getloadavg()[0], 2)
     spark = get_spark("bench")
 
     # warm-up: JVM/codegen/parquet-footer caches, one shuffle, one HOF
@@ -73,6 +74,9 @@ def main() -> None:
         "metric": "wall_clock_all_registered_queries",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # 1-min load at start of run: observed totals swing up to ~1.4x
+        # with ambient machine load; read ratios against this context
+        "load1_at_start": load1_at_start,
         "queries": timings,
         "r1_driver_sec": anchor,
         "vs_r1": {
