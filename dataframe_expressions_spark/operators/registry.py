@@ -46,9 +46,16 @@ def query(qid: str, oracle: Optional[str] = None):
 # 4 r1-green-now-broken, 12 never in any window), and (b) 19 of the 50
 # ids no driver window has ever reached (tier-5 TPC-H family, k-means,
 # connected components, incremental dedup, UDTF, Z-order, mapInArrow).
-# The remaining 19 never-checked ids rotate in round 4.  Everything
-# outside the window stays guarded by tests/test_oracle_parity.py, which
-# checks ALL entries against DuckDB on every pytest run.
+# The remaining 19 never-checked ids rotate in round 4 — front these
+# next: text_pii_scrub, text_chunk_windows, sample_stratified,
+# emb_norm_quantize, dedup_cross_source, text_rep_bigram,
+# decontam_ngram, vocab_topk, tpch_q6_forecast_revenue,
+# tpch_q10_returned_items, hist_totalprice, stats_winsorize,
+# tpch_q14_promo_revenue, tpch_q18_large_volume, sink_sorted_skipping,
+# dedup_fuzzy_edit, observe_metrics, dq_constraints,
+# schema_evolution_merge.  Everything outside the window stays guarded
+# by tests/test_oracle_parity.py, which checks ALL entries against
+# DuckDB on every pytest run.
 DRIVER_WINDOW_PRIORITY: tuple = (
     # -- events ids red in the round-2 window (ts-vintage fix re-check)
     "map_funcs",
