@@ -209,10 +209,10 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> SDF:
     "tpch_q12_priority_class",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -557,10 +557,10 @@ def seq_pack_fill(spark: SparkSession, sf_dir: str) -> SDF:
                  (a, x) -> (a * 31 + x) % 1000000007) AS fp
       FROM documents)
     SELECT source, count(*) AS n_docs,
-           sum(CASE WHEN fp % 100 < (CASE WHEN src_idx < 4 THEN 100
-                                          WHEN src_idx < 10 THEN 50
-                                          ELSE 20 END)
-                    THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN fp % 100 < (CASE WHEN src_idx < 4 THEN 100
+                                               WHEN src_idx < 10 THEN 50
+                                               ELSE 20 END)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CAST(sum(CASE WHEN fp % 100 < (CASE WHEN src_idx < 4 THEN 100
                                                WHEN src_idx < 10 THEN 50
                                                ELSE 20 END)

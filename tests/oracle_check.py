@@ -50,6 +50,24 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    # mirrors the external driver's canonicalizer: sort columns + rows, round
+    # floats, NO dtype coercion (same logic as tests/driver_sim.py)
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def driver_hash(df: pd.DataFrame) -> str:
+    import hashlib
+
+    return hashlib.sha256(
+        _driver_canon(df).to_csv(index=False, float_format="%.6g").encode()
+    ).hexdigest()[:16]
+
+
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> Optional[str]:
     """Return None on match, else a description of the first mismatch."""
     if len(spark_pdf) != len(duck_pdf):
@@ -75,6 +93,17 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> Optional[
             if not eq.all():
                 i = int(np.argmax(~eq.values))
                 return f"col {c!r}: mismatch at sorted row {i}: {av.iloc[i]!r} != {bv.iloc[i]!r}"
+    # Values match after coercion — now replicate the driver's coercion-free
+    # CSV hash: an int64 Spark column vs a float64 oracle column (DuckDB
+    # HUGEINT sums) hashes "1677" vs "1677.0" and fails the driver even when
+    # values are identical (r3 lesson: tpch_q12/mixture_sample).
+    if driver_hash(spark_pdf) != driver_hash(duck_pdf):
+        dtypes = {
+            c: (str(spark_pdf[c].dtype), str(duck_pdf[c].dtype))
+            for c in a_cols
+            if str(spark_pdf[c].dtype) != str(duck_pdf[c].dtype)
+        }
+        return f"driver CSV hash mismatch; dtype skews (spark, duck): {dtypes}"
     return None
 
 
