@@ -42,15 +42,23 @@ def main() -> None:
     ).collect()
     spark.range(8).toPandas()
 
+    # BASELINE.md protocol: median of 3 runs per query (single-shot timing
+    # produced phantom 2x "regressions" from ambient load in r1-r3)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for qid, q in sorted(queries.items()):
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        # noop sink: evaluates every output column of every row JVM-side
-        # without paying Python driver-transfer (standard Spark bench
-        # practice; count() would let Catalyst prune the projections)
-        df.write.format("noop").mode("overwrite").save()
-        timings[qid] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            # noop sink: evaluates every output column of every row JVM-side
+            # without paying Python driver-transfer (standard Spark bench
+            # practice; count() would let Catalyst prune the projections)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        runs[qid] = samples
+        timings[qid] = sorted(samples)[len(samples) // 2]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -77,7 +85,9 @@ def main() -> None:
         # 1-min load at start of run: observed totals swing up to ~1.4x
         # with ambient machine load; read ratios against this context
         "load1_at_start": load1_at_start,
+        "reps_per_query": reps,
         "queries": timings,
+        "runs": runs,
         "r1_driver_sec": anchor,
         "vs_r1": {
             q: round(timings[q] / anchor[q], 2)

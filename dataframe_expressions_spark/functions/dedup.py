@@ -45,9 +45,22 @@ def spread(df: DataFrame) -> DataFrame:
     inherited as a gratuitous testdata workaround (VERDICT r2 item 7);
     the threshold is half the cluster's parallelism — below that, the
     narrow compute stage leaves cores idle and the one-time shuffle of
-    pruned columns pays for itself."""
+    pruned columns pays for itself.
+
+    The gate counts SOURCE FILES (``df.inputFiles()``, a catalog/plan
+    lookup), not ``df.rdd.getNumPartitions()``: the RDD probe forced a
+    full RDD-conversion plan per call, and it counted planned byte-range
+    splits — a single huge one-row-group file plans many splits of which
+    only one yields rows, skipping the repartition exactly when it is
+    needed (ADVICE r3).  File count is the honest lower bound on scan
+    parallelism for one-row-group-per-file lakes.  A frame whose lineage
+    already holds an explicit repartition (e.g. ``spread`` applied
+    upstream) is already parallel — detected from the analyzed logical
+    plan, so chained calls stay single-exchange."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(1, target // 2):
+    if len(df.inputFiles()) >= max(1, target // 2):
+        return df
+    if "Repartition" in df._jdf.queryExecution().analyzed().toString():
         return df
     return df.repartition(target)
 

@@ -85,6 +85,11 @@ def normalize_event_ts(df: SDF) -> SDF:
     * ``long`` — the nanos vintage read under ``nanosAsLong``; integer-div
       ns→us (truncation, matching DuckDB's ns→us cast) and anchor to the
       NTZ epoch with pure arithmetic — no session-timezone dependency.
+      NB ``div`` truncates toward zero, which for NEGATIVE (pre-1970)
+      instants rounds the opposite way from a floor-based ns→us
+      conversion; the testdata epochs are all non-negative, and DuckDB's
+      cast truncates identically, so the match holds — revisit with
+      floor division if pre-1970 event data ever appears.
     * ``timestamp_ntz`` — the micros vintage; already exactly DuckDB's
       naive-timestamp semantics.  Pass through.
     * ``timestamp`` (LTZ) — a hypothetical isAdjustedToUTC vintage; strip
@@ -166,21 +171,33 @@ def source_fingerprint(sf_dir: str, tables=("orders", "lineitem")) -> str:
     return hashlib.md5(";".join(sig).encode()).hexdigest()[:10]
 
 
-def _materialize(spark: SparkSession, sf_dir: str, name: str, build) -> SDF:
+def _materialize(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build,
+    tables=("orders", "lineitem"),
+) -> SDF:
     """Write-once materialization of a derived view, keyed by sf dir, a
     version tag (bump the tag when the view definition changes) and the
-    source-file fingerprint (so regenerated testdata invalidates the
-    cache).  This IS the 100 TB shape the docstrings describe: the nested
-    view is built once (one shuffle) and every query after that scans the
-    materialized copy shuffle-free, instead of re-running the
-    groupBy-collect per query.  The build lands in a pid-suffixed temp
-    dir and is renamed into place, so concurrent first-callers don't
-    corrupt each other."""
+    fingerprint of THAT VIEW'S source tables (so regenerating any feeding
+    table in place — the driver did exactly this to events.parquet in
+    round 2 — invalidates the cache; a fingerprint over a fixed default
+    table list would silently serve a stale view when a non-default
+    source like customer changes).  This IS the 100 TB shape the
+    docstrings describe: the nested view is built once (one shuffle) and
+    every query after that scans the materialized copy shuffle-free,
+    instead of re-running the groupBy-collect per query.  The build lands
+    in a pid-suffixed temp dir and is renamed into place, so concurrent
+    first-callers don't corrupt each other."""
     import os
     import shutil
 
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out = f"/tmp/spark_graft_view_{name}_v1_{key}_{source_fingerprint(sf_dir)}"
+    out = (
+        f"/tmp/spark_graft_view_{name}_v1_{key}_"
+        f"{source_fingerprint(sf_dir, tables)}"
+    )
     if not os.path.exists(out):
         tmp = f"{out}.tmp{os.getpid()}"
         # 8 files so the read-back parallelizes (testdata parquet is one
@@ -216,7 +233,9 @@ def orders_nested(spark: SparkSession, sf_dir: str) -> SDF:
             items, orders.o_orderkey == items.l_orderkey, "inner"
         ).drop("l_orderkey")
 
-    return _materialize(spark, sf_dir, "orders_nested", build)
+    return _materialize(
+        spark, sf_dir, "orders_nested", build, tables=("orders", "lineitem")
+    )
 
 
 def customer_nested(spark: SparkSession, sf_dir: str) -> SDF:
@@ -244,7 +263,13 @@ def customer_nested(spark: SparkSession, sf_dir: str) -> SDF:
             per_cust, cust.c_custkey == per_cust.o_custkey, "inner"
         ).drop("o_custkey")
 
-    return _materialize(spark, sf_dir, "customer_nested", build)
+    return _materialize(
+        spark,
+        sf_dir,
+        "customer_nested",
+        build,
+        tables=("orders", "lineitem", "customer"),
+    )
 
 
 # DuckDB mirror of customer_nested — prepend to every two-level oracle.

@@ -121,14 +121,28 @@ def test_multimodal_decode_stub(spark, docs):
 
 
 def test_multimodal_strict_raises(spark, docs):
-    media = MM.attach_fake_image(docs.select("doc_id", "text"))
-    from py4j.protocol import Py4JJavaError
+    """The strict=True contract is the real-codec boundary: at 100 TB what
+    breaks jobs is the ERROR SURFACE at the executor (a hang, a segfault,
+    or a swallowed error poisons the whole stage), not the happy path.
+    Assert the NotImplementedError propagates cleanly through mapInPandas
+    from EVERY partition — multi-partition input so the failure crosses
+    the Arrow boundary on each worker thread, message intact."""
+    media = MM.attach_fake_image(docs.select("doc_id", "text")).repartition(4)
 
     with pytest.raises(Exception) as exc_info:
         MM.decode_meta(media, strict=True).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, Py4JJavaError
-    )
+    assert "NotImplementedError" in str(exc_info.value)
+    assert "real image decode requires PIL" in str(exc_info.value)
+
+    with pytest.raises(Exception) as exc_info:
+        MM.frame_sample(media, strict=True).collect()
+    assert "NotImplementedError" in str(exc_info.value)
+    assert "real frame extraction requires libav" in str(exc_info.value)
+
+    # strict=False on the identical multi-partition frame still decodes —
+    # the gate is the flag, not partitioning luck
+    assert MM.decode_meta(media, strict=False).count() == 4
+    assert MM.frame_sample(media, strict=False).count() >= 4
 
 
 def test_lang_pred_rule(spark):

@@ -10,12 +10,19 @@ problem.
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 
+import pytest
+
+from conftest import SF_SMOKE
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 _SCRIPT = r"""
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, {repo_root!r})
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[4]")
          .appName("plain-session-guard").config("spark.ui.enabled", "false")
@@ -25,14 +32,17 @@ import __spark_entry__ as e
 qs = e.queries()
 # one batch-events, one streaming, one scan, one pandas-UDF query
 for qid in ("map_funcs", "session_window", "scan_parquet", "grouped_map_pandas"):
-    n = qs[qid](spark, "/root/testdata/sf0.001").count()
+    n = qs[qid](spark, {smoke_dir!r}).count()
     assert n >= 0, qid
 print("PLAIN_SESSION_OK")
 """
 
 
 def test_registry_runs_on_vanilla_session():
+    if not os.path.isdir(SF_SMOKE):
+        pytest.skip(f"testdata dir {SF_SMOKE} not present")
+    script = _SCRIPT.format(repo_root=_REPO_ROOT, smoke_dir=SF_SMOKE)
     out = subprocess.run(
-        [sys.executable, "-c", _SCRIPT], capture_output=True, text=True, timeout=600
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
     )
     assert "PLAIN_SESSION_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]

@@ -151,18 +151,45 @@ def test_zorder_pushes_both_dimension_filters(spark):
     assert "LessThan(o_orderdate" in plan, plan
 
 
-def test_spread_skips_exchange_on_parallel_input(spark):
+def test_spread_skips_exchange_on_parallel_input(spark, tmp_path):
     """spread() exists to fix single-row-group testdata scans; a
-    many-partition input (the real-lake case) must pass through with NO
-    added exchange (VERDICT r2 item 7)."""
+    many-FILE scan (the real-lake case) must pass through with NO added
+    exchange (VERDICT r2 item 7), and the gate must not touch ``.rdd``
+    (forces RDD-conversion planning per call — ADVICE r3)."""
     from dataframe_expressions_spark.functions.dedup import spread
 
-    wide = spark.range(0, 1000, numPartitions=64)
+    many = str(tmp_path / "many_files")
+    spark.range(0, 1000).repartition(64).write.parquet(many)
+    wide = spark.read.parquet(many)
     assert spread(wide) is wide  # gate short-circuits, no new plan node
 
-    narrow = spark.range(0, 1000, numPartitions=1)
+    # single-file scan (the testdata shape) → one round-robin exchange
+    narrow = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     out = spread(narrow)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    # chained spread (the simhash sandwich): the second call must see the
+    # upstream repartition in the lineage and add NO second exchange
+    out2 = spread(out.select("doc_id"))
+    plan = out2._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Repartition") == 1, plan
+
+
+def test_spread_gate_is_rdd_free():
+    """The parallelism probe must be plan/catalog-side only: a ``.rdd``
+    touch materializes RDD-conversion lineage on every gated query."""
+    import ast
+    import inspect
+    import textwrap
+
+    from dataframe_expressions_spark.functions import dedup
+
+    tree = ast.parse(textwrap.dedent(inspect.getsource(dedup.spread)))
+    rdd_touches = [
+        n for n in ast.walk(tree)
+        if isinstance(n, ast.Attribute) and n.attr == "rdd"
+    ]
+    assert not rdd_touches
 
 
 def test_staged_text_queries_tokenize_once(spark):
