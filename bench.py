@@ -43,22 +43,26 @@ def main() -> None:
     spark.range(8).toPandas()
 
     # BASELINE.md protocol: median of 3 runs per query (single-shot timing
-    # produced phantom 2x "regressions" from ambient load in r1-r3)
+    # produced phantom 2x "regressions" from ambient load in r1-r3).
+    # Reps run as FULL PASSES over the query list, not back-to-back per
+    # query: ambient load decays over the run (the driver launches the
+    # bench right after its correctness phase), and consecutive reps
+    # would hand every alphabetically-early query three samples from the
+    # same loaded window.  Interleaving gives each query one sample per
+    # load regime; JVM codegen + page caches persist across the ~minute
+    # between a query's passes, so the warm-run benefit is kept.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    timings: dict[str, float] = {}
-    runs: dict[str, list[float]] = {}
-    for qid, q in sorted(queries.items()):
-        samples = []
-        for _ in range(reps):
+    runs: dict[str, list[float]] = {qid: [] for qid in queries}
+    for _ in range(reps):
+        for qid, q in sorted(queries.items()):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             # noop sink: evaluates every output column of every row JVM-side
             # without paying Python driver-transfer (standard Spark bench
             # practice; count() would let Catalyst prune the projections)
             df.write.format("noop").mode("overwrite").save()
-            samples.append(round(time.perf_counter() - t0, 3))
-        runs[qid] = samples
-        timings[qid] = sorted(samples)[len(samples) // 2]
+            runs[qid].append(round(time.perf_counter() - t0, 3))
+    timings = {qid: sorted(s)[len(s) // 2] for qid, s in runs.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

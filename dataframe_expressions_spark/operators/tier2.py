@@ -308,19 +308,32 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> SDF:
     query emits the EXACT count plus ``approx_ok`` = sketch within its
     configured 2% relative error (checked in-plan); DuckDB mirrors the
     exact count and asserts the flag.  A broken sketch or a broken exact
-    path both flip a column the driver hashes."""
+    path both flip a column the driver hashes.
+
+    Plan shape: TWO-PHASE distinct instead of Spark's Expand-based
+    multi-distinct.  ``countDistinct`` + ``count`` in one agg triples
+    the input via Expand before the shuffle; pre-aggregating to
+    (flag, partkey, cnt) first shrinks the shuffle to the distinct-pair
+    count, and — because HyperLogLog is duplicate-insensitive — the
+    sketch computed over the distinct pairs is the SAME sketch as over
+    the raw rows, so approx_count_distinct rides the second phase for
+    free.  At 100 TB this is the difference between shuffling 3x the
+    fact table and shuffling its distinct keys."""
     # single-row-group testdata scans serialize the partial-agg phase;
     # spread() is a no-op on a properly-chunked lake (gated)
     lin = spread(load_table(spark, sf_dir, "lineitem"))
-    exact = F.countDistinct("l_partkey").cast("long")
+    pairs = lin.groupBy("l_returnflag", "l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    exact = F.count(F.lit(1)).cast("long")
     approx = F.approx_count_distinct("l_partkey", 0.02)
-    return lin.groupBy("l_returnflag").agg(
+    return pairs.groupBy("l_returnflag").agg(
         exact.alias("exact_parts"),
         (
             F.abs(approx.cast("double") - exact.cast("double"))
             <= 0.02 * 3 * exact.cast("double")  # 3 sigma of configured rsd
         ).alias("approx_ok"),
-        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cnt").cast("long").alias("n_rows"),
     )
 
 
