@@ -1,0 +1,140 @@
+"""Property-based lowering fuzz: random scalar expression trees built
+through the capture DSL must produce the same values Spark-side as the
+same tree evaluated eagerly over pandas.
+
+This EXCEEDS the reference's test strategy (SURVEY.md §5.1: pure
+unit tests, no property-based testing) on purpose: the capture layer's
+operator overloads (arith/compare/bool/abs, constants on either side)
+are exactly the surface where a subtle reversed-operand or precedence
+bug survives example-based tests.  Double arithmetic uses the identical
+IEEE op order on both sides, so comparison is exact — no tolerance.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dataframe_expressions_spark import DataFrame, select
+
+# --- expression trees as tuples -------------------------------------------
+# leaves: ("col", name) | ("const", value)
+# numeric ops: ("add"|"sub"|"mul", l, r) | ("abs", x) | ("neg", x)
+# bool ops:    ("lt"|"le"|"gt"|"ge"|"eq"|"ne", l, r)    (numeric args)
+#              ("and"|"or", l, r) | ("not", x)          (bool args)
+
+_NUM_COLS = ("x", "k")
+_CONSTS = (-3, -1, 0, 2, 7, 0.5, 2.5, -1.25)
+
+
+def _num_leaf():
+    return st.one_of(
+        st.tuples(st.just("col"), st.sampled_from(_NUM_COLS)),
+        st.tuples(st.just("const"), st.sampled_from(_CONSTS)),
+    )
+
+
+def _num_expr(depth: int = 3):
+    leaf = _num_leaf()
+    if depth == 0:
+        return leaf
+    sub = _num_expr(depth - 1)
+    return st.one_of(
+        leaf,
+        st.tuples(st.sampled_from(("add", "sub", "mul")), sub, sub),
+        st.tuples(st.just("abs"), sub),
+        st.tuples(st.just("neg"), sub),
+    )
+
+
+def _bool_expr(depth: int = 2):
+    num = _num_expr(2)
+    cmp = st.tuples(
+        st.sampled_from(("lt", "le", "gt", "ge", "eq", "ne")), num, num
+    )
+    if depth == 0:
+        return cmp
+    sub = _bool_expr(depth - 1)
+    return st.one_of(
+        cmp,
+        st.tuples(st.sampled_from(("and", "or")), sub, sub),
+        st.tuples(st.just("not"), sub),
+    )
+
+
+def _eval(tree, env):
+    """Interpret a tree against ``env`` — works for BOTH the capture DSL
+    (env values are capture nodes) and pandas (env values are Series),
+    because both overload the same Python operators."""
+    op = tree[0]
+    if op == "col":
+        return env[tree[1]]
+    if op == "const":
+        return tree[1]
+    if op in ("add", "sub", "mul"):
+        l, r = _eval(tree[1], env), _eval(tree[2], env)
+        return {"add": lambda: l + r, "sub": lambda: l - r, "mul": lambda: l * r}[op]()
+    if op == "abs":
+        return abs(_eval(tree[1], env))
+    if op == "neg":
+        return -_eval(tree[1], env)
+    if op in ("lt", "le", "gt", "ge", "eq", "ne"):
+        l, r = _eval(tree[1], env), _eval(tree[2], env)
+        return {
+            "lt": lambda: l < r, "le": lambda: l <= r, "gt": lambda: l > r,
+            "ge": lambda: l >= r, "eq": lambda: l == r, "ne": lambda: l != r,
+        }[op]()
+    if op == "and":
+        return _eval(tree[1], env) & _eval(tree[2], env)
+    if op == "or":
+        return _eval(tree[1], env) | _eval(tree[2], env)
+    if op == "not":
+        return ~_eval(tree[1], env)
+    raise AssertionError(op)
+
+
+_ROWS = [(i, float(i) * 1.5 - 7.0, i % 11 - 5) for i in range(40)]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    sdf = spark.createDataFrame(_ROWS, "rid long, x double, k long")
+    pdf = pd.DataFrame(_ROWS, columns=["rid", "x", "k"])
+    return sdf, pdf
+
+
+def _const_to_series(v, pdf):
+    # a tree that is pure constants evaluates to a scalar on the pandas
+    # side; broadcast it so comparison logic below stays uniform
+    return v if isinstance(v, pd.Series) else pd.Series([v] * len(pdf))
+
+
+@given(tree=_num_expr())
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+def test_numeric_tree_matches_pandas(spark, frames, tree):
+    sdf, pdf = frames
+    d = DataFrame()
+    node = _eval(tree, {"x": d.x, "k": d.k})
+    if not hasattr(node, "_op"):  # pure-constant tree: nothing captured
+        return
+    got = select(d, sdf, d, rid=d.rid, v=node).toPandas().sort_values("rid")
+    want = _const_to_series(_eval(tree, {"x": pdf["x"], "k": pdf["k"]}), pdf)
+    assert list(got["v"]) == list(want), tree
+
+
+@given(tree=_bool_expr())
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bool_tree_filter_matches_pandas(spark, frames, tree):
+    sdf, pdf = frames
+    d = DataFrame()
+    mask = _eval(tree, {"x": d.x, "k": d.k})
+    if not hasattr(mask, "_op"):  # pure-constant tree: nothing captured
+        return
+    got = sorted(
+        select(d, sdf, d[mask], rid=d.rid).toPandas()["rid"]
+    )
+    pmask = _const_to_series(_eval(tree, {"x": pdf["x"], "k": pdf["k"]}), pdf)
+    want = sorted(pdf[pmask.astype(bool)]["rid"])
+    assert got == want, tree
