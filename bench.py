@@ -72,16 +72,29 @@ def main() -> None:
     # The driver captures only the tail of long stdout lines (round 1:
     # BENCH_r01 parsed=null), so the printed line stays SHORT; per-query
     # timings go to BENCH_DETAIL.json next to this script.
-    # Anchor every per-query number against the round-1 driver bench
-    # (bench_anchor_r01.json) so regressions are computable from ONE
-    # artifact instead of cross-referencing stale rounds (VERDICT r2
-    # item 8).
-    anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_anchor_r01.json")
-    anchor: dict[str, float] = {}
-    if os.path.exists(anchor_path):
-        with open(anchor_path) as fh:
-            anchor = json.load(fh).get("queries", {})
+    # Anchor every per-query number against (a) the round-1 driver bench
+    # (77 ids, the only external evidence) and (b) the round-4 local
+    # median-of-3 snapshot (all 142 ids, same protocol as this run) so
+    # regressions are computable from ONE artifact instead of
+    # cross-referencing stale rounds (VERDICT r2 item 8).
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _anchor(fname: str) -> dict[str, float]:
+        path = os.path.join(here, fname)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            return json.load(fh).get("queries", {})
+
+    def _vs(anchor: dict[str, float]) -> dict[str, float]:
+        return {
+            q: round(timings[q] / anchor[q], 2)
+            for q in timings
+            if q in anchor and anchor[q] > 0
+        }
+
+    r1 = _anchor("bench_anchor_r01.json")
+    r4 = _anchor("bench_anchor_r04.json")
     detail = {
         "metric": "wall_clock_all_registered_queries",
         "value": round(sum(timings.values()), 3),
@@ -92,12 +105,9 @@ def main() -> None:
         "reps_per_query": reps,
         "queries": timings,
         "runs": runs,
-        "r1_driver_sec": anchor,
-        "vs_r1": {
-            q: round(timings[q] / anchor[q], 2)
-            for q in timings
-            if q in anchor and anchor[q] > 0
-        },
+        "r1_driver_sec": r1,
+        "vs_r1": _vs(r1),
+        "vs_r4_anchor": _vs(r4),
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

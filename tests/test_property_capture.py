@@ -91,7 +91,10 @@ def _eval(tree, env):
     if op == "or":
         return _eval(tree[1], env) | _eval(tree[2], env)
     if op == "not":
-        return ~_eval(tree[1], env)
+        v = _eval(tree[1], env)
+        if isinstance(v, bool):  # scalar mirror path: ~True == -2 (truthy!)
+            return not v
+        return ~v
     raise AssertionError(op)
 
 
