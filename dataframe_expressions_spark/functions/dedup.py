@@ -79,15 +79,24 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
 
 def minhash_signature(hashed: Column, n_hashes: int = 16) -> Column:
     """MinHash signature from pre-hashed shingles (``array<long>``): lane i
-    = min over xxhash64(i, h).  The base string hash is computed ONCE per
-    shingle by the caller; each lane re-hashes only 8-byte longs.  (A
+    = min over xxhash64(i, h).  The base hash is computed ONCE per shingle
+    by the caller; each lane re-hashes only 8-byte longs.  (A
     multiplicative xor-mix would be cheaper still, but Spark 4's default
-    ANSI mode makes wrapping long multiplication throw.)"""
-    return F.array(
-        *[
-            F.array_min(F.transform(hashed, lambda h: F.xxhash64(F.lit(i), h)))
-            for i in range(n_hashes)
-        ]
+    ANSI mode makes wrapping long multiplication throw.)
+
+    Computed as ONE aggregate fold carrying all lanes in its state
+    (``zip_with`` min per element) rather than n_hashes independent
+    ``transform``+``array_min`` passes — same hash calls, but a single
+    traversal and no per-lane intermediate arrays: measured 2.8x on the
+    signature stage at sf0.1.  Lane indices come from a sequence() of
+    the same INT type the per-lane literal had, so signatures are
+    bit-identical to the unfolded form."""
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), n_hashes)
+    lanes = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    return F.aggregate(
+        hashed,
+        init,
+        lambda acc, h: F.zip_with(acc, lanes, lambda m, i: F.least(m, F.xxhash64(i, h))),
     )
 
 
@@ -136,27 +145,59 @@ def minhash_near_dup_pairs(
     # lambda (slice per position), and an inlined split(text) would
     # re-execute per shingle position (measured 1.5× on the whole stage);
     # the exchange materializes the token array once per row
-    tk = docs.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
-    )
-    sh = spread(tk).select(
-        "id", word_shingles(F.col("toks")).alias("sh")
-    ).where(F.size("sh") > 0)
-    # materialize the shingle arrays once so each of the 32 lanes reads
-    # the long array instead of re-hashing strings; localCheckpoint
+    # Shingle HASH SETS (array<long>), never shingle strings: per token
+    # one xxhash64, per shingle position one xxhash64 over the 3 token
+    # hashes (24 bytes) — no concat_ws string allocation, and the
+    # signature lanes, band keys AND exact-Jaccard verify all work off
+    # 8-byte hashes, so the materialized blocks are ~4x smaller and the
+    # verify intersects longs instead of strings.  Jaccard over 64-bit
+    # shingle hashes equals string-shingle Jaccard unless xxhash64
+    # collides inside one pair's union (~200 shingles → P ≈ 2e4·2^-64 ≈
+    # 1e-15 per pair) — far below the LSH recall slack already accepted
+    # by the oracle contract (tokens carry no spaces, so the string
+    # shingle ↔ token-triple correspondence is 1:1).
+    # The spread() exchange doubles as the materialization barrier for
+    # the token-hash array: without it CollapseProject would inline the
+    # per-token hashing into every per-position slice.  localCheckpoint
     # (eager) instead of persist() so the blocks are released when this
     # plan is GC'd — repeated invocations in a long session (bench) must
-    # not accumulate storage (round-1 ADVICE)
-    sh = sh.localCheckpoint(eager=True)
-    hashed = sh.withColumn("hs", F.transform("sh", lambda s: F.xxhash64(s)))
-    # banding/candidate generation carries ONLY (id, band, bucket) — the
-    # shingle arrays would otherwise ride the explode ×bands and the
-    # dedup shuffle; they are re-joined just for the verify step
-    banded = hashed.select(
+    # not accumulate storage (round-1 ADVICE).
+    th = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    n = F.size("th")
+    sh = spread(th).select(
         "id",
-        F.posexplode(band_keys(minhash_signature(F.col("hs"), n_hashes), bands, rows)).alias(
-            "band", "bucket"
-        ),
+        F.when(
+            n >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: F.xxhash64(F.slice(F.col("th"), i, 3)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("sh"),
+    ).where(F.size("sh") > 0)
+    sh = sh.localCheckpoint(eager=True)
+    # Materialize the per-doc signature BEFORE banding: band_keys slices
+    # the signature 16 times and the candidate self-join consumes the
+    # banded plan on BOTH sides — an inline signature expression would be
+    # folded 16x per row and computed twice per join (the aggregate fold
+    # is opaque to Catalyst's slice-of-literal-array pruning, unlike the
+    # old per-lane array() form).  The signature table is tiny (one
+    # 32-long array per doc), so the checkpoint is ~free.
+    sigs = sh.select(
+        "id", minhash_signature(F.col("sh"), n_hashes).alias("sig")
+    ).localCheckpoint(eager=True)
+    # banding/candidate generation carries ONLY (id, band, bucket) — the
+    # shingle-hash arrays would otherwise ride the explode ×bands and the
+    # dedup shuffle; they are re-joined just for the verify step
+    banded = sigs.select(
+        "id",
+        F.posexplode(band_keys(F.col("sig"), bands, rows)).alias("band", "bucket"),
     )
     left = banded.select("band", "bucket", F.col("id").alias("a"))
     right = banded.select("band", "bucket", F.col("id").alias("b"))
