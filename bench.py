@@ -51,9 +51,21 @@ def main() -> None:
     # same loaded window.  Interleaving gives each query one sample per
     # load regime; JVM codegen + page caches persist across the ~minute
     # between a query's passes, so the warm-run benefit is kept.
+    # Budget guard: the harness that launches this script may enforce a
+    # wall-clock cap we can't see.  A killed bench records NOTHING (the
+    # round-2 lesson, different cause) — so after each full pass, skip
+    # further passes if another would overrun the budget.  One pass is
+    # always completed; median degrades 3→2→1 samples gracefully (for 2
+    # samples the upper one is taken — conservative).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
+    t_start = time.perf_counter()
     runs: dict[str, list[float]] = {qid: [] for qid in queries}
-    for _ in range(reps):
+    passes = 0
+    for rep in range(reps):
+        elapsed = time.perf_counter() - t_start
+        if rep > 0 and elapsed + elapsed / rep > budget_s:
+            break
         for qid, q in sorted(queries.items()):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
@@ -62,6 +74,7 @@ def main() -> None:
             # practice; count() would let Catalyst prune the projections)
             df.write.format("noop").mode("overwrite").save()
             runs[qid].append(round(time.perf_counter() - t0, 3))
+        passes = rep + 1
     timings = {qid: sorted(s)[len(s) // 2] for qid, s in runs.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -103,6 +116,8 @@ def main() -> None:
         # with ambient machine load; read ratios against this context
         "load1_at_start": load1_at_start,
         "reps_per_query": reps,
+        "passes_completed": passes,
+        "budget_s": budget_s,
         "queries": timings,
         "runs": runs,
         "r1_driver_sec": r1,
