@@ -1725,3 +1725,178 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> SDF:
     )
     out = run_to_memory(joined, "append")
     return out.select("user_id", "buy_ts", "value", "view_ts")
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: char-entropy quality signal + embedding outlier scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_char_entropy",
+    """
+    WITH ch AS (SELECT doc_id, source,
+                       unnest(list_transform(range(1, length(text) + 1),
+                                             i -> substr(text, i, 1))) AS c
+                FROM documents),
+    g AS (SELECT doc_id, source, c, count(*) AS n FROM ch GROUP BY ALL),
+    d AS (SELECT doc_id, source,
+                 round(log2(CAST(sum(n) AS DOUBLE))
+                       - CAST(sum(CAST(round(CAST(n AS DOUBLE)
+                               * log2(CAST(n AS DOUBLE)), 4)
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                         / CAST(sum(n) AS DOUBLE), 4) AS ent
+          FROM g GROUP BY doc_id, source)
+    SELECT source, count(*) AS n_docs,
+           round(CAST(sum(CAST(ent AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_entropy,
+           CAST(sum(CASE WHEN ent < 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_entropy
+    FROM d GROUP BY source
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-document character-distribution Shannon entropy, rolled up per
+    source — the classic cheap "is this natural text or keyboard mash /
+    binary junk" quality gate an LLM ingest pipeline runs before any
+    model-based scoring.
+
+    Computed entirely IN-ROW: sort the char array once, run-length scan
+    it with one ``aggregate`` fold (same idiom as text_rep_bigram), emit
+    -Σ c·log2(c) alongside n — zero shuffle before the per-source
+    rollup, embarrassingly parallel at 100 TB.  Cross-engine float
+    discipline: each run's c·log2(c) term is rounded to 4 decimals and
+    accumulated in DECIMAL(38,6) (order-free, and immune to the
+    last-ulp differences between JVM and libm log2); the oracle mirrors
+    with per-char-group counts — run lengths of the sorted array ARE the
+    per-char counts, so both engines fold the identical term set."""
+    docs = D.spread(load_table(spark, sf_dir, "documents").select("source", "text"))
+    sc = F.array_sort(F.split(F.col("text"), ""))
+    zero = F.lit(0).cast("long")
+    dzero = F.lit(0).cast("decimal(38,6)")
+    term = lambda run: (  # noqa: E731
+        F.when(
+            run > 0,
+            F.round(run.cast("double") * F.log2(run.cast("double")), 4).cast(
+                "decimal(38,6)"
+            ),
+        ).otherwise(dzero)
+    )
+    new_run = lambda acc, x: (  # noqa: E731
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+    )
+    s = F.aggregate(
+        sc,
+        F.struct(F.lit("").alias("prev"), zero.alias("run"), dzero.alias("s")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            new_run(acc, x).alias("run"),
+            F.when(x == acc["prev"], acc["s"])
+            .otherwise(acc["s"] + term(acc["run"]))
+            .alias("s"),
+        ),
+        lambda acc: acc["s"] + term(acc["run"]),
+    )
+    n = F.size(sc).cast("double")
+    ent = F.round(F.log2(n) - s.cast("double") / n, 4)
+    d = docs.where(F.length("text") > 0).select("source", ent.alias("ent"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("ent").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_entropy"),
+        F.sum((F.col("ent") < 4.0).cast("long")).alias("n_low_entropy"),
+    )
+
+
+@query(
+    "emb_outlier_centroid",
+    """
+    WITH e AS (SELECT vec_id, label, unnest(embedding) AS x,
+                      unnest(range(1, len(embedding) + 1)) AS pos
+               FROM embeddings),
+    cent AS (SELECT label, pos,
+                    round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,12)))
+                          AS DOUBLE) / count(*), 6) AS m
+             FROM e GROUP BY label, pos),
+    d AS (SELECT e.vec_id, e.label,
+                 round(sqrt(CAST(sum(CAST(
+                       (CAST(e.x AS DOUBLE) - c.m) * (CAST(e.x AS DOUBLE) - c.m)
+                       AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+          FROM e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+          GROUP BY e.vec_id, e.label)
+    SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+           round(CAST(sum(CAST(dist AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_dist,
+           round(max(dist), 6) AS max_dist,
+           CAST(sum(CASE WHEN dist > 1.01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM d GROUP BY label
+    """,
+)
+def emb_outlier_centroid(spark: SparkSession, sf_dir: str) -> SDF:
+    """Embedding-space outlier scoring: L2 distance of every vector to its
+    label's centroid, rolled up per label — the filter that drops
+    mislabeled / degenerate embeddings before they poison contrastive
+    or clustering stages of a training pipeline.
+
+    Scale shape: centroids are a per-(label, pos) DECIMAL-folded mean
+    (one shuffle of partial sums, same as emb_centroid), collected to a
+    LABELS-sized table that is BROADCAST back onto the vector scan — the
+    distance pass is map-side, one ``zip_with`` fold per vector, and the
+    final per-label rollup shuffles only (label, dist) pairs.  Float
+    discipline: centroids are rounded to 6 decimals (identical across
+    engines after the exact DECIMAL mean), per-dimension squared
+    deviations are DECIMAL(38,12)-accumulated (order-free), distances
+    rounded to 6 — every cross-engine comparison in the plan is over
+    identical doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("p0", "x")
+    )
+    cent = (
+        e.groupBy("label", F.col("p0").alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+    )
+    v = F.col("embedding").cast("array<double>")
+    dzero = F.lit(0).cast("decimal(38,12)")
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(v, F.col("cvec"), lambda x, c: ((x - c) * (x - c)).cast("decimal(38,12)")),
+                dzero,
+                # decimal + widens scale (38,12)+(38,12)->(38,11); recast so
+                # the accumulator type stays fixed — the 12th-decimal
+                # truncation is 6 orders below the round-6 output
+                lambda a, t: (a + t).cast("decimal(38,12)"),
+            ).cast("double")
+        ),
+        6,
+    )
+    d = emb.join(F.broadcast(cent), "label").select(
+        F.col("label").cast("long").alias("label"), dist.alias("dist")
+    )
+    return d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("dist").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_dist"),
+        F.round(F.max("dist"), 6).alias("max_dist"),
+        F.sum((F.col("dist") > 1.01).cast("long")).alias("n_outliers"),
+    )
