@@ -1900,3 +1900,75 @@ def emb_outlier_centroid(spark: SparkSession, sf_dir: str) -> SDF:
         F.round(F.max("dist"), 6).alias("max_dist"),
         F.sum((F.col("dist") > 1.01).cast("long")).alias("n_outliers"),
     )
+
+
+@query(
+    "mixture_temperature",
+    f"""
+    WITH t AS (
+      SELECT source, {_TOKS} AS toks,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(text) + 1),
+                     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                 (a, x) -> (a * 31 + x) % 1000000007) AS fp
+      FROM documents),
+    c AS (SELECT source, count(*) AS n FROM t GROUP BY source),
+    r AS (SELECT source, n,
+                 CAST(floor(10000 * sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE)
+                                         / CAST(n AS DOUBLE))) AS BIGINT)
+                   AS thresh
+          FROM c)
+    SELECT t.source, r.n AS n_docs,
+           CAST(sum(CASE WHEN t.fp % 10000 < r.thresh THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN t.fp % 10000 < r.thresh THEN len(t.toks)
+                         ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM t JOIN r ON t.source = r.source
+    GROUP BY t.source, r.n
+    """,
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> SDF:
+    """Temperature-based source rebalancing (alpha = 0.5): every source's
+    keep rate is sqrt(min_count / count) — the smallest source keeps
+    100 % and larger sources are deterministically downsampled toward the
+    tempered mixture, the standard knob for flattening a web-scale
+    corpus's source skew before training.  Unlike ``mixture_sample``
+    (fixed per-source rates) the rates here are DERIVED FROM THE DATA in
+    a first counting pass.
+
+    Scale shape: pass 1 is a map-side-combined count per source (a
+    SOURCES-sized table); the integer keep thresholds are computed on
+    that tiny table and BROADCAST back onto the corpus scan, so pass 2
+    is a map-side fingerprint-mod keep decision + one rollup shuffle —
+    the corpus is never shuffled.  The keep decision is hash-stable:
+    re-running on a grown corpus keeps previously-kept docs unless the
+    source's rate itself changed.  Float discipline: thresholds are
+    floor(10000·sqrt(ratio)) over identical doubles on both engines —
+    integers from there on."""
+    docs = D.spread(load_table(spark, sf_dir, "documents").select("source", "text"))
+    t = docs.select(
+        "source",
+        TX.char_fingerprint(F.col("text")).alias("fp"),
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    c = t.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    min_n = c.agg(F.min("n").alias("mn"))
+    r = c.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        "n",
+        F.floor(
+            10000 * F.sqrt(F.col("mn").cast("double") / F.col("n").cast("double"))
+        ).alias("thresh"),
+    )
+    keep = F.col("fp") % 10000 < F.col("thresh")
+    return (
+        t.join(F.broadcast(r), "source")
+        .groupBy("source", F.col("n").alias("n_docs"))
+        .agg(
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_tok")).otherwise(F.lit(0))).cast("long").alias(
+                "tokens_kept"
+            ),
+        )
+        .select("source", "n_docs", "n_kept", "tokens_kept")
+    )

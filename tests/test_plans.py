@@ -205,3 +205,24 @@ def test_staged_text_queries_tokenize_once(spark):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         n = plan.count("split(")
         assert n <= 2, f"{qid}: {n} split( occurrences — tokenization re-inlined"
+
+
+def test_round4_ops_plan_shapes(spark):
+    """The three round-4 operators' scale contracts: entropy is computed
+    in-row (no shuffle before the per-source rollup), and the outlier /
+    temperature queries broadcast their small derived tables back onto
+    the fact scan instead of shuffling the fact side."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    qs = load_all()
+
+    plan = _formatted_plan(qs["text_char_entropy"].fn(spark, SF_SMOKE))
+    # exchanges: at most the spread() round-robin + the rollup shuffle —
+    # nothing between the scan and the per-source aggregate
+    assert plan.count(") Exchange") <= 2, plan
+
+    plan = _formatted_plan(qs["emb_outlier_centroid"].fn(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan, plan  # centroid table is broadcast
+
+    plan = _formatted_plan(qs["mixture_temperature"].fn(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan, plan  # threshold table is broadcast
