@@ -75,6 +75,14 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs[qid].append(round(time.perf_counter() - t0, 3))
         passes = rep + 1
+        # A full pass leaves localCheckpoint blocks pinned until Python
+        # GC drops the plan objects; collecting between passes releases
+        # them so later passes aren't measured under block-manager
+        # pressure earlier passes created (pass-3 inflation observed on
+        # alphabetically-early queries without this).
+        import gc
+
+        gc.collect()
     timings = {qid: sorted(s)[len(s) // 2] for qid, s in runs.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
