@@ -49,7 +49,8 @@ def query(qid: str, oracle: Optional[str] = None):
 # tier2/tier3 greens that predate two testdata regenerations).  After
 # this round every one of the 142 ids has at least one driver row.
 # Round 5 should rotate in the round-4 additions (text_char_entropy,
-# emb_outlier_centroid, mixture_temperature — never driver-checked)
+# emb_outlier_centroid, mixture_temperature, emb_random_projection,
+# text_boilerplate_ngram, dedup_containment — never driver-checked)
 # plus the remaining
 # r1-vintage greens: set_ops, string_funcs, date_funcs, udaf_pandas,
 # array_hof_funcs, cond_null_funcs, tpch_q3_shipping_priority,

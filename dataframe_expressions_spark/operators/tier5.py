@@ -1972,3 +1972,227 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> SDF:
         )
         .select("source", "n_docs", "n_kept", "tokens_kept")
     )
+
+
+@query(
+    "emb_random_projection",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT vec_id, j AS dim,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(v) + 1),
+                   i -> v[i] * (1 - 2 * CAST(
+                       ((CAST((i - 1) * 8191 + j AS BIGINT)
+                         * CAST((i - 1) * 8191 + j AS BIGINT)) // 64) % 2
+                       AS INTEGER)))),
+               (a, x) -> a + x), 6) AS pval
+    FROM e, (SELECT unnest(range(0, 8)) AS j)
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> SDF:
+    """Johnson–Lindenstrauss random projection of the 64-d embeddings down
+    to 8 dimensions with a DETERMINISTIC ±1 sign matrix — the standard
+    dimensionality-reduction step in front of LSH bucketing / coarse ANN
+    when the native dimension makes per-pair distance folds the hot cost.
+    The sign matrix is never materialized: s(i, j) is computed in-row
+    from an arithmetic mixer (parity of bit 6 of ((8191·i + j)²), column
+    sums ≤ 8/64, no cross-column correlation — validated at build time),
+    so both engines derive the identical matrix from pure integer math.
+
+    Scale shape: entirely map-side — one ``transform`` over the 8 output
+    dims, each an O(d) ``zip_with``/``aggregate`` fold inside whole-stage
+    codegen; no shuffle, no Python, no stored projection matrix to ship.
+    The per-dim EXPLODE to (vec_id, dim, pval) rows exists for the oracle
+    comparison; a production pipeline would keep the 8-float array.
+    Float discipline: the fold is a strict left-to-right double sum in
+    both engines (Spark ``aggregate`` / DuckDB ``list_reduce`` over the
+    same prepended-zero list), rounded to 6 decimals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+
+    def sign(i, j):
+        h = (i.cast("bigint") * F.lit(8191) + j).cast("bigint")
+        return F.lit(1) - F.lit(2) * F.shiftright(h * h, 6).bitwiseAND(F.lit(1)).cast("int")
+
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: F.round(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.sequence(F.lit(0), F.size(v) - 1),
+                    lambda x, i: x * sign(i, j),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ),
+    )
+    return emb.select("vec_id", F.posexplode(proj).alias("dim", "pval")).select(
+        "vec_id", F.col("dim").cast("long").alias("dim"), "pval"
+    )
+
+
+@query(
+    "text_boilerplate_ngram",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    a AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3])) AS sh
+          FROM t WHERE len(toks) >= 4),
+    g AS (SELECT doc_id, unnest(sh) AS gram FROM a),
+    b AS (SELECT gram
+          FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+          WHERE df >= 3),
+    p AS (SELECT g.doc_id, count(*) AS n_boiler
+          FROM g JOIN b USING (gram) GROUP BY g.doc_id)
+    SELECT a.doc_id,
+           CAST(len(a.sh) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+           round(CAST(coalesce(p.n_boiler, 0) AS DOUBLE) / len(a.sh), 4)
+             AS boiler_frac
+    FROM a LEFT JOIN p USING (doc_id)
+    """,
+)
+def text_boilerplate_ngram(spark: SparkSession, sf_dir: str) -> SDF:
+    """Cross-document boilerplate detection (RefinedWeb / CCNet style):
+    a 4-gram that appears in >= 3 DISTINCT documents is boilerplate
+    (navigation chrome, license headers, templated spans); every doc is
+    scored with the fraction of its distinct 4-grams that are
+    boilerplate — the signal used to drop template-dominated pages
+    before training.
+
+    Scale shape: grams leave the doc as 8-byte ``xxhash64`` fingerprints
+    — the document-frequency count and the rejoin shuffle only
+    (doc_id, hash) pairs, never gram text (same discipline as
+    ``dedup_exact``).  The boilerplate set is NOT force-broadcast: at
+    100 TB the df >= 3 gram set is itself huge, and both join inputs are
+    already hash-partitioned on the gram fingerprint from the count
+    stage, so the join reuses that exchange (AQE may still pick
+    broadcast when the set is small, as at test scale).  The per-doc
+    gram arrays are localCheckpointed once and feed both the explode and
+    the final n_grams projection, so shingling runs a single time."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    arr = (
+        D.spread(tk)
+        .where(F.size("toks") >= 4)
+        .select("doc_id", D.word_shingles(F.col("toks"), 4).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    g = arr.select("doc_id", F.explode("sh").alias("gram")).select(
+        "doc_id", F.xxhash64("gram").alias("gh")
+    )
+    boiler = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 3)
+        .select("gh")
+    )
+    per_doc = g.join(boiler, "gh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_boiler")
+    )
+    return (
+        arr.select("doc_id", F.size("sh").cast("long").alias("n_grams"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+            F.round(
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                4,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+@query(
+    "dedup_containment",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    a AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 3),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+          FROM t WHERE len(toks) >= 5),
+    g0 AS (SELECT doc_id, unnest(sh) AS gram FROM a),
+    keep AS (SELECT gram
+             FROM (SELECT gram, count(DISTINCT doc_id) AS df
+                   FROM g0 GROUP BY gram)
+             WHERE df BETWEEN 2 AND 20),
+    g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN keep USING (gram)),
+    n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+    p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+          FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id)
+    SELECT p.a, p.b, CAST(p.shared AS BIGINT) AS shared,
+           round(CAST(p.shared AS DOUBLE) / least(na.ng, nb.ng), 4)
+             AS containment
+    FROM p JOIN n na ON na.doc_id = p.a
+           JOIN n nb ON nb.doc_id = p.b
+    WHERE CAST(p.shared AS DOUBLE) / least(na.ng, nb.ng) >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> SDF:
+    """ASYMMETRIC near-dup detection by 5-gram containment: flags pairs
+    where the smaller document's gram set is >= 60 % contained in the
+    other — the quote / excerpt / superset relation that symmetric
+    Jaccard misses entirely (a doc fully embedded in one 10× its size
+    has Jaccard ~0.1 but containment 1.0).
+
+    Scale shape: candidate generation is the gram-fingerprint equi-join,
+    never all-pairs, with STOP-GRAM pruning first: grams in > 20 docs are
+    dropped before pairing (df = 1 grams can't pair and are dropped too),
+    bounding any single gram's pair fan-out at C(20,2) = 190 — the
+    standard prefix/frequency filter that keeps a popular-gram hot key
+    from exploding the join at corpus scale.  Everything shuffled is an
+    8-byte hash or a doc_id; per-doc gram counts are taken AFTER the
+    frequency filter so both engines normalize by the same set."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    arr = (
+        D.spread(tk)
+        .where(F.size("toks") >= 5)
+        .select("doc_id", D.word_shingles(F.col("toks"), 5).alias("sh"))
+    )
+    g0 = arr.select("doc_id", F.explode("sh").alias("gram")).select(
+        "doc_id", F.xxhash64("gram").alias("gh")
+    )
+    keep = (
+        g0.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df").between(2, 20))
+        .select("gh")
+    )
+    g = g0.join(keep, "gh").localCheckpoint(eager=True)
+    n = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
+    left = g.select(F.col("gh"), F.col("doc_id").alias("a"))
+    right = g.select(F.col("gh"), F.col("doc_id").alias("b"))
+    p = (
+        left.join(right, "gh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cont = F.col("shared").cast("double") / F.least(F.col("na"), F.col("nb"))
+    # n is doc-count-sized (one row per doc) — NOT broadcast-safe at
+    # 100 TB; left to AQE, which picks broadcast at test scale and a
+    # partitioned join when the corpus outgrows it.
+    return (
+        p.join(n.select(F.col("doc_id").alias("a"), F.col("ng").alias("na")), "a")
+        .join(n.select(F.col("doc_id").alias("b"), F.col("ng").alias("nb")), "b")
+        .where(cont >= 0.6)
+        .select(
+            "a",
+            "b",
+            F.col("shared").cast("long").alias("shared"),
+            F.round(cont, 4).alias("containment"),
+        )
+    )
