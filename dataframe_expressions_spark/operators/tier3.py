@@ -1061,22 +1061,24 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> SDF:
     shuffle on (lang, tri) with map-side partial agg, then a per-lang
     top-k window over the (small) distinct-trigram set."""
     docs = D.spread(load_table(spark, sf_dir, "documents"))
-    # one-pass char array + O(1) slices instead of per-index substring()
-    # (which re-scans the string per trigram — O(n²) per doc).  The char
-    # array MUST be a materialized column: referenced inline inside the
-    # transform lambda, Catalyst re-evaluates the split per element
-    # (measured 64 s vs 1.8 s at sf0.1).  The size guard mirrors the
-    # oracle's range(1, len-1), empty for len < 3.
-    staged = docs.select("lang", F.split(F.lower("text"), "").alias("chars"))
-    tris = F.when(
-        F.size("chars") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("chars") - 2),
-            lambda i: F.concat_ws("", F.slice(F.col("chars"), i, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = staged.select("lang", F.explode(tris).alias("tri")).where(
-        ~F.contains(F.col("tri"), F.lit(" "))
+    # Split on the literal space FIRST, then take trigrams inside each
+    # fragment: every length-3 window of the text either lies fully
+    # inside one fragment or contains a space — and the oracle drops
+    # exactly the windows containing a space — so the (fragment, offset)
+    # windows are a multiplicity-preserving bijection with the surviving
+    # full-text windows for ANY input (split(' ') keeps other whitespace
+    # inside fragments, matching the oracle's space-only filter).  This
+    # replaces the old whole-doc char-array materialization + per-window
+    # slice/concat with short-string substring() calls (fragments are
+    # words, O(5) chars), measured 1.25 s → 0.89 s at sf0.1.
+    frags = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ", -1)).alias("w")
+    ).where(F.length("w") >= 3)
+    g = frags.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(w)-2), i -> substring(w, i, 3))")
+        ).alias("tri"),
     )
     counted = g.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql import Window as W
