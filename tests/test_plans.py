@@ -226,3 +226,29 @@ def test_round4_ops_plan_shapes(spark):
 
     plan = _formatted_plan(qs["mixture_temperature"].fn(spark, SF_SMOKE))
     assert "BroadcastExchange" in plan, plan  # threshold table is broadcast
+
+
+def test_round4b_ops_plan_shapes(spark):
+    """Scale contracts of the second round-4 batch: the JL projection is
+    map-only (no shuffle, no Python eval); the boilerplate / containment
+    gram pipelines shuffle 8-byte xxhash64 fingerprints (hash calls in
+    plan) and never degrade to a nested-loop / cartesian join."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    qs = load_all()
+
+    df = qs["emb_random_projection"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+    plan = _formatted_plan(qs["text_boilerplate_ngram"].fn(spark, SF_SMOKE))
+    assert "xxhash64" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+    # dedup_containment's gram hashing sits behind its deliberate
+    # localCheckpoint (the filtered gram table feeds three consumers), so
+    # xxhash64 is not visible in the final plan — assert only the join
+    # discipline there.
+    plan = _formatted_plan(qs["dedup_containment"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
