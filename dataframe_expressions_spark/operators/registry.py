@@ -50,7 +50,8 @@ def query(qid: str, oracle: Optional[str] = None):
 # this round every one of the 142 ids has at least one driver row.
 # Round 5 should rotate in the round-4 additions (text_char_entropy,
 # emb_outlier_centroid, mixture_temperature, emb_random_projection,
-# text_boilerplate_ngram, dedup_containment — never driver-checked)
+# text_boilerplate_ngram, dedup_containment, agg_grouping_sets,
+# rollup_time_hierarchy — never driver-checked)
 # plus the remaining
 # r1-vintage greens: set_ops, string_funcs, date_funcs, udaf_pandas,
 # array_hof_funcs, cond_null_funcs, tpch_q3_shipping_priority,

@@ -2196,3 +2196,77 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> SDF:
             F.round(cont, 4).alias("containment"),
         )
     )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> SDF:
+    """Arbitrary GROUPING SETS — the aggregation lattice rollup/cube can't
+    express: here ((status, priority), (priority), ()) skips the
+    (status)-only stratum, the shape BI rollup reports actually ask for.
+    Spark 4's ``DataFrame.groupingSets`` lowers to ONE Expand + one hash
+    aggregate — a single scan and a single shuffle for all three strata,
+    not a UNION of three aggregates (the Expand multiplies rows by the
+    set count map-side, partial aggs collapse them before the exchange).
+    Sum folds in DECIMAL for partition-order determinism; NULL group
+    cells are genuine super-aggregate markers (both group columns are
+    non-null in the data, mirroring the ROLLUP precedent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "rollup_time_hierarchy",
+    """
+    SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS day,
+           strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS hour,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> SDF:
+    """Hypertable-style hierarchical time rollup: hourly, daily and
+    grand-total aggregates of the event stream in ONE pass — GROUP BY
+    ROLLUP over (day, hour) truncations of the timestamp.  The
+    continuous-aggregate pattern: one Expand + one shuffle produces
+    every granularity, instead of re-scanning 100 TB of events once per
+    level; day is a prefix of hour, so the rollup lattice is exactly the
+    natural time hierarchy and each super-aggregate row is the parent
+    bucket.  Buckets are emitted as formatted strings so super-aggregate
+    NULLs ride the same column type as real cells; the value sum folds
+    in DECIMAL."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.select(day.alias("day"), hour.alias("hour"), "value")
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
