@@ -51,7 +51,8 @@ def query(qid: str, oracle: Optional[str] = None):
 # Round 5 should rotate in the round-4 additions (text_char_entropy,
 # emb_outlier_centroid, mixture_temperature, emb_random_projection,
 # text_boilerplate_ngram, dedup_containment, agg_grouping_sets,
-# rollup_time_hierarchy — never driver-checked)
+# rollup_time_hierarchy, scd2_dimension, join_pit_nearest,
+# text_unigram_surprisal — never driver-checked)
 # plus the remaining
 # r1-vintage greens: set_ops, string_funcs, date_funcs, udaf_pandas,
 # array_hof_funcs, cond_null_funcs, tpch_q3_shipping_priority,

@@ -2270,3 +2270,182 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> SDF:
             .alias("sum_value"),
         )
     )
+
+
+@query(
+    "scd2_dimension",
+    """
+    WITH s AS (SELECT user_id, ts, event_id, round(value, 4) AS attr
+               FROM events WHERE event_type = 'signup')
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           attr,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM s
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> SDF:
+    """Slowly-changing-dimension TYPE 2 build from an event log: each
+    user's 'signup' events are attribute updates, turned into versioned
+    validity intervals [valid_from, valid_to) with an is_current flag —
+    the standard warehouse dimension-history construction (MERGE-based
+    ``cdc_upsert_compact`` keeps only the latest row; SCD2 keeps them
+    all, versioned).
+
+    One shuffle: a per-user window (ORDER BY ts, event_id for a
+    deterministic total order under same-timestamp updates) provides
+    version = row_number and valid_to = lead(ts).  At 100 TB the
+    partition key is user_id, so state per task is one user's history —
+    no skew beyond the busiest entity, no join, no second scan.
+    Interval ends are formatted strings so the open interval's NULL
+    rides a string column."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", F.round("value", 4).alias("attr")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    lead_ts = F.lead("ts").over(w)
+    return s.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        "attr",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(lead_ts, fmt).alias("valid_to"),
+        lead_ts.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "join_pit_nearest",
+    """
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT c.event_id, c.user_id, c.ts, p.ts AS pts,
+                 abs(epoch_us(c.ts) - epoch_us(p.ts)) AS d
+          FROM c LEFT JOIN p USING (user_id)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY d, pts) AS rk FROM j)
+    SELECT event_id, user_id, ts,
+           strftime(pts, '%Y-%m-%d %H:%M:%S') AS nearest_purchase_ts,
+           CAST(d AS BIGINT) AS gap_us
+    FROM r WHERE rk = 1
+    """,
+)
+def join_pit_nearest(spark: SparkSession, sf_dir: str) -> SDF:
+    """Nearest-in-time join, EITHER direction: every click is matched to
+    the temporally closest purchase by the same user (ties broken toward
+    the earlier purchase) — the bidirectional twin of the
+    backward-looking ``join_asof``, used for sensor alignment and
+    action↔outcome attribution when causality can run both ways.
+
+    Scale shape: ONE shuffle.  Both event sets interleave into a single
+    per-user window ordered by (ts, side, event_id) with purchases
+    sorted before same-timestamp clicks; the latest at-or-before
+    purchase is ``last(..., ignorenulls)`` over the preceding frame, the
+    earliest strictly-after purchase is ``first(...)`` over the
+    following frame, and the global argmin over same-user purchases is
+    provably the closer of those two candidates.  The oracle mirrors the
+    semantics as an explicit user-blocked argmin join — quadratic per
+    user, fine at oracle scale, while the window form stays
+    O(n log n) per user at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        epoch_us("ts").alias("t"),
+        (F.col("event_type") == "click").cast("int").alias("side"),
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+    w = W.partitionBy("user_id").orderBy("t", "side", "event_id")
+    prev_p = F.last("p_ts", ignorenulls=True).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    next_p = F.first("p_ts", ignorenulls=True).over(
+        w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    scored = both.select(
+        "event_id", "user_id", "ts", "t", "side",
+        prev_p.alias("prev_p"), next_p.alias("next_p"),
+    ).where(F.col("side") == 1)
+    d_prev = F.col("t") - epoch_us("prev_p")
+    d_next = epoch_us("next_p") - F.col("t")
+    take_prev = F.col("prev_p").isNotNull() & (
+        F.col("next_p").isNull() | (d_prev <= d_next)
+    )
+    nearest = F.when(take_prev, F.col("prev_p")).otherwise(F.col("next_p"))
+    gap = F.when(take_prev, d_prev).otherwise(d_next)
+    return scored.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.date_format(nearest, "yyyy-MM-dd HH:mm:ss").alias("nearest_purchase_ts"),
+        gap.cast("long").alias("gap_us"),
+    )
+
+
+@query(
+    "text_unigram_surprisal",
+    f"""
+    WITH tv AS (SELECT doc_id, unnest(toks) AS tok
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+                WHERE len(toks) > 0),
+    vocab AS (SELECT tok, count(*) AS n FROM tv GROUP BY tok),
+    tot AS (SELECT sum(n) AS t FROM vocab),
+    term AS (SELECT tok,
+                    round(ln(CAST(t AS DOUBLE)) - ln(CAST(n AS DOUBLE)), 6)
+                      AS srp
+             FROM vocab, tot)
+    SELECT tv.doc_id,
+           count(*) AS n_tok,
+           round(CAST(sum(CAST(srp AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_surprisal
+    FROM tv JOIN term USING (tok)
+    GROUP BY tv.doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> SDF:
+    """Unigram-LM cross-entropy scoring (perplexity proxy): train unigram
+    probabilities on the corpus itself, score every doc by its mean
+    token surprisal -ln p(tok) in nats — the cheap LM-based quality
+    signal (high = rare-token gibberish, low = stopword soup) used to
+    bucket documents before an expensive model-based filter.
+
+    Two-pass shape: pass 1 is the wordcount shuffle (map-side combined);
+    the corpus total folds off the vocab table.  Pass 2 re-joins doc
+    tokens to the per-token surprisal on the token key — the vocab side
+    is NOT force-broadcast (a web-corpus vocabulary is ~1e8 rows; AQE
+    picks broadcast at test scale) — then one rollup shuffle per doc.
+    Float discipline mirrors text_char_entropy: each token's surprisal
+    is rounded to 6 decimals once in the GROUPS-sized vocab table, the
+    per-doc mean folds those in DECIMAL, so engine log-ulp differences
+    cannot reorder the sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    tv = D.spread(docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))).where(
+        F.size("toks") > 0
+    ).select("doc_id", F.explode("toks").alias("tok"))
+    vocab = tv.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = vocab.agg(F.sum("n").alias("t"))
+    term = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.log(F.col("t").cast("double")) - F.log(F.col("n").cast("double")), 6
+        ).alias("srp"),
+    )
+    return (
+        tv.join(term, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(
+                F.sum(F.col("srp").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_surprisal"),
+        )
+    )
