@@ -2449,3 +2449,135 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> SDF:
             ).alias("avg_surprisal"),
         )
     )
+
+
+@query(
+    "window_pattern_match",
+    """
+    WITH s AS (SELECT user_id, event_id, event_type,
+                      lead(event_type, 1) OVER w AS n1,
+                      lead(event_type, 2) OVER w AS n2,
+                      lead(event_type, 3) OVER w AS n3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           count(*) AS n_clicks,
+           CAST(sum(CASE WHEN 'purchase' IN (n1, n2, n3) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted,
+           round(CAST(sum(CASE WHEN 'purchase' IN (n1, n2, n3) THEN 1 ELSE 0
+                          END) AS DOUBLE) / count(*), 4) AS conv_rate
+    FROM s WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def window_pattern_match(spark: SparkSession, sf_dir: str) -> SDF:
+    """MATCH_RECOGNIZE-style sequence detection without the SQL extension:
+    for every user, how many clicks are followed by a purchase within
+    the next 3 events (any type) — the path/sequence query behind
+    "did the nudge convert" product analytics.  ``funnel_conversion``
+    asks whether stages EVER happen in order; this asks for ADJACENCY
+    within a bounded lookahead, which is what lead(k) expresses exactly.
+
+    One shuffle: a per-user window (deterministic (ts, event_id) order)
+    computes the 3-step lookahead in a single pass — no self-join, no
+    explode; the rollup then shuffles one row per click.  At 100 TB the
+    lookahead is O(k) state per row regardless of history length,
+    unlike a time-range self-join whose fan-out scales with event
+    density."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("n1"),
+        F.lead("event_type", 2).over(w).alias("n2"),
+        F.lead("event_type", 3).over(w).alias("n3"),
+    ).where(F.col("event_type") == "click")
+    hit = (
+        (F.col("n1") == "purchase")
+        | (F.col("n2") == "purchase")
+        | (F.col("n3") == "purchase")
+    ).cast("long")
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(hit).alias("n_converted"),
+        F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 4).alias("conv_rate"),
+    )
+
+
+@query(
+    "stats_corr_matrix",
+    """
+    WITH a AS (SELECT count(*) AS n,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                      CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sz,
+                      CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                      CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                      CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS szz,
+                      CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+                      CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sxz,
+                      CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS syz
+               FROM lineitem)
+    SELECT 'quantity_extendedprice' AS pair,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr
+    FROM a
+    UNION ALL
+    SELECT 'quantity_discount',
+           round((n * sxz - sx * sz)
+                 / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)), 4)
+    FROM a
+    UNION ALL
+    SELECT 'extendedprice_discount',
+           round((n * syz - sy * sz)
+                 / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)), 4)
+    FROM a
+    """,
+)
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> SDF:
+    """Exact pairwise Pearson correlation matrix of three lineitem
+    measures in ONE aggregation pass: all sums / squares / cross-products
+    accumulate DECIMAL-exact in a single map-side-combined aggregate (no
+    per-pair re-scan, no ``df.stat.corr`` driver loop — that API runs one
+    job per pair), and the correlations fold arithmetically from the
+    1-row moment table.  The moment-matrix shape scales to p columns as
+    one pass over p(p+1)/2 accumulators — at 100 TB the scan dominates
+    and adding a pair is free.  All moments are exact DECIMAL sums cast
+    to double at the end, so both engines compute identical doubles
+    before the round."""
+    lin = load_table(spark, sf_dir, "lineitem")
+
+    def dsum(expr):
+        return F.sum(expr.cast("decimal(38,6)")).cast("double")
+
+    q, e, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    a = lin.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q).alias("sx"), dsum(e).alias("sy"), dsum(d).alias("sz"),
+        dsum(q * q).alias("sxx"), dsum(e * e).alias("syy"), dsum(d * d).alias("szz"),
+        dsum(q * e).alias("sxy"), dsum(q * d).alias("sxz"), dsum(e * d).alias("syz"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        n = F.col("n")
+        return F.round(
+            (n * F.col(sab) - F.col(sa) * F.col(sb))
+            / F.sqrt(
+                (n * F.col(saa) - F.col(sa) * F.col(sa))
+                * (n * F.col(sbb) - F.col(sb) * F.col(sb))
+            ),
+            4,
+        )
+    pairs = [
+        ("quantity_extendedprice", corr("sxy", "sx", "sy", "sxx", "syy")),
+        ("quantity_discount", corr("sxz", "sx", "sz", "sxx", "szz")),
+        ("extendedprice_discount", corr("syz", "sy", "sz", "syy", "szz")),
+    ]
+    # explode the 1-row moment table into the 3 output rows so the
+    # aggregate subtree runs ONCE (a unionAll of three selects over `a`
+    # would re-run the scan per branch)
+    rows = F.array(
+        *[F.struct(F.lit(name).alias("pair"), c.alias("corr")) for name, c in pairs]
+    )
+    return a.select(F.explode(rows).alias("s")).select("s.pair", "s.corr")
