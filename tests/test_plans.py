@@ -252,3 +252,32 @@ def test_round4b_ops_plan_shapes(spark):
     # discipline there.
     plan = _formatted_plan(qs["dedup_containment"].fn(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_round4c_ops_plan_shapes(spark):
+    """Scale contracts of the third round-4 batch: grouping-sets lowers
+    to ONE Expand (not a union of aggregates), the window ops are
+    single-shuffle, and the correlation matrix runs exactly one
+    aggregate over one scan."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    qs = load_all()
+
+    plan = _formatted_plan(qs["agg_grouping_sets"].fn(spark, SF_SMOKE))
+    assert plan.count("Expand") >= 1 and "Union" not in plan, plan
+
+    for qid in ("scd2_dimension", "join_pit_nearest", "window_pattern_match"):
+        df = qs[qid].fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one Exchange for the per-user window; pattern-match/pit add one
+        # rollup/filter stage at most — never a join shuffle
+        assert plan.count("Exchange") <= 2, (qid, plan)
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, (
+            qid,
+            plan,
+        )
+
+    df = qs["stats_corr_matrix"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1, plan  # exactly ONE aggregate subtree
+    assert "Union" not in plan, plan
