@@ -398,3 +398,21 @@ def connected_components(
         if n_changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
+def token_hash_shingles(th: Column, k: int) -> Column:
+    """Distinct k-gram fingerprints from a PRE-HASHED token array
+    (``array<long>``): one xxhash64 over each k-slice of 8-byte token
+    hashes — no shingle-string allocation anywhere (the string form
+    measured ~10× slower on the gram-explode pipelines; same hash-only
+    discipline as minhash_near_dup_pairs, same collision argument:
+    gram-hash equality ≡ gram equality up to ~2^-64 per co-bucketed
+    pair).  Empty when fewer than k tokens."""
+    n = F.size(th)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.xxhash64(F.slice(th, i, k)),
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<long>")
+    )

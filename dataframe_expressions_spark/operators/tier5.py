@@ -2078,16 +2078,24 @@ def text_boilerplate_ngram(spark: SparkSession, sf_dir: str) -> SDF:
     gram arrays are localCheckpointed once and feed both the explode and
     the final n_grams projection, so shingling runs a single time."""
     docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    # hash-only gram pipeline (functions/dedup.token_hash_shingles): the
+    # string-shingle form measured ~10× slower at sf0.1.  size(sh) > 0
+    # ≡ len(toks) >= 4 (a 4-token doc yields exactly one gram).
+    th = docs.select(
+        "doc_id",
+        F.transform(TX.tokens(F.col("text")), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    # filter on the MATERIALIZED token array's size, not size(sh): a
+    # predicate over the shingle expression makes Catalyst evaluate the
+    # whole transform twice (filter + project).  size(th) >= 4 ≡ the
+    # oracle's len(toks) >= 4.
     arr = (
-        D.spread(tk)
-        .where(F.size("toks") >= 4)
-        .select("doc_id", D.word_shingles(F.col("toks"), 4).alias("sh"))
+        D.spread(th)
+        .where(F.size("th") >= 4)
+        .select("doc_id", D.token_hash_shingles(F.col("th"), 4).alias("sh"))
         .localCheckpoint(eager=True)
     )
-    g = arr.select("doc_id", F.explode("sh").alias("gram")).select(
-        "doc_id", F.xxhash64("gram").alias("gh")
-    )
+    g = arr.select("doc_id", F.explode("sh").alias("gh"))
     boiler = (
         g.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -2156,15 +2164,28 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> SDF:
     8-byte hash or a doc_id; per-doc gram counts are taken AFTER the
     frequency filter so both engines normalize by the same set."""
     docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    # hash-only grams (see text_boilerplate_ngram); g0 is checkpointed
+    # because THREE consumers need it (df-count, join left, join right) —
+    # un-staged, the tokenize+shingle subtree re-ran once per consumer
+    # (measured 3× the whole-query cost at sf0.1).
+    th = docs.select(
+        "doc_id",
+        F.transform(TX.tokens(F.col("text")), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    # size(th) filter, not size(sh): see text_boilerplate_ngram.  The
+    # checkpoint sits on the DOC-level gram arrays, BEFORE the explode:
+    # Generate over an inline HOF expression re-evaluates the whole
+    # shingle transform per OUTPUT row (measured ~10 s vs ~1 s at sf0.1);
+    # exploding a materialized array column is a plain row expansion, and
+    # all three g0 consumers (df-count, join left/right) re-derive it
+    # cheaply from the checkpointed arrays.
     arr = (
-        D.spread(tk)
-        .where(F.size("toks") >= 5)
-        .select("doc_id", D.word_shingles(F.col("toks"), 5).alias("sh"))
+        D.spread(th)
+        .where(F.size("th") >= 5)
+        .select("doc_id", D.token_hash_shingles(F.col("th"), 5).alias("sh"))
+        .localCheckpoint(eager=True)
     )
-    g0 = arr.select("doc_id", F.explode("sh").alias("gram")).select(
-        "doc_id", F.xxhash64("gram").alias("gh")
-    )
+    g0 = arr.select("doc_id", F.explode("sh").alias("gh"))
     keep = (
         g0.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("df"))
