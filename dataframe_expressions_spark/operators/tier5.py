@@ -2567,7 +2567,10 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> SDF:
     and adding a pair is free.  All moments are exact DECIMAL sums cast
     to double at the end, so both engines compute identical doubles
     before the round."""
-    lin = load_table(spark, sf_dir, "lineitem")
+    # spread: 9 BigDecimal accumulators per row are compute-heavy enough
+    # that the single-file testdata scan's 1-task stage dominates
+    # (measured 3.1 s serial vs sub-second spread at sf0.1)
+    lin = D.spread(load_table(spark, sf_dir, "lineitem"))
 
     def dsum(expr):
         return F.sum(expr.cast("decimal(38,6)")).cast("double")
