@@ -242,16 +242,17 @@ def test_round4b_ops_plan_shapes(spark):
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
 
-    plan = _formatted_plan(qs["text_boilerplate_ngram"].fn(spark, SF_SMOKE))
-    assert "xxhash64" in plan, plan
-    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
-
-    # dedup_containment's gram hashing sits behind its deliberate
-    # localCheckpoint (the filtered gram table feeds three consumers), so
-    # xxhash64 is not visible in the final plan — assert only the join
-    # discipline there.
-    plan = _formatted_plan(qs["dedup_containment"].fn(spark, SF_SMOKE))
-    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    # Both gram pipelines hash tokens/shingles BEHIND their deliberate
+    # localCheckpoint (the doc-level gram arrays feed multiple consumers,
+    # and Generate over an inline HOF re-evaluates the transform per
+    # output row), so xxhash64 is not visible in the final plan — assert
+    # the join discipline, and hash-only shuffles via the checkpoint
+    # payload being long arrays (no string gram column downstream).
+    for qid in ("text_boilerplate_ngram", "dedup_containment"):
+        df = qs[qid].fn(spark, SF_SMOKE)
+        plan = _formatted_plan(df)
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan, (qid, plan)
+        assert "gram#" not in plan, (qid, plan)  # no gram STRINGS in any stage
 
 
 def test_round4c_ops_plan_shapes(spark):
