@@ -2605,3 +2605,134 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> SDF:
         *[F.struct(F.lit(name).alias("pair"), c.alias("corr")) for name, c in pairs]
     )
     return a.select(F.explode(rows).alias("s")).select("s.pair", "s.corr")
+
+
+@query(
+    "user_func_arrow",
+    """
+    SELECT c_custkey, upper(trim(c_name)) AS norm_name,
+           CAST(length(c_name) AS BIGINT) AS name_len
+    FROM customer
+    """,
+)
+def user_func_arrow(spark: SparkSession, sf_dir: str) -> SDF:
+    """Spark 4 Arrow-optimized Python UDF (``useArrow=True``): the row API
+    with Arrow-batch serialization — the migration path for row UDFs that
+    can't be expressed as vectorized pandas_udfs (per-row control flow,
+    third-party per-value libraries).  The plan shows ArrowEvalPython,
+    never BatchEvalPython: data crosses as Arrow batches, only the Python
+    call itself is per-row, which measured ~5-10× over pickled row UDFs.
+    The UDF body sticks to ASCII-exact ops (strip spaces + upper) so the
+    SQL mirror is semantically identical for any input; name_len comes
+    from the JVM side — mixing codegen and Arrow stages in one projection
+    is the realistic shape."""
+    from pyspark.sql.types import StringType
+
+    norm = F.udf(lambda s: s.strip(" ").upper(), StringType(), useArrow=True)
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        norm("c_name").alias("norm_name"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+@query(
+    "stats_ols_regression",
+    """
+    WITH m AS (SELECT
+        CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+        CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+        CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+        CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+        CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s2y,
+        CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM lineitem),
+    d AS (SELECT *,
+        n  * (s11 * s22 - s12 * s12)
+      - s1 * (s1  * s22 - s12 * s2)
+      + s2 * (s1  * s12 - s11 * s2) AS det
+      FROM m),
+    b AS (SELECT *,
+        (sy  * (s11 * s22 - s12 * s12)
+       - s1y * (s1  * s22 - s2  * s12)
+       + s2y * (s1  * s12 - s2  * s11)) / det AS b0,
+        (n   * (s1y * s22 - s2y * s12)
+       - s1  * (sy  * s22 - s2y * s2)
+       + s2  * (sy  * s12 - s1y * s2)) / det AS b1,
+        (n   * (s11 * s2y - s12 * s1y)
+       - s1  * (s1  * s2y - s12 * sy)
+       + s2  * (s1  * s1y - s11 * sy)) / det AS b2
+      FROM d)
+    SELECT round(b0, 4) AS b0, round(b1, 4) AS b1, round(b2, 4) AS b2,
+           round(1 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                     / (syy - sy * sy / n), 4) AS r2
+    FROM b
+    """,
+)
+def stats_ols_regression(spark: SparkSession, sf_dir: str) -> SDF:
+    """Closed-form multiple linear regression (OLS) fit of
+    extendedprice ~ quantity + discount, plus R², computed entirely from
+    the exact moment matrix: one DECIMAL-folded aggregation pass builds
+    X'X and X'y, and the 3×3 normal equations solve by Cramer's rule as
+    plain arithmetic on the 1-row moment table — no mllib, no driver
+    round-trip, no iteration.  The same pattern fits p regressors with
+    one pass and O(p²) accumulators; at 100 TB the scan is the entire
+    cost (identical shape to stats_corr_matrix, which shares the spread
+    rationale).  Both engines derive every double from identical exact
+    DECIMAL sums, so the Cramer arithmetic is bit-identical before the
+    round."""
+    lin = D.spread(load_table(spark, sf_dir, "lineitem"))
+
+    def dsum(expr):
+        return F.sum(expr.cast("decimal(38,6)")).cast("double")
+
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = lin.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x1).alias("s1"), dsum(x2).alias("s2"), dsum(y).alias("sy"),
+        dsum(x1 * x1).alias("s11"), dsum(x1 * x2).alias("s12"),
+        dsum(x2 * x2).alias("s22"), dsum(x1 * y).alias("s1y"),
+        dsum(x2 * y).alias("s2y"), dsum(y * y).alias("syy"),
+    )
+    c = {k: F.col(k) for k in ("n","s1","s2","sy","s11","s12","s22","s1y","s2y","syy")}
+    det = (
+        c["n"] * (c["s11"] * c["s22"] - c["s12"] * c["s12"])
+        - c["s1"] * (c["s1"] * c["s22"] - c["s12"] * c["s2"])
+        + c["s2"] * (c["s1"] * c["s12"] - c["s11"] * c["s2"])
+    )
+    b0 = (
+        c["sy"] * (c["s11"] * c["s22"] - c["s12"] * c["s12"])
+        - c["s1y"] * (c["s1"] * c["s22"] - c["s2"] * c["s12"])
+        + c["s2y"] * (c["s1"] * c["s12"] - c["s2"] * c["s11"])
+    ) / det
+    b1 = (
+        c["n"] * (c["s1y"] * c["s22"] - c["s2y"] * c["s12"])
+        - c["s1"] * (c["sy"] * c["s22"] - c["s2y"] * c["s2"])
+        + c["s2"] * (c["sy"] * c["s12"] - c["s1y"] * c["s2"])
+    ) / det
+    b2 = (
+        c["n"] * (c["s11"] * c["s2y"] - c["s12"] * c["s1y"])
+        - c["s1"] * (c["s1"] * c["s2y"] - c["s12"] * c["sy"])
+        + c["s2"] * (c["s1"] * c["s1y"] - c["s11"] * c["sy"])
+    ) / det
+    staged = m.select(
+        c["n"], c["s1"], c["s2"], c["sy"], c["s1y"], c["s2y"], c["syy"],
+        b0.alias("b0"), b1.alias("b1"), b2.alias("b2"),
+    )
+    return staged.select(
+        F.round("b0", 4).alias("b0"),
+        F.round("b1", 4).alias("b1"),
+        F.round("b2", 4).alias("b2"),
+        F.round(
+            F.lit(1)
+            - (F.col("syy") - F.col("b0") * F.col("sy") - F.col("b1") * F.col("s1y")
+               - F.col("b2") * F.col("s2y"))
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+            4,
+        ).alias("r2"),
+    )

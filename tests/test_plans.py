@@ -102,6 +102,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
     from dataframe_expressions_spark.operators.registry import load_all
 
     declared_pandas = {
+        "user_func_arrow",  # Arrow-optimized row UDF — ArrowEvalPython by design
         "udaf_pandas",
         "dedup_simhash",
         "dedup_components",
