@@ -2736,3 +2736,37 @@ def stats_ols_regression(spark: SparkSession, sf_dir: str) -> SDF:
             4,
         ).alias("r2"),
     )
+
+
+@query(
+    "scan_xml",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           round(CAST(c_acctbal AS DOUBLE), 4) AS c_acctbal
+    FROM customer
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> SDF:
+    """XML sink+source round-trip on Spark 4's NATIVE xml data source
+    (built in since 4.0 — no spark-xml package): writer emits one <row>
+    element per record, reader parses with an EXPLICIT schema so the scan
+    is single-pass (schema inference over XML reads everything twice, a
+    non-starter at scale).  XML is the interchange format legacy feeds
+    still arrive in; values round-trip exactly (Java shortest-repr double
+    serialization + entity-escaped strings)."""
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"/tmp/spark_graft_xml_{key}"
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 4).alias("c_acctbal")
+    )
+    cust.write.mode("overwrite").option("rootTag", "rows").option(
+        "rowTag", "row"
+    ).format("xml").save(out)
+    return (
+        spark.read.schema(
+            "c_custkey long, c_name string, c_nationkey long, c_acctbal double"
+        )
+        .option("rowTag", "row")
+        .format("xml")
+        .load(out)
+    )
