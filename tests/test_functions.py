@@ -165,3 +165,39 @@ def test_connected_components_chain_and_islands(spark):
     )
     out = {r.doc_id: r.component for r in D.connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 7: 7}
+
+
+def test_token_hash_shingles_matches_string_shingles(spark):
+    """The hash-only gram pipeline must agree with the string-shingle
+    definition on COUNTS (distinct k-gram hashes ≡ distinct k-gram
+    strings bar ~2^-64 collisions) and on the empty-below-k contract —
+    the property the oracle SQL relies on."""
+    from pyspark.sql import functions as F
+
+    from dataframe_expressions_spark.functions.dedup import (
+        token_hash_shingles,
+        word_shingles,
+    )
+
+    rows = [
+        ([],),
+        (["a"],),
+        (["a", "b"],),
+        (["a", "b", "c"],),                     # exactly k=3
+        (["a", "b", "c", "d", "e"],),
+        (["x", "x", "x", "x"],),                # one distinct shingle
+        (["a", "b", "a", "b", "a", "b"],),      # repeating pattern
+        ([str(i % 7) for i in range(40)],),     # long with repeats
+    ]
+    df = spark.createDataFrame(rows, "toks array<string>")
+    th = df.select(
+        F.col("toks"),
+        F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    for k in (2, 3, 5):
+        got = th.select(
+            F.size(token_hash_shingles(F.col("th"), k)).alias("h"),
+            F.size(word_shingles(F.col("toks"), k)).alias("s"),
+        ).collect()
+        for r in got:
+            assert r["h"] == r["s"], (k, r)
