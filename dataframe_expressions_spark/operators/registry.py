@@ -53,8 +53,8 @@ def query(qid: str, oracle: Optional[str] = None):
 # text_boilerplate_ngram, dedup_containment, agg_grouping_sets,
 # rollup_time_hierarchy, scd2_dimension, join_pit_nearest,
 # text_unigram_surprisal, window_pattern_match, stats_corr_matrix,
-# user_func_arrow, stats_ols_regression, scan_xml — never
-# driver-checked)
+# user_func_arrow, stats_ols_regression, scan_xml,
+# pipeline_pretrain_corpus — never driver-checked)
 # plus the remaining
 # r1-vintage greens: set_ops, string_funcs, date_funcs, udaf_pandas,
 # array_hof_funcs, cond_null_funcs, tpch_q3_shipping_priority,

@@ -2770,3 +2770,180 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> SDF:
         .format("xml")
         .load(out)
     )
+
+
+_PFP = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(text) + 1),
+                     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                 (a, x) -> (a * 31 + x) % 1000000007)"""
+
+
+@query(
+    "pipeline_pretrain_corpus",
+    f"""
+    WITH t AS (SELECT doc_id, source, n_chars, md5(text) AS fp,
+                      {_PFP} AS pfp, {_TOKS} AS toks
+               FROM documents),
+    t2 AS (SELECT doc_id, source, n_chars, fp, pfp,
+                  CAST(len(toks) AS BIGINT) AS n_tok,
+                  CASE WHEN len(toks) >= 5 THEN
+                    list_distinct(list_transform(range(1, len(toks) - 3),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           || ' ' || toks[i+3] || ' ' || toks[i+4]))
+                  ELSE [] END AS sh
+           FROM t),
+    ded AS (SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS k1
+            FROM t2),
+    q AS (SELECT *, k1 AND n_tok >= 20
+                 AND CAST(n_chars AS DOUBLE) / greatest(n_tok, 1) <= 6.0 AS k2
+          FROM ded),
+    evg AS (SELECT DISTINCT unnest(sh) AS gram FROM t2 WHERE source = 'src0'),
+    cont AS (SELECT DISTINCT g.doc_id
+             FROM (SELECT doc_id, unnest(sh) AS gram FROM t2
+                   WHERE source <> 'src0') g
+             JOIN evg USING (gram)),
+    dc AS (SELECT q.*, q.k2 AND q.source <> 'src0'
+                  AND q.doc_id NOT IN (SELECT doc_id FROM cont) AS k3
+           FROM q),
+    c3 AS (SELECT source, count(*) AS n FROM dc WHERE k3 GROUP BY source),
+    r AS (SELECT source,
+                 CAST(floor(10000 * sqrt(CAST((SELECT min(n) FROM c3) AS DOUBLE)
+                                         / CAST(n AS DOUBLE))) AS BIGINT)
+                   AS thresh
+          FROM c3),
+    mx AS (SELECT dc.*, dc.k3 AND (dc.pfp % 10000) < coalesce(r.thresh, 0) AS k4
+           FROM dc LEFT JOIN r USING (source)),
+    stages AS (
+      SELECT 's0_raw' AS stage, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM mx
+      UNION ALL
+      SELECT 's1_exact_dedup', CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN k1 THEN n_tok ELSE 0 END) AS BIGINT) FROM mx
+      UNION ALL
+      SELECT 's2_quality', CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN k2 THEN n_tok ELSE 0 END) AS BIGINT) FROM mx
+      UNION ALL
+      SELECT 's3_decontam', CAST(sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN k3 THEN n_tok ELSE 0 END) AS BIGINT) FROM mx
+      UNION ALL
+      SELECT 's4_mixture', CAST(sum(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN k4 THEN n_tok ELSE 0 END) AS BIGINT) FROM mx)
+    SELECT stage, n_docs, n_tokens FROM stages
+    UNION ALL
+    SELECT 's5_pack_512',
+           CAST(ceil(CAST(n_tokens AS DOUBLE) / 512) AS BIGINT), n_tokens
+    FROM stages WHERE stage = 's4_mixture'
+    """,
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> SDF:
+    """THE flagship composition: the full pretraining-corpus funnel in one
+    query — exact dedup → heuristic quality gate → eval-set
+    decontamination → temperature (α=0.5) source rebalancing → 512-token
+    sequence packing — reporting surviving docs + tokens after every
+    stage (the dataset-card table every corpus release publishes).
+
+    Scale shape: ONE boolean flag per stage per doc, all computed before
+    a single rollup — no stage materializes an intermediate corpus:
+    * exact dedup is a min-over-window on md5 (one shuffle of 16-byte
+      keys);
+    * quality is map-side arithmetic;
+    * decontamination broadcast-semi-joins the (tiny by construction)
+      eval-set gram fingerprints against hash-only doc grams;
+    * mixture thresholds derive from the SOURCES-sized survivor counts
+      of the previous stage and broadcast back (hash-stable keeps,
+      corpus never shuffled);
+    * the funnel rollup is one aggregation over the flag table, and the
+      pack row folds off the (checkpointed, 5-row) rollup itself.
+    Counting 'docs that WOULD survive' instead of filtering keeps every
+    stage's effect auditable from one pass — flip a flag conjunction to
+    materialize the actual corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    t = D.spread(docs.select("doc_id", "source", "n_chars", "text")).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5("text").alias("fp"),
+        TX.char_fingerprint(F.col("text")).alias("pfp"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.transform(toks, lambda x: F.xxhash64(x)).alias("th"),
+    )
+    t2 = t.select(
+        "doc_id", "source", "n_chars", "fp", "pfp", "n_tok",
+        D.token_hash_shingles(F.col("th"), 5).alias("sh"),
+    ).localCheckpoint(eager=True)
+
+    w = W.partitionBy("fp")
+    ded = t2.withColumn("k1", F.col("doc_id") == F.min("doc_id").over(w))
+    q = ded.withColumn(
+        "k2",
+        F.col("k1")
+        & (F.col("n_tok") >= 20)
+        & (F.col("n_chars").cast("double") / F.greatest(F.col("n_tok"), F.lit(1)) <= 6.0),
+    )
+    evg = (
+        t2.where(F.col("source") == "src0")
+        .select(F.explode("sh").alias("gh"))
+        .distinct()
+    )
+    cont = (
+        t2.where(F.col("source") != "src0")
+        .select("doc_id", F.explode("sh").alias("gh"))
+        .join(F.broadcast(evg), "gh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+    dc = (
+        q.join(cont, "doc_id", "left")
+        .withColumn(
+            "k3",
+            F.col("k2") & (F.col("source") != "src0") & F.col("is_cont").isNull(),
+        )
+        .drop("is_cont")
+    )
+    c3 = dc.where(F.col("k3")).groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    min_n = c3.agg(F.min("n").alias("mn"))
+    r = c3.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        F.floor(
+            10000 * F.sqrt(F.col("mn").cast("double") / F.col("n").cast("double"))
+        ).alias("thresh"),
+    )
+    mx = dc.join(F.broadcast(r), "source", "left").withColumn(
+        "k4",
+        F.col("k3") & (F.col("pfp") % 10000 < F.coalesce(F.col("thresh"), F.lit(0))),
+    )
+
+    def _stage(name, flag):
+        return F.struct(
+            F.lit(name).alias("stage"),
+            flag.cast("long").alias("inc"),
+            F.when(flag, F.col("n_tok")).otherwise(F.lit(0)).alias("tok"),
+        )
+
+    exploded = mx.select(
+        F.explode(
+            F.array(
+                _stage("s0_raw", F.lit(True)),
+                _stage("s1_exact_dedup", F.col("k1")),
+                _stage("s2_quality", F.col("k2")),
+                _stage("s3_decontam", F.col("k3")),
+                _stage("s4_mixture", F.col("k4")),
+            )
+        ).alias("s")
+    )
+    rollup = (
+        exploded.groupBy(F.col("s.stage").alias("stage"))
+        .agg(
+            F.sum("s.inc").alias("n_docs"),
+            F.sum("s.tok").cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pack = rollup.where(F.col("stage") == "s4_mixture").select(
+        F.lit("s5_pack_512").alias("stage"),
+        F.ceil(F.col("n_tokens").cast("double") / 512).cast("long").alias("n_docs"),
+        "n_tokens",
+    )
+    return rollup.unionAll(pack)
