@@ -2947,3 +2947,179 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> SDF:
         "n_tokens",
     )
     return rollup.unionAll(pack)
+
+
+@query(
+    "sql_pipe_syntax",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem WHERE l_quantity > 10 GROUP BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> SDF:
+    """Spark 4 SQL pipe syntax (`|>`): the linear FROM → WHERE →
+    AGGREGATE form that reads in execution order — same Catalyst plan as
+    the classic SELECT (verified by the shared oracle), purely surface:
+    an engine claiming the Spark 4 SQL surface must parse it.  The
+    filter still pushes to the scan and the aggregate still map-side
+    combines; pipe stages are sugar, not a planning boundary."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    lin.createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """FROM pipe_lineitem
+           |> WHERE l_quantity > 10
+           |> AGGREGATE CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                          AS sum_qty,
+                        count(*) AS n
+              GROUP BY l_returnflag"""
+    ).select("l_returnflag", "sum_qty", "n")
+
+
+@query(
+    "join_lateral",
+    """
+    SELECT c.c_custkey, o.o_orderkey,
+           round(CAST(o.o_totalprice AS DOUBLE), 4) AS o_totalprice
+    FROM customer c JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ON true
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> SDF:
+    """Correlated LATERAL join — top-2 orders per customer written as the
+    per-row subquery analysts actually type.  Catalyst DECORRELATES it:
+    the per-customer ORDER BY/LIMIT becomes a partitioned window/rank,
+    so the plan is one shuffle, not one subquery execution per customer
+    row (the thing that would never survive 100 TB).  Same result as the
+    window_rank family; registered for the SQL surface and the
+    decorrelation guarantee."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """SELECT c.c_custkey, o.o_orderkey,
+                  round(CAST(o.o_totalprice AS DOUBLE), 4) AS o_totalprice
+           FROM lat_customer c JOIN LATERAL (
+               SELECT o_orderkey, o_totalprice FROM lat_orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o"""
+    )
+
+
+@query(
+    "sql_recursive_cte",
+    """
+    WITH RECURSIVE cal(d) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL SELECT d + INTERVAL 1 DAY FROM cal
+      WHERE d < TIMESTAMP '1995-03-31')
+    SELECT cal.d AS day,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue
+    FROM cal LEFT JOIN orders ON date_trunc('day', o_orderdate) = cal.d
+    GROUP BY cal.d
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> SDF:
+    """Recursive CTE (Spark 4.1): generate the Q1-1995 calendar by
+    recursion and LEFT JOIN order revenue onto it — zero-order days kept
+    (the calendar-dimension gapfill every reporting stack needs).  The
+    recursion is driver-cheap (90 single-row steps building a tiny
+    dimension); the join against the fact table is one broadcast of the
+    90-row calendar — the fact side never shuffles.  The DataFrame twin
+    of the date spine is sequence()+explode (timeseries_gapfill); this
+    registers the SQL-standard form."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rec_orders")
+    return spark.sql(
+        """WITH RECURSIVE cal(d) AS (
+             SELECT TIMESTAMP '1995-01-01'
+             UNION ALL SELECT d + INTERVAL 1 DAY FROM cal
+             WHERE d < TIMESTAMP '1995-03-31')
+           SELECT cal.d AS day,
+                  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+                  CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(38,6)))
+                       AS DOUBLE) AS revenue
+           FROM cal LEFT JOIN rec_orders
+             ON date_trunc('day', o_orderdate) = cal.d
+           GROUP BY cal.d"""
+    )
+
+
+@query(
+    "reshape_transpose",
+    """
+    WITH a AS (SELECT l_returnflag,
+                      round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6)))
+                            AS DOUBLE), 4) AS sum_qty,
+                      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                            AS DOUBLE), 4) AS sum_price,
+                      CAST(count(*) AS DOUBLE) AS n
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT 'sum_qty' AS key,
+           max(CASE WHEN l_returnflag = 'A' THEN sum_qty END) AS A,
+           max(CASE WHEN l_returnflag = 'N' THEN sum_qty END) AS N,
+           max(CASE WHEN l_returnflag = 'R' THEN sum_qty END) AS R FROM a
+    UNION ALL
+    SELECT 'sum_price',
+           max(CASE WHEN l_returnflag = 'A' THEN sum_price END),
+           max(CASE WHEN l_returnflag = 'N' THEN sum_price END),
+           max(CASE WHEN l_returnflag = 'R' THEN sum_price END) FROM a
+    UNION ALL
+    SELECT 'n',
+           max(CASE WHEN l_returnflag = 'A' THEN n END),
+           max(CASE WHEN l_returnflag = 'N' THEN n END),
+           max(CASE WHEN l_returnflag = 'R' THEN n END) FROM a
+    """,
+)
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> SDF:
+    """Spark 4 ``DataFrame.transpose()``: metrics-per-group (3×k) flipped
+    to group-per-metric (k×3) — the report orientation flip that
+    otherwise needs a hand-written conditional-aggregation pivot (which
+    is exactly what the oracle writes out).  transpose() runs on the
+    AGGREGATE (3 rows), so the expensive side is one normal groupBy scan;
+    transposing a tall fact table would collect it — never do that.
+    All metrics are cast double pre-transpose (transpose requires one
+    least-common value type)."""
+    lin = D.spread(load_table(spark, sf_dir, "lineitem"))
+    agg = lin.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"), 4)
+        .alias("sum_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double"), 4
+        ).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    return agg.transpose()
+
+
+@query(
+    "string_collation",
+    """
+    WITH v AS (SELECT n_name FROM nation
+               UNION ALL
+               SELECT upper(substr(n_name, 1, 1)) ||
+                      lower(substr(n_name, 2)) FROM nation)
+    SELECT CAST(count(DISTINCT n_name) AS BIGINT) AS distinct_binary,
+           CAST(count(DISTINCT lower(n_name)) AS BIGINT) AS distinct_lcase
+    FROM v
+    """,
+)
+def string_collation(spark: SparkSession, sf_dir: str) -> SDF:
+    """Spark 4 string collations: the same distinct-count under the
+    default binary collation vs UTF8_LCASE — case variants collapse
+    under the collated comparison WITHOUT rewriting every predicate to
+    lower(col) (which breaks pushdown and index/stats reuse on real
+    tables; the collation is a column property the whole plan honors).
+    The oracle mirrors the lcase semantics with lower() — identical for
+    ASCII; collation-aware comparison is the scalable spelling."""
+    nation = load_table(spark, sf_dir, "nation")
+    v = nation.select("n_name").unionAll(
+        nation.select(F.initcap(F.lower("n_name")).alias("n_name"))
+    )
+    return v.select(
+        F.countDistinct("n_name").alias("distinct_binary"),
+        F.countDistinct(F.expr("n_name COLLATE UTF8_LCASE")).alias("distinct_lcase"),
+    )
