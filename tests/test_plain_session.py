@@ -31,7 +31,8 @@ spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
 qs = e.queries()
 # one batch-events, one streaming, one scan, one pandas-UDF query
-for qid in ("map_funcs", "session_window", "scan_parquet", "grouped_map_pandas"):
+for qid in ("map_funcs", "session_window", "scan_parquet", "grouped_map_pandas",
+            "sql_recursive_cte", "pipeline_pretrain_corpus"):
     n = qs[qid](spark, {smoke_dir!r}).count()
     assert n >= 0, qid
 print("PLAIN_SESSION_OK")
