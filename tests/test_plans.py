@@ -283,3 +283,19 @@ def test_round4c_ops_plan_shapes(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") == 1, plan  # exactly ONE aggregate subtree
     assert "Union" not in plan, plan
+
+
+def test_lateral_join_decorrelates_to_window(spark):
+    """The LATERAL top-2 subquery must decorrelate: Catalyst rewrites it
+    to a partitioned row_number window with WindowGroupLimit (top-k
+    pushdown), joined hash-wise — never a per-row subquery loop
+    (CartesianProduct / BroadcastNestedLoopJoin), which is what makes
+    the SQL spelling survive 100 TB."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    df = load_all()["join_lateral"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
