@@ -3123,3 +3123,35 @@ def string_collation(spark: SparkSession, sf_dir: str) -> SDF:
         F.countDistinct("n_name").alias("distinct_binary"),
         F.countDistinct(F.expr("n_name COLLATE UTF8_LCASE")).alias("distinct_lcase"),
     )
+
+
+@query(
+    "window_rolling_median",
+    """
+    SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> SDF:
+    """Rolling EXACT median over the last 5 events per user — the
+    robust-smoothing twin of ewma_smooth (mean-based smoothers chase the
+    outliers the median ignores).  Spark's percentile() is a true window
+    aggregate here: one shuffle on user_id, one sort, O(frame) state per
+    row — no self-join against a range, no collect.  Interpolation
+    contract: Spark percentile == DuckDB quantile_cont (continuous),
+    rounded to 4; the (ts, event_id) order key is a deterministic total
+    order under same-timestamp events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med5"),
+    )
