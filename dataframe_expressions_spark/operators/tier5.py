@@ -1987,7 +1987,7 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> SDF:
                        ((CAST((i - 1) * 8191 + j AS BIGINT)
                          * CAST((i - 1) * 8191 + j AS BIGINT)) // 64) % 2
                        AS INTEGER)))),
-               (a, x) -> a + x), 6) AS pval
+               (a, x) -> a + x), 6) + 0.0 AS pval
     FROM e, (SELECT unnest(range(0, 8)) AS j)
     """,
 )
@@ -2016,6 +2016,10 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> SDF:
         h = (i.cast("bigint") * F.lit(8191) + j).cast("bigint")
         return F.lit(1) - F.lit(2) * F.shiftright(h * h, 6).bitwiseAND(F.lit(1)).cast("int")
 
+    # `+ 0.0` after the round normalizes IEEE signed zero: a fold that
+    # lands just below 0 rounds to -0.0 in DuckDB but +0.0 in Spark —
+    # numerically equal, but the driver's CSV hash sees "-0.0" ≠ "0.0"
+    # (caught by the sf0.1 parity sweep; sf0.01 had no zero crossing).
     proj = F.transform(
         F.sequence(F.lit(0), F.lit(7)),
         lambda j: F.round(
@@ -2029,7 +2033,8 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> SDF:
                 lambda a, x: a + x,
             ),
             6,
-        ),
+        )
+        + F.lit(0.0),
     )
     return emb.select("vec_id", F.posexplode(proj).alias("dim", "pval")).select(
         "vec_id", F.col("dim").cast("long").alias("dim"), "pval"
