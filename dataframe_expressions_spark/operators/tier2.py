@@ -715,10 +715,18 @@ def cond_null_funcs(spark: SparkSession, sf_dir: str) -> SDF:
     """
     WITH prof AS (
       SELECT user_id,
-             CAST(avg(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS avg_value
+             -- divide AFTER casting the exact DECIMAL sum to double
+             -- (DuckDB's avg(DECIMAL) divides in decimal first), and do
+             -- NOT round the quotient: per-user averages land exactly on
+             -- 0.00005 half-way points, where Spark's round (exact
+             -- decimal expansion of the double) and DuckDB's (floating
+             -- multiply) disagree — the unrounded double is bit-identical
+             -- in both engines (caught by the sf0.1 parity sweep)
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+               AS avg_value
       FROM events GROUP BY user_id)
     SELECT e.event_id, e.user_id, round(CAST(e.value AS DOUBLE), 4) AS value,
-           round(p.avg_value, 4) AS avg_value
+           p.avg_value
     FROM events e JOIN prof p ON e.user_id = p.user_id
     """,
 )
@@ -746,7 +754,8 @@ def join_salted(spark: SparkSession, sf_dir: str) -> SDF:
         "event_id",
         "user_id",
         F.round("value", 4).alias("value"),
-        F.round("avg_value", 4).alias("avg_value"),
+        # unrounded: see the oracle note on half-way rounding divergence
+        "avg_value",
     )
 
 
