@@ -2519,10 +2519,15 @@ def window_pattern_match(spark: SparkSession, sf_dir: str) -> SDF:
         F.lead("event_type", 2).over(w).alias("n2"),
         F.lead("event_type", 3).over(w).alias("n3"),
     ).where(F.col("event_type") == "click")
-    hit = (
+    # coalesce before the sum: a click with NO lookahead events (user's
+    # last/only events) has all-NULL leads, and NULL|false = NULL — an
+    # un-coalesced sum returns NULL where the oracle's CASE counts 0
+    # (caught by the adversarial single-event-user test)
+    hit = F.coalesce(
         (F.col("n1") == "purchase")
         | (F.col("n2") == "purchase")
-        | (F.col("n3") == "purchase")
+        | (F.col("n3") == "purchase"),
+        F.lit(False),
     ).cast("long")
     return s.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_clicks"),
@@ -3136,7 +3141,7 @@ def string_collation(spark: SparkSession, sf_dir: str) -> SDF:
     SELECT event_id, user_id,
            round(quantile_cont(value, 0.5) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) + 0.0 AS med5
     FROM events
     """,
 )
@@ -3155,8 +3160,13 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> SDF:
         .orderBy("ts", "event_id")
         .rowsBetween(-4, W.currentRow)
     )
+    # `+ 0.0` normalizes IEEE signed zero: a median of tiny negatives
+    # rounds to -0.0 in one engine and +0.0 in the other (caught by the
+    # adversarial events test; same class as emb_random_projection)
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med5"),
+        (F.round(F.expr("percentile(value, 0.5)").over(w), 4) + F.lit(0.0)).alias(
+            "med5"
+        ),
     )

@@ -1,0 +1,108 @@
+"""Adversarial-input parity for the event/window operators: the driver's
+events table has well-spread timestamps, so same-instant ties (where the
+(ts, event_id) tie-break discipline actually matters), single-event
+users, purchase-free clickers, and extreme values never get exercised
+there.  Synthetic events built to hit exactly those, compared through
+the driver-grade oracle harness."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import oracle_check as oc  # noqa: E402
+
+_T0 = dt.datetime(1995, 6, 1, 12, 0, 0)
+
+
+def _mk_events():
+    rows = []
+    eid = 0
+
+    def add(ts, user, etype, value, props="{}"):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, ts, user, etype, value, props))
+
+    # user 1: FIVE events at the SAME instant (tie-break stress), then one more
+    for et in ("click", "purchase", "click", "signup", "view"):
+        add(_T0, 1, et, 10.0)
+    add(_T0 + dt.timedelta(minutes=5), 1, "purchase", 20.0)
+    # user 2: single event only
+    add(_T0, 2, "click", 1.5)
+    # user 3: purchase-rich increasing sequence
+    for i in range(8):
+        add(_T0 + dt.timedelta(minutes=i), 3,
+            "purchase" if i % 2 else "click", float(i))
+    # user 4: clicks but NO purchase (null nearest-purchase path)
+    for i in range(4):
+        add(_T0 + dt.timedelta(hours=i), 4, "click", 2.0 * i)
+    # user 5: extreme and negative values, same-day spread
+    add(_T0, 5, "signup", -1.0e6)
+    add(_T0 + dt.timedelta(seconds=1), 5, "signup", 0.0)
+    add(_T0 + dt.timedelta(seconds=2), 5, "signup", 123456789.123456)
+    add(_T0 + dt.timedelta(seconds=3), 5, "error", -0.000049)
+    # user 6: signup-only history (SCD2 with several versions, ts ties)
+    add(_T0, 6, "signup", 1.0)
+    add(_T0, 6, "signup", 2.0)
+    add(_T0 + dt.timedelta(days=1), 6, "signup", 3.0)
+    return rows
+
+
+_QIDS = (
+    "scd2_dimension",
+    "join_pit_nearest",
+    "window_pattern_match",
+    "window_rolling_median",
+    "ewma_smooth",
+    "anomaly_zscore",
+    "rollup_time_hierarchy",
+)
+
+
+@pytest.fixture(scope="module")
+def adv_events_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("adv_events_sf")
+    rows = _mk_events()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_event_ops_survive_adversarial_input(spark, adv_events_dir):
+    import duckdb
+
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    load_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{adv_events_dir}/events.parquet')"
+    )
+    failures = {}
+    for qid in _QIDS:
+        try:
+            err = oc.run_one(qid, spark, con, adv_events_dir)
+        except Exception as e:  # noqa: BLE001
+            err = f"EXC {type(e).__name__}: {e}"
+        if err:
+            failures[qid] = err
+    assert not failures, failures
