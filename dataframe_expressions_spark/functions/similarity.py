@@ -54,12 +54,19 @@ def cosine_topk(
     # norms are computed ONCE per vector, not once per (query, vector)
     # pair — bit-identical to cosine() (same fold order, same sqrt) but
     # one dot instead of three per scored pair
+    # zero-norm vectors have no direction: excluded as BOTH query and
+    # candidate — under ANSI the 0-divisor cosine otherwise aborts the
+    # whole job on the first degenerate embedding (adversarial test)
     q = embeddings.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qvec")
-    ).withColumn("qnrm", F.sqrt(dot(F.col("qvec"), F.col("qvec"))))
+    ).withColumn("qnrm", F.sqrt(dot(F.col("qvec"), F.col("qvec")))).where(
+        F.col("qnrm") > 0
+    )
     corpus = embeddings.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vvec")
-    ).withColumn("vnrm", F.sqrt(dot(F.col("vvec"), F.col("vvec"))))
+    ).withColumn("vnrm", F.sqrt(dot(F.col("vvec"), F.col("vvec")))).where(
+        F.col("vnrm") > 0
+    )
     scored = corpus.join(F.broadcast(q), F.col("vid") != F.col("qid")).select(
         "qid",
         "vid",
@@ -123,7 +130,9 @@ def cosine_topk_lsh(
         F.col(id_col).alias("vid"),
         _as_double(F.col(vec_col)).alias("vvec"),
         lsh_bucket(_as_double(F.col(vec_col)), bits).alias("bucket"),
-    ).withColumn("vnrm", F.sqrt(dot(F.col("vvec"), F.col("vvec"))))
+    ).withColumn("vnrm", F.sqrt(dot(F.col("vvec"), F.col("vvec")))).where(
+        F.col("vnrm") > 0  # zero-norm exclusion: see cosine_topk
+    )
     q = emb.where(F.col("vid").isin(query_ids)).select(
         F.col("vid").alias("qid"), F.col("vvec").alias("qvec"),
         F.col("vnrm").alias("qnrm"), "bucket",
@@ -158,10 +167,10 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, vec_col: str = "vvec") -> D
     # folds per (vector, centroid) pair
     emb_n = emb.withColumn(
         "_vn", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
-    )
+    ).where(F.col("_vn") > 0)  # zero-norm exclusion: see cosine_topk
     cents_n = centroids.withColumn(
         "_cn", F.sqrt(dot(F.col("cvec"), F.col("cvec")))
-    )
+    ).where(F.col("_cn") > 0)
     scored = emb_n.join(F.broadcast(cents_n)).withColumn(
         "csim",
         dot(F.col(vec_col), F.col("cvec")) / (F.col("_vn") * F.col("_cn")),

@@ -231,7 +231,10 @@ _COS = (
     f"""
     WITH e AS (SELECT vec_id, label,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings)
+               FROM embeddings
+               WHERE list_inner_product(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0)
     SELECT a.vec_id AS a, b.vec_id AS b,
            round({_COS.format(l='a', r='b')}, 4) AS sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -249,6 +252,10 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> SDF:
         # filter+project pair doubled it to 6); precomputing leaves ONE
         # dot per pair — bit-identical (same fold order, same sqrt)
         .withColumn("nrm", F.sqrt(S.dot(F.col("v"), F.col("v"))))
+        # a zero vector has no direction: drop it BEFORE pairing — under
+        # ANSI mode the 0/0 cosine otherwise kills the whole job on the
+        # first degenerate embedding (caught by the adversarial test)
+        .where(F.col("nrm") > 0)
     )
     a = emb.select(
         F.col("vec_id").alias("a"), F.col("label").alias("la"),
@@ -276,9 +283,10 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> SDF:
 @query(
     "sim_search_topk",
     f"""
-    WITH e AS (SELECT vec_id,
+    WITH e0 AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
+         e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
          q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 5),
          scored AS (
            SELECT q.qid, e.vec_id AS vid, round({_COS.format(l='q', r='e')}, 4) AS sim
@@ -309,9 +317,10 @@ _LSH_BUCKET_SQL = """
 @query(
     "sim_search_lsh",
     f"""
-    WITH e AS (SELECT vec_id AS vid,
+    WITH e0 AS (SELECT vec_id AS vid,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
+         e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
          eb AS (SELECT vid, v, {_LSH_BUCKET_SQL.format(v='v')} AS bucket FROM e),
          q AS (SELECT vid AS qid, v AS qv, bucket FROM eb WHERE vid < 5),
          scored AS (
@@ -815,10 +824,11 @@ _IVF_COS = (
 @query(
     "sim_search_ivf",
     f"""
-    WITH e AS (SELECT vec_id AS vid,
+    WITH e0 AS (SELECT vec_id AS vid,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
-         cent AS (
+         e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+         cent0 AS (
            SELECT CAST(label AS BIGINT) AS cell, list(c ORDER BY pos) AS cvec
            FROM (
              SELECT label, pos,
@@ -828,6 +838,8 @@ _IVF_COS = (
                           unnest(range(1, len(embedding) + 1)) AS pos
                    FROM embeddings)
              GROUP BY label, pos) GROUP BY label),
+         cent AS (SELECT * FROM cent0
+                  WHERE list_inner_product(cvec, cvec) > 0),
          cell_scored AS (
            SELECT e.vid, e.v, c.cell,
                   {_IVF_COS.format(l='e.v', r='c.cvec')} AS csim

@@ -1,0 +1,102 @@
+"""Adversarial-input parity for the embedding/ANN operators: the driver's
+embeddings are well-behaved random unit-ish vectors, so zero vectors
+(cosine 0/0), exactly duplicated and negated pairs (cosine ±1 on the
+round boundary), underflow/overflow magnitudes, and degenerate k-means
+input never get exercised.  Synthetic embeddings built to hit exactly
+those, compared through the driver-grade oracle harness."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import oracle_check as oc  # noqa: E402
+
+_DIM = 64
+
+
+def _vec(f):
+    return [f(i) for i in range(_DIM)]
+
+
+def _mk_embeddings():
+    rows = []
+
+    def add(vec, label):
+        rows.append((len(rows), [float(x) for x in vec], label))
+
+    add(_vec(lambda i: 0.0), 0)                       # zero vector
+    add(_vec(lambda i: 0.1 * (i % 5)), 0)             # duplicate pair a
+    add(_vec(lambda i: 0.1 * (i % 5)), 0)             # duplicate pair b
+    add(_vec(lambda i: -0.1 * (i % 5)), 1)            # negation of the pair
+    # magnitudes: underflow below DECIMAL(38,12) scale, and the largest
+    # component inside the documented fold domain (squared terms must fit
+    # DECIMAL(38,12) — |x| ≲ 1e13; real embeddings are O(1), and beyond
+    # the domain BOTH the ANSI fold and the oracle's decimal overflow)
+    add(_vec(lambda i: 1e-30), 1)
+    add(_vec(lambda i: 1e2 if i == 0 else 0.0), 1)
+    add(_vec(lambda i: -1.0 if i % 2 else 1.0), 2)    # alternating signs
+    # fill labels 0-9 with deterministic distinct vectors
+    for k in range(30):
+        lab = k % 10
+        add(_vec(lambda i, k=k: ((i * 7 + k * 13) % 11 - 5) / 7.0), lab)
+    return rows
+
+
+_QIDS = (
+    "emb_norm_quantize",
+    "emb_centroid",
+    "emb_outlier_centroid",
+    "emb_random_projection",
+    "dedup_near_embedding",
+    "sim_search_topk",
+    "sim_search_lsh",
+    "sim_search_ivf",
+    "kmeans_lloyd",
+)
+
+
+@pytest.fixture(scope="module")
+def adv_emb_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("adv_emb_sf")
+    rows = _mk_embeddings()
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_embedding_ops_survive_adversarial_input(spark, adv_emb_dir):
+    import duckdb
+
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    load_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{adv_emb_dir}/embeddings.parquet')"
+    )
+    failures = {}
+    for qid in _QIDS:
+        try:
+            err = oc.run_one(qid, spark, con, adv_emb_dir)
+        except Exception as e:  # noqa: BLE001
+            err = f"EXC {type(e).__name__}: {str(e)[:140]}"
+        if err:
+            failures[qid] = err
+    assert not failures, failures
