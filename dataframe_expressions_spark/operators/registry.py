@@ -56,7 +56,8 @@ def query(qid: str, oracle: Optional[str] = None):
 # user_func_arrow, stats_ols_regression, scan_xml,
 # pipeline_pretrain_corpus, sql_pipe_syntax, join_lateral,
 # sql_recursive_cte, reshape_transpose, string_collation,
-# window_rolling_median — never driver-checked)
+# window_rolling_median, join_null_safe, agg_filter_clause,
+# sql_group_by_all — never driver-checked)
 # plus the remaining
 # r1-vintage greens: set_ops, string_funcs, date_funcs, udaf_pandas,
 # array_hof_funcs, cond_null_funcs, tpch_q3_shipping_priority,

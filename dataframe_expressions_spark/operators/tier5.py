@@ -3170,3 +3170,106 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> SDF:
             "med5"
         ),
     )
+
+
+@query(
+    "join_null_safe",
+    """
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      nullif(o_orderstatus, 'O') AS grp
+               FROM orders)
+    SELECT coalesce(a.grp, '(null)') AS grp,
+           count(*) AS n_pairs
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.grp IS NOT DISTINCT FROM b.grp
+     AND a.o_orderkey < b.o_orderkey
+    GROUP BY coalesce(a.grp, '(null)')
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> SDF:
+    """NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM): same-
+    customer order pairs whose (possibly NULL) derived group matches,
+    with NULL == NULL — the semantics entity-resolution joins need when
+    the blocking key is legitimately absent (a plain `=` silently drops
+    every NULL-keyed row, the classic dirty-feed bug).  The equi-key
+    part (o_custkey) still drives the hash join, so `eqNullSafe` rides a
+    bounded per-customer join, never a NULL-bucket cross product."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.nullif("o_orderstatus", F.lit("O")).alias("grp"),
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("ka"), F.col("o_custkey").alias("ca"),
+        F.col("grp").alias("ga"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("kb"), F.col("o_custkey").alias("cb"),
+        F.col("grp").alias("gb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ca") == F.col("cb"))
+            & F.col("ga").eqNullSafe(F.col("gb"))
+            & (F.col("ka") < F.col("kb")),
+        )
+        .groupBy(F.coalesce(F.col("ga"), F.lit("(null)")).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "agg_filter_clause",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> SDF:
+    """SQL:2003 FILTER-clause aggregates: per-aggregate predicates in one
+    grouping pass — the standard spelling of conditional aggregation
+    (CASE-WHEN pivoting is the workaround dialect).  One scan, one
+    shuffle, every FILTER evaluated map-side; the DECIMAL fold rides the
+    filtered sum unchanged."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    lin.createOrReplaceTempView("fc_lineitem")
+    return spark.sql(
+        """SELECT l_returnflag,
+                  count(*) AS n,
+                  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                       FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev
+           FROM fc_lineitem GROUP BY l_returnflag"""
+    )
+
+
+@query(
+    "sql_group_by_all",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> SDF:
+    """GROUP BY ALL (Spark 3.4+ / DuckDB-originated): every non-aggregate
+    select item becomes a grouping key — kills the
+    stale-column-list-after-edit bug in wide rollup queries.  Pure
+    parser sugar over the same single-shuffle hash aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("gba_orders")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  count(*) AS n,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                    AS revenue
+           FROM gba_orders GROUP BY ALL"""
+    )
