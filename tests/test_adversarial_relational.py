@@ -83,6 +83,9 @@ _QIDS = (
     "hist_totalprice",
     "stats_winsorize",
     "join_lateral",
+    "join_null_safe",
+    "agg_filter_clause",
+    "sql_group_by_all",
 )
 
 
