@@ -60,6 +60,11 @@ def _mk_tables():
         od(i, (i % 3) + 1, "OF"[i % 2], 100.0 + i, _D(1995, 1 + i % 12, 5),
            f"{i % 5 + 1}-P")
 
+    # orphan lineitem (no parent order) and childless order: the nested
+    # orders-items view build must neither drop nor fabricate rows
+    li(99, 1, 2.0, 20.0, 0.0, 0.0, "A", "F", _D(1995, 4, 1))
+    od(25, 2, "O", 50.0, _D(1995, 10, 1), "5-LOW")
+
     customer = [
         (1, "Customer#1", 0, 100.0, "BUILDING"),
         (2, "Customer#2", 1, -5.0, "AUTOMOBILE"),
@@ -70,6 +75,14 @@ def _mk_tables():
 
 
 _QIDS = (
+    # tier-1 capture-DSL surface over the nested orders×items view
+    "project_scalar",
+    "filter_mask",
+    "count_agg",
+    "nested_count_cut",
+    "nested_filter_agg",
+    "nested_minmax_agg",
+    "nested_topn_slice",
     "agg_groupby",
     "agg_rollup_cube",
     "agg_grouping_sets",
