@@ -3273,3 +3273,299 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> SDF:
                     AS revenue
            FROM gba_orders GROUP BY ALL"""
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 4): the five queries whose canonical form needs
+# the partsupp table this testdata doesn't ship.  Each derives the
+# part-supplier relation from lineitem (``GROUP BY l_partkey, l_suppkey``
+# — one (pk, sk) shuffle, the exact relation partsupp materializes in
+# stock TPC-H) and proxies ps_supplycost / ps_availqty with deterministic
+# lineitem/part aggregates, so the *query shape* (correlated min-cost
+# subquery, NOT-IN exclusion, scalar-fraction HAVING, nested semi-join)
+# is preserved even though the literal columns differ.  With these, all
+# 22 TPC-H query shapes are registered (Q1 = agg_groupby, tier2.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             min(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE')
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+           p.p_partkey, p.p_name, round(ps.cost, 2) AS supply_cost
+    FROM part p
+    JOIN ps ON ps.pk = p.p_partkey
+    JOIN eu ON eu.s_suppkey = ps.sk
+    WHERE p.p_type = 'SMALL' AND p.p_size <= 10
+      AND ps.cost = (SELECT min(ps2.cost) FROM ps ps2
+                     JOIN eu eu2 ON eu2.s_suppkey = ps2.sk
+                     WHERE ps2.pk = p.p_partkey)
+    ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey
+    LIMIT 20
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q2 (minimum-cost supplier), adapted: supply cost :=
+    ``min(l_extendedprice)`` per (part, supplier) since there is no
+    partsupp.  The correlated "cheapest in region per part" subquery
+    decorrelates into a per-part min over the SAME derived relation,
+    joined back — Catalyst plans both sides off one (pk, sk) shuffle, so
+    the subquery costs one extra partial aggregate, not a probe per part.
+    Cost is an exact double (min of 2-dp prices, no division), so the
+    equality join agrees bit-for-bit across engines; ties keep every
+    argmin supplier on both.  Final top-k is TakeOrderedAndProject with a
+    unique (acctbal, nation, name, partkey) tie-break."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    ps = lin.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min("l_extendedprice").alias("cost"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    )
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = ps.join(F.broadcast(eu), ps.sk == eu.s_suppkey)
+    best = ps_eu.groupBy("pk").agg(F.min("cost").alias("min_cost"))
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").where(
+            (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+        )
+    )
+    return (
+        ps_eu.join(best, "pk")
+        .where(F.col("cost") == F.col("min_cost"))
+        .join(part, F.col("pk") == F.col("p_partkey"))
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("cost", 2).alias("supply_cost"),
+        )
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    """
+    SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.6 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(38,6))) AS DOUBLE), 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(l.l_shipdate)
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q9 (product-type profit by nation and year), adapted: unit
+    cost := ``0.6 * p_retailprice`` (no ps_supplycost), so profit =
+    revenue − 0.6·retail·qty.  The whole amount is computed in IEEE
+    double (bit-identical across engines) and DECIMAL-folded once for an
+    order-independent sum.  Scale: the part filter broadcasts, supplier→
+    nation is a broadcast dim chain, and the only shuffle is the final
+    (nation, year) aggregate with map-side combine."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(_DEC)
+    return (
+        lin.join(part, lin.l_partkey == part.p_partkey)
+        .join(supp, lin.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l_partkey AS pk,
+             sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey)
+    SELECT pk AS p_partkey, round(CAST(value AS DOUBLE), 2) AS value
+    FROM val
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT 0.0007 * CAST(sum(value) AS DOUBLE) FROM val)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q11 (important stock), adapted: per-part "stock value" :=
+    the DECIMAL sum of extended price shipped by ASIA-region suppliers
+    (no ps_availqty·ps_supplycost).  The fraction-of-total HAVING is a
+    scalar subquery → 1-row aggregate broadcast (never a second scan of
+    the grouped relation: Spark reuses the aggregated exchange under AQE).
+    The compare runs in double on both engines from the same exact
+    DECIMAL sums, so the strict > agrees bit-for-bit."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        lin.join(F.broadcast(supp), lin.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("value"))
+    )
+    total = F.broadcast(
+        val.agg((0.0007 * F.sum("value").cast("double")).alias("threshold"))
+    )
+    return (
+        val.crossJoin(total)
+        .where(F.col("value").cast("double") > F.col("threshold"))
+        .select(
+            F.col("pk").alias("p_partkey"),
+            F.round(F.col("value").cast("double"), 2).alias("value"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_relation",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.sk) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.pk
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 49)
+      AND ps.sk NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_relation(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q16 (part/supplier relationship count), adapted: the
+    part-supplier pairs come from ``SELECT DISTINCT`` over lineitem and
+    the "complaints" exclusion becomes ``s_acctbal < 0`` (no s_comment).
+    NOT IN lowers to a broadcast left-anti join (the excluded-supplier
+    set is tiny and non-null by construction, so the NULL-semantics trap
+    of NOT IN never fires).  count(DISTINCT sk) per (brand, type, size)
+    runs as the standard two-phase distinct-expand aggregate — one
+    shuffle on the group keys after the pair-dedup shuffle."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    ps = lin.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 49)
+        )
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.sk == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("pk") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("sk")).cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_promotion_supplier",
+    """
+    WITH qty AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate < TIMESTAMP '1997-01-01'
+                      THEN l_quantity ELSE 0 END) AS q96,
+             sum(l_quantity) AS qall
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'red%')
+      GROUP BY l_partkey, l_suppkey)
+    SELECT DISTINCT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'AFRICA'
+      AND s.s_suppkey IN (SELECT sk FROM qty WHERE q96 > 0.3 * qall)
+    """,
+)
+def tpch_q20_promotion_supplier(spark: SparkSession, sf_dir: str) -> SDF:
+    """TPC-H Q20 (potential part promotion), adapted: "availqty exceeds
+    half of shipped quantity" becomes "1996 shipped quantity exceeds 30%
+    of all-time shipped quantity" for red parts (no partsupp).  The
+    nested IN-chain lowers to two left-semi joins: lineitem semi-joins
+    the broadcast red-part keys BEFORE its (pk, sk) aggregate (filter
+    below the shuffle), and supplier semi-joins the qualifying supplier
+    keys.  Quantities are small exact doubles; the conditional sum is the
+    same FILTER-style partial aggregate on both engines."""
+    part_keys = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    lin = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_keys),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    qty = lin.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.sum(F.when(in96, F.col("l_quantity")).otherwise(F.lit(0.0))).alias("q96"),
+        F.sum("l_quantity").alias("qall"),
+    )
+    good = qty.where(F.col("q96") > 0.3 * F.col("qall")).select("sk")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "AFRICA")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(good.distinct(), F.col("s_suppkey") == F.col("sk"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .distinct()
+    )
