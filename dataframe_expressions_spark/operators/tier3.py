@@ -1557,3 +1557,102 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> SDF:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(25)
     )
+
+
+@query(
+    "dedup_semantic",
+    """
+    WITH x AS (SELECT vec_id,
+                      list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+               FROM embeddings),
+         xs AS (SELECT vec_id, v FROM x WHERE list_inner_product(v, v) > 0),
+         c0 AS (SELECT vec_id AS cid, v AS c FROM xs WHERE vec_id < 32),
+         a1 AS (SELECT vec_id, cid FROM (
+            SELECT xs.vec_id, c0.cid,
+                   row_number() OVER (PARTITION BY xs.vec_id ORDER BY
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(range(1, 65),
+                         i -> (xs.v[i] - c0.c[i]) * (xs.v[i] - c0.c[i]))),
+                       (a, b) -> a + b), cid) AS rk
+            FROM xs CROSS JOIN c0) WHERE rk = 1),
+         e AS (SELECT a1.cid, xs.vec_id, xs.v,
+                      sqrt(list_inner_product(xs.v, xs.v)) AS nrm
+               FROM a1 JOIN xs USING (vec_id))
+    SELECT a.vec_id AS a, b.vec_id AS b, a.cid AS cluster_id,
+           round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+    FROM e a JOIN e b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> SDF:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space, then search for near-duplicate pairs
+    ONLY within each cluster — the published recipe for semantic dedup of
+    web-scale pretraining corpora.  Here: one nearest-centroid assignment
+    pass over k=32 seed centroids (the 32 lowest vec_ids — deterministic,
+    no RNG), then exact cosine ≥ 0.3 within each cluster.
+
+    Scale: centroids are O(k·d) and ride a broadcast 1-row array, so
+    assignment is a map-only stage (same argmin fold as kmeans_lloyd);
+    the within-cluster pair join is an equi-join on cluster id — shuffle
+    cost O(n), compare cost Σ|cluster|² instead of n² (the entire point
+    of SemDeDup).  Norms fold once per row, zero-norm vectors drop before
+    pairing (ANSI 0/0 guard), and the pair stage carries (id, v, nrm)
+    only.  At 100 TB the same plan holds with k scaled to keep clusters
+    ~constant-size and AQE splitting skewed cells."""
+    emb = D.spread(load_table(spark, sf_dir, "embeddings"))
+    x = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    xs = x.where(S.dot(F.col("v"), F.col("v")) > 0)
+    cents = (
+        xs.where(F.col("vec_id") < 32)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cid"), F.col("c")))
+            ).alias("cents")
+        )
+    )
+    dist = lambda ct: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("v"), ct["c"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    assigned = (
+        xs.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "v",
+            F.array_min(
+                F.transform(
+                    F.col("cents"),
+                    lambda ct: F.struct(dist(ct).alias("d"), ct["cid"].alias("cid")),
+                )
+            )["cid"].alias("cid"),
+            F.sqrt(S.dot(F.col("v"), F.col("v"))).alias("nrm"),
+        )
+    )
+    a = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["cid"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("sim_raw", cos)
+        .where(F.col("sim_raw") >= 0.3)
+        .select(
+            "a",
+            "b",
+            F.col("cid").alias("cluster_id"),
+            F.round("sim_raw", 4).alias("sim"),
+        )
+    )

@@ -3569,3 +3569,265 @@ def tpch_q20_promotion_supplier(spark: SparkSession, sf_dir: str) -> SDF:
         .select("s_name", "s_acctbal")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# graph analytics beyond connected components: PageRank
+# ---------------------------------------------------------------------------
+
+_PR_CONTRIB = (
+    "CAST(sum(CAST(r{k}.r / deg.d AS DECIMAL(38,18))) AS DOUBLE)"
+)
+
+
+@query(
+    "graph_pagerank",
+    f"""
+    WITH ps AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    e AS (SELECT s AS src, 1000000 + p AS dst FROM ps
+          UNION ALL SELECT 1000000 + p AS src, s AS dst FROM ps),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM deg, nn),
+    s1 AS (SELECT e.dst AS node, {_PR_CONTRIB.format(k=0)} AS s
+           FROM e JOIN r0 ON r0.node = e.src JOIN deg USING (src)
+           GROUP BY e.dst),
+    r1 AS (SELECT node, CAST(0.15 AS DOUBLE) / nn.n
+                        + CAST(0.85 AS DOUBLE) * s AS r FROM s1, nn),
+    s2 AS (SELECT e.dst AS node, {_PR_CONTRIB.format(k=1)} AS s
+           FROM e JOIN r1 ON r1.node = e.src JOIN deg USING (src)
+           GROUP BY e.dst),
+    r2 AS (SELECT node, CAST(0.15 AS DOUBLE) / nn.n
+                        + CAST(0.85 AS DOUBLE) * s AS r FROM s2, nn),
+    s3 AS (SELECT e.dst AS node, {_PR_CONTRIB.format(k=2)} AS s
+           FROM e JOIN r2 ON r2.node = e.src JOIN deg USING (src)
+           GROUP BY e.dst),
+    r3 AS (SELECT node, CAST(0.15 AS DOUBLE) / nn.n
+                        + CAST(0.85 AS DOUBLE) * s AS r FROM s3, nn)
+    SELECT node, round(r, 8) AS rank
+    FROM r3 ORDER BY r DESC, node LIMIT 20
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> SDF:
+    """PageRank (damping 0.85, 3 synchronous iterations) over the
+    bipartite supplier↔part graph derived from lineitem — the iterative
+    graph-centrality template beyond dedup_components' label propagation.
+    Part nodes are offset by 1e6 so one BIGINT id space carries both
+    sides.
+
+    Scale: each iteration is ONE shuffle (join ranks onto the edge list
+    by src, aggregate contributions by dst) — the textbook Pregel
+    message-passing round.  Contributions are DECIMAL(38,18)-folded so
+    the per-dst sum is partition-order independent and bit-identical to
+    the oracle's; every node has an in-edge (undirected expansion), so no
+    dangling-mass term.  Degrees and ranks ride (id, 8B) rows — never the
+    fact table.  The edge list is localCheckpoint'ed once and re-read
+    per round; lineage is cut per iteration exactly like
+    connected_components.  Top-k is TakeOrderedAndProject on the raw
+    double rank with a unique node tie-break; rounding happens after
+    ranking."""
+    lin = load_table(spark, sf_dir, "lineitem")
+    ps = lin.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    e = ps.select(
+        F.col("s").alias("src"), (F.lit(1000000) + F.col("p")).alias("dst")
+    ).unionAll(
+        ps.select(
+            (F.lit(1000000) + F.col("p")).alias("src"), F.col("s").alias("dst")
+        )
+    ).localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nn = F.broadcast(deg.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    r = deg.crossJoin(nn).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r")
+    ).localCheckpoint(eager=True)
+    ed = e.join(deg, "src")  # (src, dst, d) — reused every round
+    for _ in range(3):
+        s = (
+            ed.join(r, ed.src == r.node)
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("r") / F.col("d")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        r = s.crossJoin(nn).select(
+            F.col("dst").alias("node"),
+            (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("r"),
+        ).localCheckpoint(eager=True)
+    return (
+        r.orderBy(F.desc("r"), "node")
+        .limit(20)
+        .select("node", F.round("r", 8).alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset profiling + experiment analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "profile_columns",
+    """
+    SELECT 'o_orderkey' AS col_name,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           min(o_totalprice), max(o_totalprice)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(*) - count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> SDF:
+    """Table profiling — per-column null count, exact distinct count and
+    numeric min/max (the data-quality pass every ingestion pipeline runs
+    before training).  The Spark side is ONE aggregate over ONE scan: the
+    six distinct counts plan as a single expand-based multi-distinct
+    aggregate, and the wide 1-row result unpivots to rows via stack() —
+    never six scans (the oracle spells the per-column UNION for clarity;
+    DuckDB dedups the scans itself).  At 100 TB swap exact
+    count(DISTINCT) for approx_count_distinct per column — same plan
+    shape minus the expand."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def nulls(c: str) -> F.Column:
+        return F.count(F.lit(1)) - F.count(F.col(c))
+
+    wide = orders.agg(
+        *[nulls(c).cast("long").alias(f"nn_{c}") for c in (
+            "o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderstatus", "o_orderpriority", "o_orderdate",
+        )],
+        *[F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}") for c in (
+            "o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderstatus", "o_orderpriority", "o_orderdate",
+        )],
+        F.min("o_orderkey").cast("double").alias("min_o_orderkey"),
+        F.max("o_orderkey").cast("double").alias("max_o_orderkey"),
+        F.min("o_custkey").cast("double").alias("min_o_custkey"),
+        F.max("o_custkey").cast("double").alias("max_o_custkey"),
+        F.min("o_totalprice").alias("min_o_totalprice"),
+        F.max("o_totalprice").alias("max_o_totalprice"),
+    )
+    rows = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, "
+        + (
+            f"min_{c}, max_{c}"
+            if c in ("o_orderkey", "o_custkey", "o_totalprice")
+            else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+        )
+        for c in (
+            "o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderstatus", "o_orderpriority", "o_orderdate",
+        )
+    )
+    return wide.selectExpr(
+        f"stack(6, {rows}) AS (col_name, n_nulls, n_distinct, min_num, max_num)"
+    )
+
+
+@query(
+    "stats_ab_welch",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY event_type),
+    w AS (
+      SELECT event_type, n, s / n AS mean,
+             (ss - s * s / n) / (n - 1) AS var
+      FROM g),
+    p AS (
+      SELECT max(CASE WHEN event_type = 'click' THEN n END) AS n_a,
+             max(CASE WHEN event_type = 'view' THEN n END) AS n_b,
+             max(CASE WHEN event_type = 'click' THEN mean END) AS mean_a,
+             max(CASE WHEN event_type = 'view' THEN mean END) AS mean_b,
+             max(CASE WHEN event_type = 'click' THEN var END) AS var_a,
+             max(CASE WHEN event_type = 'view' THEN var END) AS var_b
+      FROM w)
+    SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
+           round((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat
+    FROM p
+    """,
+)
+def stats_ab_welch(spark: SparkSession, sf_dir: str) -> SDF:
+    """A/B experiment comparison — Welch's t-statistic between two event
+    cohorts in ONE aggregation pass: per-group (n, Σx, Σx²) are
+    DECIMAL-folded partial aggregates (order-independent, map-side
+    combined), mean/variance/t derive in closed form from those three
+    sufficient statistics — no second pass, no per-group collect.  The
+    identical double arithmetic runs from identical exact sums on both
+    engines, so even the t-statistic matches bit-for-bit before the
+    display rounding.  The 100 TB shape: a 2-row aggregate over an
+    arbitrarily large fact scan."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast(_DEC))
+        .cast("double")
+        .alias("ss"),
+    )
+    w = g.select(
+        "event_type",
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))  # noqa: E731
+    p = w.agg(
+        pick("click", "n").alias("n_a"),
+        pick("view", "n").alias("n_b"),
+        pick("click", "mean").alias("mean_a"),
+        pick("view", "mean").alias("mean_b"),
+        pick("click", "var").alias("var_a"),
+        pick("view", "var").alias("var_b"),
+    )
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return p.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("var_a", 6).alias("var_a"),
+        F.round("var_b", 6).alias("var_b"),
+        F.round(t, 6).alias("t_stat"),
+    )
