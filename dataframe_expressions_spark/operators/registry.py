@@ -60,7 +60,8 @@ def query(qid: str, oracle: Optional[str] = None):
 # sql_group_by_all, tpch_q2_min_cost_supplier, tpch_q9_product_profit,
 # tpch_q11_important_stock, tpch_q16_supplier_relation,
 # tpch_q20_promotion_supplier, dedup_semantic, graph_pagerank,
-# profile_columns, stats_ab_welch — never driver-checked)
+# profile_columns, stats_ab_welch, dedup_substring_spans,
+# emb_pq_codebook — never driver-checked)
 # plus the remaining
 # r1-vintage greens: set_ops, string_funcs, date_funcs, udaf_pandas,
 # array_hof_funcs, cond_null_funcs, tpch_q3_shipping_priority,

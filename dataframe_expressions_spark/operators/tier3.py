@@ -1656,3 +1656,208 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> SDF:
             F.round("sim_raw", 4).alias("sim"),
         )
     )
+
+
+@query(
+    "dedup_substring_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, i AS pos,
+                 array_to_string(toks[i:i+7], ' ') AS gram
+          FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+          WHERE len(toks) >= 8),
+    d AS (SELECT gram FROM g GROUP BY gram
+          HAVING count(DISTINCT doc_id) > 1),
+    p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+    m AS (SELECT doc_id, pos,
+                 max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+          FROM p),
+    isl AS (SELECT doc_id, pos,
+                   sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS island
+            FROM m)
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> SDF:
+    """Exact substring-span deduplication (the Lee et al. 2022
+    "Deduplicating Training Data" recipe re-expressed relationally):
+    find every 8-token gram that appears in MORE THAN ONE document, then
+    merge each document's duplicated gram positions into maximal
+    overlapping-or-adjacent token spans — the spans a pipeline would cut
+    before training.  Output: (doc, span_start, span_end, n_grams).
+
+    Scale: grams travel as 8-byte xxhash64 over PRE-HASHED token slices
+    (never gram strings — same hash-only discipline and ~2^-64 collision
+    argument as minhash/decontam; the oracle uses the literal strings),
+    so the corpus-wide duplicate test is a groupBy + semi-join on a long
+    key: two shuffles of (hash, doc, pos).  The span merge is a per-doc
+    window (running max of span end → island ids), shuffled once on
+    doc_id — no self-join, no suffix array, linear in corpus size.  A
+    true suffix-array dedup catches variable-length repeats ≥ any bound;
+    the fixed-k gram formulation catches every repeat ≥ k tokens (as
+    merged spans) which is the practical contract pipelines run."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    th = D.spread(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.transform(TX.tokens(F.col("text")), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    n = F.size("th")
+    g = (
+        th.where(n >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 7),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(F.slice(F.col("th"), i, 8)).alias("gh"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh"))
+    )
+    g = g.localCheckpoint(eager=True)
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("gh")
+    )
+    p = g.join(dup, "gh", "left_semi").select("doc_id", "pos")
+    wprev = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wrun = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    m = p.withColumn("prev_end", F.max(F.col("pos") + 7).over(wprev))
+    isl = m.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end") + 1),
+                1,
+            ).otherwise(0)
+        ).over(wrun),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + 7).cast("long").alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("island")
+
+
+@query(
+    "emb_pq_codebook",
+    """
+    WITH x AS (SELECT vec_id,
+                      list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+               FROM embeddings),
+    cb AS (SELECT s.s, x.vec_id AS cid,
+                  x.v[s.s * 8 + 1 : s.s * 8 + 8] AS c
+           FROM x, (SELECT unnest(range(0, 8)) AS s) s
+           WHERE x.vec_id < 16),
+    sv AS (SELECT x.vec_id, s.s, x.v[s.s * 8 + 1 : s.s * 8 + 8] AS sub
+           FROM x, (SELECT unnest(range(0, 8)) AS s) s),
+    d AS (SELECT sv.vec_id, sv.s, cb.cid,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 9),
+                     i -> (sv.sub[i] - cb.c[i]) * (sv.sub[i] - cb.c[i]))),
+                   (a, b) -> a + b) AS dist
+          FROM sv JOIN cb ON sv.s = cb.s)
+    SELECT vec_id, CAST(s AS INT) AS subspace, CAST(cid AS INT) AS code,
+           round(dist, 6) AS dist
+    FROM (SELECT vec_id, s, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id, s
+                                    ORDER BY dist, cid) AS rk
+          FROM d)
+    WHERE rk = 1
+    """,
+)
+def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> SDF:
+    """Product-quantization code assignment — the IVF-PQ building block
+    that makes billion-vector ANN indexes fit in memory: split each
+    64-dim embedding into 8 subspaces of 8 dims, assign each subvector to
+    its nearest of 16 codebook centroids (here the subvectors of the 16
+    lowest vec_ids — deterministic seeds, no RNG), emit (vector,
+    subspace, code, distance).  Downstream, 8 bytes replace 512.
+
+    Scale: the codebook is O(subspaces × k × d/subspaces) = tiny and
+    rides a broadcast equi-join on subspace id; assignment is a map-only
+    argmin fold per (vector, subspace) row — the vector explode is ×8,
+    carrying 8-dim slices, never the full matrix through a shuffle.
+    Distances are sequential in-row folds (deterministic IEEE) with
+    lowest-code tie-breaks, same discipline as kmeans_lloyd."""
+    emb = D.spread(load_table(spark, sf_dir, "embeddings"))
+    x = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    subs = F.sequence(F.lit(0), F.lit(7))
+    # codebook: per subspace, the 16 seed subvectors packed cid-sorted
+    cb = (
+        x.where(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.explode(
+                F.transform(
+                    subs,
+                    lambda s: F.struct(
+                        s.alias("s"),
+                        F.slice(F.col("v"), s * 8 + 1, 8).alias("c"),
+                    ),
+                )
+            ).alias("sc"),
+        )
+        .select("cid", F.col("sc.s").alias("s"), F.col("sc.c").alias("c"))
+        .groupBy("s")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("cid", "c"))).alias("cents")
+        )
+    )
+    sv = x.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                subs,
+                lambda s: F.struct(
+                    s.alias("s"), F.slice(F.col("v"), s * 8 + 1, 8).alias("sub")
+                ),
+            )
+        ).alias("ss"),
+    ).select("vec_id", F.col("ss.s").alias("s"), F.col("ss.sub").alias("sub"))
+    dist = lambda ct: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("sub"), ct["c"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda ct: F.struct(dist(ct).alias("d"), ct["cid"].alias("cid")),
+        )
+    )
+    return (
+        sv.join(F.broadcast(cb), "s")
+        .select("vec_id", "s", best.alias("b"))
+        .select(
+            "vec_id",
+            F.col("s").cast("int").alias("subspace"),
+            F.col("b.cid").cast("int").alias("code"),
+            F.round("b.d", 6).alias("dist"),
+        )
+    )
