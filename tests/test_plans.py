@@ -299,3 +299,62 @@ def test_lateral_join_decorrelates_to_window(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_completion_plans(spark):
+    """Round-4 TPC-H completion (Q2/Q9/Q16/Q20): dims broadcast, no
+    cartesian products, Q2's final top-k is a TakeOrderedAndProject."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    qs = load_all()
+    for qid in (
+        "tpch_q2_min_cost_supplier",
+        "tpch_q9_product_profit",
+        "tpch_q16_supplier_relation",
+        "tpch_q20_promotion_supplier",
+    ):
+        plan = _formatted_plan(qs[qid].fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, qid
+        assert "BroadcastHashJoin" in plan, qid
+    q2 = _formatted_plan(qs["tpch_q2_min_cost_supplier"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in q2, q2
+
+
+def test_profile_columns_single_scan(spark):
+    """The six-column profile must be ONE scan + one expand-based
+    multi-distinct aggregate — never a scan per column."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    plan = _formatted_plan(load_all()["profile_columns"].fn(spark, SF_SMOKE))
+    # each physical scan prints twice in formatted output (tree + detail)
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Expand" in plan, plan
+
+
+def test_semantic_and_pq_stay_blocked_and_broadcast(spark):
+    """dedup_semantic pairs join on the cluster id (equi-join, never a
+    cartesian pair explosion); emb_pq_codebook joins the broadcast
+    codebook; both argmin folds stay JVM-side."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    qs = load_all()
+    sem = _formatted_plan(qs["dedup_semantic"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in sem, sem
+    assert "BatchEvalPython" not in sem and "ArrowEvalPython" not in sem
+    pq = _formatted_plan(qs["emb_pq_codebook"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in pq, pq
+    assert "CartesianProduct" not in pq, pq
+
+
+def test_substring_spans_semi_join_and_window(spark):
+    """dedup_substring_spans: the duplicated-gram probe is a LEFT SEMI
+    join on the 8-byte gram hash; the span merge is a window, not a
+    self-join."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    plan = _formatted_plan(
+        load_all()["dedup_substring_spans"].fn(spark, SF_SMOKE)
+    )
+    assert "LeftSemi" in plan, plan
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
