@@ -3765,7 +3765,7 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> SDF:
       GROUP BY event_type),
     w AS (
       SELECT event_type, n, s / n AS mean,
-             (ss - s * s / n) / (n - 1) AS var
+             (ss - s * s / n) / nullif(n - 1, 0) AS var
       FROM g),
     p AS (
       SELECT max(CASE WHEN event_type = 'click' THEN n END) AS n_a,
@@ -3778,7 +3778,7 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> SDF:
     SELECT n_a, n_b, round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
            round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
            round((mean_a - mean_b)
-                 / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat
+                 / nullif(sqrt(var_a / n_a + var_b / n_b), 0), 6) AS t_stat
     FROM p
     """,
 )
@@ -3806,9 +3806,13 @@ def stats_ab_welch(spark: SparkSession, sf_dir: str) -> SDF:
         "event_type",
         "n",
         (F.col("s") / F.col("n")).alias("mean"),
-        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias(
-            "var"
-        ),
+        # nullif guards: a 1-row cohort (n-1 = 0) or two zero-variance
+        # cohorts (sqrt = 0) would otherwise kill the job under ANSI
+        # division — var/t become NULL instead, matching the oracle
+        (
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / F.nullif(F.col("n") - 1, F.lit(0))
+        ).alias("var"),
     )
     pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))  # noqa: E731
     p = w.agg(
@@ -3819,8 +3823,9 @@ def stats_ab_welch(spark: SparkSession, sf_dir: str) -> SDF:
         pick("click", "var").alias("var_a"),
         pick("view", "var").alias("var_b"),
     )
-    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
-        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.nullif(
+        F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+        F.lit(0.0),
     )
     return p.select(
         "n_a",

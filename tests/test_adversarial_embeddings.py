@@ -57,6 +57,8 @@ _QIDS = (
     "sim_search_lsh",
     "sim_search_ivf",
     "kmeans_lloyd",
+    "dedup_semantic",
+    "emb_pq_codebook",
 )
 
 

@@ -62,6 +62,9 @@ _QIDS = (
     "ewma_smooth",
     "anomaly_zscore",
     "rollup_time_hierarchy",
+    # single 'view' event in this data → n-1 = 0 exercises the Welch
+    # nullif guard (ANSI division would otherwise kill the job)
+    "stats_ab_welch",
 )
 
 

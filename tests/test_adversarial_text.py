@@ -53,6 +53,7 @@ _QIDS = (
     "text_token_bpe",
     "text_rep_bigram",
     "text_boilerplate_ngram",
+    "dedup_substring_spans",
 )
 
 
