@@ -61,7 +61,7 @@ def query(qid: str, oracle: Optional[str] = None):
 # tpch_q11_important_stock, tpch_q16_supplier_relation,
 # tpch_q20_promotion_supplier, dedup_semantic, graph_pagerank,
 # profile_columns, stats_ab_welch, dedup_substring_spans,
-# emb_pq_codebook — never driver-checked)
+# emb_pq_codebook, agg_approx_topk — never driver-checked)
 # plus the remaining
 # r1-vintage greens: set_ops, string_funcs, date_funcs, udaf_pandas,
 # array_hof_funcs, cond_null_funcs, tpch_q3_shipping_priority,

@@ -3836,3 +3836,41 @@ def stats_ab_welch(spark: SparkSession, sf_dir: str) -> SDF:
         F.round("var_b", 6).alias("var_b"),
         F.round(t, 6).alias("t_stat"),
     )
+
+
+@query(
+    "agg_approx_topk",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           true AS sketch_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> SDF:
+    """approx_top_k (Spark 4.1 sketch-based heavy hitters): fixed-size
+    frequency sketch, partial-mergeable, never shuffles raw values — the
+    100 TB path for "top domains / top tokens" dashboards where the
+    exact two-phase wordcount is overkill.  Oracle contract mirrors
+    agg_approx_distinct: the sketch estimate is engine-specific, so the
+    output carries the EXACT per-group count plus ``sketch_ok`` = the
+    sketch's estimate equals it (k=5 ≥ the column's 5 distinct values
+    and maxItemsTracked is ample, so the sketch is provably exact here —
+    a broken sketch flips the hashed flag)."""
+    orders = load_table(spark, sf_dir, "orders")
+    sk = (
+        orders.agg(F.expr("approx_top_k(o_orderpriority, 5, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"), F.col("e.count").alias("est")
+        )
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return exact.join(
+        F.broadcast(sk), exact.o_orderpriority == sk.item, "left"
+    ).select(
+        "o_orderpriority",
+        "n",
+        (F.col("est") == F.col("n")).alias("sketch_ok"),
+    )
