@@ -3627,9 +3627,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> SDF:
     double rank with a unique node tie-break; rounding happens after
     ranking."""
     lin = load_table(spark, sf_dir, "lineitem")
-    ps = lin.select(
+    # spread: the testdata scan is a handful of single-row-group files,
+    # which would serialize the distinct's map-side partial aggregation
+    ps = D.spread(lin.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
+    )).distinct()
     e = ps.select(
         F.col("s").alias("src"), (F.lit(1000000) + F.col("p")).alias("dst")
     ).unionAll(
@@ -3639,13 +3641,30 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> SDF:
     ).localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nn = F.broadcast(deg.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    # Size the loop's shuffle width to the EDGE list (same formula family
+    # as connected_components) and PIN it with explicit repartitions:
+    # left to AQE, the small-bytes shuffle coalesces the whole
+    # join+DECIMAL-fold iteration into ONE task (measured 4-6 s/round at
+    # sf0.1 vs <1 s at 8-way).  The (src, dst, d) relation is
+    # materialized once — the checkpoint keeps its hash partitioning, so
+    # each round shuffles only the O(nodes) rank table, never the edges.
+    n_edges = e.count()
+    parts = max(8, min(200, int(n_edges // 250_000) + 1))
     r = deg.crossJoin(nn).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r")
     ).localCheckpoint(eager=True)
-    ed = e.join(deg, "src")  # (src, dst, d) — reused every round
+    ed = (
+        e.join(deg, "src").repartition(parts, "src").localCheckpoint(eager=True)
+    )
     for _ in range(3):
+        # ranks are O(nodes) — orders of magnitude below the edge list —
+        # so the per-round join BROADCASTS them onto the checkpointed
+        # edges: map-only probe, no per-iteration sort of the edge list
+        # (SortMergeJoin re-sorted 1.2M edges every round: 3× slower).
+        # At billion-node scale flip this to the co-partitioned shuffle
+        # join on src; the edge partitioning is already pinned for it.
         s = (
-            ed.join(r, ed.src == r.node)
+            ed.join(F.broadcast(r), ed.src == F.col("node"))
             .groupBy("dst")
             .agg(
                 F.sum((F.col("r") / F.col("d")).cast("decimal(38,18)"))
@@ -3653,10 +3672,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> SDF:
                 .alias("s")
             )
         )
-        r = s.crossJoin(nn).select(
-            F.col("dst").alias("node"),
-            (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("r"),
-        ).localCheckpoint(eager=True)
+        r = (
+            s.crossJoin(nn)
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("r"),
+            )
+            .repartition(parts, "node")
+            .localCheckpoint(eager=True)
+        )
     return (
         r.orderBy(F.desc("r"), "node")
         .limit(20)
