@@ -32,7 +32,11 @@ import __spark_entry__ as e
 qs = e.queries()
 # one batch-events, one streaming, one scan, one pandas-UDF query
 for qid in ("map_funcs", "session_window", "scan_parquet", "grouped_map_pandas",
-            "sql_recursive_cte", "pipeline_pretrain_corpus"):
+            "sql_recursive_cte", "pipeline_pretrain_corpus",
+            # round-4 driver-window representatives: events-sufficient-stats,
+            # native XML source, iterative checkpointed graph loop, and the
+            # broadcast-codebook embedding path
+            "stats_ab_welch", "scan_xml", "graph_pagerank", "dedup_semantic"):
     n = qs[qid](spark, {smoke_dir!r}).count()
     assert n >= 0, qid
 print("PLAIN_SESSION_OK")
