@@ -66,7 +66,9 @@ def main() -> None:
         elapsed = time.perf_counter() - t_start
         if rep > 0 and elapsed + elapsed / rep > budget_s:
             break
-        for qid, q in sorted(queries.items()):
+        import gc
+
+        for i, (qid, q) in enumerate(sorted(queries.items())):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             # noop sink: evaluates every output column of every row JVM-side
@@ -74,15 +76,21 @@ def main() -> None:
             # practice; count() would let Catalyst prune the projections)
             df.write.format("noop").mode("overwrite").save()
             runs[qid].append(round(time.perf_counter() - t0, 3))
+            # Periodic dual GC: Spark's ContextCleaner frees checkpoint
+            # blocks and shuffle files via WEAK references, which only
+            # enqueue at a JVM GC — and a 100 GiB heap can go an entire
+            # bench run without one.  Python gc drops the py4j proxies,
+            # System.gc() lets the cleaner actually run; without both, the
+            # block manager accumulates every query's checkpoint/shuffle
+            # state across the pass and late reps degrade 2-6x (observed:
+            # dedup_near_minhash 5.3 s -> 32.9 s by pass 3 of a 180-query
+            # run).  Outside the timed window: runs between queries.
+            if (i + 1) % 40 == 0:
+                gc.collect()
+                spark._jvm.System.gc()
         passes = rep + 1
-        # A full pass leaves localCheckpoint blocks pinned until Python
-        # GC drops the plan objects; collecting between passes releases
-        # them so later passes aren't measured under block-manager
-        # pressure earlier passes created (pass-3 inflation observed on
-        # alphabetically-early queries without this).
-        import gc
-
         gc.collect()
+        spark._jvm.System.gc()
     timings = {qid: sorted(s)[len(s) // 2] for qid, s in runs.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
