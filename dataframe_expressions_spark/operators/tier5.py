@@ -3627,11 +3627,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> SDF:
     double rank with a unique node tie-break; rounding happens after
     ranking."""
     lin = load_table(spark, sf_dir, "lineitem")
-    # spread: the testdata scan is a handful of single-row-group files,
-    # which would serialize the distinct's map-side partial aggregation
-    ps = D.spread(lin.select(
+    ps = lin.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    )).distinct()
+    ).distinct()
     e = ps.select(
         F.col("s").alias("src"), (F.lit(1000000) + F.col("p")).alias("dst")
     ).unionAll(
