@@ -3896,3 +3896,71 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> SDF:
         "n",
         (F.col("est") == F.col("n")).alias("sketch_ok"),
     )
+
+
+@query(
+    "scan_python_datasource",
+    """
+    WITH src AS (
+      SELECT r.range AS id, (r.range * r.range) % 97 AS val
+      FROM range(0, 16000) r),
+    g AS (SELECT id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(val) AS BIGINT) AS sum_val,
+                 CAST(min(id) AS BIGINT) AS min_id,
+                 CAST(max(id) AS BIGINT) AS max_id
+          FROM src GROUP BY id % 10)
+    SELECT bucket, n, sum_val, min_id, max_id FROM g
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> SDF:
+    """Spark 4 Python DataSource API (pyspark.sql.datasource): a custom
+    connector written in pure Python — the extensibility boundary for
+    feeding Spark from systems with no JVM driver (internal REST
+    services, bespoke file formats, simulation generators).  This
+    deterministic sequence source emits 16k (id, id²%97) rows across 8
+    partitions; the query aggregates per id-bucket so every partition's
+    output lands in the hash.
+
+    Scale: partitions() is the parallelism contract — each partition is
+    an independent task-side generator (no driver materialization), the
+    exact shape a 1000-executor ingest wants.  Rows yield through Arrow
+    batching on the executor; the aggregate after it is ordinary
+    JVM-side hash aggregation.  The Python source IS the slow path per
+    row — which is the point of the demo: the API exists for sources
+    where no faster path exists at all."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    n_parts, per_part = 8, 2000
+
+    class SeqReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(n_parts)]
+
+        def read(self, partition):
+            base = partition.value * per_part
+            for i in range(base, base + per_part):
+                yield (i, (i * i) % 97)
+
+    class SeqSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "spark_graft_seqsrc"
+
+        def schema(self):
+            return "id BIGINT, val BIGINT"
+
+        def reader(self, schema):
+            return SeqReader()
+
+    spark.dataSource.register(SeqSource)
+    src = spark.read.format("spark_graft_seqsrc").load()
+    return src.groupBy((F.col("id") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("sum_val"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
