@@ -3964,3 +3964,99 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> SDF:
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+@query(
+    "stream_python_datasource",
+    """
+    WITH src AS (
+      SELECT r.range AS id, (r.range * r.range) % 97 AS val
+      FROM range(0, 5000) r)
+    SELECT id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(val) AS BIGINT) AS sum_val,
+           CAST(max(id) AS BIGINT) AS max_id
+    FROM src GROUP BY id % 10
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> SDF:
+    """Spark 4 Python STREAMING DataSource (SimpleDataSourceStreamReader):
+    a custom micro-batch source written in pure Python — the connector
+    boundary for streaming systems with no JVM driver.  This
+    deterministic sequence source serves 5 offset-tracked micro-batches
+    of 1000 (id, id²%97) rows; the query drains it to a memory sink with
+    ``processAllAvailable`` (AvailableNow snapshots only the FIRST
+    simple-reader batch — probed, not assumed) and aggregates per
+    id-bucket so every batch lands in the hash.
+
+    Scale: offsets are the exactly-once contract — Spark checkpoints
+    {offset} per batch and replays ``readBetweenOffsets`` on recovery,
+    so the source restarts mid-stream without dropping or double-reading
+    rows; the aggregate itself is ordinary JVM hash aggregation over
+    whatever the batches delivered."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    cap, per_batch = 5000, 1000
+
+    class SeqStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"offset": 0}
+
+        def read(self, start):
+            s = start["offset"]
+            if s >= cap:
+                return iter([]), start
+            e = min(s + per_batch, cap)
+            return iter([(i, (i * i) % 97) for i in range(s, e)]), {"offset": e}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [(i, (i * i) % 97) for i in range(start["offset"], end["offset"])]
+            )
+
+    class SeqStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "spark_graft_seqstream"
+
+        def schema(self):
+            return "id BIGINT, val BIGINT"
+
+        def simpleStreamReader(self, schema):
+            return SeqStreamReader()
+
+    spark.dataSource.register(SeqStreamSource)
+    tag = uuid.uuid4().hex[:10]
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = (
+        f"{base}/spark_graft_pysrc_{tag}" if base else f"/tmp/spark_graft_pysrc_{tag}"
+    )
+    sink = f"pysrc_sink_{tag}"
+    q = (
+        spark.readStream.format("spark_graft_seqstream")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .groupBy((F.col("id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("sum_val"),
+            F.max("id").alias("max_id"),
+        )
+    )
