@@ -36,7 +36,10 @@ for qid in ("map_funcs", "session_window", "scan_parquet", "grouped_map_pandas",
             # round-4 driver-window representatives: events-sufficient-stats,
             # native XML source, iterative checkpointed graph loop, and the
             # broadcast-codebook embedding path
-            "stats_ab_welch", "scan_xml", "graph_pagerank", "dedup_semantic"):
+            "stats_ab_welch", "scan_xml", "graph_pagerank", "dedup_semantic",
+            # Python DataSource API (batch + streaming) registration must
+            # work on a session that never saw session.py's confs
+            "scan_python_datasource", "stream_python_datasource"):
     n = qs[qid](spark, {smoke_dir!r}).count()
     assert n >= 0, qid
 print("PLAIN_SESSION_OK")
