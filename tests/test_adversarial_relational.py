@@ -99,6 +99,11 @@ _QIDS = (
     "join_null_safe",
     "agg_filter_clause",
     "sql_group_by_all",
+    # round-4: NULL totalprice/custkey/date exercise the null-count and
+    # numeric-min/max paths; duplicate lineitem rows exercise the
+    # pair-dedup feeding the PageRank edge list
+    "profile_columns",
+    "graph_pagerank",
 )
 
 
