@@ -1861,3 +1861,55 @@ def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> SDF:
             F.round("b.d", 6).alias("dist"),
         )
     )
+
+
+@query(
+    "text_readability",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS n_sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syll
+      FROM documents)
+    SELECT doc_id, n_words, n_sents, n_syll,
+           round(CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sents)
+                 - CAST(84.6 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / n_words),
+                 4) AS flesch
+    FROM t WHERE n_words > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> SDF:
+    """Readability scoring (Flesch reading-ease with a vowel-group
+    syllable proxy) — a standard feature in pretraining quality filters
+    alongside length/stopword ratios.  Sentences count [.!?] runs
+    (floored at 1 for fragment-only docs), syllables count vowel groups;
+    both are single regexp passes, all JVM-side, no Python in the row
+    path.  Zero-word docs are dropped before the division (ANSI guard).
+    The formula runs in IEEE double from identical integer counts on
+    both engines — bit-identical before the display rounding.  Scale:
+    map-only over the corpus scan; the three counts ride one projection."""
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_words"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("long"),
+        ).alias("n_sents"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_syll"),
+    ).where(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - F.lit(84.6) * (F.col("n_syll").cast("double") / F.col("n_words"))
+    )
+    return t.select(
+        "doc_id", "n_words", "n_sents", "n_syll",
+        F.round(flesch, 4).alias("flesch"),
+    )

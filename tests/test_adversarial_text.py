@@ -54,6 +54,7 @@ _QIDS = (
     "text_rep_bigram",
     "text_boilerplate_ngram",
     "dedup_substring_spans",
+    "text_readability",
 )
 
 
