@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-__all__ = ["dot", "cosine", "cosine_topk", "lsh_bucket", "cosine_topk_lsh"]
+__all__ = ["dot", "sqdist", "cosine", "cosine_topk", "lsh_bucket", "cosine_topk_lsh"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -27,6 +27,21 @@ def dot(a: Column, b: Column) -> Column:
     identical to DuckDB's list_inner_product evaluation order."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance as a sequential left fold — the shared
+    argmin kernel for kmeans/SemDeDup/PQ assignment.  Deterministic IEEE,
+    same order as the oracles' list_reduce over (a[i]-b[i])².  NB
+    zip_with NULL-pads on length mismatch and the fold then yields NULL;
+    callers must pin dimensionality (``size(v) == d``) on both engines —
+    Spark's struct-min sorts a NULL distance FIRST while DuckDB's
+    row_number sorts it LAST, so an unguarded ragged vector diverges."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
 
 

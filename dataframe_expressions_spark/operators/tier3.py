@@ -1565,7 +1565,8 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> SDF:
     WITH x AS (SELECT vec_id,
                       list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
                FROM embeddings),
-         xs AS (SELECT vec_id, v FROM x WHERE list_inner_product(v, v) > 0),
+         xs AS (SELECT vec_id, v FROM x
+                WHERE list_inner_product(v, v) > 0 AND len(v) = 64),
          c0 AS (SELECT vec_id AS cid, v AS c FROM xs WHERE vec_id < 32),
          a1 AS (SELECT vec_id, cid FROM (
             SELECT xs.vec_id, c0.cid,
@@ -1602,7 +1603,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> SDF:
     ~constant-size and AQE splitting skewed cells."""
     emb = D.spread(load_table(spark, sf_dir, "embeddings"))
     x = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    xs = x.where(S.dot(F.col("v"), F.col("v")) > 0)
+    # dimensionality pinned WITH the zero-norm guard: a ragged vector
+    # would NULL-pad the zip_with distance fold, and Spark's struct-min
+    # sorts NULL first while DuckDB sorts it last (see S.sqdist)
+    xs = x.where(
+        (S.dot(F.col("v"), F.col("v")) > 0) & (F.size("v") == 64)
+    )
     cents = (
         xs.where(F.col("vec_id") < 32)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
@@ -1612,11 +1618,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> SDF:
             ).alias("cents")
         )
     )
-    dist = lambda ct: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("v"), ct["c"], lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, e: acc + e,
-    )
+    dist = lambda ct: S.sqdist(F.col("v"), ct["c"])  # noqa: E731
     assigned = (
         xs.crossJoin(F.broadcast(cents))
         .select(
@@ -1767,9 +1769,10 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> SDF:
 @query(
     "emb_pq_codebook",
     """
-    WITH x AS (SELECT vec_id,
-                      list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
-               FROM embeddings),
+    WITH x AS (SELECT vec_id, v FROM (
+                 SELECT vec_id,
+                        list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+                 FROM embeddings) WHERE len(v) = 64),
     cb AS (SELECT s.s, x.vec_id AS cid,
                   x.v[s.s * 8 + 1 : s.s * 8 + 8] AS c
            FROM x, (SELECT unnest(range(0, 8)) AS s) s
@@ -1806,7 +1809,9 @@ def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> SDF:
     Distances are sequential in-row folds (deterministic IEEE) with
     lowest-code tie-breaks, same discipline as kmeans_lloyd."""
     emb = D.spread(load_table(spark, sf_dir, "embeddings"))
-    x = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    x = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).where(F.size("v") == 64)  # ragged-vector guard, see S.sqdist
     subs = F.sequence(F.lit(0), F.lit(7))
     # codebook: per subspace, the 16 seed subvectors packed cid-sorted
     cb = (
@@ -1840,11 +1845,7 @@ def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> SDF:
             )
         ).alias("ss"),
     ).select("vec_id", F.col("ss.s").alias("s"), F.col("ss.sub").alias("sub"))
-    dist = lambda ct: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("sub"), ct["c"], lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, e: acc + e,
-    )
+    dist = lambda ct: S.sqdist(F.col("sub"), ct["c"])  # noqa: E731
     best = F.array_min(
         F.transform(
             F.col("cents"),

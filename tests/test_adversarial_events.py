@@ -109,3 +109,48 @@ def test_event_ops_survive_adversarial_input(spark, adv_events_dir):
         if err:
             failures[qid] = err
     assert not failures, failures
+
+
+def test_welch_constant_tiny_cohorts(spark, tmp_path_factory):
+    """Catastrophic-cancellation stress: every 'click' and 'view' value is
+    the same tiny constant, so Σx² DECIMAL(38,6)-truncates to 0 while
+    (Σx)²/n > 0 — the sample variance computes a hair NEGATIVE on both
+    engines.  Unclamped, DuckDB's sqrt(negative) hard-aborts the oracle
+    (Spark would return NaN) — the greatest(·, 0) radicand clamp and the
+    -0.0 normalization on the rounded vars are what this test pins."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    load_all()
+    d = tmp_path_factory.mktemp("welch_tiny_sf")
+    t0 = dt.datetime(1995, 6, 1, 12, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "click" if i % 2 else "view",
+         0.0004, "{}")
+        for i in range(8)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    err = oc.run_one("stats_ab_welch", spark, con, str(d))
+    assert err is None, err
