@@ -122,7 +122,7 @@ DRIVER_WINDOW_PRIORITY: tuple = (
 def load_all() -> Dict[str, Query]:
     """Import every operator module so registrations run; order the result
     so DRIVER_WINDOW_PRIORITY ids come first (the driver's check window)."""
-    from . import tier1, tier2, tier3, tier4, tier5  # noqa: F401
+    from . import tier1, tier2, tier3, tier4, tier5, tier6  # noqa: F401
 
     ordered: Dict[str, Query] = {}
     for qid in DRIVER_WINDOW_PRIORITY:

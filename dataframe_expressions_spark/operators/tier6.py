@@ -1,0 +1,370 @@
+"""Tier 6 — round-4 continuation: scale-pattern operators for the
+training-data pipeline that earlier tiers don't yet demonstrate.
+
+* ``decontam_bloom`` — the runtime-filter decontamination shape: a Bloom
+  sketch built over the (small) held-out side prefilters the corpus scan
+  BEFORE the shuffle, then an exact semi-join kills false positives.
+* ``sample_reservoir`` — deterministic per-group k-reservoir via a
+  two-phase (salted partial top-k → final top-k) ranking, the skew-safe
+  replacement for a single window over a hot group.
+* ``agg_mode`` — exact per-group mode with a total tie order plus exact
+  interpolated median, the "what's typical per slice" profiling query.
+* ``stats_chi2`` — chi-square independence over a two-column contingency
+  table in one shuffle (cells once, marginals by re-aggregating cells).
+* ``join_interval_bucketed`` — interval-overlap join lowered to an
+  equi-join on a time bucket (interval length == bucket width, so each
+  event hits exactly one bucket and each interval spans at most two —
+  no pair is ever produced twice and no dedup pass is needed).
+
+Oracle discipline matches tier2/tier5: bigint counts, doubles rounded
+after aggregation, identical aliases on both engines, and the portable
+``char_fingerprint`` (functions/text.py:85) wherever a deterministic
+content-keyed order is required — DuckDB mirrors it exactly with
+``list_reduce``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions import dedup as D
+from ..functions import text as TX
+from ..sources.tables import epoch_us, load_table
+from .registry import query
+
+# DuckDB mirror of functions/text.py:char_fingerprint — identical value,
+# verified bit-for-bit by tests/test_oracle_parity.py on every id using it.
+_FP_SQL = """
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length(text) + 1),
+                                 i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                  (a, x) -> (a * 31 + x) % 1000000007)
+"""
+
+
+_BLOOM_BITS = 1 << 16  # m: sized by the EVAL side (small by construction)
+_BLOOM_K = 4
+
+
+def _bloom_positions(fp: F.Column) -> F.Column:
+    """k independent bit positions per fingerprint (xxhash64 seeded by the
+    probe index via an extra hashed column)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(fp, F.lit(i)), F.lit(_BLOOM_BITS))
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+@query(
+    "decontam_bloom",
+    """
+    WITH pre AS (SELECT doc_id, source, substr(text, 1, 40) AS text
+                 FROM documents),
+    fp AS (SELECT doc_id, source,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(text) + 1),
+                      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                    (a, x) -> (a * 31 + x) % 1000000007) AS fp
+           FROM pre),
+    eval AS (SELECT fp FROM fp WHERE doc_id % 17 = 0)
+    SELECT source, count(*) AS n_contam
+    FROM fp
+    WHERE doc_id % 17 <> 0
+      AND fp IN (SELECT fp FROM eval)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def decontam_bloom(spark: SparkSession, sf_dir: str) -> SDF:
+    """Benchmark decontamination with an explicit Bloom runtime filter:
+    the held-out eval set (``doc_id % 17 = 0``, standing in for a
+    benchmark corpus) contributes k=4 hash positions per leading-40-char
+    fingerprint (benchmark leakage shows up as shared openings long
+    before full-text equality) into a 2^16-bit Bloom bitmap, stored
+    sparsely as ``map<word, or-of-bits>`` (32-bit words via ``bit_or``)
+    and broadcast as ONE row.  The corpus scan drops non-members
+    map-side (``forall`` over the k positions) BEFORE any shuffle; an
+    exact fingerprint semi-join then removes Bloom false positives.
+
+    ``bloom_filter_agg``/``might_contain`` exist in Catalyst but are not
+    registered SQL functions (they are optimizer-injected for shuffle
+    joins), so the bitmap is built from registered built-ins — same
+    semantics, and it works across the eval-set materialization boundary
+    the optimizer can't see through.
+
+    Scale: a semi-join alone shuffles every corpus fingerprint; the
+    Bloom prefilter cuts shuffled volume to ~contamination rate + FP
+    rate ((kn/m)^k ≈ 1e-11 here).  The sketch is O(m) bits regardless of
+    corpus size, the crossJoin is 1-row broadcast, the verify join sees
+    only survivors."""
+    docs = D.spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        TX.char_fingerprint(F.substring(F.col("text"), 1, 40)).alias("fp"),
+    )
+    eval_fp = docs.where(F.col("doc_id") % 17 == 0).select("fp")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+
+    # 2^bit as long via pow(): bits are % 32, so the double is exact and
+    # the ANSI cast can't overflow.
+    words = (
+        eval_fp.select(F.explode(_bloom_positions(F.col("fp"))).alias("pos"))
+        .select(
+            F.expr("pos div 32").alias("word"),
+            F.pow(F.lit(2.0), F.pmod(F.col("pos"), 32).cast("double"))
+            .cast("long")
+            .alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bf")
+    )
+
+    def is_set(pos: F.Column) -> F.Column:
+        # try_element_at: ANSI-safe NULL (not an error) on a missing word
+        word = F.try_element_at(F.col("bf"), F.floor(pos / 32).cast("long"))
+        mask = F.pow(F.lit(2.0), F.pmod(pos, 32).cast("double")).cast("long")
+        return F.coalesce(word, F.lit(0).cast("long")).bitwiseAND(mask) != 0
+
+    prefiltered = corpus.crossJoin(F.broadcast(bloom)).where(
+        F.forall(_bloom_positions(F.col("fp")), is_set)
+    )
+    hits = prefiltered.join(F.broadcast(eval_fp), "fp", "left_semi")
+    return (
+        hits.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "sample_reservoir",
+    f"""
+    WITH fp AS (SELECT doc_id, lang, {_FP_SQL} AS fp FROM documents),
+    r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id)
+                   AS rank
+          FROM fp)
+    SELECT lang, doc_id, rank FROM r WHERE rank <= 10
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> SDF:
+    """Deterministic k=10 per-language reservoir sample: rank docs by
+    content fingerprint (a uniform-ish, rerun-stable surrogate for a
+    random draw — the only kind of "random" a lineage-tracked pipeline
+    should use) and keep the k smallest per group.
+
+    Scale: a single window over ``lang`` would funnel an entire hot
+    language (English ≈ half the web) through one task.  Instead phase 1
+    ranks within (lang, fp-salt) — 8-way parallel even for one group —
+    and keeps k per salt; phase 2 re-ranks the ≤ 8k survivors per group.
+    Every member of the true per-group top-k is top-k within its own
+    salt bucket, so the two-phase result is exact (same argument as
+    partial top-k aggregation).  The oracle needs no salt phase — same
+    result by construction."""
+    docs = D.spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", TX.char_fingerprint(F.col("text")).alias("fp")
+    )
+    partial = (
+        docs.withColumn("salt", F.col("fp") % 8)
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                W.partitionBy("lang", "salt").orderBy("fp", "doc_id")
+            ),
+        )
+        .where(F.col("prank") <= 10)
+    )
+    final = partial.withColumn(
+        "rank",
+        F.row_number().over(W.partitionBy("lang").orderBy("fp", "doc_id")),
+    ).where(F.col("rank") <= 10)
+    return final.select("lang", "doc_id", "rank")
+
+
+@query(
+    "agg_mode",
+    """
+    WITH c AS (SELECT lang, source, count(*) AS n
+               FROM documents GROUP BY lang, source),
+    m AS (SELECT lang, source AS mode_source
+          FROM (SELECT lang, source,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, source) AS rn
+                FROM c)
+          WHERE rn = 1),
+    med AS (SELECT lang, round(CAST(median(n_chars) AS DOUBLE), 6)
+                     AS med_chars
+            FROM documents GROUP BY lang)
+    SELECT m.lang, m.mode_source, med.med_chars
+    FROM m JOIN med ON m.lang = med.lang
+    ORDER BY m.lang
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> SDF:
+    """Exact per-group mode + interpolated median — the profiling pair
+    "most common / typical value per slice".  Mode ties break on the
+    smaller source string (a TOTAL order; Spark's native ``F.mode`` is
+    explicitly nondeterministic under ties, so it can never be
+    oracle-checked — build the deterministic form instead).
+
+    Scale: mode reduces the input to (group × value) counts FIRST (one
+    shuffle with map-side combine; the window then ranks a tiny
+    aggregate, never raw rows).  Median is the one genuinely
+    sort-heavy aggregate — Spark's ``median`` runs per-group
+    QuantileSummaries with relativeError=0 rather than a global sort,
+    which is the right distributed shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    mode = (
+        cells.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.desc("n"), F.asc("source"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("mode_source"))
+    )
+    med = docs.groupBy("lang").agg(
+        F.round(F.median("n_chars").cast("double"), 6).alias("med_chars")
+    )
+    return mode.join(med, "lang").orderBy("lang")
+
+
+@query(
+    "stats_chi2",
+    """
+    WITH cells AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+                   FROM documents GROUP BY lang, source),
+    tot AS (SELECT sum(o) AS n FROM cells),
+    rt AS (SELECT lang, sum(o) AS r FROM cells GROUP BY lang),
+    ct AS (SELECT source, sum(o) AS c FROM cells GROUP BY source)
+    SELECT round(sum((o - r * c / n) * (o - r * c / n) / (r * c / n)), 6)
+             AS chi2,
+           CAST((SELECT count(*) - 1 FROM rt)
+                * (SELECT count(*) - 1 FROM ct) AS BIGINT) AS dof,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n
+    FROM cells
+    JOIN tot ON true
+    JOIN rt USING (lang)
+    JOIN ct USING (source)
+    """,
+)
+def stats_chi2(spark: SparkSession, sf_dir: str) -> SDF:
+    """Chi-square test of independence (lang × source contingency): is
+    document language independent of its source?  The pipeline question
+    behind mixture design — a high chi2 means per-source language
+    balancing is needed before sampling.
+
+    Scale: ONE shuffle builds the contingency cells (map-side combined);
+    marginals re-aggregate the cells (lang×source cardinality, not
+    rows), and the expected-count join is broadcast both ways.  Expected
+    counts are never materialized per row — the O(rows) part of the job
+    is exactly the one groupBy.  Cell terms sum in double; magnitudes
+    are O(cells), so round(6) is stable across partition orders."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    tot = cells.agg(F.sum("o").alias("n"))
+    rt = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    joined = (
+        cells.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .withColumn("e", F.col("r") * F.col("c") / F.col("n"))
+    )
+    dof = rt.crossJoin(ct).agg(
+        (
+            (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+        ).alias("dof")
+    )
+    return (
+        joined.agg(
+            F.round(
+                F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 6
+            ).alias("chi2"),
+            F.first("n").cast("bigint").alias("n"),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("chi2", F.col("dof").cast("bigint").alias("dof"), "n")
+    )
+
+
+@query(
+    "join_interval_bucketed",
+    """
+    WITH s AS (SELECT event_id AS s_id, user_id, ts FROM events
+               WHERE event_type = 'signup'),
+    p AS (SELECT event_id AS p_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT s.user_id, count(*) AS n_pairs
+    FROM s JOIN p
+      ON s.user_id = p.user_id
+     AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 10 MINUTE
+    GROUP BY s.user_id
+    ORDER BY n_pairs DESC, s.user_id
+    LIMIT 20
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> SDF:
+    """Interval-overlap join by time-bucketing: signup events open a
+    10-minute half-open window [ts, ts+10m); count same-user purchases
+    inside any window; top-20 users by pair count (ties broken on
+    user_id, so the limit is deterministic).
+
+    Scale: the naive lowering is a (user_id) equi-join with a range
+    residual — fine until one user is hot, and Spark would still
+    compare every signup×purchase pair per user.  Bucketing by the
+    interval LENGTH (10 min) makes it a (user_id, bucket) equi-join:
+    each purchase belongs to exactly one bucket, each interval spans at
+    most two (exploded via array_distinct, so an aligned interval emits
+    one bucket, not a duplicate pair) — a pair can meet in at most one
+    bucket, so no post-join dedup is needed and the comparison count
+    drops from O(per-user²) to O(pairs actually within ±1 bucket).
+    Same trick Structured Streaming's stream-stream range join applies
+    via watermark buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket_us = 600 * 1_000_000  # 10 min, == interval length
+    sig = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"),
+        "user_id",
+        epoch_us("ts").alias("s_us"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        epoch_us("ts").alias("p_us"),
+    )
+    # testdata epochs are non-negative, so `div` (truncating) == floor here
+    pur = pur.withColumn("bucket", F.expr(f"p_us div {bucket_us}"))
+    sig_b = sig.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"s_us div {bucket_us}"),
+                    F.expr(f"(s_us + {bucket_us} - 1) div {bucket_us}"),
+                )
+            )
+        ),
+    )
+    pairs = sig_b.join(pur, ["user_id", "bucket"]).where(
+        (F.col("p_us") >= F.col("s_us"))
+        & (F.col("p_us") < F.col("s_us") + bucket_us)
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("user_id"))
+        .limit(20)
+    )

@@ -358,3 +358,43 @@ def test_substring_spans_semi_join_and_window(spark):
     assert "LeftSemi" in plan, plan
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tier6_scale_shapes(spark):
+    """Round-4 tier6 batch: the Bloom prefilter is a 1-row broadcast (the
+    only nested-loop join allowed), the reservoir is two window phases,
+    the interval-overlap join is an EQUI-join on (user_id, bucket) —
+    never a nested-loop range join — and nothing drops to Python."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    qs = load_all()
+    bloom = _formatted_plan(qs["decontam_bloom"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in bloom, bloom
+    assert "LeftSemi" in bloom, bloom  # exact FP-kill verify join
+
+    res = _formatted_plan(qs["sample_reservoir"].fn(spark, SF_SMOKE))
+    assert res.count("Window") >= 2, res  # salted partial + final top-k
+    assert "CartesianProduct" not in res, res
+
+    mode = _formatted_plan(qs["agg_mode"].fn(spark, SF_SMOKE))
+    assert "Window" in mode and "CartesianProduct" not in mode, mode
+
+    chi2 = _formatted_plan(qs["stats_chi2"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in chi2, chi2
+    assert "CartesianProduct" not in chi2, chi2
+
+    iv = _formatted_plan(qs["join_interval_bucketed"].fn(spark, SF_SMOKE))
+    assert ("BroadcastHashJoin" in iv) or ("SortMergeJoin" in iv), iv
+    assert "BroadcastNestedLoopJoin" not in iv, iv
+    assert "CartesianProduct" not in iv, iv
+
+    for qid in (
+        "decontam_bloom",
+        "sample_reservoir",
+        "agg_mode",
+        "stats_chi2",
+        "join_interval_bucketed",
+    ):
+        plan = _formatted_plan(qs[qid].fn(spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, qid
+        assert "ArrowEvalPython" not in plan, qid
