@@ -898,11 +898,14 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> SDF:
     qs = F.approx_percentile(
         "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000
     )
+    # ONE exact-percentile aggregate for both ranks (array form) — two
+    # scalar percentile() calls each buffer the full group separately
+    ex = F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))")
     agg = lin.groupBy("l_returnflag").agg(
         F.element_at(qs, 1).alias("a50"),
         F.element_at(qs, 2).alias("a95"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
+        F.element_at(ex, 1).alias("e50"),
+        F.element_at(ex, 2).alias("e95"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     ok = lambda a, e: (F.abs(F.col(a) - F.col(e)) <= 0.01 * F.col(e))  # noqa: E731

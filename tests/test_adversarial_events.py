@@ -33,6 +33,11 @@ def _mk_events():
     for et in ("click", "purchase", "click", "signup", "view"):
         add(_T0, 1, et, 10.0)
     add(_T0 + dt.timedelta(minutes=5), 1, "purchase", 20.0)
+    # half-open [ts, ts+10m) boundary for join_interval_bucketed: the
+    # last covered microsecond is IN, the exact +10m instant is OUT
+    add(_T0 + dt.timedelta(minutes=9, seconds=59, microseconds=999999),
+        1, "purchase", 21.0)
+    add(_T0 + dt.timedelta(minutes=10), 1, "purchase", 22.0)
     # user 2: single event only
     add(_T0, 2, "click", 1.5)
     # user 3: purchase-rich increasing sequence
@@ -65,6 +70,10 @@ _QIDS = (
     # single 'view' event in this data → n-1 = 0 exercises the Welch
     # nullif guard (ANSI division would otherwise kill the job)
     "stats_ab_welch",
+    # same-instant signup+purchase (inclusive lower bound), the +10m
+    # exact-boundary purchase (exclusive upper), and signup-only /
+    # purchase-free users (empty join sides)
+    "join_interval_bucketed",
 )
 
 

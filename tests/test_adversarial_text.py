@@ -40,6 +40,14 @@ _DOCS = [
     ("café au lait naïve résumé café au lait", "fr", "src5"),
     ("東京 大阪 京都 東京 名古屋 札幌", "ja", "src5"),
     ("mixed ascii και ελληνικά und deutsch", "el", "src5"),
+    # doc 20: exact duplicate of doc 17 (doc 17 lands in the %17 eval
+    # split, doc 20 in the corpus → decontam_bloom must flag it; the
+    # identical fingerprint also forces sample_reservoir's doc_id
+    # tie-break).  doc 21 extends doc 7 past its 37 chars, so their
+    # 40-char prefixes DIFFER — the negative case: a shared span shorter
+    # than the window must NOT count as contamination
+    ("café au lait naïve résumé café au lait", "fr", "src9"),
+    ("line\nbroken\ntext with newlines inside but diverging tail", "en", "src9"),
 ]
 
 # ops whose inputs are only the documents table and whose semantics the
@@ -55,6 +63,12 @@ _QIDS = (
     "text_boilerplate_ngram",
     "dedup_substring_spans",
     "text_readability",
+    # tier6 batch (round 4): empty/unicode texts exercise fp(substr)=0
+    # sharing, reservoir tie-breaks, mode ties, and degenerate cells
+    "decontam_bloom",
+    "sample_reservoir",
+    "agg_mode",
+    "stats_chi2",
 )
 
 
