@@ -368,3 +368,195 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> SDF:
         .orderBy(F.desc("n_pairs"), F.asc("user_id"))
         .limit(20)
     )
+
+
+_COS6 = (
+    "list_inner_product({l}.v, {r}.v)"
+    " / (sqrt(list_inner_product({l}.v, {l}.v))"
+    "    * sqrt(list_inner_product({r}.v, {r}.v)))"
+)
+
+
+@query(
+    "emb_dim_slice",
+    f"""
+    WITH e0 AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    full_e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+    full_q AS (SELECT vec_id AS qid, v FROM full_e WHERE vec_id < 5),
+    full_r AS (
+      SELECT qid, vid FROM (
+        SELECT q.qid, e.vec_id AS vid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round({_COS6.format(l='q', r='e')}, 4) DESC,
+                          e.vec_id) AS rk
+        FROM full_e e JOIN full_q q ON e.vec_id != q.qid)
+      WHERE rk <= 10),
+    s0 AS (SELECT vec_id, v[1:8] AS v FROM e0),
+    sl_e AS (SELECT * FROM s0 WHERE list_inner_product(v, v) > 0),
+    sl_q AS (SELECT vec_id AS qid, v FROM sl_e WHERE vec_id < 5),
+    sl_r AS (
+      SELECT qid, vid FROM (
+        SELECT q.qid, e.vec_id AS vid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round({_COS6.format(l='q', r='e')}, 4) DESC,
+                          e.vec_id) AS rk
+        FROM sl_e e JOIN sl_q q ON e.vec_id != q.qid)
+      WHERE rk <= 10),
+    m AS (SELECT f.qid, count(s.vid) AS n_match
+          FROM full_r f LEFT JOIN sl_r s
+            ON f.qid = s.qid AND f.vid = s.vid
+          GROUP BY f.qid),
+    n AS (SELECT qid, count(*) AS n_full FROM full_r GROUP BY qid)
+    SELECT m.qid, CAST(m.n_match AS BIGINT) AS n_match,
+           round(CAST(m.n_match AS DOUBLE) / n.n_full, 4) AS recall
+    FROM m JOIN n ON m.qid = n.qid
+    ORDER BY m.qid
+    """,
+)
+def emb_dim_slice(spark: SparkSession, sf_dir: str) -> SDF:
+    """Matryoshka-style dimension truncation: score the same brute-force
+    cosine top-10 in the FIRST-8-DIMS subspace and report recall against
+    the full-dimension top-10 per query — the measurement that decides
+    whether a cheap truncated index can front a full-dimension reranker.
+
+    Scale: the truncated representation is the 100 TB play — 8/D of the
+    scan bytes and FLOPs for the candidate pass — and this operator IS
+    the acceptance test for it.  Both passes reuse ``cosine_topk``
+    (broadcast queries, corpus never shuffles, one codegen'd map stage);
+    the recall join touches only 2 × (queries × k) rows.  Zero-norm
+    SLICED vectors (nonzero tail outside the window) are excluded by the
+    kernel's zero-norm guard on both engines."""
+    from ..functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sliced = emb.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias(
+            "embedding"
+        ),
+    )
+    qids = [0, 1, 2, 3, 4]
+    full_r = S.cosine_topk(emb, query_ids=qids, k=10).select("qid", "vid")
+    sl_r = S.cosine_topk(sliced, query_ids=qids, k=10).select(
+        F.col("qid").alias("sqid"), F.col("vid").alias("svid")
+    )
+    matched = full_r.join(
+        sl_r,
+        (F.col("qid") == F.col("sqid")) & (F.col("vid") == F.col("svid")),
+        "left",
+    )
+    return (
+        matched.groupBy("qid")
+        .agg(
+            F.count("svid").alias("n_match"),
+            F.count(F.lit(1)).alias("n_full"),
+        )
+        .select(
+            "qid",
+            F.col("n_match").cast("bigint").alias("n_match"),
+            F.round(
+                F.col("n_match").cast("double") / F.col("n_full"), 4
+            ).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
+@query(
+    "stats_ks_test",
+    """
+    WITH ab AS (SELECT value,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+                FROM events WHERE event_type IN ('purchase', 'click')),
+    cells AS (SELECT value, CAST(sum(a) AS BIGINT) AS a_cnt,
+                     CAST(sum(b) AS BIGINT) AS b_cnt
+              FROM ab GROUP BY value),
+    tot AS (SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a,
+                   CAST(sum(b_cnt) AS BIGINT) AS n_b FROM cells),
+    cum AS (SELECT sum(a_cnt) OVER (ORDER BY value) AS ca,
+                   sum(b_cnt) OVER (ORDER BY value) AS cb
+            FROM cells)
+    SELECT round(max(abs(CAST(ca AS DOUBLE) / n_a
+                         - CAST(cb AS DOUBLE) / n_b)), 6) AS d_stat,
+           n_a, n_b
+    FROM cum JOIN tot ON true
+    GROUP BY n_a, n_b
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> SDF:
+    """Exact two-sample Kolmogorov-Smirnov D between the purchase and
+    click value distributions — the distribution-drift gate a pipeline
+    runs between data vintages (no normality assumption, unlike
+    stats_ab_welch).  D = max |F_A - F_B| evaluated at every distinct
+    combined value (step CDFs attain their sup at sample points).
+
+    Scale: the textbook formulation is a GLOBAL ordered cumsum — a
+    single-task window.  Instead the prefix sum is two-phase: per-value
+    counts bucket by floor(value/10); cumulative bucket offsets come
+    from a window over the tiny bucket-total aggregate (thousands of
+    rows at most — same "rank the aggregate, not the rows" rationale as
+    agg_mode); within-bucket cumsums run partitioned by bucket.  The
+    only unpartitioned window touches bucket totals, never rows, so the
+    job stays parallel at any scale.  CDF ratios are IEEE-identical on
+    both engines (same operands, same ops), so max + round(6) is
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    ab = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        "value",
+        (F.col("event_type") == "purchase").cast("long").alias("a"),
+        (F.col("event_type") == "click").cast("long").alias("b"),
+    )
+    cells = (
+        ab.groupBy("value")
+        .agg(F.sum("a").alias("a_cnt"), F.sum("b").alias("b_cnt"))
+        .withColumn("bucket", F.floor(F.col("value") / 10.0).cast("long"))
+    )
+    btot = cells.groupBy("bucket").agg(
+        F.sum("a_cnt").alias("ba"), F.sum("b_cnt").alias("bb")
+    )
+    w_b = (
+        W.orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offs = btot.select(
+        "bucket",
+        (F.sum("ba").over(w_b) - F.col("ba")).alias("off_a"),
+        (F.sum("bb").over(w_b) - F.col("bb")).alias("off_b"),
+    )
+    tot = cells.agg(
+        F.sum("a_cnt").cast("bigint").alias("n_a"),
+        F.sum("b_cnt").cast("bigint").alias("n_b"),
+    )
+    w_v = (
+        W.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        cells.withColumn("wa", F.sum("a_cnt").over(w_v))
+        .withColumn("wb", F.sum("b_cnt").over(w_v))
+        .join(F.broadcast(offs), "bucket")
+        .select(
+            (F.col("wa") + F.col("off_a")).alias("ca"),
+            (F.col("wb") + F.col("off_b")).alias("cb"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca").cast("double") / F.col("n_a")
+                        - F.col("cb").cast("double") / F.col("n_b")
+                    )
+                ),
+                6,
+            ).alias("d_stat"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )

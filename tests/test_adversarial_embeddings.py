@@ -59,6 +59,9 @@ _QIDS = (
     "kmeans_lloyd",
     "dedup_semantic",
     "emb_pq_codebook",
+    # first-8-dims slice of the zero / 1e-30 / duplicate / negated
+    # vectors: the sliced-space zero-norm guard and tie-breaks (round 4)
+    "emb_dim_slice",
 )
 
 

@@ -398,3 +398,29 @@ def test_tier6_scale_shapes(spark):
         plan = _formatted_plan(qs[qid].fn(spark, SF_SMOKE))
         assert "BatchEvalPython" not in plan, qid
         assert "ArrowEvalPython" not in plan, qid
+
+
+def test_ks_test_two_phase_prefix_sum(spark):
+    """stats_ks_test: the only unpartitioned window runs over BUCKET
+    TOTALS (a tiny aggregate), the row-bearing cumsum is partitioned by
+    bucket, and the totals/offsets reach the rows as broadcasts."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    plan = _formatted_plan(load_all()["stats_ks_test"].fn(spark, SF_SMOKE))
+    assert plan.count("Window") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_emb_dim_slice_broadcast_queries(spark):
+    """emb_dim_slice: both cosine passes broadcast the 5-query side —
+    the corpus is never shuffled for scoring — and stay JVM-side."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    plan = _formatted_plan(load_all()["emb_dim_slice"].fn(spark, SF_SMOKE))
+    # the vid != qid scoring join has no equi-key: it must be the 5-row
+    # BROADCAST nested loop, never a repartitioned one
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
