@@ -560,3 +560,119 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> SDF:
             F.first("n_b").alias("n_b"),
         )
     )
+
+
+@query(
+    "stats_mann_whitney",
+    """
+    WITH ab AS (SELECT value,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+                FROM events WHERE event_type IN ('purchase', 'click')),
+    cells AS (SELECT value, CAST(sum(a) AS BIGINT) AS a_cnt,
+                     CAST(sum(b) AS BIGINT) AS b_cnt
+              FROM ab GROUP BY value),
+    tot AS (SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a,
+                   CAST(sum(b_cnt) AS BIGINT) AS n_b FROM cells),
+    cum AS (SELECT a_cnt, b_cnt,
+                   sum(a_cnt + b_cnt) OVER (ORDER BY value)
+                     - (a_cnt + b_cnt) AS c_before
+            FROM cells),
+    r AS (SELECT sum(CAST(a_cnt AS DOUBLE)
+                     * (c_before + (a_cnt + b_cnt + 1) / 2.0)) AS r_a,
+                 sum(CAST(a_cnt + b_cnt AS DOUBLE)
+                     * (a_cnt + b_cnt) * (a_cnt + b_cnt)
+                     - (a_cnt + b_cnt)) AS tie3
+          FROM cum)
+    SELECT round(r_a - n_a * (n_a + 1) / 2.0, 6) AS u_a,
+           round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+                 / sqrt(n_a * n_b / 12.0
+                        * ((n_a + n_b + 1)
+                           - tie3 / ((n_a + n_b)
+                                     * CAST(n_a + n_b - 1 AS DOUBLE)))), 6)
+             AS z,
+           n_a, n_b
+    FROM r JOIN tot ON true
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> SDF:
+    """Mann-Whitney U (rank-sum) between the purchase and click value
+    distributions, with midrank tie handling and the tie-corrected
+    normal approximation z — the nonparametric location-shift companion
+    to ``stats_ks_test``'s shape test.
+
+    Scale: ranks are never assigned to rows.  Midranks come from the
+    per-distinct-value cells (c_before + (tie+1)/2), so the heavy input
+    collapses to one (value) groupBy before any ordering happens — and
+    because distinct values of a continuous metric are ~row-many, the
+    cumulative-before count uses the SAME two-phase prefix sum as
+    stats_ks_test: bucket offsets from a window over the tiny
+    bucket-total aggregate, within-bucket cumsums partitioned by
+    bucket.  No unpartitioned window ever sees a row-sized input.  All
+    sums fold in double over identical operands on both engines, so
+    round(6) is stable."""
+    ev = load_table(spark, sf_dir, "events")
+    ab = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        "value",
+        (F.col("event_type") == "purchase").cast("long").alias("a"),
+        (F.col("event_type") == "click").cast("long").alias("b"),
+    )
+    cells = (
+        ab.groupBy("value")
+        .agg(F.sum("a").alias("a_cnt"), F.sum("b").alias("b_cnt"))
+        .withColumn("bucket", F.floor(F.col("value") / 10.0).cast("long"))
+    )
+    tie = F.col("a_cnt") + F.col("b_cnt")
+    btot = cells.groupBy("bucket").agg(F.sum(tie).alias("bt"))
+    w_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offs = btot.select(
+        "bucket", (F.sum("bt").over(w_b) - F.col("bt")).alias("off")
+    )
+    w_v = (
+        W.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        cells.withColumn("wt", F.sum(tie).over(w_v))
+        .join(F.broadcast(offs), "bucket")
+        .select(
+            "a_cnt",
+            "b_cnt",
+            (F.col("wt") + F.col("off") - tie).alias("c_before"),
+        )
+    )
+    r = cum.agg(
+        F.sum(
+            F.col("a_cnt").cast("double")
+            * (
+                F.col("c_before")
+                + (F.col("a_cnt") + F.col("b_cnt") + 1) / 2.0
+            )
+        ).alias("r_a"),
+        F.sum(
+            tie.cast("double") * tie * tie - tie
+        ).alias("tie3"),
+    )
+    tot = cells.agg(
+        F.sum("a_cnt").cast("bigint").alias("n_a"),
+        F.sum("b_cnt").cast("bigint").alias("n_b"),
+    )
+    out = r.crossJoin(F.broadcast(tot))
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    n = F.col("n_a") + F.col("n_b")
+    sigma = F.sqrt(
+        F.col("n_a") * F.col("n_b") / 12.0
+        * (
+            (n + 1)
+            - F.col("tie3") / (n * (n - 1).cast("double"))
+        )
+    )
+    return out.select(
+        F.round(u_a, 6).alias("u_a"),
+        F.round(
+            (u_a - F.col("n_a") * F.col("n_b") / 2.0) / sigma, 6
+        ).alias("z"),
+        "n_a",
+        "n_b",
+    )

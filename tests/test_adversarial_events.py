@@ -74,6 +74,10 @@ _QIDS = (
     # exact-boundary purchase (exclusive upper), and signup-only /
     # purchase-free users (empty join sides)
     "join_interval_bucketed",
+    # duplicate values across BOTH cohorts (midrank ties), negative and
+    # extreme magnitudes (bucket boundaries), tiny cohort sizes
+    "stats_ks_test",
+    "stats_mann_whitney",
 )
 
 

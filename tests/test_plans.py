@@ -401,15 +401,18 @@ def test_tier6_scale_shapes(spark):
 
 
 def test_ks_test_two_phase_prefix_sum(spark):
-    """stats_ks_test: the only unpartitioned window runs over BUCKET
-    TOTALS (a tiny aggregate), the row-bearing cumsum is partitioned by
-    bucket, and the totals/offsets reach the rows as broadcasts."""
+    """stats_ks_test / stats_mann_whitney: the only unpartitioned window
+    runs over BUCKET TOTALS (a tiny aggregate), the row-bearing cumsum
+    is partitioned by bucket, and the totals/offsets reach the rows as
+    broadcasts."""
     from dataframe_expressions_spark.operators.registry import load_all
 
-    plan = _formatted_plan(load_all()["stats_ks_test"].fn(spark, SF_SMOKE))
-    assert plan.count("Window") >= 2, plan
-    assert "BroadcastHashJoin" in plan, plan
-    assert "CartesianProduct" not in plan, plan
+    qs = load_all()
+    for qid in ("stats_ks_test", "stats_mann_whitney"):
+        plan = _formatted_plan(qs[qid].fn(spark, SF_SMOKE))
+        assert plan.count("Window") >= 2, (qid, plan)
+        assert "BroadcastHashJoin" in plan, (qid, plan)
+        assert "CartesianProduct" not in plan, (qid, plan)
 
 
 def test_emb_dim_slice_broadcast_queries(spark):
