@@ -479,11 +479,12 @@ def emb_dim_slice(spark: SparkSession, sf_dir: str) -> SDF:
     cum AS (SELECT sum(a_cnt) OVER (ORDER BY value) AS ca,
                    sum(b_cnt) OVER (ORDER BY value) AS cb
             FROM cells)
-    SELECT round(max(abs(CAST(ca AS DOUBLE) / n_a
-                         - CAST(cb AS DOUBLE) / n_b)), 6) AS d_stat,
-           n_a, n_b
+    SELECT round(max(abs(CAST(ca AS DOUBLE) / nullif(n_a, 0)
+                         - CAST(cb AS DOUBLE) / nullif(n_b, 0))), 6)
+             AS d_stat,
+           (SELECT n_a FROM tot) AS n_a,
+           (SELECT n_b FROM tot) AS n_b
     FROM cum JOIN tot ON true
-    GROUP BY n_a, n_b
     """,
 )
 def stats_ks_test(spark: SparkSession, sf_dir: str) -> SDF:
@@ -544,14 +545,20 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> SDF:
             (F.col("wb") + F.col("off_b")).alias("cb"),
         )
     )
+    # nullif: an absent cohort (n=0) yields a NULL D, not an ANSI
+    # divide-by-zero job abort — the degenerate-slice contract shared
+    # with stats_ab_welch.  The global agg returns ONE all-NULL row on
+    # empty input; the oracle's scalar-subquery form matches that.
+    n_a0 = F.nullif(F.col("n_a").cast("double"), F.lit(0.0))
+    n_b0 = F.nullif(F.col("n_b").cast("double"), F.lit(0.0))
     return (
         cum.crossJoin(F.broadcast(tot))
         .agg(
             F.round(
                 F.max(
                     F.abs(
-                        F.col("ca").cast("double") / F.col("n_a")
-                        - F.col("cb").cast("double") / F.col("n_b")
+                        F.col("ca").cast("double") / n_a0
+                        - F.col("cb").cast("double") / n_b0
                     )
                 ),
                 6,
@@ -586,10 +593,11 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> SDF:
           FROM cum)
     SELECT round(r_a - n_a * (n_a + 1) / 2.0, 6) AS u_a,
            round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
-                 / sqrt(n_a * n_b / 12.0
+                 / nullif(sqrt(n_a * n_b / 12.0
                         * ((n_a + n_b + 1)
-                           - tie3 / ((n_a + n_b)
-                                     * CAST(n_a + n_b - 1 AS DOUBLE)))), 6)
+                           - tie3 / nullif((n_a + n_b)
+                                     * CAST(n_a + n_b - 1 AS DOUBLE), 0))),
+                          0), 6)
              AS z,
            n_a, n_b
     FROM r JOIN tot ON true
@@ -661,12 +669,21 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> SDF:
     out = r.crossJoin(F.broadcast(tot))
     u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
     n = F.col("n_a") + F.col("n_b")
-    sigma = F.sqrt(
-        F.col("n_a") * F.col("n_b") / 12.0
-        * (
-            (n + 1)
-            - F.col("tie3") / (n * (n - 1).cast("double"))
-        )
+    # nullif guards (mirrored in the oracle): n <= 1 voids the tie
+    # correction's n(n-1) divisor, and an all-tied sample makes sigma
+    # EXACTLY 0 (the radicand cancels exactly in IEEE: tie3 and n(n-1)
+    # are exact integers in double and their quotient n+1 is exact) —
+    # both yield a NULL z instead of an ANSI divide-by-zero job abort
+    sigma = F.nullif(
+        F.sqrt(
+            F.col("n_a") * F.col("n_b") / 12.0
+            * (
+                (n + 1)
+                - F.col("tie3")
+                / F.nullif((n * (n - 1)).cast("double"), F.lit(0.0))
+            )
+        ),
+        F.lit(0.0),
     )
     return out.select(
         F.round(u_a, 6).alias("u_a"),
@@ -676,3 +693,56 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> SDF:
         "n_a",
         "n_b",
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    ORDER BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> SDF:
+    """EXACT mergeable distinct counts via bitmap aggregates (Spark 3.5+
+    `bitmap_bucket_number` / `bitmap_bit_position` /
+    `bitmap_construct_agg` / `bitmap_or_agg` / `bitmap_count`): the
+    exact counterpart to `agg_hll_rollup` for dense integer keys.
+    Per-(event_type, bucket) bitmaps are built in one pass; the
+    per-type count sums `bitmap_count` over buckets, and the global
+    'ALL' row re-aggregates the SAME partials with `bitmap_or_agg` —
+    rollup without rescanning raw data, and without HLL's error bar.
+
+    Scale: each bitmap covers a 32768-id bucket (≤ 4 KB dense), so no
+    single aggregation state grows with key cardinality — the (type,
+    bucket) shuffle spreads a billion-user keyspace over ~30k buckets
+    per type.  countDistinct at 100 TB re-shuffles every raw (type,
+    user) pair PER ROLLUP LEVEL; the bitmap partials shuffle once and
+    serve both levels (same rationale as the HLL twin, but exact — the
+    right trade when keys are dense ints; HLL wins on sparse/string
+    keys).  Exactness makes the oracle a plain COUNT(DISTINCT)."""
+    ev = load_table(spark, sf_dir, "events")
+    partials = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    per_type = partials.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users")
+    )
+    overall = (
+        partials.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users"))
+        .select(F.lit("ALL").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(overall).orderBy("event_type")

@@ -78,6 +78,9 @@ _QIDS = (
     # extreme magnitudes (bucket boundaries), tiny cohort sizes
     "stats_ks_test",
     "stats_mann_whitney",
+    # single-user types, same-user-many-types overlap between the
+    # per-type and global bitmap rollup levels
+    "agg_bitmap_distinct",
 )
 
 
@@ -167,3 +170,64 @@ def test_welch_constant_tiny_cohorts(spark, tmp_path_factory):
     )
     err = oc.run_one("stats_ab_welch", spark, con, str(d))
     assert err is None, err
+
+
+def test_rank_stats_degenerate_cohorts(spark, tmp_path_factory):
+    """ANSI divide-by-zero guards for the rank statistics: (a) ALL values
+    identical → Mann-Whitney's tie-corrected sigma is EXACTLY 0 (the
+    radicand cancels exactly in IEEE) → z must be NULL, not a job
+    abort; (b) one cohort entirely absent → KS has n=0 in a CDF
+    denominator and MW has no location to compare → NULL statistics,
+    never an exception.  Both run through the same DuckDB oracle compare
+    the driver uses, so the NULL contract is pinned on BOTH engines."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import oracle_check as oc
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    load_all()
+    t0 = dt.datetime(1995, 6, 1, 12, 0, 0)
+
+    def write(d, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+                    "ts": pa.array(
+                        [t0 + dt.timedelta(minutes=i) for i in range(len(rows))],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array([t for t, _ in rows], pa.string()),
+                    "value": pa.array([v for _, v in rows], pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+
+    cases = {
+        "all_tied": [("purchase", 5.0)] * 3 + [("click", 5.0)] * 4,
+        "cohort_absent": [("purchase", float(i)) for i in range(5)],
+    }
+    failures = {}
+    for name, rows in cases.items():
+        d = tmp_path_factory.mktemp(f"rank_degen_{name}")
+        write(d, rows)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        for qid in ("stats_ks_test", "stats_mann_whitney"):
+            try:
+                err = oc.run_one(qid, spark, con, str(d))
+            except Exception as e:  # noqa: BLE001
+                err = f"EXC {type(e).__name__}: {e}"
+            if err:
+                failures[f"{name}/{qid}"] = err
+    assert not failures, failures
