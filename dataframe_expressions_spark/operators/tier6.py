@@ -746,3 +746,80 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> SDF:
         .select(F.lit("ALL").alias("event_type"), "n_users")
     )
     return per_type.unionByName(overall).orderBy("event_type")
+
+
+@query(
+    "text_gopher_filter",
+    """
+    WITH t AS (SELECT doc_id, text,
+                      list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x != '') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(toks, x -> length(x)))
+                      AS DOUBLE) / nullif(len(toks), 0) AS mean_wl,
+                 CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                      AS DOUBLE) / nullif(length(text), 0) AS sym_ratio,
+                 len(list_intersect(list_distinct(toks),
+                                    ['the', 'and', 'of', 'to', 'a']))
+                   AS n_stop
+          FROM t)
+    SELECT doc_id, n_words,
+           (n_words BETWEEN 10 AND 100000)
+             AND (mean_wl BETWEEN 3.0 AND 10.0)
+             AND (sym_ratio <= 0.2)
+             AND (n_stop >= 2) AS keep,
+           CASE WHEN NOT (n_words BETWEEN 10 AND 100000) THEN 'word_count'
+                WHEN NOT (mean_wl BETWEEN 3.0 AND 10.0) THEN 'word_length'
+                WHEN NOT (sym_ratio <= 0.2) THEN 'symbol_ratio'
+                WHEN NOT (n_stop >= 2) THEN 'stopwords'
+                END AS reason
+    FROM s
+    """,
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> SDF:
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1, thresholds
+    adapted to this corpus's ~300-char docs): word count in [10, 1e5],
+    mean word length in [3, 10], symbol ratio ≤ 0.2 (non-alphanumeric
+    proxy — the corpus has no '#'/'…' literals), ≥ 2 DISTINCT stopwords
+    present.  Emits the verdict AND the first-failing rule — the reason
+    column is what makes a 100 TB filter debuggable (rejection-rate
+    drift per rule is the standard data-quality dashboard).
+
+    Scale: map-only — one regex split staged ONCE per row (see
+    stopword_count_toks: inline helpers would re-split per signal), all
+    signals derived from the staged array, no shuffle at all.  Empty
+    docs fail word_count first, so no NULL verdict escapes (the rule
+    chain's three-valued logic is identical on both engines)."""
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", "text", TX.tokens(F.col("text")).alias("toks"))
+    stop = F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "a")])
+    s = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        TX.avg_token_len_toks(F.col("toks")).cast("double").alias("mean_wl"),
+        F.try_divide(
+            F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast(
+                "double"
+            ),
+            F.length("text"),
+        ).alias("sym_ratio"),
+        F.size(F.array_intersect(F.array_distinct("toks"), stop)).alias(
+            "n_stop"
+        ),
+    )
+    r_wc = F.col("n_words").between(10, 100000)
+    r_wl = F.col("mean_wl").between(3.0, 10.0)
+    r_sym = F.col("sym_ratio") <= 0.2
+    r_stop = F.col("n_stop") >= 2
+    return s.select(
+        "doc_id",
+        "n_words",
+        (r_wc & r_wl & r_sym & r_stop).alias("keep"),
+        F.when(~r_wc, "word_count")
+        .when(~r_wl, "word_length")
+        .when(~r_sym, "symbol_ratio")
+        .when(~r_stop, "stopwords")
+        .alias("reason"),
+    )

@@ -69,6 +69,9 @@ _QIDS = (
     "sample_reservoir",
     "agg_mode",
     "stats_chi2",
+    # empty/space-only docs (NULL mean_wl, zero-length symbol-ratio
+    # divisor), unicode symbol ratios, stopword-free repetition docs
+    "text_gopher_filter",
 )
 
 
