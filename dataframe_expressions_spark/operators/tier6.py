@@ -823,3 +823,30 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> SDF:
         .when(~r_stop, "stopwords")
         .alias("reason"),
     )
+
+
+@query(
+    "stream_transform_with_state",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS vmin,
+           max(value) AS vmax
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> SDF:
+    """Spark 4 transformWithStateInPandas (the arbitrary-stateful-
+    processing successor to applyInPandasWithState): per-user
+    (count, min, max) summary in a ValueState on the ROCKSDB state
+    store — see streaming/windows.py:tws_user_summary for the operator,
+    the scale rationale, AND the environment gate (TWS needs
+    google.protobuf for its state-server protocol; absent here, the
+    identical summary runs on applyInPandasWithState).  The bounded
+    source arrives as one micro-batch, so the final update equals the
+    batch aggregate — full SQL oracle (min/max of doubles are exact
+    picks, no rounding needed)."""
+    from ..streaming.windows import tws_user_summary
+
+    return tws_user_summary(spark, sf_dir)

@@ -139,3 +139,167 @@ def stateful_running_count(spark: SparkSession, sf_dir: str) -> SDF:
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
     return run_to_memory(counted, "update")
+
+
+def tws_user_summary(spark: SparkSession, sf_dir: str) -> SDF:
+    """Custom stateful operator via Spark 4's transformWithStateInPandas
+    (the successor to applyInPandasWithState): per-user (count, min, max)
+    summary kept in a ValueState, emitted each micro-batch.
+
+    ENVIRONMENT GATE (same class as the multimodal codec stub): the TWS
+    Python worker speaks a protobuf state-server protocol
+    (pyspark/sql/streaming/proto/StateMessage_pb2) and this container has
+    no ``google.protobuf`` (no pip allowed).  When protobuf is absent the
+    SAME summary runs through applyInPandasWithState/GroupState —
+    identical semantics, output, and state sharding; the TWS path below
+    is real code that runs wherever protobuf exists.
+
+    Scale: same sharding story as the GroupState twin (state partitions
+    with the grouping-key shuffle), but the new API runs ONLY on the
+    RocksDB state store — which is the 100 TB answer anyway: state
+    spills to local SST files instead of executor heap, and changelog
+    checkpointing ships deltas, not snapshots.  The provider conf is
+    scoped to this query and restored after.
+    """
+    import importlib.util
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n", LongType()),
+            StructField("vmin", DoubleType()),
+            StructField("vmax", DoubleType()),
+        ]
+    )
+
+    class UserSummary(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, vmin DOUBLE, vmax DOUBLE"
+            )
+
+        def handleInputRows(
+            self, key, rows: "Iterator[pd.DataFrame]", timer_values
+        ) -> "Iterator[pd.DataFrame]":
+            if self._agg.exists():
+                n, vmin, vmax = self._agg.get()
+            else:
+                n, vmin, vmax = 0, None, None
+            for pdf in rows:
+                n += len(pdf)
+                lo, hi = pdf["value"].min(), pdf["value"].max()
+                vmin = float(lo) if vmin is None else min(vmin, float(lo))
+                vmax = float(hi) if vmax is None else max(vmax, float(hi))
+            self._agg.update((n, vmin, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n": [n],
+                    "vmin": [vmin],
+                    "vmax": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    try:
+        # find_spec raises (not returns None) when the 'google' namespace
+        # package itself is absent
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        return _tws_fallback_summary(spark, sf_dir)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    before = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        ev = stream_events(spark, sf_dir).select("user_id", "value")
+        summarized = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserSummary(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        return run_to_memory(summarized, "update")
+    finally:
+        if before is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, before)
+
+
+def _tws_fallback_summary(spark: SparkSession, sf_dir: str) -> SDF:
+    """GroupState twin of tws_user_summary (see its ENVIRONMENT GATE
+    note): identical per-user (count, min, max) summary semantics on the
+    older arbitrary-stateful API, for containers without protobuf."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n", LongType()),
+            StructField("vmin", DoubleType()),
+            StructField("vmax", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("vmin", DoubleType()),
+            StructField("vmax", DoubleType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+    ) -> "Iterator[pd.DataFrame]":
+        if state.exists:
+            n, vmin, vmax = state.get
+        else:
+            n, vmin, vmax = 0, None, None
+        for pdf in pdfs:
+            n += len(pdf)
+            lo, hi = pdf["value"].min(), pdf["value"].max()
+            vmin = float(lo) if vmin is None else min(vmin, float(lo))
+            vmax = float(hi) if vmax is None else max(vmax, float(hi))
+        state.update((n, vmin, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "vmin": [vmin], "vmax": [vmax]}
+        )
+
+    ev = stream_events(spark, sf_dir).select("user_id", "value")
+    summarized = ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    return run_to_memory(summarized, "update")
