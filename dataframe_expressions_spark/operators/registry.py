@@ -56,7 +56,7 @@ def query(qid: str, oracle: Optional[str] = None):
 # added late in round 4: decontam_bloom, sample_reservoir, agg_mode,
 # stats_chi2, join_interval_bucketed, emb_dim_slice, stats_ks_test,
 # stats_mann_whitney, agg_bitmap_distinct, text_gopher_filter,
-# stream_transform_with_state) and
+# stream_transform_with_state, scan_text) and
 # then the refresh of
 # r1-vintage greens whose evidence predates two testdata regenerations
 # (tier1 block, set_ops, string_funcs, date_funcs, udaf_pandas,

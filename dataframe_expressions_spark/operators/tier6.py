@@ -850,3 +850,37 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> SDF:
     from ..streaming.windows import tws_user_summary
 
     return tws_user_summary(spark, sf_dir)
+
+
+@query(
+    "scan_text",
+    "SELECT n_nationkey, n_name FROM nation",
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> SDF:
+    """Raw text-line sink+source round-trip (``.text()`` writer → one
+    line per record → ``spark.read.text`` → explicit delimiter parse):
+    the ingestion shape of line-oriented raw corpora (WET/JSONL-adjacent
+    dumps) where the format is too loose for a schema'd reader.
+
+    Scale: read.text is splittable like any file source (parallelism =
+    file splits), the parse is a map-only split+cast with NO inference
+    pass, and malformed lines surface as NULL casts (ANSI-safe
+    try_cast) instead of job aborts — the contract a 100 TB raw-dump
+    ingest needs.  Fields are pipe-joined; nation names carry no '|'
+    (same cleanliness assumption every delimited lake layout makes,
+    stated here explicitly)."""
+    import shutil
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"/tmp/spark_graft_text_{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.concat_ws("|", F.col("n_nationkey"), F.col("n_name")).alias("value")
+    )
+    nation.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    parts = F.split(F.col("value"), r"\|")
+    return back.select(
+        F.try_element_at(parts, F.lit(1)).try_cast("long").alias("n_nationkey"),
+        F.try_element_at(parts, F.lit(2)).alias("n_name"),
+    )
