@@ -43,84 +43,74 @@ def query(qid: str, oracle: Optional[str] = None):
 # registration order).  We rotate which queries occupy that window each
 # round, maximizing total driver-verified coverage: ids with ANY green
 # driver row keep that evidence, so window slots always go to ids with
-# NO row first.  Round 4 fronts (a) the 19 ids no r1-r3 window ever
-# reached, (b) the 2 round-3 hash-fails (tpch_q12_priority_class,
-# mixture_sample — DuckDB HUGEINT→float64 oracle typing, now CAST to
-# BIGINT; Spark values matched all along), and (c) 29 of the 38
-# round-4 additions (never driver-checked).  That leaves for round 5:
-# the remaining never-checked round-4 additions (text_char_entropy,
-# emb_outlier_centroid, mixture_temperature, emb_random_projection,
-# text_boilerplate_ngram, rollup_time_hierarchy, scd2_dimension,
-# join_pit_nearest, text_unigram_surprisal, scan_python_datasource,
-# stream_python_datasource, text_readability, plus the tier6 batch
-# added late in round 4: decontam_bloom, sample_reservoir, agg_mode,
-# stats_chi2, join_interval_bucketed, emb_dim_slice, stats_ks_test,
-# stats_mann_whitney, agg_bitmap_distinct, text_gopher_filter,
-# stream_transform_with_state, scan_text) and
-# then the refresh of
-# r1-vintage greens whose evidence predates two testdata regenerations
-# (tier1 block, set_ops, string_funcs, date_funcs, udaf_pandas,
-# array_hof_funcs, cond_null_funcs, tpch_q3_shipping_priority,
-# tpch_q5_local_supplier, window_first_last, nested_topn_slice,
-# nested_two_level, and the r2-vintage tier3/tier4 block).  Everything
+# NO row first.  Round-4 window: 50/50 green (CORRECTNESS_r04.json),
+# including the two round-3 hash-fails after the BIGINT oracle casts.
+# Round 5 fronts (a) the 24 ids that have NEVER had a driver row (the
+# rest of the round-4 additions plus the late tier6 batch — exactly the
+# list the r4 verdict carries), then (b) 26 of the 38 ids whose newest
+# driver evidence is still r1-vintage (predates two testdata
+# regenerations): the substantive ones first — tpch_q3/q5, the dedup /
+# sim-search / text blocks, joins, windows, aggregates.  That leaves 12
+# trivial tier1 expression ids (project/filter/cmp/bool/arith/math/
+# count/alias/callable/udf/nested_minmax) for the round-6 window; their
+# local sf0.01 parity is green every pytest run meanwhile.  Everything
 # outside the window stays guarded by tests/test_oracle_parity.py,
 # which checks ALL entries against DuckDB (value-exact +
 # driver-identical CSV hash) on every pytest run.
 DRIVER_WINDOW_PRIORITY: tuple = (
-    # -- the 19 ids never in any driver window (r1-r3)
-    "text_pii_scrub",
-    "text_chunk_windows",
-    "sample_stratified",
-    "emb_norm_quantize",
-    "dedup_cross_source",
-    "text_rep_bigram",
-    "decontam_ngram",
-    "vocab_topk",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "hist_totalprice",
-    "stats_winsorize",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_volume",
-    "sink_sorted_skipping",
-    "dedup_fuzzy_edit",
-    "observe_metrics",
-    "dq_constraints",
-    "schema_evolution_merge",
-    # -- round-3 hash-fails, re-check after the BIGINT oracle casts
-    "tpch_q12_priority_class",
-    "mixture_sample",
-    # -- round-4 additions, never driver-checked (29 of 38; the 9
-    #    listed above wait for round 5)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_relation",
-    "tpch_q20_promotion_supplier",
-    "dedup_semantic",
-    "graph_pagerank",
-    "profile_columns",
-    "stats_ab_welch",
-    "dedup_substring_spans",
-    "emb_pq_codebook",
-    "agg_approx_topk",
-    "pipeline_pretrain_corpus",
-    "dedup_containment",
-    "sql_recursive_cte",
-    "join_lateral",
-    "sql_pipe_syntax",
-    "reshape_transpose",
-    "string_collation",
-    "window_rolling_median",
-    "join_null_safe",
-    "agg_filter_clause",
-    "sql_group_by_all",
-    "scan_xml",
-    "user_func_arrow",
-    "stats_ols_regression",
-    "window_pattern_match",
-    "stats_corr_matrix",
-    "agg_grouping_sets",
+    # -- the 24 ids with no driver row in any of r1-r4
+    "text_char_entropy",
+    "emb_outlier_centroid",
+    "mixture_temperature",
+    "emb_random_projection",
+    "text_boilerplate_ngram",
+    "rollup_time_hierarchy",
+    "scd2_dimension",
+    "join_pit_nearest",
+    "text_unigram_surprisal",
+    "scan_python_datasource",
+    "stream_python_datasource",
+    "text_readability",
+    "decontam_bloom",
+    "sample_reservoir",
+    "agg_mode",
+    "stats_chi2",
+    "join_interval_bucketed",
+    "emb_dim_slice",
+    "stats_ks_test",
+    "stats_mann_whitney",
+    "agg_bitmap_distinct",
+    "text_gopher_filter",
+    "stream_transform_with_state",
+    "scan_text",
+    # -- refresh: 26 of the 38 r1-vintage greens (evidence predates two
+    #    testdata regenerations), substantive ids first
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "dedup_ngram_jaccard",
+    "dedup_near_embedding",
+    "sim_search_topk",
+    "udaf_pandas",
+    "text_stats",
+    "sort_limit_topk",
+    "set_ops",
+    "string_funcs",
+    "date_funcs",
+    "array_hof_funcs",
+    "cond_null_funcs",
+    "window_rank",
+    "window_analytic",
+    "window_first_last",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_left_semi_anti",
+    "join_outer",
+    "join_full_outer",
+    "agg_groupby",
+    "agg_distinct",
+    "agg_rollup_cube",
+    "nested_filter_agg",
+    "nested_count_cut",
 )
 
 

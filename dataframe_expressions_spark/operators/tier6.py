@@ -268,8 +268,11 @@ def stats_chi2(spark: SparkSession, sf_dir: str) -> SDF:
     marginals re-aggregate the cells (lang×source cardinality, not
     rows), and the expected-count join is broadcast both ways.  Expected
     counts are never materialized per row — the O(rows) part of the job
-    is exactly the one groupBy.  Cell terms sum in double; magnitudes
-    are O(cells), so round(6) is stable across partition orders."""
+    is exactly the one groupBy.  Cell terms are inexact doubles, so the
+    final fold is pinned to ONE partition in (lang, source) order —
+    partition-order-dependent summation could flip the 6th decimal
+    between runs (r4 advisor note).  The coalesce(1) is free: the frame
+    being folded has lang×source rows, not data rows."""
     docs = load_table(spark, sf_dir, "documents")
     cells = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("double").alias("o")
@@ -289,7 +292,9 @@ def stats_chi2(spark: SparkSession, sf_dir: str) -> SDF:
         ).alias("dof")
     )
     return (
-        joined.agg(
+        joined.coalesce(1)
+        .sortWithinPartitions("lang", "source")
+        .agg(
             F.round(
                 F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 6
             ).alias("chi2"),
@@ -868,11 +873,20 @@ def scan_text(spark: SparkSession, sf_dir: str) -> SDF:
     try_cast) instead of job aborts — the contract a 100 TB raw-dump
     ingest needs.  Fields are pipe-joined; nation names carry no '|'
     (same cleanliness assumption every delimited lake layout makes,
-    stated here explicitly)."""
+    stated here explicitly).
+
+    The landing path is keyed on a hash of the FULL sf_dir plus this
+    process id: basename-only keying collided across concurrent runs
+    (pytest-xdist worker vs bench on the same sf basename), letting one
+    process rmtree line files another was mid-read (r4 advisor note)."""
+    import hashlib
+    import os
     import shutil
 
-    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    out = f"/tmp/spark_graft_text_{key}"
+    key = hashlib.sha256(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:12]
+    out = f"/tmp/spark_graft_text_{key}_{os.getpid()}"
     shutil.rmtree(out, ignore_errors=True)
     nation = load_table(spark, sf_dir, "nation").select(
         F.concat_ws("|", F.col("n_nationkey"), F.col("n_name")).alias("value")

@@ -141,27 +141,14 @@ def stateful_running_count(spark: SparkSession, sf_dir: str) -> SDF:
     return run_to_memory(counted, "update")
 
 
-def tws_user_summary(spark: SparkSession, sf_dir: str) -> SDF:
-    """Custom stateful operator via Spark 4's transformWithStateInPandas
-    (the successor to applyInPandasWithState): per-user (count, min, max)
-    summary kept in a ValueState, emitted each micro-batch.
-
-    ENVIRONMENT GATE (same class as the multimodal codec stub): the TWS
-    Python worker speaks a protobuf state-server protocol
-    (pyspark/sql/streaming/proto/StateMessage_pb2) and this container has
-    no ``google.protobuf`` (no pip allowed).  When protobuf is absent the
-    SAME summary runs through applyInPandasWithState/GroupState —
-    identical semantics, output, and state sharding; the TWS path below
-    is real code that runs wherever protobuf exists.
-
-    Scale: same sharding story as the GroupState twin (state partitions
-    with the grouping-key shuffle), but the new API runs ONLY on the
-    RocksDB state store — which is the 100 TB answer anyway: state
-    spills to local SST files instead of executor heap, and changelog
-    checkpointing ships deltas, not snapshots.  The provider conf is
-    scoped to this query and restored after.
-    """
-    import importlib.util
+def make_tws_user_summary() -> tuple:
+    """Build the transformWithStateInPandas processor + output schema for
+    ``tws_user_summary``, at module level so the TWS branch's processor
+    logic (ValueState tuple shapes in particular — the r4 advisor's
+    concern) is unit-testable even where the protobuf state server
+    can't run: tests/test_streaming_tws.py drives handleInputRows
+    against a fake handle, and a skipif-protobuf test runs the real
+    branch on equipped hosts."""
     from typing import Iterator
 
     import pandas as pd
@@ -216,6 +203,33 @@ def tws_user_summary(spark: SparkSession, sf_dir: str) -> SDF:
 
         def close(self) -> None:
             pass
+
+    return UserSummary, out_schema
+
+
+def tws_user_summary(spark: SparkSession, sf_dir: str) -> SDF:
+    """Custom stateful operator via Spark 4's transformWithStateInPandas
+    (the successor to applyInPandasWithState): per-user (count, min, max)
+    summary kept in a ValueState, emitted each micro-batch.
+
+    ENVIRONMENT GATE (same class as the multimodal codec stub): the TWS
+    Python worker speaks a protobuf state-server protocol
+    (pyspark/sql/streaming/proto/StateMessage_pb2) and this container has
+    no ``google.protobuf`` (no pip allowed).  When protobuf is absent the
+    SAME summary runs through applyInPandasWithState/GroupState —
+    identical semantics, output, and state sharding; the TWS path below
+    is real code that runs wherever protobuf exists.
+
+    Scale: same sharding story as the GroupState twin (state partitions
+    with the grouping-key shuffle), but the new API runs ONLY on the
+    RocksDB state store — which is the 100 TB answer anyway: state
+    spills to local SST files instead of executor heap, and changelog
+    checkpointing ships deltas, not snapshots.  The provider conf is
+    scoped to this query and restored after.
+    """
+    import importlib.util
+
+    UserSummary, out_schema = make_tws_user_summary()
 
     try:
         # find_spec raises (not returns None) when the 'google' namespace

@@ -51,3 +51,29 @@ def test_survey_s2_ids_match_registry():
     registered = set(load_all())
     assert declared - registered == set(), f"declared but not registered: {sorted(declared - registered)}"
     assert registered - declared == set(), f"registered but not in SURVEY §2: {sorted(registered - declared)}"
+
+
+def test_bench_anchor_covers_every_registered_id():
+    """bench.py's adaptive passes 2-3 re-measure only ids whose pass-1
+    sample exceeds 1.5x their committed anchor value; an id MISSING
+    from the anchor is treated as always-an-outlier (safe), but a stale
+    anchor silently degrades the protocol — so the newest committed
+    bench_anchor_r*.json must carry every registered id (regenerate it
+    in the same commit as any new operator)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    anchors = sorted(glob.glob(os.path.join(repo, "bench_anchor_r*.json")),
+                     reverse=True)
+    assert anchors, "no committed bench anchor found"
+    with open(anchors[0]) as fh:
+        anchor_ids = set(json.load(fh)["queries"])
+    registered = set(load_all())
+    missing = sorted(registered - anchor_ids)
+    assert not missing, (
+        f"{os.path.basename(anchors[0])} missing {len(missing)} ids: "
+        f"{missing[:10]}... — rerun bench at sf0.1 on a quiet machine and "
+        f"commit the refreshed anchor"
+    )
