@@ -193,7 +193,10 @@ def main() -> None:
         if rep > 0:
             if not todo:
                 break
-            est = sum(max(anchor_newest.get(q, 1.0), 0.2) for q in todo) + 10.0
+            # estimate the pass from OBSERVED samples, not the anchor —
+            # an outlier by definition exceeded its anchor, so the
+            # anchor systematically underestimates the re-run cost
+            est = sum(min(runs[q]) if runs[q] else 1.0 for q in todo) + 10.0
             if time.perf_counter() - t_start + est > budget_s:
                 break
         for i, qid in enumerate(todo):

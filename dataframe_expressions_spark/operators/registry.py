@@ -47,13 +47,16 @@ def query(qid: str, oracle: Optional[str] = None):
 # including the two round-3 hash-fails after the BIGINT oracle casts.
 # Round 5 fronts (a) the 24 ids that have NEVER had a driver row (the
 # rest of the round-4 additions plus the late tier6 batch — exactly the
-# list the r4 verdict carries), then (b) 26 of the 38 ids whose newest
+# list the r4 verdict carries), then (b) 18 of the 38 ids whose newest
 # driver evidence is still r1-vintage (predates two testdata
 # regenerations): the substantive ones first — tpch_q3/q5, the dedup /
-# sim-search / text blocks, joins, windows, aggregates.  That leaves 12
-# trivial tier1 expression ids (project/filter/cmp/bool/arith/math/
-# count/alias/callable/udf/nested_minmax) for the round-6 window; their
-# local sf0.01 parity is green every pytest run meanwhile.  Everything
+# sim-search / text blocks, joins, windows, aggregates.  Slots 25-32 go
+# to the 8 round-5 tier7 additions (zero evidence of any vintage beats
+# stale-but-green).  That leaves 20 r1-vintage ids for the round-6
+# window (12 trivial tier1 expression ids plus join_left_semi_anti,
+# join_outer/full_outer, agg_groupby/distinct/rollup_cube,
+# nested_filter_agg, nested_count_cut); their local sf0.01 parity is
+# green every pytest run meanwhile.  Everything
 # outside the window stays guarded by tests/test_oracle_parity.py,
 # which checks ALL entries against DuckDB (value-exact +
 # driver-identical CSV hash) on every pytest run.
@@ -83,7 +86,16 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "text_gopher_filter",
     "stream_transform_with_state",
     "scan_text",
-    # -- refresh: 26 of the 38 r1-vintage greens (evidence predates two
+    # -- the 8 round-5 additions (tier7) — also zero driver evidence
+    "rank_bm25",
+    "text_bigram_surprisal",
+    "sample_weighted",
+    "agg_countmin_heavyhit",
+    "window_gaps_islands",
+    "stats_mutual_info",
+    "stream_restart_recovery",
+    "scan_partition_pruned",
+    # -- refresh: 18 of the 38 r1-vintage greens (evidence predates two
     #    testdata regenerations), substantive ids first
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
@@ -103,21 +115,13 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "window_first_last",
     "join_inner_hash",
     "join_broadcast",
-    "join_left_semi_anti",
-    "join_outer",
-    "join_full_outer",
-    "agg_groupby",
-    "agg_distinct",
-    "agg_rollup_cube",
-    "nested_filter_agg",
-    "nested_count_cut",
 )
 
 
 def load_all() -> Dict[str, Query]:
     """Import every operator module so registrations run; order the result
     so DRIVER_WINDOW_PRIORITY ids come first (the driver's check window)."""
-    from . import tier1, tier2, tier3, tier4, tier5, tier6  # noqa: F401
+    from . import tier1, tier2, tier3, tier4, tier5, tier6, tier7  # noqa: F401
 
     ordered: Dict[str, Query] = {}
     for qid in DRIVER_WINDOW_PRIORITY:

@@ -1,0 +1,786 @@
+"""Tier 7 — round-5 extension block: retrieval scoring, higher-order LM
+quality filtering, weighted sampling, the count-min sketch (completing
+the sketch family next to HLL / bitmap / Bloom), gaps-and-islands run
+detection, mutual information, streaming checkpoint-restart recovery,
+and dynamic partition pruning over a Hive-layout sink.
+
+Reference parity note: gordonwatts/dataframe_expressions is a
+capture-only front end (no engine, ~1.2 kLoC; see SURVEY.md §1), so
+every operator here is extension scope — the workloads a Spark-backed
+engine for 100 TB training-data pipelines needs, each expressed
+Spark-first and oracle-checked like tiers 2–6.
+
+Oracle discipline (same as tier5/tier6): BIGINT casts on counts;
+doubles rounded per-term to a fixed scale in GROUP-sized tables, then
+DECIMAL-folded so the final sums are partition-order independent and
+bit-identical across engines; identical aliases both sides; the
+portable char fingerprint (functions/text.py:85) wherever deterministic
+pseudo-randomness is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions import dedup as D
+from ..functions import text as TX
+from ..sources.tables import load_table, source_fingerprint
+from .registry import query
+from .tier3 import _TOKS
+
+# DuckDB mirror of functions/text.py:char_fingerprint over an arbitrary
+# expression (tier6's _FP_SQL is pinned to the `text` column).
+def _fp_sql(expr: str) -> str:
+    return f"""
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length({expr}) + 1),
+                                 i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT))),
+                  (a, x) -> (a * 31 + x) % 1000000007)
+    """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("vector", "merge", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "rank_bm25",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    st AS (SELECT count(*) AS n,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('vector', 'merge', 'stream')
+           GROUP BY doc_id, term),
+    dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (SELECT tf.doc_id,
+                  round(ln(1 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                        * (tf.tf * ({_BM25_K1} + 1))
+                        / (tf.tf + {_BM25_K1}
+                           * (1 - {_BM25_B}
+                              + {_BM25_B} * dl.dl / st.avgdl)), 6) AS s
+           FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id)
+                CROSS JOIN st),
+    agg AS (SELECT doc_id,
+                   CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS score
+            FROM sc GROUP BY doc_id),
+    r AS (SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+          FROM agg)
+    SELECT CAST(rk AS BIGINT) AS rk, doc_id, score FROM r WHERE rk <= 20
+    """,
+)
+def rank_bm25(spark: SparkSession, sf_dir: str) -> SDF:
+    """BM25 document retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75)
+    for a fixed query-term set over the corpus — the lexical ranking
+    half of every retrieval/RAG data pipeline, next to the embedding
+    ANN family (sim_search_*).
+
+    Scale: the corpus explosion is FILTERED to query-term hits before
+    its one shuffle (a 3-term query touches ~3/vocab of the postings;
+    the non-matching tokens never leave the map side).  Per-term df and
+    the (N, avgdl) corpus stats are O(|query|) and O(1) — broadcast.
+    Per-(doc,term) scores are pure IEEE arithmetic on exact ints
+    (tf/df/N/dl) rounded to 6 decimals, the per-doc sum DECIMAL-folds
+    those, and the final top-20 is TakeOrderedAndProject on the exact
+    decimal sum with a doc_id tie-break — no global sort."""
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    st = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    sc = (
+        tf.join(dfx, "term")
+        .join(dl, "doc_id")
+        .crossJoin(st)
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (F.lit(1) - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.sum(F.col("s").cast("decimal(38,6)")).cast("double").alias("score")
+    )
+    wr = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.select(
+            F.row_number().over(wr).cast("long").alias("rk"), "doc_id", "score"
+        )
+        .where(F.col("rk") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM surprisal (conditional cross-entropy quality filter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bigram_surprisal",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
+          FROM d WHERE len(toks) > 1),
+    p AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM p GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+    t AS (SELECT w1, w2,
+                 round(ln(CAST(n1 AS DOUBLE)) - ln(CAST(n2 AS DOUBLE)), 6)
+                   AS srp
+          FROM c2 JOIN c1 USING (w1))
+    SELECT p.doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(CAST(srp AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_surprisal
+    FROM p JOIN t USING (w1, w2) GROUP BY p.doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> SDF:
+    """Bigram-LM cross-entropy scoring: train conditional bigram MLE
+    probabilities on the corpus itself, score every document by its mean
+    -ln p(w2|w1) — one model order up from text_unigram_surprisal.  This
+    is the CCNet-style LM quality filter shape: low = fluent/common
+    phrasing, high = token salad; the corpus-trained model needs no
+    smoothing because every scored bigram came from the corpus.
+
+    Scale: the bigram explosion shuffles ONCE into (w1,w2) counts
+    (map-side combined); context counts c1 re-aggregate the bigram
+    table (vocabulary-sized, not corpus-sized).  The per-bigram
+    surprisal ln(c1)-ln(c2) is rounded to 6 decimals in the
+    vocabulary-sized table, the per-doc mean DECIMAL-folds those —
+    engine log-ulp differences cannot reorder the sum.  The score join
+    is token-keyed; the vocab side is left to AQE (a web-corpus bigram
+    vocabulary is too big to force-broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = D.spread(
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    ).where(F.size("toks") > 1)
+    p = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = p.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    t = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.log(F.col("n1").cast("double")) - F.log(F.col("n2").cast("double")),
+            6,
+        ).alias("srp"),
+    )
+    return (
+        p.join(t, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("srp").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_FP_MOD = 1_000_000_007
+
+
+@query(
+    "sample_weighted",
+    f"""
+    WITH k AS (SELECT doc_id,
+                      greatest(n_chars, 1) AS w,
+                      round(ln((({_fp_sql('text')}) + 1)
+                               / CAST({_FP_MOD + 1} AS DOUBLE))
+                            / greatest(n_chars, 1), 12) AS key
+               FROM documents),
+    r AS (SELECT doc_id, CAST(w AS BIGINT) AS w, key,
+                 row_number() OVER (ORDER BY key DESC, doc_id) AS rk
+          FROM k)
+    SELECT CAST(rk AS BIGINT) AS rk, doc_id, w, key FROM r WHERE rk <= 30
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> SDF:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES:
+    rank by u^(1/w), equivalently ln(u)/w) with the uniform u derived
+    from the content fingerprint instead of rand() — longer documents
+    are proportionally more likely to be kept, and the SAME sample comes
+    back on every run, engine, and retry.  This is the length-weighted
+    mixture draw a pretraining sampler runs per source, made
+    reproducible.
+
+    Scale: the key is map-only arithmetic per row (no shuffle, no RNG
+    state), and the top-k is TakeOrderedAndProject — the driver holds k
+    rows, never the corpus.  ln-ulp differences between engines are
+    absorbed by rounding the key at 1e-12 (absolute), far below any
+    real key gap, before ranking with a doc_id tie-break."""
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (TX.char_fingerprint(F.col("text")) + 1) / F.lit(
+        float(_FP_MOD + 1)
+    )
+    k = docs.select(
+        "doc_id",
+        w.cast("long").alias("w"),
+        F.round(F.log(u) / w, 12).alias("key"),
+    )
+    wr = W.orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        k.select(F.row_number().over(wr).cast("long").alias("rk"), "doc_id",
+                 "w", "key")
+        .where(F.col("rk") <= 30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_W = 128
+_CMS_A = (31, 131, 1031, 8191)
+_CMS_B = (17, 257, 4099, 65537)
+_CMS_PROBES = ("join", "vector", "merge", "zzz_absent_token")
+
+
+def _cms_cell_sql(j: int, fp: str) -> str:
+    return (
+        f"(({_CMS_A[j]} * ({fp}) + {_CMS_B[j]}) % {_FP_MOD}) % {_CMS_W}"
+    )
+
+
+@query(
+    "agg_countmin_heavyhit",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    vocab AS (SELECT term, count(*) AS cnt,
+                     {_fp_sql('term')} AS fp
+              FROM tok GROUP BY term),
+    cells AS (SELECT j, cell, sum(cnt) AS c FROM (
+                {' UNION ALL '.join(
+                    f"SELECT {j} AS j, {_cms_cell_sql(j, 'fp')} AS cell, cnt "
+                    f"FROM vocab"
+                    for j in range(4)
+                )}) GROUP BY j, cell),
+    probes AS (SELECT unnest(['join', 'vector', 'merge',
+                              'zzz_absent_token']) AS term),
+    ph AS (SELECT term, {_fp_sql('term')} AS fp FROM probes),
+    pc AS ({' UNION ALL '.join(
+        f"SELECT term, {j} AS j, {_cms_cell_sql(j, 'fp')} AS cell FROM ph"
+        for j in range(4)
+    )}),
+    est AS (SELECT pc.term, min(cells.c) AS est
+            FROM pc JOIN cells USING (j, cell) GROUP BY pc.term)
+    SELECT est.term,
+           CAST(coalesce(vocab.cnt, 0) AS BIGINT) AS exact,
+           CAST(est.est AS BIGINT) AS est,
+           CAST(est.est - coalesce(vocab.cnt, 0) AS BIGINT) AS overcount
+    FROM est LEFT JOIN vocab ON est.term = vocab.term
+    """,
+)
+def agg_countmin_heavyhit(spark: SparkSession, sf_dir: str) -> SDF:
+    """Count-min sketch (d=4 rows × w=128 counters, universal-hash family
+    (a·fp + b) mod p mod w over the portable content fingerprint) with
+    point queries for a fixed probe set — the mergeable
+    frequency-estimate sketch that completes the family next to HLL
+    (distinct), bitmap (exact distinct) and Bloom (membership).  The
+    absent-token probe surfaces pure collision mass; overcount = est −
+    exact is the sketch's one-sided error, non-negative by construction.
+
+    Scale: the corpus token explosion shuffles ONCE into the
+    vocabulary-sized (term, cnt) table (map-side combined) — the d×w
+    cell rollup then aggregates VOCAB rows, not corpus rows, into a
+    512-cell sketch that would ride a broadcast anywhere downstream.
+    Sketches from disjoint corpus shards merge by cell-wise addition —
+    the same one-shuffle rollup — which is why CMS is the 100 TB shape
+    for streaming heavy-hitter monitoring.  All arithmetic is exact
+    int64 (a·fp ≤ 8191·1e9 ≪ 2^63), so the oracle is exact."""
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = vocab.withColumn("fp", TX.char_fingerprint(F.col("term")))
+
+    def cell(j: int, fp: F.Column) -> F.Column:
+        return (
+            (F.lit(_CMS_A[j]) * fp + F.lit(_CMS_B[j])) % F.lit(_FP_MOD)
+        ) % F.lit(_CMS_W)
+
+    cells = (
+        vocab.select(
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            cell(j, F.col("fp")).alias("cell"),
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("jc"),
+        )
+        .select(F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"), "cnt")
+        .groupBy("j", "cell")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _CMS_PROBES])).alias("term")
+    )
+    ph = probes.withColumn("fp", TX.char_fingerprint(F.col("term")))
+    pc = ph.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), cell(j, F.col("fp")).alias("cell")
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("jc"),
+    ).select("term", F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
+    est = (
+        F.broadcast(pc)
+        .join(cells, ["j", "cell"])
+        .groupBy("term")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.join(F.broadcast(vocab.select("term", "cnt")), "term", "left")
+        .select(
+            "term",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("exact"),
+            F.col("est").cast("long").alias("est"),
+            (F.col("est") - F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: runs of equal value
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_gaps_islands",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+               FROM events),
+    d AS (SELECT user_id, event_type, t, event_id,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                        OR lag(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    s AS (SELECT user_id, event_type, event_id,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM d),
+    runs AS (SELECT user_id, event_type,
+                    count(*) AS run_len,
+                    min(event_id) AS start_event
+             FROM s GROUP BY user_id, event_type, island),
+    r AS (SELECT user_id, event_type, run_len, start_event,
+                 row_number() OVER (ORDER BY run_len DESC, user_id,
+                                    start_event) AS rk
+          FROM runs)
+    SELECT CAST(rk AS BIGINT) AS rk, user_id, event_type,
+           CAST(run_len AS BIGINT) AS run_len,
+           CAST(start_event AS BIGINT) AS start_event
+    FROM r WHERE rk <= 20
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> SDF:
+    """Gaps-and-islands over VALUE runs: the longest streaks of
+    consecutive same-type events per user (sessionize_batch is the
+    time-gap variant of the same pattern; this is the categorical-run
+    variant — retention streaks, repeated-failure runs, bot-like
+    repetition detection).
+
+    Scale: ONE shuffle on user_id — the lag window, the running
+    break-count window and the (user, type, island) rollup all ride the
+    same hash partitioning, so Catalyst plans exactly one Exchange.
+    Ordering is (event-time µs, event_id): exact int64 with a unique
+    tie-break, so island boundaries are deterministic on both engines.
+    The top-20 is TakeOrderedAndProject with a unique
+    (run_len, user, start_event) order — no global sort."""
+    from ..sources.tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("t"), "event_id"
+    )
+    wl = W.partitionBy("user_id").orderBy("t", "event_id")
+    brk = F.when(
+        F.lag("event_type").over(wl).isNull()
+        | (F.lag("event_type").over(wl) != F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.sum(brk).over(
+            wl.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("island"),
+    )
+    runs = s.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("event_id").alias("start_event"),
+    )
+    wr = W.orderBy(F.desc("run_len"), F.asc("user_id"), F.asc("start_event"))
+    return (
+        runs.select(
+            F.row_number().over(wr).cast("long").alias("rk"),
+            "user_id",
+            "event_type",
+            F.col("run_len").cast("long").alias("run_len"),
+            F.col("start_event").cast("long").alias("start_event"),
+        )
+        .where(F.col("rk") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# mutual information / entropy over a contingency table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_mutual_info",
+    """
+    WITH cells AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+                   FROM documents GROUP BY lang, source),
+    tot AS (SELECT sum(o) AS n FROM cells),
+    rt AS (SELECT lang, sum(o) AS r FROM cells GROUP BY lang),
+    ct AS (SELECT source, sum(o) AS c FROM cells GROUP BY source),
+    mi_t AS (SELECT round((o / n) * ln(o * n / (r * c)), 9) AS v
+             FROM cells JOIN tot ON true JOIN rt USING (lang)
+                  JOIN ct USING (source)),
+    hl_t AS (SELECT round(-(r / n) * ln(r / n), 9) AS v FROM rt, tot),
+    hs_t AS (SELECT round(-(c / n) * ln(c / n), 9) AS v FROM ct, tot),
+    hj_t AS (SELECT round(-(o / n) * ln(o / n), 9) AS v FROM cells, tot)
+    SELECT
+      round(CAST((SELECT sum(CAST(v AS DECIMAL(38,9))) FROM mi_t)
+                 AS DOUBLE), 6) AS mi,
+      round(CAST((SELECT sum(CAST(v AS DECIMAL(38,9))) FROM hl_t)
+                 AS DOUBLE), 6) AS h_lang,
+      round(CAST((SELECT sum(CAST(v AS DECIMAL(38,9))) FROM hs_t)
+                 AS DOUBLE), 6) AS h_source,
+      round(CAST((SELECT sum(CAST(v AS DECIMAL(38,9))) FROM hj_t)
+                 AS DOUBLE), 6) AS h_joint,
+      CAST((SELECT n FROM tot) AS BIGINT) AS n
+    """,
+)
+def stats_mutual_info(spark: SparkSession, sf_dir: str) -> SDF:
+    """Mutual information I(lang; source) plus the marginal and joint
+    entropies, in nats, from one contingency pass — the
+    information-theoretic twin of stats_chi2 (same cells, different
+    question: HOW MANY bits of language does knowing the source buy?).
+    The mixture-design readout: I ≈ 0 → sources are language-balanced;
+    I ≈ H(lang) → source determines language and per-source sampling
+    must rebalance.
+
+    Scale: identical shape to stats_chi2 — ONE O(rows) shuffle builds
+    the cells; every entropy term lives in a cells/marginal-sized frame.
+    Each term is rounded to 9 decimals in those tiny frames and the
+    sums DECIMAL-fold the rounded values, so the result is
+    partition-order independent without pinning any fold to one task."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    tot = F.broadcast(cells.agg(F.sum("o").alias("n")))
+    rt = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("source").agg(F.sum("o").alias("c"))
+
+    def dsum9(df: SDF, term: F.Column, alias: str) -> SDF:
+        return df.select(F.round(term, 9).alias("v")).agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,9)")).cast("double"), 6
+            ).alias(alias)
+        )
+
+    mi = dsum9(
+        cells.crossJoin(tot).join(rt, "lang").join(ct, "source"),
+        (F.col("o") / F.col("n"))
+        * F.log(F.col("o") * F.col("n") / (F.col("r") * F.col("c"))),
+        "mi",
+    )
+    hl = dsum9(
+        rt.crossJoin(tot),
+        -(F.col("r") / F.col("n")) * F.log(F.col("r") / F.col("n")),
+        "h_lang",
+    )
+    hs = dsum9(
+        ct.crossJoin(tot),
+        -(F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")),
+        "h_source",
+    )
+    hj = dsum9(
+        cells.crossJoin(tot),
+        -(F.col("o") / F.col("n")) * F.log(F.col("o") / F.col("n")),
+        "h_joint",
+    )
+    return (
+        mi.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(hj))
+        .crossJoin(tot.select(F.col("n").cast("bigint").alias("n")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming checkpoint-restart recovery (exactly-once across a restart)
+# ---------------------------------------------------------------------------
+
+
+def _restart_src_files(spark: SparkSession, sf_dir: str) -> list:
+    """Write-once multi-file staging of events (8 parquet files, keyed by
+    the source fingerprint like sources.tables._materialize) so the
+    restart test has real file-source offsets to checkpoint across."""
+    import os
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = (
+        f"/tmp/spark_graft_restart_stage_{key}_"
+        f"{source_fingerprint(sf_dir, ('events',))}"
+    )
+    if not os.path.exists(out):
+        tmp = f"{out}.tmp{os.getpid()}"
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        ).repartition(8).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return sorted(
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+
+
+@query(
+    "stream_restart_recovery",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> SDF:
+    """Exactly-once recovery across a stream RESTART: a file-source →
+    file-sink stream drains half the input files and STOPS; more files
+    arrive; a NEW query instance restarts from the same checkpoint and
+    drains the rest.  The final landing must equal the batch aggregate —
+    no rows lost at the stop boundary, none replayed after it.  This is
+    the fault-tolerance contract every 100 TB ingest leans on: the
+    checkpoint's offset log says which files batch N committed, and the
+    parquet sink's _spark_metadata transaction log makes those batches
+    atomic — a batch read of the landing sees only committed files.
+
+    Scale: the recovery cost is O(checkpoint), not O(data) — restart
+    replays at most the one uncommitted batch.  The aggregate itself is
+    ordinary JVM hash aggregation; exact DECIMAL folding makes the sum
+    engine-identical."""
+    import os
+    import shutil
+
+    files = _restart_src_files(spark, sf_dir)
+    tag = (
+        f"{source_fingerprint(sf_dir, ('events',))}_{os.getpid()}"
+    )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    src = f"{base}/spark_graft_restart_src_{tag}"
+    ckpt = f"{base}/spark_graft_restart_ckpt_{tag}"
+    landing = f"{base}/spark_graft_restart_out_{tag}"
+    for d in (src, ckpt, landing):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+
+    schema = spark.read.parquet(os.path.dirname(files[0])).schema
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", landing)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy(f, os.path.join(src, os.path.basename(f)))
+    drain()  # first instance: drains half the files, then stops
+    for f in files[half:]:
+        shutil.copy(f, os.path.join(src, os.path.basename(f)))
+    drain()  # RESTARTED instance: resumes from the checkpointed offsets
+
+    back = spark.read.parquet(landing)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning over a Hive-layout sink
+# ---------------------------------------------------------------------------
+
+
+def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once lake layout for the DPP demo, keyed by the source
+    fingerprint: orders partitioned by order month (Hive layout) under
+    ``fact/``, plus a month DIM under ``dim/`` carrying each month's
+    revenue rank — the star-schema pair DPP is built for.  The rank is
+    precomputed at build time (one pass) so query time can apply a plain
+    selective predicate, which is what Spark's PartitionPruning rule
+    keys on (an agg+LIMIT derivation at query time does NOT qualify —
+    probed, not assumed)."""
+    import os
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = (
+        f"/tmp/spark_graft_dpp_orders_v2_{key}_"
+        f"{source_fingerprint(sf_dir, ('orders',))}"
+    )
+    if not os.path.exists(out):
+        tmp = f"{out}.tmp{os.getpid()}"
+        fact = load_table(spark, sf_dir, "orders").withColumn(
+            "o_ym", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        fact.write.mode("overwrite").partitionBy("o_ym").parquet(
+            os.path.join(tmp, "fact")
+        )
+        dim = (
+            fact.groupBy("o_ym")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+            )
+            .select(
+                "o_ym",
+                F.row_number()
+                .over(W.orderBy(F.desc("rev"), F.asc("o_ym")))
+                .alias("rk"),
+            )
+        )
+        dim.write.mode("overwrite").parquet(os.path.join(tmp, "dim"))
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@query(
+    "scan_partition_pruned",
+    """
+    WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS o_ym,
+                      sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+               FROM orders GROUP BY 1),
+    dim AS (SELECT o_ym FROM m ORDER BY rev DESC, o_ym LIMIT 2)
+    SELECT o.o_ym, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS revenue
+    FROM (SELECT strftime(o_orderdate, '%Y-%m') AS o_ym, o_totalprice
+          FROM orders) o
+    JOIN dim USING (o_ym)
+    GROUP BY o.o_ym
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> SDF:
+    """Dynamic partition pruning (DPP): a month-partitioned Hive-layout
+    orders fact joined to a month dim filtered to the top-2 revenue
+    months — Spark injects the dim's surviving keys as a partition
+    filter into the fact scan AT RUNTIME
+    (`dynamicpruningexpression(o_ym IN dynamicpruning#N)` in the scan's
+    PartitionFilters; asserted by tests/test_tier7.py), so only 2 of
+    ~80 month directories are read.
+
+    Scale: THE scan-reduction mechanism for time-partitioned lakes — a
+    100 TB fact joined to a filtered dim reads only the matching
+    partitions, and no static WHERE clause could express a
+    runtime-derived key set.  The dim's revenue rank is precomputed in
+    the artifact (revenue folds in DECIMAL, rank ties broken by month,
+    so the dim is engine-identical); the query-time predicate is the
+    plain selective filter the PartitionPruning rule keys on."""
+    import os
+
+    base = _month_partitioned_orders(spark, sf_dir)
+    fact = spark.read.parquet(os.path.join(base, "fact"))
+    dim = (
+        spark.read.parquet(os.path.join(base, "dim"))
+        .where(F.col("rk") <= 2)
+        .select("o_ym")
+    )
+    return (
+        fact.join(dim, "o_ym")
+        .groupBy("o_ym")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

