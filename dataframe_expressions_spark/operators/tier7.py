@@ -530,13 +530,17 @@ def stats_mutual_info(spark: SparkSession, sf_dir: str) -> SDF:
 
     Scale: identical shape to stats_chi2 — ONE O(rows) shuffle builds
     the cells; every entropy term lives in a cells/marginal-sized frame.
-    Each term is rounded to 9 decimals in those tiny frames and the
-    sums DECIMAL-fold the rounded values, so the result is
-    partition-order independent without pinning any fold to one task."""
+    The cells frame is localCheckpoint'ed (it is lang×source rows, a few
+    dozen) because FOUR independent aggregates fold off it — without the
+    cut, each re-runs the corpus groupBy and the one O(rows) shuffle
+    becomes four (observed: 68 exchanges in the un-cut plan).  Each term
+    is rounded to 9 decimals in those tiny frames and the sums
+    DECIMAL-fold the rounded values, so the result is partition-order
+    independent without pinning any fold to one task."""
     docs = load_table(spark, sf_dir, "documents")
     cells = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("double").alias("o")
-    )
+    ).localCheckpoint(eager=True)
     tot = F.broadcast(cells.agg(F.sum("o").alias("n")))
     rt = cells.groupBy("lang").agg(F.sum("o").alias("r"))
     ct = cells.groupBy("source").agg(F.sum("o").alias("c"))
