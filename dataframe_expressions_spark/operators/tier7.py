@@ -788,3 +788,476 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> SDF:
             .alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus novelty: first-occurrence n-gram fraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_novelty",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    a AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3])) AS sh
+          FROM t WHERE len(toks) >= 4),
+    g AS (SELECT doc_id, unnest(sh) AS gram FROM a),
+    fo AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+    nv AS (SELECT g.doc_id, count(*) AS n_novel
+           FROM g JOIN fo USING (gram)
+           WHERE fo.first_doc = g.doc_id GROUP BY g.doc_id)
+    SELECT a.doc_id,
+           CAST(len(a.sh) AS BIGINT) AS n_grams,
+           CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+           round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / len(a.sh), 4)
+             AS novelty_frac
+    FROM a LEFT JOIN nv USING (doc_id)
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> SDF:
+    """Corpus-order novelty scoring: the fraction of a document's
+    distinct 4-grams whose FIRST corpus occurrence (min doc_id = ingest
+    order) is this document.  Low novelty = the document mostly restates
+    earlier corpus content — the incremental-value signal used to rank
+    crawl snapshots and dedup-adjacent near-copies that survive
+    exact/minhash passes (complements text_boilerplate_ngram, which
+    scores cross-document frequency rather than precedence).
+
+    Scale: identical hash-only discipline to the boilerplate op — grams
+    leave the doc as 8-byte xxhash64 fingerprints, the first-occurrence
+    table is ONE (hash → min doc_id) shuffle (map-side combined min),
+    and the rejoin carries (doc_id, hash) pairs.  The gram arrays are
+    localCheckpoint'ed once and feed both the explode and the n_grams
+    projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = docs.select(
+        "doc_id",
+        F.transform(TX.tokens(F.col("text")), lambda t: F.xxhash64(t)).alias(
+            "th"
+        ),
+    )
+    arr = (
+        D.spread(th)
+        .where(F.size("th") >= 4)
+        .select("doc_id", D.token_hash_shingles(F.col("th"), 4).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    g = arr.select("doc_id", F.explode("sh").alias("gh"))
+    fo = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    nv = (
+        g.join(fo, "gh")
+        .where(F.col("first_doc") == F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        arr.select("doc_id", F.size("sh").cast("long").alias("n_grams"))
+        .join(nv, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                4,
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-shard manifest (WebDataset-style size-bounded sharding)
+# ---------------------------------------------------------------------------
+
+_SHARD_BYTES = 65536
+
+
+@query(
+    "data_shard_manifest",
+    f"""
+    WITH d AS (SELECT doc_id, n_chars,
+                      sum(n_chars) OVER (ORDER BY doc_id) - n_chars
+                        AS start_off
+               FROM documents),
+    s AS (SELECT doc_id, n_chars,
+                 CAST(floor(start_off / {_SHARD_BYTES}) AS BIGINT) AS shard
+          FROM d)
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS bytes,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM s GROUP BY shard
+    """,
+)
+def data_shard_manifest(spark: SparkSession, sf_dir: str) -> SDF:
+    """Size-bounded shard assignment (WebDataset / tar-shard style): walk
+    the corpus in ingest order, cut a new ~64 KiB shard whenever the
+    running byte offset crosses a boundary, and emit the manifest a
+    training dataloader consumes (shard → doc range, doc count, bytes).
+    A document is assigned by its START offset, so shard boundaries
+    never split a document and assignment is a pure function of the
+    prefix sum.
+
+    Scale: the textbook formulation is a GLOBAL ordered cumsum — a
+    single-task window over the whole corpus.  Here the prefix sum is
+    two-phase (same shape as stats_ks_test): per-bucket byte totals
+    (doc_id div 1000) feed a window over the TINY bucket aggregate for
+    cumulative offsets; within-bucket cumsums run partitioned by
+    bucket.  No unpartitioned window ever touches document rows, so the
+    manifest stays parallel at corpus scale; the output is
+    shard-cardinality (total bytes / 64 KiB)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucketed = docs.withColumn(
+        "bucket", (F.col("doc_id") / 1000).cast("long")
+    )
+    btot = bucketed.groupBy("bucket").agg(F.sum("n_chars").alias("bt"))
+    w_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offs = btot.select(
+        "bucket", (F.sum("bt").over(w_b) - F.col("bt")).alias("off")
+    )
+    w_d = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = (
+        bucketed.withColumn("wc", F.sum("n_chars").over(w_d))
+        .join(F.broadcast(offs), "bucket")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.floor(
+                (F.col("off") + F.col("wc") - F.col("n_chars"))
+                / F.lit(_SHARD_BYTES)
+            )
+            .cast("long")
+            .alias("shard"),
+        )
+    )
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("bytes"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_triangle_count",
+    """
+    WITH pr AS (SELECT DISTINCT
+                  least(o_custkey % 4096, o_orderkey % 4096) AS lo,
+                  greatest(o_custkey % 4096, o_orderkey % 4096) AS hi
+                FROM orders
+                WHERE o_custkey % 4096 <> o_orderkey % 4096),
+    deg AS (SELECT node, count(*) AS d FROM (
+              SELECT lo AS node FROM pr
+              UNION ALL SELECT hi AS node FROM pr) GROUP BY node),
+    o AS (SELECT CASE WHEN (d1.d, pr.lo) < (d2.d, pr.hi)
+                      THEN pr.lo ELSE pr.hi END AS s,
+                 CASE WHEN (d1.d, pr.lo) < (d2.d, pr.hi)
+                      THEN pr.hi ELSE pr.lo END AS t,
+                 CASE WHEN (d1.d, pr.lo) < (d2.d, pr.hi)
+                      THEN d2.d ELSE d1.d END AS dt
+          FROM pr JOIN deg d1 ON d1.node = pr.lo
+                  JOIN deg d2 ON d2.node = pr.hi),
+    w AS (SELECT o1.t AS v, o2.t AS w
+          FROM o o1 JOIN o o2 ON o1.s = o2.s
+          WHERE (o1.dt, o1.t) < (o2.dt, o2.t)),
+    tri AS (SELECT count(*) AS n_triangles
+            FROM w SEMI JOIN o ON o.s = w.v AND o.t = w.w)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM pr) AS BIGINT) AS n_edges,
+           CAST((SELECT n_triangles FROM tri) AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> SDF:
+    """Triangle counting with DEGREE-ORDERED ORIENTATION over the
+    mod-projected order↔customer graph (nodes = keys mod 4096; a
+    deterministic stand-in for any co-occurrence graph) — the third
+    classic graph kernel next to dedup_components (connectivity) and
+    graph_pagerank (centrality); triangle density drives community /
+    spam-cluster detection over link graphs.
+
+    Scale: the naive 3-way self-join explodes on hub nodes (a degree-D
+    hub contributes D² wedges).  Orienting every edge from its
+    lower-(degree, id) endpoint bounds each node's out-degree by
+    O(sqrt(edges)) — the classic Schank/Wagner bound — so wedge
+    generation is Σ out_deg², worst-case O(edges^1.5), NOT Σ deg².
+    Each triangle is counted exactly once (its vertices appear in
+    orientation order).  Three shuffles total: edge dedup, degree
+    count, and the wedge equi-join on the shared source; the closing
+    check is a LEFT SEMI join back on the oriented edge key.  All
+    integer arithmetic — exact oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = (F.col("o_custkey") % 4096).alias("a")
+    b = (F.col("o_orderkey") % 4096).alias("b")
+    pr = (
+        orders.select(a, b)
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        pr.select(F.col("lo").alias("node"))
+        .unionAll(pr.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    j = (
+        pr.join(deg.withColumnRenamed("node", "lo").withColumnRenamed("d", "d1"), "lo")
+        .join(deg.withColumnRenamed("node", "hi").withColumnRenamed("d", "d2"), "hi")
+    )
+    lo_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("lo") < F.col("hi"))
+    )
+    o = j.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("s"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("t"),
+        F.when(lo_first, F.col("d2")).otherwise(F.col("d1")).alias("dt"),
+    ).localCheckpoint(eager=True)
+    o1 = o.select(
+        F.col("s"), F.col("t").alias("v"), F.col("dt").alias("dv")
+    )
+    o2 = o.select(
+        F.col("s"), F.col("t").alias("w"), F.col("dt").alias("dw")
+    )
+    wedge = o1.join(o2, "s").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    tri = wedge.join(
+        o.select(F.col("s").alias("v"), F.col("t").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_edges = pr.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(
+            F.broadcast(tri.select(F.col("n_triangles").cast("bigint")))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ asymmetric-distance search (the composed ANN index)
+# ---------------------------------------------------------------------------
+
+_SQD8 = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(range(1, 9), i -> ({l}[i] - {r}[i]) * ({l}[i] - {r}[i]))),"
+    " (a, b) -> a + b)"
+)
+_COS = (
+    "list_inner_product({l}, {r}) / "
+    "(sqrt(list_inner_product({l}, {l})) * sqrt(list_inner_product({r}, {r})))"
+)
+
+
+@query(
+    "sim_search_ivf_pq",
+    f"""
+    WITH x0 AS (SELECT vec_id AS vid,
+                       list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+                FROM embeddings),
+    x AS (SELECT * FROM x0 WHERE len(v) = 64),
+    cent0 AS (
+      SELECT CAST(label AS BIGINT) AS cell, list(c ORDER BY pos) AS cvec
+      FROM (
+        SELECT label, pos,
+               round(CAST(sum(CAST(CAST(ev AS DOUBLE) AS DECIMAL(38,12)))
+                     AS DOUBLE) / count(*), 6) AS c
+        FROM (SELECT label, unnest(embedding) AS ev,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings)
+        GROUP BY label, pos) GROUP BY label),
+    cent AS (SELECT * FROM cent0 WHERE list_inner_product(cvec, cvec) > 0),
+    e AS (SELECT vid, v FROM x WHERE list_inner_product(v, v) > 0),
+    cs AS (SELECT e.vid, c.cell, {_COS.format(l='e.v', r='c.cvec')} AS csim
+           FROM e CROSS JOIN cent c),
+    assigned AS (SELECT vid, cell FROM (
+                   SELECT vid, cell,
+                          row_number() OVER (PARTITION BY vid
+                                             ORDER BY csim DESC, cell) AS crk
+                   FROM cs) WHERE crk = 1),
+    cb AS (SELECT s.s, x.vid AS cid, x.v[s.s * 8 + 1 : s.s * 8 + 8] AS c
+           FROM x, (SELECT unnest(range(0, 8)) AS s) s WHERE x.vid < 16),
+    sv AS (SELECT x.vid, s.s, x.v[s.s * 8 + 1 : s.s * 8 + 8] AS sub
+           FROM x, (SELECT unnest(range(0, 8)) AS s) s),
+    codes AS (SELECT vid, s, cid AS code FROM (
+                SELECT sv.vid, sv.s, cb.cid,
+                       row_number() OVER (
+                         PARTITION BY sv.vid, sv.s
+                         ORDER BY {_SQD8.format(l='sv.sub', r='cb.c')}, cb.cid)
+                         AS rk
+                FROM sv JOIN cb ON sv.s = cb.s) WHERE rk = 1),
+    lut AS (SELECT q.vid AS qid, q.s, cb.cid,
+                   round({_SQD8.format(l='q.sub', r='cb.c')}, 6) AS term
+            FROM sv q JOIN cb ON q.s = cb.s WHERE q.vid < 3),
+    qc AS (SELECT vid AS qid, cell FROM assigned WHERE vid < 3),
+    cand AS (SELECT qc.qid, a.vid FROM assigned a
+             JOIN qc ON a.cell = qc.cell AND a.vid <> qc.qid),
+    adc AS (SELECT cand.qid, cand.vid,
+                   CAST(sum(CAST(lut.term AS DECIMAL(38,6))) AS DOUBLE)
+                     AS adc_dist
+            FROM cand
+            JOIN codes ON codes.vid = cand.vid
+            JOIN lut ON lut.qid = cand.qid AND lut.s = codes.s
+                    AND lut.cid = codes.code
+            GROUP BY cand.qid, cand.vid),
+    r AS (SELECT qid, vid, adc_dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY adc_dist, vid) AS rk
+          FROM adc)
+    SELECT qid, vid, adc_dist, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
+    """,
+)
+def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> SDF:
+    """IVF-PQ with asymmetric distance computation (ADC) — the composed
+    billion-vector ANN index (Jégou et al.): the IVF coarse quantizer
+    (sim_search_ivf's label-centroid cells) prunes the corpus to the
+    query's cell, then PQ codes (emb_pq_codebook's 8×16 codebook) stand
+    in for the vectors and the query scores candidates from a
+    128-entry per-query lookup table instead of raw 64-dim math.
+
+    Scale: this is why PQ exists — candidates are scored from their
+    8-BYTE codes via the broadcast LUT (8 adds per candidate), so the
+    probe never touches the 512-byte raw vectors; at 100 TB the corpus
+    is stored partitioned by IVF cell with codes inline, and a query
+    reads one cell's codes.  Everything deterministic: centroids are
+    DECIMAL-folded label means, code argmin ties break on lowest code,
+    LUT terms are rounded at 6 then DECIMAL-folded per candidate, rank
+    ties break on vid — full oracle for an approximate index."""
+    from ..functions import similarity as S
+    from .tier3 import emb_centroid
+
+    emb = D.spread(load_table(spark, sf_dir, "embeddings"))
+    x = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).where(F.size("v") == 64)
+    cent = (
+        emb_centroid(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").cast("long").alias("cell"),
+            F.transform("pc", lambda p: p["c"]).alias("cvec"),
+        )
+    )
+    assigned = S.ivf_assign(
+        x.select("vid", F.col("v").alias("vvec")), cent
+    ).select("vid", "cell")
+
+    subs = F.sequence(F.lit(0), F.lit(7))
+    # codebook packed per subspace, cid-sorted (emb_pq_codebook shape)
+    cb = (
+        x.where(F.col("vid") < 16)
+        .select(
+            F.col("vid").alias("cid"),
+            F.explode(
+                F.transform(
+                    subs,
+                    lambda s: F.struct(
+                        s.alias("s"),
+                        F.slice(F.col("v"), s * 8 + 1, 8).alias("c"),
+                    ),
+                )
+            ).alias("sc"),
+        )
+        .select("cid", F.col("sc.s").alias("s"), F.col("sc.c").alias("c"))
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "c"))).alias("cents"))
+    )
+    sv = x.select(
+        "vid",
+        F.explode(
+            F.transform(
+                subs,
+                lambda s: F.struct(
+                    s.alias("s"), F.slice(F.col("v"), s * 8 + 1, 8).alias("sub")
+                ),
+            )
+        ).alias("ss"),
+    ).select("vid", F.col("ss.s").alias("s"), F.col("ss.sub").alias("sub"))
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda ct: F.struct(
+                S.sqdist(F.col("sub"), ct["c"]).alias("d"),
+                ct["cid"].alias("cid"),
+            ),
+        )
+    )
+    codes = (
+        sv.join(F.broadcast(cb), "s")
+        .select("vid", "s", best["cid"].alias("code"))
+    )
+    # per-query 8x16 ADC lookup table: distance from each query subvector
+    # to each codebook centroid, rounded once at table build
+    lut = (
+        sv.where(F.col("vid") < 3)
+        .withColumnRenamed("vid", "qid")
+        .join(F.broadcast(cb), "s")
+        .select(
+            "qid",
+            "s",
+            F.explode(
+                F.transform(
+                    F.col("cents"),
+                    lambda ct: F.struct(
+                        ct["cid"].alias("cid"),
+                        F.round(
+                            S.sqdist(F.col("sub"), ct["c"]), 6
+                        ).alias("term"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("qid", "s", F.col("e.cid").alias("cid"),
+                F.col("e.term").alias("term"))
+    )
+    qc = assigned.where(F.col("vid") < 3).select(
+        F.col("vid").alias("qid"), "cell"
+    )
+    cand = assigned.join(F.broadcast(qc), "cell").where(
+        F.col("vid") != F.col("qid")
+    ).select("qid", "vid")
+    cc = cand.join(codes, "vid").alias("cc")
+    lt = F.broadcast(lut).alias("lt")
+    adc = (
+        cc.join(
+            lt,
+            (F.col("cc.qid") == F.col("lt.qid"))
+            & (F.col("cc.s") == F.col("lt.s"))
+            & (F.col("cc.code") == F.col("lt.cid")),
+        )
+        .groupBy(F.col("cc.qid").alias("qid"), F.col("cc.vid").alias("vid"))
+        .agg(
+            F.sum(F.col("lt.term").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    wr = W.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("vid"))
+    return (
+        adc.select(
+            "qid", "vid", "adc_dist",
+            F.row_number().over(wr).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 5)
+    )
