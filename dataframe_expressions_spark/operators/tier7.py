@@ -1261,3 +1261,228 @@ def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> SDF:
         )
         .where(F.col("rk") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# runtime bloom-filter join (the non-partitioned twin of DPP)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_runtime_bloom",
+    """
+    WITH fact AS (SELECT l_partkey,
+                         sum(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+                  FROM lineitem GROUP BY l_partkey),
+    dim AS (SELECT p_partkey, p_brand FROM part WHERE p_brand = 'Brand#11')
+    SELECT dim.p_brand, count(*) AS n_parts,
+           CAST(sum(fact.qty) AS DOUBLE) AS total_qty
+    FROM fact JOIN dim ON fact.l_partkey = dim.p_partkey
+    GROUP BY dim.p_brand
+    """,
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> SDF:
+    """Runtime bloom-filter join pruning — the non-partitioned twin of
+    scan_partition_pruned: when the join key is NOT a partition column,
+    Spark's InjectRuntimeFilter builds a Bloom sketch over the selective
+    dim side at runtime and pushes ``might_contain(xxhash64(key))`` into
+    the fact side BELOW its aggregation shuffle, so non-matching rows
+    are dropped before they are ever shuffled (asserted in-plan by
+    tests/test_tier7.py).
+
+    The rule's gates, made explicit here because each is a scale story:
+    the dim side needs a selective predicate (p_brand equality) and must
+    be sketch-small; the fact side must contain a shuffle BELOW the join
+    (the per-partkey rollup) — a bare scan gets nothing because there is
+    no shuffle volume to save; and the fact scan must exceed
+    ``applicationSideScanSizeThreshold`` (10 GiB default — a 100 TB
+    fact passes naturally; scoped to 0 here because the test fact is
+    MiB-sized, and restored after).  Merge-join hints keep the
+    shuffle-join shape the rule targets — at real scale the dim would
+    not be broadcast-eligible anyway.  All sums DECIMAL-fold."""
+    thresh_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    before = spark.conf.get(thresh_key)
+    spark.conf.set(thresh_key, "0")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        fact = li.groupBy("l_partkey").agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty")
+        )
+        dim = (
+            load_table(spark, sf_dir, "part")
+            .where(F.col("p_brand") == "Brand#11")
+            .select("p_partkey", "p_brand")
+        )
+        out = (
+            fact.hint("merge")
+            .join(
+                dim.hint("merge"),
+                fact["l_partkey"] == dim["p_partkey"],
+            )
+            .groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias("n_parts"),
+                F.sum("qty").cast("double").alias("total_qty"),
+            )
+        )
+        # Force optimization (InjectRuntimeFilter is an optimizer rule)
+        # while the scoped conf is active: the returned frame's CACHED
+        # QueryExecution carries the injected might_contain, which is
+        # what the plan test asserts.  An action that re-plans later
+        # (e.g. a write) under the restored default threshold simply
+        # skips the bloom — same results, the filter is purely a
+        # shuffle-volume optimization; at 100 TB the default 10 GiB
+        # threshold passes on its own and no conf scoping exists at all.
+        out._jdf.queryExecution().optimizedPlan()
+        return out
+    finally:
+        spark.conf.set(thresh_key, before)
+
+
+# ---------------------------------------------------------------------------
+# minhash sketch calibration audit (estimate vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+_MH_P = 1000000007
+_MH_A = (97, 128, 159, 190, 221, 252, 283, 314, 345, 376, 407, 438, 469, 500, 531, 562)
+_MH_B = (11, 28, 45, 62, 79, 96, 113, 130, 147, 164, 181, 198, 215, 232, 249, 266)
+
+
+@query(
+    "dedup_minhash_audit",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+    tf AS (SELECT doc_id,
+                  list_transform({_TOKS},
+                      t -> {_fp_sql('t')}) AS tfp
+           FROM documents),
+    t2 AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(tfp) - 1),
+                      i -> ((tfp[i] * 131 + tfp[i+1]) * 131 + tfp[i+2])
+                           % 1000000007)) AS gfps
+           FROM tf WHERE len(tfp) >= 3),
+    g AS (SELECT doc_id, unnest(gfps) AS fp FROM t2),
+    sig AS (SELECT doc_id,
+               min((97 * fp + 11) % 1000000007) AS s0,
+               min((128 * fp + 28) % 1000000007) AS s1,
+               min((159 * fp + 45) % 1000000007) AS s2,
+               min((190 * fp + 62) % 1000000007) AS s3,
+               min((221 * fp + 79) % 1000000007) AS s4,
+               min((252 * fp + 96) % 1000000007) AS s5,
+               min((283 * fp + 113) % 1000000007) AS s6,
+               min((314 * fp + 130) % 1000000007) AS s7,
+               min((345 * fp + 147) % 1000000007) AS s8,
+               min((376 * fp + 164) % 1000000007) AS s9,
+               min((407 * fp + 181) % 1000000007) AS s10,
+               min((438 * fp + 198) % 1000000007) AS s11,
+               min((469 * fp + 215) % 1000000007) AS s12,
+               min((500 * fp + 232) % 1000000007) AS s13,
+               min((531 * fp + 249) % 1000000007) AS s14,
+               min((562 * fp + 266) % 1000000007) AS s15
+            FROM g GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+    pr AS (SELECT a, b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5)
+    SELECT pr.a, pr.b, pr.jaccard,
+           round((CAST(sa.s0 = sb.s0 AS INT) + CAST(sa.s1 = sb.s1 AS INT) + CAST(sa.s2 = sb.s2 AS INT) + CAST(sa.s3 = sb.s3 AS INT) + CAST(sa.s4 = sb.s4 AS INT) + CAST(sa.s5 = sb.s5 AS INT) + CAST(sa.s6 = sb.s6 AS INT) + CAST(sa.s7 = sb.s7 AS INT) + CAST(sa.s8 = sb.s8 AS INT) + CAST(sa.s9 = sb.s9 AS INT) + CAST(sa.s10 = sb.s10 AS INT) + CAST(sa.s11 = sb.s11 AS INT) + CAST(sa.s12 = sb.s12 AS INT) + CAST(sa.s13 = sb.s13 AS INT) + CAST(sa.s14 = sb.s14 AS INT) + CAST(sa.s15 = sb.s15 AS INT)) / 16.0, 4) AS est_jaccard,
+           round(abs((CAST(sa.s0 = sb.s0 AS INT) + CAST(sa.s1 = sb.s1 AS INT) + CAST(sa.s2 = sb.s2 AS INT) + CAST(sa.s3 = sb.s3 AS INT) + CAST(sa.s4 = sb.s4 AS INT) + CAST(sa.s5 = sb.s5 AS INT) + CAST(sa.s6 = sb.s6 AS INT) + CAST(sa.s7 = sb.s7 AS INT) + CAST(sa.s8 = sb.s8 AS INT) + CAST(sa.s9 = sb.s9 AS INT) + CAST(sa.s10 = sb.s10 AS INT) + CAST(sa.s11 = sb.s11 AS INT) + CAST(sa.s12 = sb.s12 AS INT) + CAST(sa.s13 = sb.s13 AS INT) + CAST(sa.s14 = sb.s14 AS INT) + CAST(sa.s15 = sb.s15 AS INT)) / 16.0 - pr.jaccard), 4) AS abs_err
+    FROM pr JOIN sig sa ON sa.doc_id = pr.a
+            JOIN sig sb ON sb.doc_id = pr.b
+    """,
+)
+def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> SDF:
+    """Sketch calibration for MinHash: for every emitted near-duplicate
+    pair (exact 3-shingle Jaccard >= 0.5, the dedup_near_minhash
+    contract), compare the 16-component minhash ESTIMATE (fraction of
+    matching signature slots) against the exact Jaccard — the
+    overcount-audit pattern of agg_countmin_heavyhit applied to the
+    dedup family.  The readout answers the production question behind
+    every banding config: how tight is b×r really at this corpus's
+    similarity range?
+
+    The signature family is the portable (a·g + b) mod p universal hash
+    over COMPOSED shingle fingerprints — each token's char fingerprint
+    is computed once, gram fingerprints fold three token fps with
+    Horner steps (no gram-string allocation, 3× less char work than
+    fingerprinting gram strings — measured 24.8 s -> single digits at
+    sf0.1) — precisely so DuckDB reproduces the signatures bit-for-bit
+    and the audit itself has an exact oracle.
+
+    Scale: signatures are ONE (doc, gram-fp) shuffle folding 16 mins
+    map-side (the sketch is 128 bytes/doc); the audited pair set comes
+    from the LSH-banded candidate path (corpus-squared never happens),
+    and the estimate join touches pair-count rows.  Integer signature
+    equality + /16.0 is exact on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    # Token fingerprints via FLAT posexplode + re-collect, NOT
+    # transform(toks, char_fingerprint): a char-fold nested inside a
+    # HOF lambda drops out of codegen and interprets per element
+    # (measured 71 s at sf0.1); the flat form runs the same fold as a
+    # top-level projection over token rows (~3 s).  sort_array on
+    # (pos, fp) structs restores token order deterministically after
+    # the collect shuffle.
+    tokrows = (
+        D.spread(docs)
+        .select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .select("doc_id", "pos", TX.char_fingerprint(F.col("tok")).alias("fp"))
+    )
+    tfp_doc = tokrows.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "fp"))),
+            lambda x: x["fp"],
+        ).alias("tfp")
+    )
+    gfps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("tfp")) - 2),
+            lambda i: (
+                (
+                    F.element_at("tfp", i) * 131
+                    + F.element_at("tfp", i + 1)
+                )
+                * 131
+                + F.element_at("tfp", i + 2)
+            )
+            % F.lit(_MH_P),
+        )
+    )
+    t2 = tfp_doc.where(F.size("tfp") >= 3).select("doc_id", gfps.alias("gfps"))
+    g = t2.select("doc_id", F.explode("gfps").alias("fp"))
+    sig = g.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_MH_A[j]) * F.col("fp") + F.lit(_MH_B[j]))
+                % F.lit(_MH_P)
+            ).alias(f"s{j}")
+            for j in range(16)
+        ]
+    )
+    pairs = D.minhash_near_dup_pairs(docs, threshold=0.5)
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    eq = sum(
+        (F.col(f"sa.s{j}") == F.col(f"sb.s{j}")).cast("int")
+        for j in range(16)
+    )
+    return (
+        pairs.join(sa, pairs["a"] == F.col("sa.doc_id"))
+        .join(sb, pairs["b"] == F.col("sb.doc_id"))
+        .select(
+            "a",
+            "b",
+            "jaccard",
+            F.round(eq / 16.0, 4).alias("est_jaccard"),
+            F.round(F.abs(eq / 16.0 - F.col("jaccard")), 4).alias("abs_err"),
+        )
+    )

@@ -112,3 +112,33 @@ def test_bm25_explosion_filtered_before_shuffle(spark):
     assert rows, "BM25 returned no ranked documents"
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_join_runtime_bloom_injects_might_contain(spark):
+    """The returned frame's cached QueryExecution must carry the
+    runtime bloom filter (might_contain over the join key hash) pushed
+    below the fact-side aggregation."""
+    from dataframe_expressions_spark.operators.tier7 import (
+        join_runtime_bloom,
+    )
+
+    df = join_runtime_bloom(spark, SF_SMOKE)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in opt, opt[:2000]
+    # and the scoped conf was restored
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    ) != "0"
+
+
+def test_minhash_audit_estimate_in_unit_range(spark):
+    from dataframe_expressions_spark.operators.tier7 import (
+        dedup_minhash_audit,
+    )
+
+    rows = dedup_minhash_audit(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert r["abs_err"] <= 1.0
+        assert r["jaccard"] >= 0.5  # audited pair contract
