@@ -1,8 +1,15 @@
-"""Tier 7 — round-5 extension block: retrieval scoring, higher-order LM
-quality filtering, weighted sampling, the count-min sketch (completing
-the sketch family next to HLL / bitmap / Bloom), gaps-and-islands run
-detection, mutual information, streaming checkpoint-restart recovery,
-and dynamic partition pruning over a Hive-layout sink.
+"""Tier 7 — round-5 extension block.
+
+Retrieval & text: BM25 ranking, bigram-LM surprisal, n-gram novelty,
+minhash calibration audit.  Sampling & sharding: Efraimidis–Spirakis
+weighted sampling, WebDataset-style shard manifests.  Sketches &
+statistics: count-min heavy hitters (completing the sketch family next
+to HLL / bitmap / Bloom), mutual information, Mann-Kendall trend,
+Benford digit audit.  Windows & graphs: gaps-and-islands value runs,
+degree-ordered triangle counting.  ANN: IVF-PQ asymmetric-distance
+search.  Runtime & storage: streaming checkpoint-restart recovery,
+dynamic partition pruning, runtime bloom-filter joins, permissive CSV
+quarantine.
 
 Reference parity note: gordonwatts/dataframe_expressions is a
 capture-only front end (no engine, ~1.2 kLoC; see SURVEY.md §1), so
@@ -1485,4 +1492,192 @@ def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> SDF:
             F.round(eq / 16.0, 4).alias("est_jaccard"),
             F.round(F.abs(eq / 16.0 - F.col("jaccard")), 4).alias("abs_err"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# permissive CSV ingestion with corrupt-row quarantine
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_csv_quarantine",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    """,
+)
+def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> SDF:
+    """Malformed-row quarantine on CSV ingest: a landing file carrying 3
+    deliberately broken lines (truncated record, non-numeric key, excess
+    columns) is read PERMISSIVE with ``columnNameOfCorruptRecord`` — the
+    broken lines surface as quarantine rows instead of failing the job
+    or silently vanishing, and the good rows parse exactly.  This is the
+    ingestion contract for raw-dump lakes: count and route the garbage,
+    never abort a 100 TB load over row 37.
+
+    Scale: the explicit schema keeps the reader single-pass (no
+    inference job), the reader is splittable, and quarantine is a
+    map-only predicate on the corrupt-record column — one pass, no
+    shuffle before the rollup.  The corrupt count is a constant of the
+    fixture (asserted against the 3 injected lines), so the oracle is
+    exact."""
+    import hashlib
+    import os
+
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = f"/tmp/spark_graft_csvq_{key}_{os.getpid()}.csv"
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    rows = nation.orderBy("n_nationkey").collect()  # 25 rows: dim-sized
+    with open(out, "w") as fh:
+        for r in rows:
+            fh.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+        fh.write("99,TRUNCATED\n")                      # missing column
+        fh.write("notanint,BADKEY,7\n")                 # type mismatch
+        fh.write("98,EXCESS,5,extra,columns,here\n")    # too many columns
+    schema = (
+        "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, "
+        "_corrupt STRING"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    # cache() before splitting good/corrupt: Spark's CSV corrupt-record
+    # semantics require it when filtering on the corrupt column
+    back = back.cache()
+    good = back.where(F.col("_corrupt").isNull())
+    bad = back.where(F.col("_corrupt").isNotNull())
+    return (
+        good.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_good"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+        .crossJoin(
+            F.broadcast(
+                bad.agg(F.count(F.lit(1)).cast("bigint").alias("n_corrupt"))
+            )
+        )
+        .select("n_good", "n_corrupt", "key_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test over daily aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_trend_mann_kendall",
+    """
+    WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          count(*) AS n
+                   FROM events GROUP BY event_type, day),
+    s AS (SELECT a.event_type,
+                 sum(CASE WHEN b.n > a.n THEN 1
+                          WHEN b.n < a.n THEN -1 ELSE 0 END) AS s
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.day < b.day
+          GROUP BY a.event_type),
+    nd AS (SELECT event_type, count(*) AS n_days FROM daily
+           GROUP BY event_type)
+    SELECT s.event_type, CAST(s.s AS BIGINT) AS s,
+           CAST(nd.n_days AS BIGINT) AS n_days
+    FROM s JOIN nd USING (event_type)
+    """,
+)
+def stats_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> SDF:
+    """Mann-Kendall trend statistic S per event type over the daily
+    event-count series — the non-parametric monotone-trend test a
+    pipeline runs on its own volume metrics (S ≫ 0: growing, S ≪ 0:
+    decaying, |S| small: stationary) before alerting on drift.
+
+    Scale: the aggregate-then-analyze shape — the O(rows) work is ONE
+    daily-rollup shuffle; the all-pairs sign sum runs over the
+    DAY-count series (per type ~O(days²) pairs of 8-byte rows, bounded
+    by the calendar, never by event volume) via a self-equi-join on
+    event_type.  Pure integer comparisons — exact oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.n") > F.col("a.n"), 1)
+                .when(F.col("b.n") < F.col("a.n"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return s.join(nd, "event_type").select(
+        "event_type",
+        F.col("s").cast("long").alias("s"),
+        F.col("n_days").cast("long").alias("n_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_benford_digit",
+    """
+    WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS BIGINT) AS digit
+               FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+           round(CAST(c.n AS DOUBLE) / t.total, 6) AS observed,
+           round(log10(1 + 1.0 / c.digit), 6) AS benford
+    FROM c CROSS JOIN t
+    """,
+)
+def stats_benford_digit(spark: SparkSession, sf_dir: str) -> SDF:
+    """Benford's-law first-digit audit over order totals — the classic
+    synthetic-data / fraud smell test: natural multi-scale amounts
+    follow P(d) = log10(1 + 1/d); a flat or spiked observed column
+    flags generated or manipulated values.  (TPC-H prices are uniform
+    by construction, so this fixture SHOWS the deviation — which is
+    the point of the audit.)
+
+    Scale: map-only digit extraction (integer/string ops, no float
+    parsing ambiguity: first digit of floor(price)) into a 9-row
+    groupBy — one map-side-combined shuffle, broadcast total.  Ratios
+    are identical IEEE divisions of exact ints on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = F.broadcast(c.agg(F.sum("n").alias("total")))
+    return c.crossJoin(t).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+            "observed"
+        ),
+        F.round(F.log10(F.lit(1) + 1.0 / F.col("digit")), 6).alias("benford"),
     )
