@@ -1681,3 +1681,119 @@ def stats_benford_digit(spark: SparkSession, sf_dir: str) -> SDF:
         ),
         F.round(F.log10(F.lit(1) + 1.0 / F.col("digit")), 6).alias("benford"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 parameterized SQL (named parameter markers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_parameterized",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS revenue
+    FROM orders WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> SDF:
+    """Spark 4 parameterized SQL: named parameter markers (``:minp``)
+    bound via ``spark.sql(..., args=...)`` and a DataFrame passed as a
+    template table reference (``{orders}``) — the injection-safe way to
+    ship user-supplied predicates into SQL (the literal never enters
+    the query text, so no quoting bugs and the SAME parsed plan is
+    reusable across bindings).
+
+    Scale: purely an API-surface contract — the bound plan is identical
+    to the literal one (predicate pushdown, partial aggregation all
+    apply); plan-cache reuse across parameter values is what a
+    dashboard issuing the same shape 10k×/day needs."""
+    orders = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS revenue
+        FROM {orders} WHERE o_totalprice > :minp
+        GROUP BY o_orderpriority
+        """,
+        args={"minp": 100000},
+        orders=orders,
+    )
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering (quality-bucketed, source-interleaved)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "data_curriculum_order",
+    f"""
+    WITH q AS (SELECT doc_id, source,
+                      CAST(floor(
+                        least(CAST(length(regexp_replace(text, '[^a-z]', '',
+                                                         'g')) AS DOUBLE)
+                              / nullif(length(text), 0), 0.999999) * 4)
+                        AS BIGINT) AS bucket
+               FROM documents WHERE length(text) > 0),
+    i AS (SELECT doc_id, source, bucket,
+                 row_number() OVER (PARTITION BY bucket, source
+                                    ORDER BY doc_id) AS idx
+          FROM q),
+    r AS (SELECT doc_id, source, bucket, idx,
+                 row_number() OVER (ORDER BY bucket DESC, idx, source,
+                                    doc_id) AS pos
+          FROM i)
+    SELECT CAST(pos AS BIGINT) AS pos, doc_id, source,
+           CAST(bucket AS BIGINT) AS bucket, CAST(idx AS BIGINT) AS idx
+    FROM r WHERE pos <= 40
+    """,
+)
+def data_curriculum_order(spark: SparkSession, sf_dir: str) -> SDF:
+    """Curriculum ordering for training data: bucket documents by a
+    cheap quality signal (alpha-character ratio, 4 bands), emit
+    highest-quality first, and INTERLEAVE sources within each band
+    (round-robin on the per-(band, source) index) so no source
+    monopolizes a training phase — the deterministic data-ordering
+    recipe behind quality-curriculum pretraining runs.
+
+    Scale: the quality signal is map-only; the per-(bucket, source)
+    index is a well-partitioned window; only the final position is a
+    global order, emitted here as a top-k (TakeOrderedAndProject via
+    the WindowGroupLimit rewrite) — a full materialization would use
+    write-time range partitioning on (bucket DESC, idx) instead of a
+    single-task sort.  All ordering keys are exact ints/strings with a
+    doc_id tie-break."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") > 0
+    )
+    alpha = F.length(F.regexp_replace("text", "[^a-z]", "")).cast(
+        "double"
+    ) / F.nullif(F.length("text"), F.lit(0))
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.floor(F.least(alpha, F.lit(0.999999)) * 4)
+        .cast("long")
+        .alias("bucket"),
+    )
+    wi = W.partitionBy("bucket", "source").orderBy("doc_id")
+    i = q.select(
+        "doc_id", "source", "bucket", F.row_number().over(wi).alias("idx")
+    )
+    wr = W.orderBy(
+        F.desc("bucket"), F.asc("idx"), F.asc("source"), F.asc("doc_id")
+    )
+    return (
+        i.select(
+            F.row_number().over(wr).cast("long").alias("pos"),
+            "doc_id",
+            "source",
+            F.col("bucket").cast("long"),
+            F.col("idx").cast("long"),
+        )
+        .where(F.col("pos") <= 40)
+    )
