@@ -1797,3 +1797,111 @@ def data_curriculum_order(spark: SparkSession, sf_dir: str) -> SDF:
         )
         .where(F.col("pos") <= 40)
     )
+
+
+# ---------------------------------------------------------------------------
+# ML featurization: hashing trick + target encoding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "feature_hashing",
+    f"""
+    WITH f AS (SELECT doc_id,
+                      ({_fp_sql("'lang=' || lang")}) % 64 AS h_lang,
+                      ({_fp_sql("'source=' || source")}) % 64 AS h_src
+               FROM documents),
+    x AS (SELECT doc_id, h_lang AS slot FROM f
+          UNION ALL SELECT doc_id, h_src AS slot FROM f)
+    SELECT slot, count(*) AS n, CAST(count(DISTINCT doc_id) AS BIGINT)
+             AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM x GROUP BY slot
+    """,
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> SDF:
+    """The hashing trick (feature hashing): categorical features map to
+    a fixed 64-slot space via the portable fingerprint of
+    ``name=value`` — no vocabulary pass, no dictionary to broadcast,
+    stable across batches — the featurization that lets a tabular model
+    train on unbounded-cardinality categoricals.  Output is the slot
+    occupancy table (collisions visible as multi-feature slots), the
+    audit a feature platform runs when sizing the hash space.
+
+    Scale: ONE map-only projection computes every feature's slot (the
+    fingerprint prefix ``name=`` keeps distinct features from
+    colliding trivially); the occupancy rollup is a 64-row
+    map-side-combined groupBy.  No vocabulary state is the point: at
+    100 TB a dictionary encode needs a giant broadcast or join, the
+    hash needs neither."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        (
+            TX.char_fingerprint(F.concat(F.lit("lang="), F.col("lang")))
+            % 64
+        ).alias("h_lang"),
+        (
+            TX.char_fingerprint(F.concat(F.lit("source="), F.col("source")))
+            % 64
+        ).alias("h_src"),
+    )
+    x = f.select("doc_id", F.col("h_lang").alias("slot")).unionAll(
+        f.select("doc_id", F.col("h_src").alias("slot"))
+    )
+    return x.groupBy("slot").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )
+
+
+@query(
+    "feature_target_encode",
+    """
+    WITH lab AS (SELECT doc_id, lang, source,
+                        CAST(n_chars > 250 AS INT) AS y
+                 FROM documents),
+    g AS (SELECT source, count(*) AS n, sum(y) AS pos FROM lab
+          GROUP BY source),
+    p AS (SELECT CAST(sum(pos) AS DOUBLE) / sum(n) AS prior FROM g)
+    SELECT g.source, CAST(g.n AS BIGINT) AS n,
+           round((g.pos + 10.0 * p.prior) / (g.n + 10.0), 6)
+             AS encoded,
+           round(p.prior, 6) AS prior
+    FROM g CROSS JOIN p
+    """,
+)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> SDF:
+    """Smoothed target encoding: replace the categorical ``source`` with
+    the shrunk per-category target mean (m=10 pseudo-observations of
+    the global prior) — the classic high-cardinality featurization,
+    with the smoothing that keeps rare categories from memorizing their
+    few labels (the leakage failure mode target encoding is infamous
+    for).  Label here: the document-length proxy y = n_chars > 250.
+
+    Scale: one map-side-combined (category) rollup carries BOTH count
+    and positive count; the prior folds off that rollup and broadcasts
+    back — encoding 10⁹ categories is exactly this one shuffle.  The
+    encode is exact-int arithmetic + one IEEE division, rounded at 6 on
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        "source", (F.col("n_chars") > 250).cast("int").alias("y")
+    )
+    g = lab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    p = F.broadcast(
+        g.agg(
+            (F.sum("pos").cast("double") / F.sum("n")).alias("prior")
+        )
+    )
+    return g.crossJoin(p).select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("pos") + 10.0 * F.col("prior")) / (F.col("n") + 10.0), 6
+        ).alias("encoded"),
+        F.round("prior", 6).alias("prior"),
+    )
