@@ -55,12 +55,13 @@ def query(qid: str, oracle: Optional[str] = None):
 # stale-but-green).  That leaves 20 r1-vintage ids for the round-6
 # window (12 trivial tier1 expression ids plus join_left_semi_anti,
 # join_outer/full_outer, agg_groupby/distinct/rollup_cube,
-# nested_filter_agg, nested_count_cut) plus the tier7 ops added after
-# the window was frozen (text_ngram_novelty, data_shard_manifest,
+# nested_filter_agg, nested_count_cut) plus the 13 tier7 ops added
+# after the window was frozen (text_ngram_novelty, data_shard_manifest,
 # graph_triangle_count, sim_search_ivf_pq, join_runtime_bloom,
 # dedup_minhash_audit, scan_csv_quarantine, stats_trend_mann_kendall,
-# stats_benford_digit — zero driver evidence, front them first in
-# round 6); their local sf0.01 parity is
+# stats_benford_digit, sql_parameterized, data_curriculum_order,
+# feature_hashing, feature_target_encode — zero driver evidence, front
+# them first in round 6); their local sf0.01 parity is
 # green every pytest run meanwhile.  Everything
 # outside the window stays guarded by tests/test_oracle_parity.py,
 # which checks ALL entries against DuckDB (value-exact +
