@@ -2429,8 +2429,7 @@ def join_pit_nearest(spark: SparkSession, sf_dir: str) -> SDF:
              FROM vocab, tot)
     SELECT tv.doc_id,
            count(*) AS n_tok,
-           round(CAST(sum(CAST(srp AS DECIMAL(38,6))) AS DOUBLE)
-                 / count(*), 4) AS avg_surprisal
+           CAST(sum(CAST(srp AS DECIMAL(38,6))) AS DOUBLE) AS sum_surprisal
     FROM tv JOIN term USING (tok)
     GROUP BY tv.doc_id
     """,
@@ -2448,9 +2447,12 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> SDF:
     is NOT force-broadcast (a web-corpus vocabulary is ~1e8 rows; AQE
     picks broadcast at test scale) — then one rollup shuffle per doc.
     Float discipline mirrors text_char_entropy: each token's surprisal
-    is rounded to 6 decimals once in the GROUPS-sized vocab table, the
-    per-doc mean folds those in DECIMAL, so engine log-ulp differences
-    cannot reorder the sum."""
+    is rounded to 6 decimals once in the GROUPS-sized vocab table and
+    the per-doc TOTAL folds those in DECIMAL, so engine log-ulp
+    differences cannot reorder the sum.  The output is the exact sum
+    (n_tok alongside; avg = sum/n for the caller) — a rounded quotient
+    is a round-half tie landmine across engines (its bigram twin
+    flipped one at sf0.1; see text_bigram_surprisal)."""
     docs = load_table(spark, sf_dir, "documents")
     tv = D.spread(docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))).where(
         F.size("toks") > 0
@@ -2468,11 +2470,9 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> SDF:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tok"),
-            F.round(
-                F.sum(F.col("srp").cast("decimal(38,6)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("avg_surprisal"),
+            F.sum(F.col("srp").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_surprisal"),
         )
     )
 

@@ -170,8 +170,7 @@ def rank_bm25(spark: SparkSession, sf_dir: str) -> SDF:
                    AS srp
           FROM c2 JOIN c1 USING (w1))
     SELECT p.doc_id, count(*) AS n_bigrams,
-           round(CAST(sum(CAST(srp AS DECIMAL(38,6))) AS DOUBLE)
-                 / count(*), 4) AS avg_surprisal
+           CAST(sum(CAST(srp AS DECIMAL(38,6))) AS DOUBLE) AS sum_surprisal
     FROM p JOIN t USING (w1, w2) GROUP BY p.doc_id
     """,
 )
@@ -187,10 +186,16 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> SDF:
     (map-side combined); context counts c1 re-aggregate the bigram
     table (vocabulary-sized, not corpus-sized).  The per-bigram
     surprisal ln(c1)-ln(c2) is rounded to 6 decimals in the
-    vocabulary-sized table, the per-doc mean DECIMAL-folds those —
-    engine log-ulp differences cannot reorder the sum.  The score join
-    is token-keyed; the vocab side is left to AQE (a web-corpus bigram
-    vocabulary is too big to force-broadcast)."""
+    vocabulary-sized table and the per-doc TOTAL DECIMAL-folds those —
+    engine log-ulp differences cannot reorder the sum.  The output is
+    the exact sum (with n_bigrams alongside; avg = sum/n for the
+    caller): a rounded quotient flipped a round-half tie at sf0.1 —
+    Spark rounds the shortest decimal representation of a double while
+    DuckDB rounds its binary value, and a near-tie quotient splits
+    them by exactly 1e-4 — where the decimal sum converts to the
+    identical double on both engines with no division at all.  The
+    score join is token-keyed; the vocab side is left to AQE (a
+    web-corpus bigram vocabulary is too big to force-broadcast)."""
     docs = load_table(spark, sf_dir, "documents")
     d = D.spread(
         docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
@@ -222,11 +227,9 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> SDF:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("srp").cast("decimal(38,6)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("avg_surprisal"),
+            F.sum(F.col("srp").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_surprisal"),
         )
     )
 
