@@ -1908,3 +1908,238 @@ def feature_target_encode(spark: SparkSession, sf_dir: str) -> SDF:
         ).alias("encoded"),
         F.round("prior", 6).alias("prior"),
     )
+
+
+# ---------------------------------------------------------------------------
+# population stability index (distribution drift between vintages)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_psi_drift",
+    """
+    WITH half AS (SELECT CAST(floor(o_totalprice / 60000) AS BIGINT) AS bin,
+                         CAST(o_orderdate >= DATE '1995-01-01' AS INT)
+                           AS recent
+                  FROM orders),
+    b AS (SELECT least(bin, 9) AS bin,
+                 sum(1 - recent) AS n_ref, sum(recent) AS n_new
+          FROM half GROUP BY least(bin, 9)),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_new) AS tn FROM b),
+    r AS (SELECT bin,
+                 (n_ref + 0.5) / (t.tr + 5.0) AS p,
+                 (n_new + 0.5) / (t.tn + 5.0) AS q
+          FROM b CROSS JOIN t),
+    terms AS (SELECT bin, round((p - q) * ln(p / q), 9) AS v FROM r)
+    SELECT round(CAST(sum(CAST(v AS DECIMAL(38,9))) AS DOUBLE), 6) AS psi,
+           CAST((SELECT tr FROM t) AS BIGINT) AS n_ref,
+           CAST((SELECT tn FROM t) AS BIGINT) AS n_new,
+           CAST(count(*) AS BIGINT) AS n_bins
+    FROM terms
+    """,
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> SDF:
+    """Population Stability Index between two data vintages (orders
+    before/after 1995 as the reference/new split): PSI = Σ (p−q)·ln(p/q)
+    over fixed price bins, the standard drift alarm a feature platform
+    runs per column per day (rule of thumb: >0.2 = investigate).
+    Laplace-smoothed (+0.5/bin) so an empty bin never produces ±inf —
+    the degenerate-input contract of the stats family.
+
+    Scale: ONE map-side-combined rollup builds both vintage histograms
+    simultaneously (bin, ref-count, new-count — no second pass, no
+    join of two aggregations); the PSI fold runs over the 10-row bin
+    table with the round-then-DECIMAL-fold discipline.  Bin width is
+    fixed (not quantile-derived), so the histogram needs no global
+    sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    half = orders.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 60000).cast("long"), F.lit(9)
+        ).alias("bin"),
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("recent"),
+    )
+    b = half.groupBy("bin").agg(
+        F.sum(1 - F.col("recent")).alias("n_ref"),
+        F.sum("recent").alias("n_new"),
+    )
+    t = F.broadcast(
+        b.agg(F.sum("n_ref").alias("tr"), F.sum("n_new").alias("tn"))
+    )
+    r = b.crossJoin(t).select(
+        "bin",
+        "tr",
+        "tn",
+        ((F.col("n_ref") + 0.5) / (F.col("tr") + 5.0)).alias("p"),
+        ((F.col("n_new") + 0.5) / (F.col("tn") + 5.0)).alias("q"),
+    )
+    terms = r.select(
+        "tr",
+        "tn",
+        F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 9)
+        .alias("v"),
+    )
+    return terms.agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,9)")).cast("double"), 6
+        ).alias("psi"),
+        F.first("tr").cast("bigint").alias("n_ref"),
+        F.first("tn").cast("bigint").alias("n_new"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# session path analysis (top event-type journeys)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_paths",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+               FROM events),
+    d AS (SELECT user_id, event_type, t, event_id,
+                 CASE WHEN lag(t) OVER w IS NULL
+                        OR t - lag(t) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    s AS (SELECT user_id, event_type, t, event_id,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d),
+    r AS (SELECT user_id, sid, event_type,
+                 row_number() OVER (PARTITION BY user_id, sid
+                                    ORDER BY t, event_id) AS step
+          FROM s),
+    paths AS (SELECT user_id, sid,
+                     string_agg(event_type, '>' ORDER BY step) AS path
+              FROM r WHERE step <= 3 GROUP BY user_id, sid),
+    pc AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY path),
+    rk AS (SELECT path, n_sessions,
+                  row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+           FROM pc)
+    SELECT CAST(rk AS BIGINT) AS rk, path,
+           CAST(n_sessions AS BIGINT) AS n_sessions
+    FROM rk WHERE rk <= 15
+    """,
+)
+def sessionize_paths(spark: SparkSession, sf_dir: str) -> SDF:
+    """Session path analysis: the most common opening journeys (first 3
+    event types, '>'-joined) across 30-minute sessions — the
+    product-analytics query behind every "how do users actually start"
+    funnel redesign, composing the sessionize gaps-and-islands machinery
+    with ordered path extraction.
+
+    Scale: sessionization, step numbering and the per-session path
+    collect all ride ONE user-keyed shuffle (same-partitioned windows +
+    rollup, the sessionize_batch argument); the path-frequency rollup
+    shuffles (path, count) pairs bounded by |event_types|³ distinct
+    journeys, and the top-15 is the WindowGroupLimit top-k.  Step
+    ordering is exact int64 µs + event_id, so paths are
+    engine-identical strings."""
+    from ..sources.tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("t"), "event_id"
+    )
+    wl = W.partitionBy("user_id").orderBy("t", "event_id")
+    brk = F.when(
+        F.lag("t").over(wl).isNull()
+        | ((F.col("t") - F.lag("t").over(wl)) > 1_800_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "t",
+        "event_id",
+        F.sum(brk)
+        .over(wl.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("sid"),
+    )
+    ws = W.partitionBy("user_id", "sid").orderBy("t", "event_id")
+    r = s.select(
+        "user_id", "sid", "event_type", F.row_number().over(ws).alias("step")
+    ).where(F.col("step") <= 3)
+    paths = r.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    pc = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    wr = W.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        pc.select(
+            F.row_number().over(wr).cast("long").alias("rk"),
+            "path",
+            F.col("n_sessions").cast("long"),
+        )
+        .where(F.col("rk") <= 15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration (Lorenz prefix sums, two-phase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_gini_revenue",
+    """
+    WITH c AS (SELECT o_custkey,
+                      sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+               FROM orders GROUP BY o_custkey),
+    r AS (SELECT rev,
+                 row_number() OVER (ORDER BY rev, o_custkey) AS i,
+                 count(*) OVER () AS n
+          FROM c),
+    g AS (SELECT CAST(sum((2 * i - n - 1) * rev) AS DOUBLE)
+                   / (n * CAST(sum(rev) AS DOUBLE)) AS gini,
+                 CAST(max(n) AS BIGINT) AS n_customers
+          FROM r GROUP BY n)
+    SELECT round(gini, 6) AS gini, n_customers FROM g
+    """,
+)
+def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> SDF:
+    """Gini coefficient of per-customer revenue — the concentration
+    metric behind "is our data (or revenue) dominated by a few heads"
+    (for corpora: source/domain concentration before mixture design).
+    Computed by the rank formula G = Σ(2i−n−1)·x_i / (n·Σx) over
+    revenue-sorted customers.
+
+    Scale: per-customer revenue is one map-side-combined rollup; the
+    rank i comes from a SINGLE global window over CUSTOMER-count rows —
+    here the two-phase bucket-offset pattern (stats_ks_test) is the
+    drop-in if even the aggregate is too large for one task, at this
+    operator's fixture the aggregate is already 4 orders below the fact
+    table.  DECIMAL revenue + integer ranks make the weighted sum
+    exact; ONE final division is rounded (quotient tie risk accepted:
+    the numerator/denominator are data-scale integers×decimals where a
+    1e-6 half-tie cannot arise from .00-quantized prices)."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+    )
+    wr = W.orderBy("rev", "o_custkey")
+    r = c.select(
+        "rev",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    g = r.groupBy("n").agg(
+        (
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("rev")).cast(
+                "double"
+            )
+            / (F.col("n") * F.sum("rev").cast("double"))
+        ).alias("gini"),
+        F.max("n").cast("bigint").alias("n_customers"),
+    )
+    return g.select(F.round("gini", 6).alias("gini"), "n_customers")
