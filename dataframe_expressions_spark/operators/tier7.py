@@ -2143,3 +2143,174 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> SDF:
         F.max("n").cast("bigint").alias("n_customers"),
     )
     return g.select(F.round("gini", 6).alias("gini"), "n_customers")
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit (cross-table orphan counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_referential_integrity",
+    """
+    SELECT 'lineitem.l_orderkey -> orders' AS relation,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM customer) AS BIGINT)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> SDF:
+    """Referential-integrity audit across the fact→dim chain: orphan
+    counts for lineitem→orders, orders→customer, customer→nation — the
+    cross-TABLE data-quality gate that dq_constraints' single-table
+    suite can't see (a lake ingest that drops one dim partition
+    produces exactly this signature: valid rows, broken joins).
+
+    Scale: each orphan count is a LEFT ANTI join on the key — the dim
+    side broadcasts when small (nation, customer) and shuffles on the
+    key otherwise, identical cost to the production join it is
+    guarding; counts fold map-side.  Three relations emit as a union of
+    1-row aggregates, so the report stays fixed-size regardless of
+    fact volume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def audit(fact: SDF, key: str, dim: SDF, dim_key: str, name: str) -> SDF:
+        orphans = fact.join(
+            dim.select(F.col(dim_key).alias(key)), key, "left_anti"
+        )
+        return (
+            orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            .crossJoin(
+                F.broadcast(
+                    fact.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+                )
+            )
+            .select(
+                F.lit(name).alias("relation"), "n_orphans", "n_rows"
+            )
+        )
+
+    return (
+        audit(li, "l_orderkey", orders, "o_orderkey",
+              "lineitem.l_orderkey -> orders")
+        .unionAll(
+            audit(orders, "o_custkey", cust, "c_custkey",
+                  "orders.o_custkey -> customer")
+        )
+        .unionAll(
+            audit(cust, "c_nationkey", nation, "n_nationkey",
+                  "customer.c_nationkey -> nation")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# YoY delta over the monthly revenue series (lag window, no division)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_yoy_delta",
+    """
+    WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                           AS DOUBLE) AS rev
+               FROM orders GROUP BY 1),
+    y AS (SELECT ym, rev,
+                 lag(rev, 12) OVER (ORDER BY ym) AS rev_prev
+          FROM m)
+    SELECT ym, rev, rev_prev, round(rev - rev_prev, 6) AS delta
+    FROM y WHERE rev_prev IS NOT NULL
+    """,
+)
+def window_yoy_delta(spark: SparkSession, sf_dir: str) -> SDF:
+    """Year-over-year revenue movement per month: lag(12) over the
+    monthly series with the absolute delta — the BI trend readout in
+    its scale-honest form.  The delta is an exact difference of
+    DECIMAL-folded sums (no ratio: a rounded quotient is the
+    cross-engine round-half landmine documented at
+    text_bigram_surprisal; callers divide if they want percent).
+
+    Scale: aggregate-then-analyze — the O(rows) work is one
+    map-side-combined monthly rollup; the lag window orders the
+    MONTH-count series (bounded by the calendar), so the single
+    unpartitioned window never touches fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = W.orderBy("ym")
+    y = m.select("ym", "rev", F.lag("rev", 12).over(w).alias("rev_prev"))
+    return y.where(F.col("rev_prev").isNotNull()).select(
+        "ym", "rev", "rev_prev",
+        F.round(F.col("rev") - F.col("rev_prev"), 6).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL accuracy audit (approx distinct vs exact, per group)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_hll_audit",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_hll_audit(spark: SparkSession, sf_dir: str) -> SDF:
+    """HLL accuracy audit completing the sketch-audit trilogy (CMS
+    overcount: agg_countmin_heavyhit; minhash vs exact Jaccard:
+    dedup_minhash_audit): per-group approx_count_distinct against the
+    exact distinct, with the relative error ASSERTED in-engine — the
+    query fails loudly if the sketch drifts past 3× its configured rsd
+    (0.02), instead of silently reporting a wrong cardinality.  Only
+    the exact side is hash-compared (the sketch value is
+    implementation-defined and may legitimately change across Spark
+    versions); the assertion IS the audit.
+
+    Scale: both sides are one shuffle — the exact distinct is the
+    expensive partial-distinct expand, the HLL side is the mergeable
+    sketch that replaces it at 100 TB; running them together is the
+    calibration pass that justifies the swap."""
+    orders = load_table(spark, sf_dir, "orders")
+    both = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+    )
+    # In-engine guard: a sketch >3x outside its rsd is a broken build.
+    # The assertion rides the FILTER (assert_true yields NULL on
+    # success, so isNull() is the always-true predicate) — projected
+    # into a dropped column it would be pruned away by Catalyst and
+    # never evaluated.
+    rel_err = F.abs(F.col("approx") - F.col("exact")) / F.col("exact")
+    return both.where(
+        F.assert_true(
+            rel_err < 0.06, F.lit("HLL drifted past 3x rsd")
+        ).isNull()
+    ).select("o_orderpriority", "exact")
