@@ -2314,3 +2314,190 @@ def agg_hll_audit(spark: SparkSession, sf_dir: str) -> SDF:
             rel_err < 0.06, F.lit("HLL drifted past 3x rsd")
         ).isNull()
     ).select("o_orderpriority", "exact")
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph construction (IVF-celled, the clustering precursor)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_knn_graph",
+    f"""
+    WITH e0 AS (SELECT vec_id AS vid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+    cent0 AS (
+      SELECT CAST(label AS BIGINT) AS cell, list(c ORDER BY pos) AS cvec
+      FROM (
+        SELECT label, pos,
+               round(CAST(sum(CAST(CAST(ev AS DOUBLE) AS DECIMAL(38,12)))
+                     AS DOUBLE) / count(*), 6) AS c
+        FROM (SELECT label, unnest(embedding) AS ev,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings)
+        GROUP BY label, pos) GROUP BY label),
+    cent AS (SELECT * FROM cent0 WHERE list_inner_product(cvec, cvec) > 0),
+    cs AS (SELECT e.vid, e.v, c.cell, {_COS.format(l='e.v', r='c.cvec')}
+             AS csim
+           FROM e CROSS JOIN cent c),
+    a AS (SELECT vid, v, cell FROM (
+            SELECT vid, v, cell,
+                   row_number() OVER (PARTITION BY vid
+                                      ORDER BY csim DESC, cell) AS crk
+            FROM cs) WHERE crk = 1),
+    p AS (SELECT x.vid AS src, y.vid AS dst,
+                 round({_COS.format(l='x.v', r='y.v')}, 4) AS sim
+          FROM a x JOIN a y ON x.cell = y.cell AND x.vid <> y.vid),
+    r AS (SELECT src, dst, sim,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY sim DESC, dst) AS rk
+          FROM p)
+    SELECT src, dst, sim, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
+    """,
+)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> SDF:
+    """kNN-graph construction (k=3 neighbors per vector, IVF-celled):
+    EVERY vector gets its top-k in-cell neighbors — the precursor
+    artifact for graph clustering (connected components over the kNN
+    edges ≈ SemDeDup groups), label propagation, and
+    mutual-neighbor outlier pruning.  Distinct from sim_search_*: those
+    answer per-QUERY probes; this materializes the all-corpus graph.
+
+    Scale: the pair generation is the SemDeDup bound — Σ|cell|² inside
+    label cells via one equi-join on the cell id, never corpus² — and
+    the per-vector top-k is a partitioned WindowGroupLimit (no global
+    sort).  Centroids are the DECIMAL-folded label means broadcast from
+    emb_centroid, so cell assignment and the emitted edges mirror
+    exactly in DuckDB."""
+    from ..functions import similarity as S
+    from .tier3 import emb_centroid
+
+    emb = D.spread(load_table(spark, sf_dir, "embeddings"))
+    cent = (
+        emb_centroid(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").cast("long").alias("cell"),
+            F.transform("pc", lambda p: p["c"]).alias("cvec"),
+        )
+    )
+    x = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("vvec"),
+    )
+    a = S.ivf_assign(x, cent).withColumn(
+        "nrm", F.sqrt(S.dot(F.col("vvec"), F.col("vvec")))
+    )
+    lhs = a.select(
+        F.col("vid").alias("src"), F.col("vvec").alias("lv"),
+        F.col("nrm").alias("ln"), "cell",
+    )
+    rhs = a.select(
+        F.col("vid").alias("dst"), F.col("vvec").alias("rv"),
+        F.col("nrm").alias("rn"), "cell",
+    )
+    p = (
+        lhs.join(rhs, "cell")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                S.dot(F.col("lv"), F.col("rv")) / (F.col("ln") * F.col("rn")),
+                4,
+            ).alias("sim"),
+        )
+    )
+    wr = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        p.select("src", "dst", "sim",
+                 F.row_number().over(wr).cast("long").alias("rk"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# overlapping-interval merge (coverage dedup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_interval_merge",
+    """
+    WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 600000000 AS e, event_id
+                FROM events),
+    m AS (SELECT user_id, s, e, event_id,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max_e
+          FROM iv),
+    b AS (SELECT user_id, s, e,
+                 CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END AS brk
+          FROM m),
+    g AS (SELECT user_id, s, e,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM b),
+    spans AS (SELECT user_id, grp, min(s) AS span_s, max(e) AS span_e
+              FROM g GROUP BY user_id, grp)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(span_e - span_s) AS BIGINT) AS covered_us
+    FROM spans GROUP BY user_id
+    """,
+)
+def window_interval_merge(spark: SparkSession, sf_dir: str) -> SDF:
+    """Overlapping-interval merge (union of per-user 10-minute activity
+    windows): coalesce overlapping intervals into maximal spans and
+    report per-user span count + total covered time — the coverage
+    dedup behind watch-time metering, ad-exposure dedup, and on-call
+    overlap accounting (naively summing interval lengths double-counts
+    every overlap).
+
+    Scale: the classic sweep needs sorted intervals; here the running
+    ``max(end) over rows to 1 preceding`` detects gaps, the break
+    cumsum labels spans, and the span rollup — all on ONE user-keyed
+    shuffle (same-partitioned windows, the sessionize_batch argument).
+    Exact int64 µs with event_id tie-breaks; a new span starts only on
+    a STRICT gap (s > prev_max_e), so touching intervals merge
+    identically on both engines."""
+    from ..sources.tables import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        epoch_us("ts").alias("s"),
+        (epoch_us("ts") + 600_000_000).alias("e"),
+        "event_id",
+    )
+    wm = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    m = iv.select(
+        "user_id", "s", "e", F.max("e").over(wm).alias("prev_max_e")
+    )
+    brk = F.when(
+        F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    wg = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    g = m.select("user_id", "s", "e", F.sum(brk).over(wg).alias("grp"))
+    spans = g.groupBy("user_id", "grp").agg(
+        F.min("s").alias("span_s"), F.max("e").alias("span_e")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("span_e") - F.col("span_s")).cast("long").alias(
+            "covered_us"
+        ),
+    )
