@@ -2501,3 +2501,172 @@ def window_interval_merge(spark: SparkSession, sf_dir: str) -> SDF:
             "covered_us"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation of the daily series (seasonality detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_autocorr_lag",
+    """
+    WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                          CAST(count(*) AS DOUBLE) AS x
+                   FROM events GROUP BY day),
+    lagged AS (SELECT l.lag,
+                      count(*) AS n,
+                      sum(CAST(a.x AS DECIMAL(38,6))) AS sx,
+                      sum(CAST(b.x AS DECIMAL(38,6))) AS sy,
+                      sum(CAST(a.x * b.x AS DECIMAL(38,6))) AS sxy,
+                      sum(CAST(a.x * a.x AS DECIMAL(38,6))) AS sxx,
+                      sum(CAST(b.x * b.x AS DECIMAL(38,6))) AS syy
+               FROM (SELECT unnest([1, 7]) AS lag) l
+               JOIN daily a ON true
+               JOIN daily b ON b.day = a.day + to_days(CAST(l.lag AS INT))
+               GROUP BY l.lag),
+    r AS (SELECT lag, n,
+                 (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE))
+                 / nullif(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                                 * CAST(sx AS DOUBLE))
+                          * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                                   * CAST(sy AS DOUBLE)), 0) AS acf
+          FROM lagged)
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           round(acf, 6) AS acf
+    FROM r
+    """,
+)
+def stats_autocorr_lag(spark: SparkSession, sf_dir: str) -> SDF:
+    """Autocorrelation of the daily event-count series at lags 1 and 7 —
+    the seasonality probe (high lag-7 ACF = weekly pattern) that
+    completes the series-monitoring family next to
+    stats_trend_mann_kendall (monotone drift) and stats_psi_drift
+    (distribution drift).  Pearson r over (x_t, x_{t+lag}) pairs from
+    exact DECIMAL-folded moment sums (the stats_ab_welch discipline).
+
+    Scale: aggregate-then-analyze — one daily rollup is the O(rows)
+    work; the lag self-join matches day-count rows on an exact date
+    key (calendar-bounded), and both lags ride ONE pass via the tiny
+    lag-literal cross join.  nullif guards a constant series (ACF
+    undefined → NULL, not a divide-by-zero abort)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(7))).alias("lag")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    joined = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(
+            b,
+            F.col("b.day")
+            == F.date_add(F.col("a.day"), F.col("lag").cast("int")),
+        )
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,6)"))  # noqa: E731
+    lagged = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("a.x")).alias("sx"),
+        dec(F.col("b.x")).alias("sy"),
+        dec(F.col("a.x") * F.col("b.x")).alias("sxy"),
+        dec(F.col("a.x") * F.col("a.x")).alias("sxx"),
+        dec(F.col("b.x") * F.col("b.x")).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        n * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return lagged.select(
+        F.col("lag").cast("long").alias("lag"),
+        n.cast("long").alias("n_pairs"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# binary chunk-level exact dedup (multimodal payloads)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_chunk_dedup",
+    """
+    WITH img AS (SELECT doc_id, text,
+                        octet_length(encode(text)) AS n_bytes
+                 FROM documents),
+    ch AS (SELECT doc_id, i AS chunk_idx,
+                  substring(text, CAST((i * 64) + 1 AS INT), 64) AS chunk
+           FROM img,
+                UNNEST(range(0, CAST(ceil(n_bytes / 64.0)
+                                     AS BIGINT))) AS t(i)),
+    u AS (SELECT chunk, count(*) AS n_copies, min(doc_id) AS keep_doc
+          FROM ch GROUP BY chunk)
+    SELECT CAST(count(*) AS BIGINT) AS n_unique_chunks,
+           CAST(sum(n_copies) AS BIGINT) AS n_total_chunks,
+           CAST(sum(CASE WHEN n_copies > 1 THEN n_copies - 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_chunks,
+           CAST(count(DISTINCT keep_doc) AS BIGINT) AS n_keeper_docs
+    FROM u
+    """,
+)
+def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """Chunk-level exact dedup over BINARY payloads: split each media
+    blob into 64-byte chunks, dedup chunks corpus-wide, report the
+    dedup yield — content-defined-storage for the multimodal lake
+    (identical image tiles / audio frames across assets stored once),
+    extending the dedup family beyond text into the binary column the
+    multimodal_* ops carry.
+
+    Scale: chunking is a map-only substring explode over the binary
+    column (no decode needed — this is byte-level, codec-agnostic);
+    the chunk rollup shuffles (chunk, count) where a production run
+    shuffles xxhash64(chunk) fingerprints (here the raw 64-byte chunk
+    IS the key; the fingerprint swap is the dedup_exact discipline).
+    The DuckDB oracle chunks the VARCHAR (DuckDB cannot slice blobs);
+    the payload is ASCII so char chunks are byte chunks 1:1 — stated
+    assumption, verified by the octet_length == length equality the
+    fake-image fixture guarantees.  The summary is a 4-number rollup
+    regardless of corpus size."""
+    from ..functions import multimodal as MM
+
+    docs = D.spread(load_table(spark, sf_dir, "documents"))
+    img = MM.attach_fake_image(docs).select("doc_id", "img_bytes")
+    nchunks = F.ceil(F.octet_length("img_bytes") / 64.0).cast("long")
+    ch = img.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nchunks - 1),
+                lambda i: F.substring(
+                    F.col("img_bytes"), i * 64 + 1, F.lit(64)
+                ),
+            )
+        ).alias("chunk"),
+    )
+    u = ch.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_doc"),
+    )
+    return u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_chunks"),
+        F.sum("n_copies").cast("long").alias("n_total_chunks"),
+        F.sum(
+            F.when(F.col("n_copies") > 1, F.col("n_copies") - 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dup_chunks"),
+        F.countDistinct("keep_doc").cast("long").alias("n_keeper_docs"),
+    )
