@@ -147,15 +147,22 @@ def main() -> None:
             return json.load(fh).get("queries", {})
 
     import glob as _glob
+    import re as _re
 
-    anchor_candidates = sorted(
-        _glob.glob(os.path.join(here, "bench_anchor_r*.json")), reverse=True
-    )
-    anchor_newest = (
-        _anchor_file(os.path.basename(anchor_candidates[0]))
+    # Numeric round sort, not lexicographic: "_r10" must beat "_r7"
+    # (round-5 ADVICE — a reverse string sort silently picks a stale
+    # anchor once round numbers lose their zero padding).
+    def _round_num(p: str) -> int:
+        m = _re.search(r"_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    anchor_candidates = _glob.glob(os.path.join(here, "bench_anchor_r*.json"))
+    anchor_newest_name = (
+        os.path.basename(max(anchor_candidates, key=_round_num))
         if anchor_candidates
-        else {}
+        else None
     )
+    anchor_newest = _anchor_file(anchor_newest_name) if anchor_newest_name else {}
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
@@ -264,9 +271,15 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "n_samples": {qid: len(s) for qid, s in runs.items()},
-        "anchor_file": (
-            os.path.basename(anchor_candidates[0]) if anchor_candidates else None
-        ),
+        # Name the statistic per id (r5 ADVICE): a lower-of-2 is an
+        # optimistic order statistic and must not be read as a median
+        # in cross-round comparisons.
+        "estimator": {
+            qid: ("median_of_%d" % len(s) if len(s) % 2 == 1
+                  else "lower_middle_of_%d" % len(s))
+            for qid, s in runs.items() if s
+        },
+        "anchor_file": anchor_newest_name,
         "r1_driver_sec": r1,
         "vs_r1": _vs(r1),
         "vs_anchor": _vs(anchor_newest),

@@ -246,16 +246,18 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> SDF:
                    FROM documents GROUP BY lang, source),
     tot AS (SELECT sum(o) AS n FROM cells),
     rt AS (SELECT lang, sum(o) AS r FROM cells GROUP BY lang),
-    ct AS (SELECT source, sum(o) AS c FROM cells GROUP BY source)
-    SELECT round(sum((o - r * c / n) * (o - r * c / n) / (r * c / n)), 6)
-             AS chi2,
+    ct AS (SELECT source, sum(o) AS c FROM cells GROUP BY source),
+    terms AS (SELECT round((o - r * c / n) * (o - r * c / n)
+                           / (r * c / n), 9) AS v
+              FROM cells
+              JOIN tot ON true
+              JOIN rt USING (lang)
+              JOIN ct USING (source))
+    SELECT round(CAST((SELECT sum(CAST(v AS DECIMAL(38,9))) FROM terms)
+                      AS DOUBLE), 6) AS chi2,
            CAST((SELECT count(*) - 1 FROM rt)
                 * (SELECT count(*) - 1 FROM ct) AS BIGINT) AS dof,
            CAST((SELECT n FROM tot) AS BIGINT) AS n
-    FROM cells
-    JOIN tot ON true
-    JOIN rt USING (lang)
-    JOIN ct USING (source)
     """,
 )
 def stats_chi2(spark: SparkSession, sf_dir: str) -> SDF:
@@ -268,11 +270,13 @@ def stats_chi2(spark: SparkSession, sf_dir: str) -> SDF:
     marginals re-aggregate the cells (lang×source cardinality, not
     rows), and the expected-count join is broadcast both ways.  Expected
     counts are never materialized per row — the O(rows) part of the job
-    is exactly the one groupBy.  Cell terms are inexact doubles, so the
-    final fold is pinned to ONE partition in (lang, source) order —
-    partition-order-dependent summation could flip the 6th decimal
-    between runs (r4 advisor note).  The coalesce(1) is free: the frame
-    being folded has lang×source rows, not data rows."""
+    is exactly the one groupBy.  Cell terms are inexact doubles, so each
+    term is rounded to 9 decimals in the cells-sized frame and the sum
+    DECIMAL-folds the rounded values — partition-order independent with
+    no plan-shape assumption (the earlier coalesce(1)+sortWithinPartitions
+    pin relied on Catalyst sparing a sort under an order-insensitive
+    aggregate, which EliminateSorts may drop in other Spark versions —
+    r5 advisor note; this is the stats_mutual_info discipline)."""
     docs = load_table(spark, sf_dir, "documents")
     cells = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("double").alias("o")
@@ -292,11 +296,13 @@ def stats_chi2(spark: SparkSession, sf_dir: str) -> SDF:
         ).alias("dof")
     )
     return (
-        joined.coalesce(1)
-        .sortWithinPartitions("lang", "source")
+        joined.select(
+            F.round((F.col("o") - F.col("e")) ** 2 / F.col("e"), 9).alias("v"),
+            "n",
+        )
         .agg(
             F.round(
-                F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 6
+                F.sum(F.col("v").cast("decimal(38,9)")).cast("double"), 6
             ).alias("chi2"),
             F.first("n").cast("bigint").alias("n"),
         )
@@ -883,9 +889,12 @@ def scan_text(spark: SparkSession, sf_dir: str) -> SDF:
     import os
     import shutil
 
+    from ..sources.tables import sweep_dead_pid_dirs
+
     key = hashlib.sha256(
         os.path.abspath(sf_dir).encode()
     ).hexdigest()[:12]
+    sweep_dead_pid_dirs("/tmp", "spark_graft_text_")  # crashed-run scratch
     out = f"/tmp/spark_graft_text_{key}_{os.getpid()}"
     shutil.rmtree(out, ignore_errors=True)
     nation = load_table(spark, sf_dir, "nation").select(

@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 
 from ..functions import dedup as D
 from ..functions import text as TX
-from ..sources.tables import load_table, source_fingerprint
+from ..sources.tables import (
+    load_table,
+    source_fingerprint,
+    sweep_dead_pid_dirs as _sweep_dead_pid_dirs,
+)
 from .registry import query
 from .tier3 import _TOKS
 
@@ -596,6 +600,9 @@ def stats_mutual_info(spark: SparkSession, sf_dir: str) -> SDF:
 # ---------------------------------------------------------------------------
 
 
+_LAST_RESTART_OFFSETS: list = []
+
+
 def _restart_src_files(spark: SparkSession, sf_dir: str) -> list:
     """Write-once multi-file staging of events (8 parquet files, keyed by
     the source fingerprint like sources.tables._materialize) so the
@@ -656,6 +663,10 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> SDF:
         f"{source_fingerprint(sf_dir, ('events',))}_{os.getpid()}"
     )
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    # Sweep same-prefix dirs left by DEAD pids first: these live in
+    # RAM-backed tmpfs and each crashed/killed run would otherwise leave
+    # ~3 copies of the events data resident forever (r5 advisor note).
+    _sweep_dead_pid_dirs(base, "spark_graft_restart_")
     src = f"{base}/spark_graft_restart_src_{tag}"
     ckpt = f"{base}/spark_graft_restart_ckpt_{tag}"
     landing = f"{base}/spark_graft_restart_out_{tag}"
@@ -680,20 +691,38 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> SDF:
         q.stop()
 
     half = len(files) // 2
-    for f in files[:half]:
-        shutil.copy(f, os.path.join(src, os.path.basename(f)))
-    drain()  # first instance: drains half the files, then stops
-    for f in files[half:]:
-        shutil.copy(f, os.path.join(src, os.path.basename(f)))
-    drain()  # RESTARTED instance: resumes from the checkpointed offsets
+    global _LAST_RESTART_OFFSETS
+    try:
+        for f in files[:half]:
+            shutil.copy(f, os.path.join(src, os.path.basename(f)))
+        drain()  # first instance: drains half the files, then stops
+        for f in files[half:]:
+            shutil.copy(f, os.path.join(src, os.path.basename(f)))
+        drain()  # RESTARTED instance: resumes from checkpointed offsets
 
-    back = spark.read.parquet(landing)
-    return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(38,6)"))
-        .cast("double")
-        .alias("sum_value"),
-    )
+        # Evidence for the restart test, captured BEFORE cleanup: the
+        # checkpoint offset log's batch ids prove instance 2 resumed
+        # (batch >= 2) rather than restarting from scratch.
+        import glob as _glob
+
+        _LAST_RESTART_OFFSETS = sorted(
+            int(os.path.basename(p))
+            for p in _glob.glob(os.path.join(ckpt, "offsets", "*"))
+            if os.path.basename(p).isdigit()
+        )
+        back = spark.read.parquet(landing)
+        # Materialize the (event_type-sized) aggregate off the landing
+        # files NOW so the tmpfs dirs can be removed before returning —
+        # a lazy return would read the landing after the finally ran.
+        return back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        ).localCheckpoint(eager=True)
+    finally:
+        for d in (src, ckpt, landing):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -331,3 +331,23 @@ WITH orders_nested AS (
   ) li ON li.l_orderkey = o.o_orderkey
 )
 """
+
+
+def sweep_dead_pid_dirs(base: str, prefix: str) -> None:
+    """Remove ``{base}/{prefix}*_{pid}`` dirs whose trailing pid is no
+    longer alive — scratch left by crashed or killed runs.  Live pids
+    (concurrent pytest/bench) are never touched; ours is recreated."""
+    import glob
+    import os
+    import shutil
+
+    for d in glob.glob(os.path.join(base, prefix + "*")):
+        pid_s = d.rsplit("_", 1)[-1]
+        if not pid_s.isdigit():
+            continue
+        try:
+            os.kill(int(pid_s), 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it

@@ -23,7 +23,9 @@ sys.path.insert(0, "/root/repo")
 
 from dataframe_expressions_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("ORACLE_CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def duck_con(sf_dir: str = SF_DIR) -> duckdb.DuckDBPyConnection:

@@ -63,12 +63,14 @@ def test_bench_anchor_covers_every_registered_id():
     import glob
     import json
     import os
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    anchors = sorted(glob.glob(os.path.join(repo, "bench_anchor_r*.json")),
-                     reverse=True)
+    anchors = glob.glob(os.path.join(repo, "bench_anchor_r*.json"))
     assert anchors, "no committed bench anchor found"
-    with open(anchors[0]) as fh:
+    newest = max(anchors, key=lambda p: int(
+        re.search(r"_r(\d+)", os.path.basename(p)).group(1)))
+    with open(newest) as fh:
         anchor_ids = set(json.load(fh)["queries"])
     registered = set(load_all())
     missing = sorted(registered - anchor_ids)
@@ -76,4 +78,29 @@ def test_bench_anchor_covers_every_registered_id():
         f"{os.path.basename(anchors[0])} missing {len(missing)} ids: "
         f"{missing[:10]}... — rerun bench at sf0.1 on a quiet machine and "
         f"commit the refreshed anchor"
+    )
+
+
+def test_window_fronts_zero_evidence_ids():
+    """The window composition policy, enforced: every registered id with
+    NO row in any committed CORRECTNESS_r0*.json must occupy a window
+    slot (zero-evidence ids beat stale-but-green ones — round-5 ADVICE:
+    the hand-written comment undercounted the backlog; this recomputes
+    it from the artifacts so it can't drift)."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    evidenced = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            evidenced |= set(json.load(fh))
+    registered = set(load_all())
+    zero_evidence = registered - evidenced
+    outside = sorted(zero_evidence - set(DRIVER_WINDOW_PRIORITY))
+    assert not outside, (
+        f"{len(outside)} registered ids have no driver row and no window "
+        f"slot: {outside} — front them in DRIVER_WINDOW_PRIORITY"
     )

@@ -59,23 +59,27 @@ def test_restart_recovery_crosses_a_real_restart(spark):
         stream_restart_recovery,
     )
 
+    from dataframe_expressions_spark.operators import tier7
+
     out = stream_restart_recovery(spark, SF_SMOKE)
     total = out.agg(F.sum("n")).collect()[0][0]
     batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
     assert total == batch  # exactly-once: no loss, no replay
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    ckpts = glob.glob(f"{base}/spark_graft_restart_ckpt_*_{os.getpid()}")
-    assert ckpts, "checkpoint dir missing"
-    offsets = sorted(
-        int(os.path.basename(p))
-        for p in glob.glob(os.path.join(ckpts[0], "offsets", "*"))
-        if os.path.basename(p).isdigit()
-    )
+    # The operator now removes its tmpfs scratch (src/ckpt/landing)
+    # before returning (r5 advisor note: pid-keyed /dev/shm dirs were
+    # accumulating RAM across runs), so assert on the offset-log batch
+    # ids it captured from the checkpoint BEFORE cleanup.
+    offsets = tier7._LAST_RESTART_OFFSETS
     # 4 files pre-restart at 2/trigger = batches 0,1; 4 more after = 2,3
     assert offsets and offsets[-1] >= 2, (
         f"second instance never advanced past the restart boundary: "
         f"{offsets}"
     )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    leftover = glob.glob(f"{base}/spark_graft_restart_src_*_{os.getpid()}") \
+        + glob.glob(f"{base}/spark_graft_restart_ckpt_*_{os.getpid()}") \
+        + glob.glob(f"{base}/spark_graft_restart_out_*_{os.getpid()}")
+    assert not leftover, f"tmpfs scratch not cleaned: {leftover}"
 
 
 def test_sample_weighted_prefers_heavy_docs(spark):
