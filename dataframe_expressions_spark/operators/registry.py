@@ -56,10 +56,15 @@ def query(qid: str, oracle: Optional[str] = None):
 #                have builder sf0.1 parity in SCALE_CHECK.md),
 #   slots 24-43: the 20 remaining r1-vintage ids (evidence predates two
 #                testdata regenerations),
-#   slots 44-50: the 7 historical r1/r2 hash-fails whose green rows are
-#                oldest (r2/r3 vintage) — worth a modern re-check.
-# If CORRECTNESS_r06 comes back 50/50, every one of the 226 registered
-# ids has a driver-green row and none is older than r3.
+#   slots 44-45: the 2 round-6 additions (pipeline_multimodal_corpus,
+#                dedup_incremental_minhash — zero evidence),
+#   slots 46-50: 5 of the 7 historical r1/r2 hash-fails whose green rows
+#                are oldest (r2/r3 vintage) — worth a modern re-check
+#                (dedup_near_minhash / dedup_simhash, the two youngest of
+#                that block, yield their slots to the round-6 additions).
+# If CORRECTNESS_r06 comes back 50/50, every id except dedup_near_minhash
+# and dedup_simhash (both green r2) has a driver-green row no older
+# than r3.
 # Everything outside the window stays guarded by
 # tests/test_oracle_parity.py, which checks ALL entries against DuckDB
 # (value-exact + driver-identical CSV hash) on every pytest run.
@@ -109,14 +114,16 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "agg_groupby",
     "agg_distinct",
     "agg_rollup_cube",
-    # -- slots 44-50: historical r1/r2 hash-fails, oldest green evidence
+    # -- slots 44-45: the round-6 additions (zero evidence of any
+    #    vintage beats a stale-but-green re-check)
+    "pipeline_multimodal_corpus",
+    "dedup_incremental_minhash",
+    # -- slots 46-50: historical r1/r2 hash-fails, oldest green evidence
     "dedup_exact",
     "map_funcs",
     "nested_topn_slice",
     "agg_approx_quantile",
     "sim_search_lsh",
-    "dedup_near_minhash",
-    "dedup_simhash",
 )
 
 

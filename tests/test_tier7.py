@@ -146,3 +146,51 @@ def test_minhash_audit_estimate_in_unit_range(spark):
         assert 0.0 <= r["est_jaccard"] <= 1.0
         assert r["abs_err"] <= 1.0
         assert r["jaccard"] >= 0.5  # audited pair contract
+
+
+def test_pipeline_multimodal_funnel_monotone(spark):
+    """The funnel only narrows: assets/bytes non-increasing s0→s3, the
+    pack row's bytes/frames equal s3's, and exact-duplicate payloads
+    (same text ⇒ same bytes) never BOTH survive the chunk gate."""
+    from dataframe_expressions_spark.operators.tier7 import (
+        pipeline_multimodal_corpus,
+    )
+
+    rows = {
+        r["stage"]: r
+        for r in pipeline_multimodal_corpus(spark, SF_SMOKE).collect()
+    }
+    order = ["s0_raw", "s1_chunk_dedup", "s2_meta_gate", "s3_frame_sample"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a]["n_assets"] >= rows[b]["n_assets"], (a, b)
+        assert rows[a]["n_bytes"] >= rows[b]["n_bytes"], (a, b)
+    s3, s4 = rows["s3_frame_sample"], rows["s4_shard_pack"]
+    assert s4["n_bytes"] == s3["n_bytes"]
+    assert s4["n_frames"] == s3["n_frames"]
+    assert s4["n_assets"] >= 1  # at least one 64 KiB shard
+    # frames only exist from s3 on
+    assert rows["s0_raw"]["n_frames"] == 0
+
+
+def test_incremental_minhash_probes_persisted_store(spark):
+    """The corpus signature store is built ONCE (write-once, fingerprint
+    keyed): a second invocation must reuse it (same mtime), and every
+    emitted match pairs a batch doc (id % 20 == 0) with a corpus doc
+    (id % 20 != 0) at jaccard >= 0.5."""
+    import os
+
+    from dataframe_expressions_spark.operators.tier7 import (
+        _incremental_sig_store,
+        dedup_incremental_minhash,
+    )
+
+    store = _incremental_sig_store(spark, SF_SMOKE)
+    mtime1 = os.path.getmtime(store)
+    out = dedup_incremental_minhash(spark, SF_SMOKE).collect()
+    assert os.path.getmtime(store) == mtime1  # reused, not rebuilt
+    seen_b = set()
+    for r in out:
+        assert r["b"] % 20 == 0 and r["c"] % 20 != 0, r
+        assert r["jaccard"] >= 0.5, r
+        assert r["b"] not in seen_b, f"non-unique best match for {r['b']}"
+        seen_b.add(r["b"])
