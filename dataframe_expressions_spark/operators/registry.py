@@ -56,15 +56,14 @@ def query(qid: str, oracle: Optional[str] = None):
 #                have builder sf0.1 parity in SCALE_CHECK.md),
 #   slots 24-43: the 20 remaining r1-vintage ids (evidence predates two
 #                testdata regenerations),
-#   slots 44-45: the 2 round-6 additions (pipeline_multimodal_corpus,
-#                dedup_incremental_minhash — zero evidence),
-#   slots 46-50: 5 of the 7 historical r1/r2 hash-fails whose green rows
-#                are oldest (r2/r3 vintage) — worth a modern re-check
-#                (dedup_near_minhash / dedup_simhash, the two youngest of
-#                that block, yield their slots to the round-6 additions).
-# If CORRECTNESS_r06 comes back 50/50, every id except dedup_near_minhash
-# and dedup_simhash (both green r2) has a driver-green row no older
-# than r3.
+#   slots 44-49: the 6 round-6 additions (zero evidence),
+#   slot  50:    dedup_exact, the oldest historical hash-fail re-check
+#                that still fits (the other six r1/r2-fail re-checks
+#                yield their slots to the round-6 additions — all are
+#                green r2/r3 and stay guarded by the full pytest parity
+#                tier).
+# If CORRECTNESS_r06 comes back 50/50, every id has a driver-green row,
+# none older than r2.
 # Everything outside the window stays guarded by
 # tests/test_oracle_parity.py, which checks ALL entries against DuckDB
 # (value-exact + driver-identical CSV hash) on every pytest run.
@@ -114,16 +113,16 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "agg_groupby",
     "agg_distinct",
     "agg_rollup_cube",
-    # -- slots 44-45: the round-6 additions (zero evidence of any
+    # -- slots 44-49: the round-6 additions (zero evidence of any
     #    vintage beats a stale-but-green re-check)
     "pipeline_multimodal_corpus",
     "dedup_incremental_minhash",
-    # -- slots 46-50: historical r1/r2 hash-fails, oldest green evidence
+    "rank_fusion_hybrid",
+    "stats_cusum_changepoint",
+    "data_kfold_assign",
+    "pipeline_embedding_curation",
+    # -- slot 50: the oldest historical hash-fail re-check that still fits
     "dedup_exact",
-    "map_funcs",
-    "nested_topn_slice",
-    "agg_approx_quantile",
-    "sim_search_lsh",
 )
 
 

@@ -63,10 +63,10 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@query(
-    "rank_bm25",
-    f"""
-    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+# Shared BM25 per-doc score CTE chain (ends in ``agg(doc_id, score)``)
+# — textually identical in rank_bm25 and the rank_fusion_hybrid lexical
+# leg so the two oracles cannot drift apart.
+_BM25_AGG_SQL = f"""d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     dl AS (SELECT doc_id, len(toks) AS dl FROM d),
     st AS (SELECT count(*) AS n,
                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
@@ -85,27 +85,12 @@ _BM25_B = 0.75
                 CROSS JOIN st),
     agg AS (SELECT doc_id,
                    CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS score
-            FROM sc GROUP BY doc_id),
-    r AS (SELECT doc_id, score,
-                 row_number() OVER (ORDER BY score DESC, doc_id) AS rk
-          FROM agg)
-    SELECT CAST(rk AS BIGINT) AS rk, doc_id, score FROM r WHERE rk <= 20
-    """,
-)
-def rank_bm25(spark: SparkSession, sf_dir: str) -> SDF:
-    """BM25 document retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75)
-    for a fixed query-term set over the corpus — the lexical ranking
-    half of every retrieval/RAG data pipeline, next to the embedding
-    ANN family (sim_search_*).
+            FROM sc GROUP BY doc_id)"""
 
-    Scale: the corpus explosion is FILTERED to query-term hits before
-    its one shuffle (a 3-term query touches ~3/vocab of the postings;
-    the non-matching tokens never leave the map side).  Per-term df and
-    the (N, avgdl) corpus stats are O(|query|) and O(1) — broadcast.
-    Per-(doc,term) scores are pure IEEE arithmetic on exact ints
-    (tf/df/N/dl) rounded to 6 decimals, the per-doc sum DECIMAL-folds
-    those, and the final top-20 is TakeOrderedAndProject on the exact
-    decimal sum with a doc_id tie-break — no global sort."""
+
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> SDF:
+    """Per-doc BM25 score frame (doc_id, score) — the Spark twin of
+    ``_BM25_AGG_SQL``, shared by rank_bm25 and rank_fusion_hybrid."""
     docs = D.spread(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
     dl = d.select("doc_id", F.size("toks").alias("dl"))
@@ -143,9 +128,36 @@ def rank_bm25(spark: SparkSession, sf_dir: str) -> SDF:
             ).alias("s"),
         )
     )
-    agg = sc.groupBy("doc_id").agg(
+    return sc.groupBy("doc_id").agg(
         F.sum(F.col("s").cast("decimal(38,6)")).cast("double").alias("score")
     )
+
+
+@query(
+    "rank_bm25",
+    f"""
+    WITH {_BM25_AGG_SQL},
+    r AS (SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+          FROM agg)
+    SELECT CAST(rk AS BIGINT) AS rk, doc_id, score FROM r WHERE rk <= 20
+    """,
+)
+def rank_bm25(spark: SparkSession, sf_dir: str) -> SDF:
+    """BM25 document retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75)
+    for a fixed query-term set over the corpus — the lexical ranking
+    half of every retrieval/RAG data pipeline, next to the embedding
+    ANN family (sim_search_*).
+
+    Scale: the corpus explosion is FILTERED to query-term hits before
+    its one shuffle (a 3-term query touches ~3/vocab of the postings;
+    the non-matching tokens never leave the map side).  Per-term df and
+    the (N, avgdl) corpus stats are O(|query|) and O(1) — broadcast.
+    Per-(doc,term) scores are pure IEEE arithmetic on exact ints
+    (tf/df/N/dl) rounded to 6 decimals, the per-doc sum DECIMAL-folds
+    those, and the final top-20 is TakeOrderedAndProject on the exact
+    decimal sum with a doc_id tie-break — no global sort."""
+    agg = _bm25_doc_scores(spark, sf_dir)
     wr = W.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         agg.select(
@@ -3062,3 +3074,479 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> SDF:
         ),
     ).where(F.col("rn") == 1)
     return best.select("b", "c", F.round("j", 4).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 and embedding cosine
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rank_fusion_hybrid",
+    f"""
+    WITH {{bm25}},
+    lr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS lr
+           FROM agg),
+    e0 AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+    e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    vsc AS (SELECT e.vec_id AS vid,
+                   round(list_inner_product(q.v, e.v)
+                         / (sqrt(list_inner_product(q.v, q.v))
+                            * sqrt(list_inner_product(e.v, e.v))), 4) AS sim
+            FROM e CROSS JOIN q WHERE e.vec_id != 0),
+    vr AS (SELECT vid,
+                  row_number() OVER (ORDER BY sim DESC, vid) AS vr
+           FROM vsc),
+    fused AS (SELECT coalesce(lr.doc_id, vr.vid) AS doc_id,
+                     coalesce(1.0 / (60 + lr.lr), 0)
+                       + coalesce(1.0 / (60 + vr.vr), 0) AS rrf
+              FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.vid),
+    r AS (SELECT doc_id, rrf,
+                 row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk
+          FROM fused)
+    SELECT CAST(rk AS BIGINT) AS rk, doc_id, round(rrf, 6) AS rrf
+    FROM r WHERE rk <= 20
+    """.format(bm25=_BM25_AGG_SQL),
+)
+def rank_fusion_hybrid(spark: SparkSession, sf_dir: str) -> SDF:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    k=60): the BM25 lexical ranking (shared scorer with rank_bm25) and
+    the embedding-cosine ranking against query vector vec_id 0 are each
+    ranked independently, then fused as Σ 1/(60 + rank) — the standard
+    lexical+dense hybrid every RAG retrieval stack runs.  Documents and
+    embeddings index the same corpus 1:1 (doc_id = vec_id, the fixture
+    contract); a doc present in only one leg contributes only that leg's
+    term.
+
+    Scale: each leg is its own already-proven plan (BM25: filtered
+    postings, one shuffle; cosine: broadcast query, codegen map) — the
+    fusion adds one full-outer join on the doc key (leg outputs are
+    ranking-sized, not corpus-sized, since the lexical leg covers only
+    query-term hits) and a top-20 TakeOrderedAndProject.  Determinism:
+    ranks are exact ints, each RRF term is one IEEE division, the fused
+    score a two-term sum in fixed expression order — rank BEFORE the
+    final display round, doc_id tie-break."""
+    from ..functions import similarity as S
+
+    lex = _bm25_doc_scores(spark, sf_dir)
+    lr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("lr"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.sqrt(S.dot(F.col("v"), F.col("v")))).where(
+        F.col("nrm") > 0
+    )
+    q = corpus.where(F.col("vid") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    vsc = corpus.where(F.col("vid") != 0).crossJoin(F.broadcast(q)).select(
+        "vid",
+        F.round(
+            S.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4
+        ).alias("sim"),
+    )
+    vr = vsc.select(
+        "vid",
+        F.row_number().over(W.orderBy(F.desc("sim"), F.asc("vid"))).alias("vr"),
+    )
+    fused = (
+        lr.join(vr, lr["doc_id"] == vr["vid"], "full_outer")
+        .select(
+            F.coalesce(lr["doc_id"], vr["vid"]).alias("doc_id"),
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lr")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("vr")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.select(
+            F.row_number()
+            .over(W.orderBy(F.desc("rrf"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rk"),
+            "doc_id",
+            F.round("rrf", 6).alias("rrf"),
+        )
+        .where(F.col("rk") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on the daily event series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_cusum_changepoint",
+    """
+    WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                          CAST(count(*) AS BIGINT) AS x
+                   FROM events GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx FROM daily),
+    c AS (SELECT day, x,
+                 row_number() OVER (ORDER BY day) AS t,
+                 CAST(sum(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum
+          FROM daily),
+    sc AS (SELECT day, t, cum, n, sx,
+                  n * cum - t * sx AS c_scaled
+           FROM c CROSS JOIN tot),
+    best AS (SELECT *, row_number() OVER (ORDER BY abs(c_scaled) DESC,
+                                          day ASC) AS rn
+             FROM sc)
+    SELECT day AS cp_day, CAST(n AS BIGINT) AS n_days,
+           CAST(c_scaled AS BIGINT) AS c_scaled,
+           round(CAST(abs(c_scaled) AS DOUBLE) / n, 6) AS max_dev,
+           CAST(cum AS BIGINT) AS pre_sum, CAST(t AS BIGINT) AS pre_n,
+           CAST(sx - cum AS BIGINT) AS post_sum,
+           CAST(n - t AS BIGINT) AS post_n
+    FROM best WHERE rn = 1
+    """,
+)
+def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> SDF:
+    """CUSUM mean-shift changepoint on the daily event-count series (Page
+    1954): the day t maximizing |Σ_{i≤t} x_i − t·μ| splits the series at
+    its strongest level shift — the monitoring primitive that catches a
+    regime change the Mann-Kendall monotone-trend test smooths over.
+    Completes the series family: trend (Mann-Kendall) / seasonality
+    (autocorr) / distribution drift (PSI) / level shift (this).
+
+    Determinism: the CUSUM is computed SCALED-INTEGER — C_t = n·cum_t −
+    t·Σx is exact BIGINT (no running double fold, no μ quotient), so
+    the argmax is integer arithmetic on both engines; only the display
+    deviation divides (rounded, never compared).  Pre/post segment sums
+    ship as exact integers so the caller derives the shift magnitude
+    without a quotient (the round-half lesson, SCALE_CHECK.md).
+
+    Scale: aggregate-then-analyze — one O(rows) daily rollup; the
+    running sum and argmax act on the DAYS-sized frame (the unpartitioned
+    window is calendar-bounded, documented safe)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    tot = F.broadcast(
+        daily.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+        )
+    )
+    wo = W.orderBy("day")
+    c = daily.select(
+        "day",
+        "x",
+        F.row_number().over(wo).cast("long").alias("t"),
+        F.sum("x").over(wo.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+    )
+    sc = c.crossJoin(tot).withColumn(
+        "c_scaled", F.col("n") * F.col("cum") - F.col("t") * F.col("sx")
+    )
+    best = sc.withColumn(
+        "rn",
+        F.row_number().over(
+            W.orderBy(F.abs(F.col("c_scaled")).desc(), F.asc("day"))
+        ),
+    ).where(F.col("rn") == 1)
+    return best.select(
+        F.col("day").alias("cp_day"),
+        F.col("n").alias("n_days"),
+        F.col("c_scaled").cast("long").alias("c_scaled"),
+        F.round(
+            F.abs(F.col("c_scaled")).cast("double") / F.col("n"), 6
+        ).alias("max_dev"),
+        F.col("cum").alias("pre_sum"),
+        F.col("t").alias("pre_n"),
+        (F.col("sx") - F.col("cum")).cast("long").alias("post_sum"),
+        (F.col("n") - F.col("t")).cast("long").alias("post_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# group-aware k-fold assignment (no customer spans folds)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "data_kfold_assign",
+    """
+    WITH o AS (SELECT o_custkey,
+                      (o_custkey * 1103515245 + 12345) % 2147483647 % 5
+                        AS fold,
+                      CAST(o_totalprice AS DECIMAL(38,6)) AS price
+               FROM orders),
+    leak AS (SELECT CAST(count(*) AS BIGINT) AS n_leaky FROM (
+               SELECT o_custkey FROM o GROUP BY o_custkey
+               HAVING count(DISTINCT fold) > 1))
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(price) AS DOUBLE) AS revenue,
+           (SELECT n_leaky FROM leak) AS n_leaky_groups
+    FROM o GROUP BY fold
+    """,
+)
+def data_kfold_assign(spark: SparkSession, sf_dir: str) -> SDF:
+    """GROUP-AWARE k-fold assignment (k=5) for train/eval splits: every
+    order lands in the fold of its CUSTOMER (portable LCG hash of
+    o_custkey), so no customer's behavior leaks across folds — the
+    split discipline any model trained on per-entity data needs.  The
+    per-fold report carries customer/order counts, exact DECIMAL
+    revenue, and an in-output leakage audit (customers spanning >1
+    fold — structurally zero, VERIFIED in the result rather than
+    assumed, the agg_hll_audit pattern).
+
+    Scale: fold assignment is a map-side expression on the fact scan
+    (no customer-dim join — the group key rides the fact row); the
+    rollup is one shuffle to 5 groups with map-side partials; the
+    leakage audit re-aggregates the same scan by custkey (its
+    distinct-fold count is 1 per group by construction, so AQE sees a
+    near-empty HAVING).  The LCG stays in BIGINT range (custkey ×
+    1.1e9 ≪ 2^63) so ANSI mode cannot overflow-abort."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        ((F.col("o_custkey") * 1103515245 + 12345) % 2147483647 % 5).alias(
+            "fold"
+        ),
+        F.col("o_totalprice").cast("decimal(38,6)").alias("price"),
+    )
+    leak = F.broadcast(
+        o.groupBy("o_custkey")
+        .agg(F.count_distinct("fold").alias("nf"))
+        .where(F.col("nf") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_groups"))
+    )
+    return (
+        o.groupBy("fold")
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .select(F.col("fold").cast("long").alias("fold"), "n_customers",
+                "n_orders", "revenue")
+        .crossJoin(leak)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding curation funnel (SemDeDup-style): valid → central → diverse
+# → class-balanced
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_embedding_curation",
+    """
+    WITH e0 AS (SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    base AS (SELECT vec_id, label, v,
+                    list_inner_product(v, v) > 0 AS k1
+             FROM e0),
+    ex AS (SELECT vec_id, label, unnest(v) AS x,
+                  unnest(range(1, len(v) + 1)) AS pos
+           FROM base WHERE k1),
+    cent AS (SELECT label, pos,
+                    round(CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                          / count(*), 6) AS m
+             FROM ex GROUP BY label, pos),
+    dist AS (SELECT ex.vec_id,
+                    round(sqrt(CAST(sum(CAST((x - m) * (x - m)
+                          AS DECIMAL(38,12))) AS DOUBLE)), 6) AS dist
+             FROM ex JOIN cent c ON ex.label = c.label AND ex.pos = c.pos
+             GROUP BY ex.vec_id),
+    f1 AS (SELECT b.vec_id, b.label, b.v, b.k1,
+                  b.k1 AND coalesce(d.dist <= 1.01, false) AS k2
+           FROM base b LEFT JOIN dist d USING (vec_id)),
+    simdrop AS (SELECT DISTINCT b.vec_id
+                FROM f1 a JOIN f1 b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                 AND a.k2 AND b.k2
+                WHERE round(list_inner_product(a.v, b.v)
+                        / (sqrt(list_inner_product(a.v, a.v))
+                           * sqrt(list_inner_product(b.v, b.v))), 4) >= 0.3),
+    f2 AS (SELECT vec_id, label, k1, k2,
+                  k2 AND vec_id NOT IN (SELECT vec_id FROM simdrop) AS k3
+           FROM f1),
+    cap AS (SELECT CAST(min(n) AS BIGINT) AS cap FROM (
+              SELECT count(*) AS n FROM f2 WHERE k3 GROUP BY label)),
+    f3 AS (SELECT vec_id, label, k1, k2, k3,
+                  k3 AND row_number() OVER (PARTITION BY label, k3
+                                            ORDER BY vec_id)
+                      <= (SELECT cap FROM cap) AS k4
+           FROM f2),
+    stages AS (
+      SELECT 's0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(count(DISTINCT label) AS BIGINT) AS n_labels FROM f3
+      UNION ALL
+      SELECT 's1_valid', CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN k1 THEN label END) AS BIGINT)
+      FROM f3
+      UNION ALL
+      SELECT 's2_central', CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN k2 THEN label END) AS BIGINT)
+      FROM f3
+      UNION ALL
+      SELECT 's3_diverse', CAST(sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN k3 THEN label END) AS BIGINT)
+      FROM f3
+      UNION ALL
+      SELECT 's4_balanced', CAST(sum(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN k4 THEN label END) AS BIGINT)
+      FROM f3)
+    SELECT stage, n_vecs, n_labels FROM stages
+    """,
+)
+def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> SDF:
+    """Embedding-set curation funnel (the SemDeDup/prototypicality
+    recipe): validity gate (nonzero norm) → centrality gate (L2 distance
+    to the label centroid ≤ 1.01, dropping outliers/mislabels) →
+    diversity gate (drop any vector with round-4 cosine ≥ 0.3 to a
+    LOWER-ID central vector of the same label — the pairwise, non-chained
+    SemDeDup variant: the suppressor need not itself survive, which
+    keeps the rule join-expressible; τ is tuned to this corpus's
+    similarity range) → class-balance cap (each label trimmed to the
+    smallest surviving label's count, in vec_id order).  Flag-per-stage
+    rollup: vectors + distinct labels surviving each stage.
+
+    Scale: centroids are per-(label,pos) DECIMAL folds collected to a
+    LABELS-sized broadcast (emb_outlier_centroid shape); the diversity
+    join is label-blocked — Σ|label|² pairs, never corpus² (emb_knn_graph
+    bound), and only k2 survivors enter it; the balance cap derives from
+    a LABELS-sized aggregate broadcast back.  Every gate is exact
+    integer/rounded-double logic, so the funnel is bit-stable across
+    engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "k1",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        > 0,
+    ).localCheckpoint(eager=True)
+
+    ex = base.where("k1").select(
+        "vec_id", "label", F.posexplode("v").alias("p0", "x")
+    ).select("vec_id", "label", (F.col("p0") + 1).alias("pos"), "x")
+    cent = ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+                        .cast("decimal(38,12)")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("dist")
+        )
+    )
+    f1 = base.join(dist, "vec_id", "left").withColumn(
+        "k2",
+        F.col("k1") & F.coalesce(F.col("dist") <= 1.01, F.lit(False)),
+    ).localCheckpoint(eager=True)
+
+    from ..functions import similarity as S
+
+    # norms once per VECTOR (materialized pre-join), not once per pair:
+    # the pair join then folds one dot per pair instead of three
+    surv = f1.where("k2").select(
+        "vec_id", F.col("label").alias("lab"), "v",
+        F.sqrt(S.dot(F.col("v"), F.col("v"))).alias("nrm"),
+    ).localCheckpoint(eager=True)
+    a = surv.select(
+        F.col("vec_id").alias("a_id"), "lab",
+        F.col("v").alias("av"), F.col("nrm").alias("an"),
+    )
+    b = surv.select(
+        F.col("vec_id").alias("b_id"), "lab",
+        F.col("v").alias("bv"), F.col("nrm").alias("bn"),
+    )
+    simdrop = (
+        a.join(b, "lab")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            F.round(
+                S.dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")),
+                4,
+            )
+            >= 0.3
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    f2 = f1.join(simdrop, "vec_id", "left").withColumn(
+        "k3", F.col("k2") & F.col("dropped").isNull()
+    )
+    cap = F.broadcast(
+        f2.where("k3")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .agg(F.min("nl").cast("long").alias("cap"))
+    )
+    f3 = (
+        f2.crossJoin(cap)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("label", "k3").orderBy("vec_id")
+            ),
+        )
+        .withColumn("k4", F.col("k3") & (F.col("rnk") <= F.col("cap")))
+    )
+
+    def _stage(name, flag):
+        return F.struct(
+            F.lit(name).alias("stage"),
+            flag.cast("long").alias("inc"),
+            F.when(flag, F.col("label")).otherwise(F.lit(None)).alias("lab"),
+        )
+
+    exploded = f3.select(
+        F.explode(
+            F.array(
+                _stage("s0_raw", F.lit(True)),
+                _stage("s1_valid", F.col("k1")),
+                _stage("s2_central", F.col("k2")),
+                _stage("s3_diverse", F.col("k3")),
+                _stage("s4_balanced", F.col("k4")),
+            )
+        ).alias("s")
+    )
+    return exploded.groupBy(F.col("s.stage").alias("stage")).agg(
+        F.sum("s.inc").cast("long").alias("n_vecs"),
+        F.count_distinct("s.lab").cast("long").alias("n_labels"),
+    )

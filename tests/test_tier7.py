@@ -194,3 +194,72 @@ def test_incremental_minhash_probes_persisted_store(spark):
         assert r["jaccard"] >= 0.5, r
         assert r["b"] not in seen_b, f"non-unique best match for {r['b']}"
         seen_b.add(r["b"])
+
+
+def test_rank_fusion_blends_both_legs(spark):
+    """The fused top-20 ordering must differ from the pure-BM25 top-20
+    (the vector leg moved it — nearly every doc has a lexical score in
+    this corpus, so membership alone can't show fusion), and rrf is
+    bounded by 2/61 (rank 1 in both legs)."""
+    from dataframe_expressions_spark.operators.tier7 import (
+        _bm25_doc_scores,
+        rank_fusion_hybrid,
+    )
+
+    out = rank_fusion_hybrid(spark, SF_SMOKE).collect()
+    assert len(out) == 20
+    assert all(r["rrf"] <= round(2 / 61, 6) + 1e-9 for r in out)
+    ranks = [r["rk"] for r in out]
+    assert ranks == sorted(ranks) and len(set(ranks)) == 20
+    lex = _bm25_doc_scores(spark, SF_SMOKE).collect()
+    bm25_top = [
+        r["doc_id"]
+        for r in sorted(lex, key=lambda r: (-r["score"], r["doc_id"]))[:20]
+    ]
+    assert [r["doc_id"] for r in out] != bm25_top
+
+
+def test_cusum_changepoint_consistency(spark):
+    """The changepoint row's segments must partition the series exactly
+    (pre_n + post_n = n_days, pre_sum + post_sum = total events), and
+    max_dev must equal |c_scaled| / n_days."""
+    from dataframe_expressions_spark.operators.tier7 import (
+        stats_cusum_changepoint,
+    )
+
+    r = stats_cusum_changepoint(spark, SF_SMOKE).collect()[0]
+    total = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert r["pre_n"] + r["post_n"] == r["n_days"]
+    assert r["pre_sum"] + r["post_sum"] == total
+    assert abs(r["max_dev"] - abs(r["c_scaled"]) / r["n_days"]) < 1e-6
+
+
+def test_kfold_is_group_aware_and_total(spark):
+    """Folds partition the orders exactly, the leakage audit is zero,
+    and recomputing any customer's fold from the LCG matches."""
+    from dataframe_expressions_spark.operators.tier7 import data_kfold_assign
+
+    rows = data_kfold_assign(spark, SF_SMOKE).collect()
+    total = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert sum(r["n_orders"] for r in rows) == total
+    assert all(r["n_leaky_groups"] == 0 for r in rows)
+    assert {r["fold"] for r in rows} <= set(range(5))
+
+
+def test_embedding_curation_funnel_monotone(spark):
+    """Vector counts only narrow stage to stage; the balanced stage is
+    exactly cap x surviving labels (every label trimmed to the min)."""
+    from dataframe_expressions_spark.operators.tier7 import (
+        pipeline_embedding_curation,
+    )
+
+    rows = {
+        r["stage"]: r
+        for r in pipeline_embedding_curation(spark, SF_SMOKE).collect()
+    }
+    order = ["s0_raw", "s1_valid", "s2_central", "s3_diverse", "s4_balanced"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a]["n_vecs"] >= rows[b]["n_vecs"], (a, b)
+    s4 = rows["s4_balanced"]
+    assert s4["n_labels"] > 0
+    assert s4["n_vecs"] % s4["n_labels"] == 0  # cap x labels exactly
