@@ -56,12 +56,10 @@ def query(qid: str, oracle: Optional[str] = None):
 #                have builder sf0.1 parity in SCALE_CHECK.md),
 #   slots 24-43: the 20 remaining r1-vintage ids (evidence predates two
 #                testdata regenerations),
-#   slots 44-49: the 6 round-6 additions (zero evidence),
-#   slot  50:    dedup_exact, the oldest historical hash-fail re-check
-#                that still fits (the other six r1/r2-fail re-checks
-#                yield their slots to the round-6 additions — all are
-#                green r2/r3 and stay guarded by the full pytest parity
-#                tier).
+#   slots 44-50: the 7 round-6 additions (zero evidence — they take all
+#                re-check slots; the seven historical r1/r2-fail
+#                re-checks stay green r2/r3 and remain guarded by the
+#                full pytest parity tier).
 # If CORRECTNESS_r06 comes back 50/50, every id has a driver-green row,
 # none older than r2.
 # Everything outside the window stays guarded by
@@ -121,8 +119,9 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "stats_cusum_changepoint",
     "data_kfold_assign",
     "pipeline_embedding_curation",
-    # -- slot 50: the oldest historical hash-fail re-check that still fits
-    "dedup_exact",
+    # -- slot 50: the 7th round-6 addition (zero evidence takes the last
+    #    re-check slot too — dedup_exact stays green r3 in pytest parity)
+    "sim_search_recall_audit",
 )
 
 

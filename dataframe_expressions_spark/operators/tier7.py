@@ -40,6 +40,7 @@ from ..sources.tables import (
     sweep_dead_pid_dirs as _sweep_dead_pid_dirs,
 )
 from .registry import query
+from .tier3 import _LSH_BUCKET_SQL
 from .tier3 import _SHINGLES3 as _SHINGLES3_SQL
 from .tier3 import _TOKS
 
@@ -3549,4 +3550,96 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> SDF:
     return exploded.groupBy(F.col("s.stage").alias("stage")).agg(
         F.sum("s.inc").cast("long").alias("n_vecs"),
         F.count_distinct("s.lab").cast("long").alias("n_labels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit: LSH top-k vs exact top-k, in-engine
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_search_recall_audit",
+    f"""
+    WITH e0 AS (SELECT vec_id AS vid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+    q AS (SELECT vid AS qid, v AS qv FROM e WHERE vid < 5),
+    ex AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, vid) AS rk
+           FROM (SELECT q.qid, e.vid,
+                        round(list_inner_product(q.qv, e.v)
+                          / (sqrt(list_inner_product(q.qv, q.qv))
+                             * sqrt(list_inner_product(e.v, e.v))), 4) AS sim
+                 FROM e JOIN q ON e.vid != q.qid)),
+    exact10 AS (SELECT qid, vid FROM ex WHERE rk <= 10),
+    eb AS (SELECT vid, v, {{bucket}} AS bucket FROM e),
+    qb AS (SELECT vid AS qid, v AS qv, bucket FROM eb WHERE vid < 5),
+    ls AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, vid) AS rk
+           FROM (SELECT qb.qid, e.vid,
+                        round(list_inner_product(qb.qv, e.v)
+                          / (sqrt(list_inner_product(qb.qv, qb.qv))
+                             * sqrt(list_inner_product(e.v, e.v))), 4) AS sim
+                 FROM eb e JOIN qb
+                   ON e.bucket = qb.bucket AND e.vid != qb.qid)),
+    lsh10 AS (SELECT qid, vid FROM ls WHERE rk <= 10)
+    SELECT x.qid,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM lsh10 l2 WHERE l2.qid = x.qid)
+                AS BIGINT) AS n_lsh,
+           CAST(sum(CASE WHEN l.vid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit
+    FROM exact10 x LEFT JOIN lsh10 l ON x.qid = l.qid AND x.vid = l.vid
+    GROUP BY x.qid
+    """.format(bucket=_LSH_BUCKET_SQL.format(v='v')),
+)
+def sim_search_recall_audit(spark: SparkSession, sf_dir: str) -> SDF:
+    """ANN RECALL audit, in-engine: for each of the 5 probe queries,
+    intersect the sign-LSH approximate top-10 (sim_search_lsh's plan)
+    with the exact brute-force top-10 (sim_search_topk's plan) and
+    report hits — completing the sketch-audit family (minhash audit:
+    Jaccard sketch vs exact; agg_hll_audit: HLL vs exact;
+    agg_countmin_heavyhit: CMS one-sided error; this: ANN recall@10).
+    The operational question a 100 TB vector store answers before
+    trusting its index: what recall does this bucketing actually buy on
+    MY data?
+
+    Determinism: both rankings use round-4 cosines with vid tie-breaks
+    (the sim_search contract), so top-10 membership — and therefore the
+    hit count — is engine-identical; the report is pure BIGINT (recall
+    = n_hit / n_exact left to the caller, the quotient lesson).
+
+    Scale: the exact leg broadcasts 5 queries over one corpus map-scan
+    (its cost IS the audit's point — run it on a sampled slice at
+    production scale); the LSH leg touches only same-bucket rows; the
+    final intersect joins two 50-row rankings."""
+    from ..functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).select(
+        "qid", "vid"
+    )
+    lsh = S.cosine_topk_lsh(emb, query_ids=[0, 1, 2, 3, 4], k=10).select(
+        "qid", F.col("vid").alias("lvid")
+    )
+    lsh_n = lsh.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lsh")
+    )
+    return (
+        exact.join(
+            lsh, (exact["qid"] == lsh["qid"]) & (exact["vid"] == lsh["lvid"]),
+            "left",
+        )
+        .drop(lsh["qid"])
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.col("lvid").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .join(F.broadcast(lsh_n), "qid")
+        .select("qid", "n_exact", "n_lsh", "n_hit")
     )

@@ -263,3 +263,17 @@ def test_embedding_curation_funnel_monotone(spark):
     s4 = rows["s4_balanced"]
     assert s4["n_labels"] > 0
     assert s4["n_vecs"] % s4["n_labels"] == 0  # cap x labels exactly
+
+
+def test_recall_audit_bounds(spark):
+    """Per query: n_exact = 10, hits never exceed either leg's size, and
+    the LSH leg (same-bucket candidates only) is at most corpus-sized."""
+    from dataframe_expressions_spark.operators.tier7 import (
+        sim_search_recall_audit,
+    )
+
+    rows = sim_search_recall_audit(spark, SF_SMOKE).collect()
+    assert {r["qid"] for r in rows} == {0, 1, 2, 3, 4}
+    for r in rows:
+        assert r["n_exact"] == 10
+        assert 0 <= r["n_hit"] <= min(r["n_exact"], r["n_lsh"]), r
