@@ -3086,9 +3086,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> SDF:
     "rank_fusion_hybrid",
     f"""
     WITH {{bm25}},
-    lr AS (SELECT doc_id,
-                  row_number() OVER (ORDER BY score DESC, doc_id) AS lr
-           FROM agg),
+    lr0 AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS lr
+            FROM agg),
+    lr AS (SELECT doc_id, lr FROM lr0 WHERE lr <= 100),
     e0 AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -3099,9 +3100,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> SDF:
                          / (sqrt(list_inner_product(q.v, q.v))
                             * sqrt(list_inner_product(e.v, e.v))), 4) AS sim
             FROM e CROSS JOIN q WHERE e.vec_id != 0),
-    vr AS (SELECT vid,
-                  row_number() OVER (ORDER BY sim DESC, vid) AS vr
-           FROM vsc),
+    vr0 AS (SELECT vid,
+                   row_number() OVER (ORDER BY sim DESC, vid) AS vr
+            FROM vsc),
+    vr AS (SELECT vid, vr FROM vr0 WHERE vr <= 100),
     fused AS (SELECT coalesce(lr.doc_id, vr.vid) AS doc_id,
                      coalesce(1.0 / (60 + lr.lr), 0)
                        + coalesce(1.0 / (60 + vr.vr), 0) AS rrf
@@ -3117,17 +3119,21 @@ def rank_fusion_hybrid(spark: SparkSession, sf_dir: str) -> SDF:
     """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
     k=60): the BM25 lexical ranking (shared scorer with rank_bm25) and
     the embedding-cosine ranking against query vector vec_id 0 are each
-    ranked independently, then fused as Σ 1/(60 + rank) — the standard
-    lexical+dense hybrid every RAG retrieval stack runs.  Documents and
-    embeddings index the same corpus 1:1 (doc_id = vec_id, the fixture
-    contract); a doc present in only one leg contributes only that leg's
-    term.
+    ranked independently and TRUNCATED to their top-100 (RRF is defined
+    over the legs' top-K lists — a doc outside both top-100s cannot
+    reach the fused top-20 anyway, since its rrf < 2/161 while 20 docs
+    already score ≥ 1/160 + leg bounds), then fused as Σ 1/(60 + rank)
+    — the standard lexical+dense hybrid every RAG retrieval stack runs.
+    Documents and embeddings index the same corpus 1:1 (doc_id =
+    vec_id, the fixture contract); a doc present in only one leg's
+    top-100 contributes only that leg's term.
 
     Scale: each leg is its own already-proven plan (BM25: filtered
-    postings, one shuffle; cosine: broadcast query, codegen map) — the
-    fusion adds one full-outer join on the doc key (leg outputs are
-    ranking-sized, not corpus-sized, since the lexical leg covers only
-    query-term hits) and a top-20 TakeOrderedAndProject.  Determinism:
+    postings, one shuffle; cosine: broadcast query, codegen map)
+    TRUNCATED to a top-100 rank filter — so the fusion's full-outer
+    join touches ≤ 200 rows regardless of corpus size, and the per-leg
+    global rank is a top-K window Spark executes as WindowGroupLimit
+    (never a full materialized global sort at the filter).  Determinism:
     ranks are exact ints, each RRF term is one IEEE division, the fused
     score a two-term sum in fixed expression order — rank BEFORE the
     final display round, doc_id tie-break."""
@@ -3139,7 +3145,7 @@ def rank_fusion_hybrid(spark: SparkSession, sf_dir: str) -> SDF:
         F.row_number()
         .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
         .alias("lr"),
-    )
+    ).where(F.col("lr") <= 100)
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.select(
         F.col("vec_id").alias("vid"),
@@ -3159,7 +3165,7 @@ def rank_fusion_hybrid(spark: SparkSession, sf_dir: str) -> SDF:
     vr = vsc.select(
         "vid",
         F.row_number().over(W.orderBy(F.desc("sim"), F.asc("vid"))).alias("vr"),
-    )
+    ).where(F.col("vr") <= 100)
     fused = (
         lr.join(vr, lr["doc_id"] == vr["vid"], "full_outer")
         .select(
