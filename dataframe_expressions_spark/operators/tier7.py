@@ -3646,6 +3646,13 @@ def sim_search_recall_audit(spark: SparkSession, sf_dir: str) -> SDF:
             .cast("long")
             .alias("n_hit"),
         )
-        .join(F.broadcast(lsh_n), "qid")
-        .select("qid", "n_exact", "n_lsh", "n_hit")
+        .join(F.broadcast(lsh_n), "qid", "left")
+        .select(
+            "qid", "n_exact",
+            # a query whose bucket holds NO other vector has an empty
+            # LSH leg: report n_lsh = 0 rather than dropping the row
+            # (adversarial fixture: isolated-bucket query)
+            F.coalesce(F.col("n_lsh"), F.lit(0).cast("long")).alias("n_lsh"),
+            "n_hit",
+        )
     )

@@ -62,6 +62,11 @@ _QIDS = (
     # first-8-dims slice of the zero / 1e-30 / duplicate / negated
     # vectors: the sliced-space zero-norm guard and tie-breaks (round 4)
     "emb_dim_slice",
+    # round-6: the curation funnel (zero-norm k1 gate, duplicate pair on
+    # the cosine round boundary, labels that lose every vector) and the
+    # recall audit (zero-norm query vec_id 0 must drop from BOTH legs)
+    "pipeline_embedding_curation",
+    "sim_search_recall_audit",
 )
 
 
