@@ -2688,17 +2688,17 @@ def multimodal_chunk_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     docs = D.spread(load_table(spark, sf_dir, "documents"))
     img = MM.attach_fake_image(docs).select("doc_id", "img_bytes")
     nchunks = F.ceil(F.octet_length("img_bytes") / 64.0).cast("long")
-    ch = img.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), nchunks - 1),
-                lambda i: F.substring(
-                    F.col("img_bytes"), i * 64 + 1, F.lit(64)
-                ),
-            )
-        ).alias("chunk"),
-    )
+    # sequence(0, -1) would yield [0, -1] (Spark infers a DESCENDING
+    # step when start > stop) while DuckDB's range(0, 0) is empty — an
+    # empty payload must produce zero chunks on both engines
+    chunks = F.when(
+        nchunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.substring(F.col("img_bytes"), i * 64 + 1, F.lit(64)),
+        ),
+    ).otherwise(F.array().cast("array<binary>"))
+    ch = img.select("doc_id", F.explode(chunks).alias("chunk"))
     u = ch.groupBy("chunk").agg(
         F.count(F.lit(1)).alias("n_copies"),
         F.min("doc_id").alias("keep_doc"),
@@ -2813,17 +2813,17 @@ def pipeline_multimodal_corpus(spark: SparkSession, sf_dir: str) -> SDF:
     ).localCheckpoint(eager=True)
 
     nchunks = F.ceil(F.col("n_bytes") / 64.0).cast("long")
-    ch = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), nchunks - 1),
-                lambda i: F.substring(
-                    F.col("img_bytes"), i * 64 + 1, F.lit(64)
-                ),
-            )
-        ).alias("chunk"),
-    )
+    # empty payloads: see multimodal_chunk_dedup — sequence(0, -1) is
+    # NOT empty in Spark; such assets carry no chunks (and, consistently
+    # on both engines, drop from the funnel via the inner dup_frac join)
+    chunks = F.when(
+        nchunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.substring(F.col("img_bytes"), i * 64 + 1, F.lit(64)),
+        ),
+    ).otherwise(F.array().cast("array<binary>"))
+    ch = base.select("doc_id", F.explode(chunks).alias("chunk"))
     own = ch.withColumn(
         "dup",
         F.min("doc_id").over(W.partitionBy("chunk")) < F.col("doc_id"),

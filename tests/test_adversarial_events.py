@@ -60,6 +60,10 @@ def _mk_events():
 
 
 _QIDS = (
+    # round-6: same-instant ties collapse to ONE day bucket; constant
+    # day-counts make every scaled CUSUM value 0 (argmax ties on the
+    # earliest day)
+    "stats_cusum_changepoint",
     "scd2_dimension",
     "join_pit_nearest",
     "window_pattern_match",

@@ -104,6 +104,9 @@ _QIDS = (
     # pair-dedup feeding the PageRank edge list
     "profile_columns",
     "graph_pagerank",
+    # round-6: single-customer and NULL-key order fixtures — folds must
+    # still partition the orders and the leakage audit must stay 0
+    "data_kfold_assign",
 )
 
 

@@ -72,6 +72,10 @@ _QIDS = (
     # empty/space-only docs (NULL mean_wl, zero-length symbol-ratio
     # divisor), unicode symbol ratios, stopword-free repetition docs
     "text_gopher_filter",
+    # round-6: sub-3-token docs (empty shingle sets on both engines),
+    # unicode tokens (hash-set vs string-shingle Jaccard equality), and
+    # a near-empty batch slice for the persisted-store probe
+    "dedup_incremental_minhash",
 )
 
 
@@ -108,6 +112,52 @@ def test_text_ops_survive_adversarial_input(spark, adv_dir):
     failures = {}
     for qid in _QIDS:
         err = oc.run_one(qid, spark, con, adv_dir)
+        if err:
+            failures[qid] = err
+    assert not failures, failures
+
+
+def test_multimodal_chunk_ops_empty_payload(spark, tmp_path):
+    """Zero-length payloads must produce ZERO chunks on both engines:
+    Spark's sequence(0, -1) yields [0, -1] (descending-step inference)
+    where DuckDB's range(0, 0) is empty — the operators guard the
+    explode, and this pins the guard with an ASCII-only fixture (the
+    unicode fixture above deliberately violates the chunk ops' stated
+    ASCII byte==char contract, so they are excluded from it)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    load_all()
+    d = tmp_path / "adv_mm"
+    d.mkdir()
+    docs = [
+        ("", "en", "src0"),              # EMPTY payload: zero chunks
+        ("a" * 64, "en", "src0"),        # exactly one chunk
+        ("a" * 64, "en", "src1"),        # duplicate payload
+        ("b" * 65, "en", "src1"),        # chunk boundary + 1
+        ("c", "de", "src0"),             # sub-chunk payload
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(docs) + 1), pa.int64()),
+            "text": pa.array([t for t, _, _ in docs], pa.string()),
+            "lang": pa.array([l for _, l, _ in docs], pa.string()),
+            "source": pa.array([s for _, _, s in docs], pa.string()),
+            "n_chars": pa.array([len(t) for t, _, _ in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    failures = {}
+    for qid in ("multimodal_chunk_dedup", "pipeline_multimodal_corpus"):
+        err = oc.run_one(qid, spark, con, str(d))
         if err:
             failures[qid] = err
     assert not failures, failures
