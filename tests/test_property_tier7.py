@@ -81,3 +81,230 @@ def test_gaps_islands_matches_bruteforce(spark):
     runs.sort(key=lambda r: (-r[2], r[0], r[3]))
     want = [(r[2], r[0], r[1], r[3]) for r in runs[:20]]
     assert got == want
+
+
+def test_cusum_changepoint_matches_bruteforce(spark):
+    """Operator computes the scaled-integer CUSUM argmax via windows;
+    reference walks the day series in plain Python with exact ints."""
+    from dataframe_expressions_spark.operators.tier7 import (
+        stats_cusum_changepoint,
+    )
+
+    r = stats_cusum_changepoint(spark, SF_SMOKE).collect()[0]
+
+    con = duckdb.connect()
+    days = con.execute(
+        f"""
+        SELECT CAST(ts AS DATE) AS day, count(*) AS x
+        FROM '{SF_SMOKE}/events.parquet' GROUP BY 1 ORDER BY day
+        """
+    ).fetchall()
+    n = len(days)
+    sx = sum(x for _, x in days)
+    best = None
+    cum = 0
+    for t, (day, x) in enumerate(days, start=1):
+        cum += x
+        c = n * cum - t * sx
+        key = (abs(c), -t)  # max |C|, earliest day on ties
+        if best is None or key > best[0]:
+            best = (key, day, c, t, cum)
+    _, day, c, t, cum = best
+    assert r["cp_day"] == day
+    assert r["c_scaled"] == c
+    assert r["pre_n"] == t and r["pre_sum"] == cum
+    assert r["post_n"] == n - t and r["post_sum"] == sx - cum
+
+
+def test_multimodal_funnel_matches_bruteforce(spark):
+    """Operator rolls the funnel up flag-per-stage in Spark; reference
+    recomputes every stage from the raw texts with plain byte slicing."""
+    import math
+
+    from dataframe_expressions_spark.operators.tier7 import (
+        pipeline_multimodal_corpus,
+    )
+
+    got = {
+        r["stage"]: (r["n_assets"], r["n_bytes"], r["n_frames"])
+        for r in pipeline_multimodal_corpus(spark, SF_SMOKE).collect()
+    }
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    payloads = {d: t.encode("utf-8") for d, t in rows}
+    owner = {}
+    for d in sorted(payloads):
+        b = payloads[d]
+        for i in range(math.ceil(len(b) / 64)):
+            ch = b[i * 64 : (i + 1) * 64]
+            owner.setdefault(ch, d)
+    flags = {}
+    for d, b in payloads.items():
+        chunks = [
+            b[i * 64 : (i + 1) * 64] for i in range(math.ceil(len(b) / 64))
+        ]
+        if not chunks:
+            continue  # chunkless assets drop from the report (documented)
+        dup_frac = sum(1 for ch in chunks if owner[ch] < d) / len(chunks)
+        n = len(b)
+        k1 = dup_frac <= 0.5
+        k2 = k1 and n % 640 >= 100 and (n * 31) % 480 >= 100
+        frames = math.ceil(n / 128)
+        k3 = k2 and frames <= 3
+        flags[d] = (n, k1, k2, k3, frames)
+    exp = {
+        "s0_raw": (
+            len(flags),
+            sum(n for n, *_ in flags.values()),
+            0,
+        ),
+        "s1_chunk_dedup": (
+            sum(k1 for _, k1, _, _, _ in flags.values()),
+            sum(n for n, k1, _, _, _ in flags.values() if k1),
+            0,
+        ),
+        "s2_meta_gate": (
+            sum(k2 for _, _, k2, _, _ in flags.values()),
+            sum(n for n, _, k2, _, _ in flags.values() if k2),
+            0,
+        ),
+        "s3_frame_sample": (
+            sum(k3 for _, _, _, k3, _ in flags.values()),
+            sum(n for n, _, _, k3, _ in flags.values() if k3),
+            sum(fr for _, _, _, k3, fr in flags.values() if k3),
+        ),
+    }
+    b3 = exp["s3_frame_sample"][1]
+    exp["s4_shard_pack"] = (
+        math.ceil(b3 / 65536),
+        b3,
+        exp["s3_frame_sample"][2],
+    )
+    assert got == exp
+
+
+def test_kfold_matches_bruteforce(spark):
+    """Fold arithmetic and per-fold counts recomputed in plain Python."""
+    from dataframe_expressions_spark.operators.tier7 import data_kfold_assign
+
+    got = {
+        r["fold"]: (r["n_customers"], r["n_orders"])
+        for r in data_kfold_assign(spark, SF_SMOKE).collect()
+    }
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_custkey FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchall()
+    from collections import defaultdict
+
+    custs, orders = defaultdict(set), defaultdict(int)
+    for (ck,) in rows:
+        fold = (ck * 1103515245 + 12345) % 2147483647 % 5
+        custs[fold].add(ck)
+        orders[fold] += 1
+    exp = {f: (len(custs[f]), orders[f]) for f in orders}
+    assert got == exp
+
+
+def test_embedding_curation_matches_bruteforce(spark):
+    """The 4-gate funnel recomputed with numpy floats following the
+    operator's exact rounding discipline (DECIMAL folds simulated with
+    math.fsum-free ordered sums over the same rounded terms)."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from dataframe_expressions_spark.operators.tier7 import (
+        pipeline_embedding_curation,
+    )
+
+    got = {
+        r["stage"]: (r["n_vecs"], r["n_labels"])
+        for r in pipeline_embedding_curation(spark, SF_SMOKE).collect()
+    }
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding FROM "
+        f"'{SF_SMOKE}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    vecs = {vid: ([float(x) for x in v], lab) for vid, lab, v in rows}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    k1 = {vid: dot(v, v) > 0 for vid, (v, _) in vecs.items()}
+    # centroids: exact DECIMAL(38,12) component means rounded to 6 — the
+    # same cast both engines apply (binary double -> half-up 12 dp)
+    by_label = defaultdict(list)
+    for vid, (v, lab) in vecs.items():
+        if k1[vid]:
+            by_label[lab].append(v)
+    cent = {}
+    for lab, vs in by_label.items():
+        dim = len(vs[0])
+        ms = []
+        for i in range(dim):
+            s = Decimal(0)
+            for v in vs:
+                s += Decimal(v[i]).quantize(Decimal("1e-12"),
+                                            rounding="ROUND_HALF_UP")
+            ms.append(round(float(s) / len(vs), 6))
+        cent[lab] = ms
+    dist_ok = {}
+    for vid, (v, lab) in vecs.items():
+        if not k1[vid]:
+            dist_ok[vid] = False
+            continue
+        m = cent[lab]
+        s = Decimal(0)
+        for x, mm in zip(v, m):
+            s += Decimal((x - mm) * (x - mm)).quantize(
+                Decimal("1e-12"), rounding="ROUND_HALF_UP")
+        dist_ok[vid] = round(math.sqrt(float(s)), 6) <= 1.01
+    k2 = {vid: k1[vid] and dist_ok[vid] for vid in vecs}
+    surv = [vid for vid in sorted(vecs) if k2[vid]]
+    nrm = {vid: math.sqrt(dot(vecs[vid][0], vecs[vid][0])) for vid in surv}
+    dropped = set()
+    for i, a in enumerate(surv):
+        va, la = vecs[a]
+        for b in surv[i + 1:]:
+            vb, lb = vecs[b]
+            if la != lb:
+                continue
+            if round(dot(va, vb) / (nrm[a] * nrm[b]), 4) >= 0.3:
+                dropped.add(b)
+    k3 = {vid: k2[vid] and vid not in dropped for vid in vecs}
+    label_counts = defaultdict(int)
+    for vid in sorted(vecs):
+        if k3[vid]:
+            label_counts[vecs[vid][1]] += 1
+    cap = min(label_counts.values()) if label_counts else 0
+    k4, seen = {}, defaultdict(int)
+    for vid in sorted(vecs):
+        lab = vecs[vid][1]
+        if k3[vid]:
+            seen[lab] += 1
+            k4[vid] = seen[lab] <= cap
+        else:
+            k4[vid] = False
+
+    def stage(flags):
+        labs = {vecs[vid][1] for vid in vecs if flags[vid]}
+        return (sum(1 for vid in vecs if flags[vid]), len(labs))
+
+    exp = {
+        "s0_raw": (len(vecs), len({lab for _, lab in vecs.values()})),
+        "s1_valid": stage(k1),
+        "s2_central": stage(k2),
+        "s3_diverse": stage(k3),
+        "s4_balanced": stage(k4),
+    }
+    assert got == exp
