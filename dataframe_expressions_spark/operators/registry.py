@@ -62,6 +62,14 @@ def query(qid: str, oracle: Optional[str] = None):
 #                full pytest parity tier).
 # If CORRECTNESS_r06 comes back 50/50, every id has a driver-green row,
 # none older than r2.
+#
+# ROUND-7 PLAN (derive the exact list programmatically as above): with
+# r6 green the vintage distribution is r2:35 r3:48 r4:50 r5:50 r6:50 —
+# front any round-7 additions (zero evidence) first, then the 35
+# r2-vintage ids (oldest block: the tier3/tier4 dedup/text/multimodal/
+# scan families), then start on the r3 block.  From round 7 on the
+# zero-evidence backlog is empty, so the window has free capacity for
+# up to ~15 new operators per round without sacrificing refreshes.
 # Everything outside the window stays guarded by
 # tests/test_oracle_parity.py, which checks ALL entries against DuckDB
 # (value-exact + driver-identical CSV hash) on every pytest run.
