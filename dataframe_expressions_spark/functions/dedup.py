@@ -118,6 +118,48 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def hashed_shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct xxhash64 3-shingle sets per document: ``(id, sh)`` with
+    ``sh: array<long>``, rows with empty sets dropped, eagerly
+    localCheckpoint'ed.  The ONE determinism-critical shingle definition
+    shared by minhash_near_dup_pairs, the incremental signature store,
+    and the incremental batch probe (r6 review: three drifting copies
+    would silently break store-vs-batch or Spark-vs-oracle agreement).
+
+    Shingle HASH SETS, never shingle strings: per token one xxhash64,
+    per position one xxhash64 over the 3 token hashes — the signature
+    lanes, band keys and exact-Jaccard verify all work off 8-byte longs
+    (hash-set Jaccard equals string-shingle Jaccard up to a ~1e-15
+    per-pair collision slack; tokens carry no spaces so the string
+    shingle ↔ token-triple correspondence is 1:1).  The spread()
+    exchange doubles as the materialization barrier for the token-hash
+    array (CollapseProject would otherwise inline the per-token hashing
+    into every per-position slice); localCheckpoint (eager) instead of
+    persist() so blocks release when the plan is GC'd."""
+    th = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    n = F.size("th")
+    sh = spread(th).select(
+        "id",
+        F.when(
+            n >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: F.xxhash64(F.slice(F.col("th"), i, 3)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("sh"),
+    ).where(F.size("sh") > 0)
+    return sh.localCheckpoint(eager=True)
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -140,48 +182,9 @@ def minhash_near_dup_pairs(
     sketch.
     """
     rows = n_hashes // bands
-    # tokens() is hoisted into its own projection BEFORE the spread
-    # exchange: word_shingles references its input inside a transform
-    # lambda (slice per position), and an inlined split(text) would
-    # re-execute per shingle position (measured 1.5× on the whole stage);
-    # the exchange materializes the token array once per row
-    # Shingle HASH SETS (array<long>), never shingle strings: per token
-    # one xxhash64, per shingle position one xxhash64 over the 3 token
-    # hashes (24 bytes) — no concat_ws string allocation, and the
-    # signature lanes, band keys AND exact-Jaccard verify all work off
-    # 8-byte hashes, so the materialized blocks are ~4x smaller and the
-    # verify intersects longs instead of strings.  Jaccard over 64-bit
-    # shingle hashes equals string-shingle Jaccard unless xxhash64
-    # collides inside one pair's union (~200 shingles → P ≈ 2e4·2^-64 ≈
-    # 1e-15 per pair) — far below the LSH recall slack already accepted
-    # by the oracle contract (tokens carry no spaces, so the string
-    # shingle ↔ token-triple correspondence is 1:1).
-    # The spread() exchange doubles as the materialization barrier for
-    # the token-hash array: without it CollapseProject would inline the
-    # per-token hashing into every per-position slice.  localCheckpoint
-    # (eager) instead of persist() so the blocks are released when this
-    # plan is GC'd — repeated invocations in a long session (bench) must
-    # not accumulate storage (round-1 ADVICE).
-    th = docs.select(
-        F.col(id_col).alias("id"),
-        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
-    )
-    n = F.size("th")
-    sh = spread(th).select(
-        "id",
-        F.when(
-            n >= 3,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n - 2),
-                    lambda i: F.xxhash64(F.slice(F.col("th"), i, 3)),
-                )
-            ),
-        )
-        .otherwise(F.array().cast("array<long>"))
-        .alias("sh"),
-    ).where(F.size("sh") > 0)
-    sh = sh.localCheckpoint(eager=True)
+    # shingle construction: see hashed_shingle_sets (shared, hash-set
+    # based, spread-materialized, eagerly checkpointed)
+    sh = hashed_shingle_sets(docs, id_col, text_col)
     # Materialize the per-doc signature BEFORE banding: band_keys slices
     # the signature 16 times and the candidate self-join consumes the
     # banded plan on BOTH sides — an inline signature expression would be

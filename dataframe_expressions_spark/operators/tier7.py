@@ -623,11 +623,14 @@ def _restart_src_files(spark: SparkSession, sf_dir: str) -> list:
     restart test has real file-source offsets to checkpoint across."""
     import os
 
+    from ..sources.tables import sweep_stale_store_dirs
+
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     out = (
         f"/tmp/spark_graft_restart_stage_{key}_"
         f"{source_fingerprint(sf_dir, ('events',))}"
     )
+    sweep_stale_store_dirs("/tmp", f"spark_graft_restart_stage_{key}_", out)
     if not os.path.exists(out):
         tmp = f"{out}.tmp{os.getpid()}"
         load_table(spark, sf_dir, "events").select(
@@ -680,7 +683,12 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> SDF:
     # Sweep same-prefix dirs left by DEAD pids first: these live in
     # RAM-backed tmpfs and each crashed/killed run would otherwise leave
     # ~3 copies of the events data resident forever (r5 advisor note).
-    _sweep_dead_pid_dirs(base, "spark_graft_restart_")
+    # Per-run prefixes only — the broad "spark_graft_restart_" prefix
+    # would also match the pid-less write-once STAGE store, whose
+    # all-decimal fingerprints a pid parse can mistake (r6 review).
+    for p in ("spark_graft_restart_src_", "spark_graft_restart_ckpt_",
+              "spark_graft_restart_out_"):
+        _sweep_dead_pid_dirs(base, p)
     src = f"{base}/spark_graft_restart_src_{tag}"
     ckpt = f"{base}/spark_graft_restart_ckpt_{tag}"
     landing = f"{base}/spark_graft_restart_out_{tag}"
@@ -755,11 +763,14 @@ def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     probed, not assumed)."""
     import os
 
+    from ..sources.tables import sweep_stale_store_dirs
+
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     out = (
         f"/tmp/spark_graft_dpp_orders_v2_{key}_"
         f"{source_fingerprint(sf_dir, ('orders',))}"
     )
+    sweep_stale_store_dirs("/tmp", f"spark_graft_dpp_orders_v2_{key}_", out)
     if not os.path.exists(out):
         tmp = f"{out}.tmp{os.getpid()}"
         fact = load_table(spark, sf_dir, "orders").withColumn(
@@ -2923,44 +2934,27 @@ def _incremental_sig_store(spark: SparkSession, sf_dir: str) -> str:
     later batch probe reads only these two compact tables."""
     import os
 
+    from ..sources.tables import sweep_stale_store_dirs
+
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    # path tail = fingerprint + banding params: changing the band shape
+    # invalidates the store exactly like a testdata regeneration does
     out = (
         f"/tmp/spark_graft_incsig_{key}_"
-        f"{source_fingerprint(sf_dir, ('documents',))}"
+        f"{source_fingerprint(sf_dir, ('documents',))}b32r1"
     )
+    sweep_stale_store_dirs("/tmp", f"spark_graft_incsig_{key}_", out)
     if not os.path.exists(out):
         tmp = f"{out}.tmp{os.getpid()}"
-        docs = D.spread(
+        sh = D.hashed_shingle_sets(
             load_table(spark, sf_dir, "documents").where(
                 F.col("doc_id") % 20 != 0
             )
         )
-        th = docs.select(
-            F.col("doc_id").alias("id"),
-            F.transform(TX.tokens(F.col("text")), lambda t: F.xxhash64(t)).alias(
-                "th"
-            ),
-        )
-        n = F.size("th")
-        sh = th.select(
-            "id",
-            F.when(
-                n >= 3,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), n - 2),
-                        lambda i: F.xxhash64(F.slice(F.col("th"), i, 3)),
-                    )
-                ),
-            )
-            .otherwise(F.array().cast("array<long>"))
-            .alias("sh"),
-        ).where(F.size("sh") > 0)
-        sh = sh.localCheckpoint(eager=True)
         sh.write.mode("overwrite").parquet(os.path.join(tmp, "sh"))
         sigs = sh.select("id", D.minhash_signature(F.col("sh"), 32).alias("sig"))
         sigs.select(
-            "id", F.posexplode(D.band_keys(F.col("sig"), 16, 2)).alias(
+            "id", F.posexplode(D.band_keys(F.col("sig"), 32, 1)).alias(
                 "band", "bucket"
             )
         ).write.mode("overwrite").parquet(os.path.join(tmp, "bands"))
@@ -3013,11 +3007,15 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> SDF:
     cardinalities — bit-identical across engines), unique corpus-id
     tie-break, so best-match selection is deterministic.  Oracle
     contract as dedup_near_minhash (tier3.py:66): the emitted set is
-    defined by the exact-Jaccard verify; at 16 bands x 2 rows a
-    qualifying pair at j = 0.5 is missed with p = (1 - 0.25)^16 ~ 1%,
-    but the corpus's observed near-dup range is j >= 0.89 where the
-    miss probability is < 1e-10 — DuckDB mirrors with blocked exact
-    all-pairs batch x corpus."""
+    defined by the exact-Jaccard verify, with LSH as a candidate
+    pruner.  Banding is 32 bands x 1 ROW (not near_minhash's 16x2):
+    best-match selection converts a recall miss into a WRONG row, not a
+    merely missing one, so the threshold-edge miss probability must be
+    negligible on ANY regenerated corpus — with 1-row bands a pair at
+    j >= 0.5 is missed only if all 32 minhash lanes differ, p =
+    (1 - j)^32 <= 2.4e-10 at the 0.5 threshold itself (r6 review;
+    16x2 banding left ~1% at the edge).  DuckDB mirrors with blocked
+    exact all-pairs batch x corpus."""
     store = _incremental_sig_store(spark, sf_dir)
     corp_bands = spark.read.parquet(f"{store}/bands").withColumnRenamed(
         "id", "c"
@@ -3026,35 +3024,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> SDF:
         F.col("id").alias("c"), F.col("sh").alias("csh")
     )
 
-    batch = D.spread(
+    bsh = D.hashed_shingle_sets(
         load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
-    )
-    th = batch.select(
-        F.col("doc_id").alias("b"),
-        F.transform(TX.tokens(F.col("text")), lambda t: F.xxhash64(t)).alias(
-            "th"
-        ),
-    )
-    n = F.size("th")
-    bsh = th.select(
-        "b",
-        F.when(
-            n >= 3,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n - 2),
-                    lambda i: F.xxhash64(F.slice(F.col("th"), i, 3)),
-                )
-            ),
-        )
-        .otherwise(F.array().cast("array<long>"))
-        .alias("bsh"),
-    ).where(F.size("bsh") > 0).localCheckpoint(eager=True)
+    ).select(F.col("id").alias("b"), F.col("sh").alias("bsh"))
 
     bbands = bsh.select(
         "b",
         F.posexplode(
-            D.band_keys(D.minhash_signature(F.col("bsh"), 32), 16, 2)
+            D.band_keys(D.minhash_signature(F.col("bsh"), 32), 32, 1)
         ).alias("band", "bucket"),
     )
     cand = (

@@ -336,18 +336,49 @@ WITH orders_nested AS (
 def sweep_dead_pid_dirs(base: str, prefix: str) -> None:
     """Remove ``{base}/{prefix}*_{pid}`` dirs whose trailing pid is no
     longer alive — scratch left by crashed or killed runs.  Live pids
-    (concurrent pytest/bench) are never touched; ours is recreated."""
+    (concurrent pytest/bench) are never touched; ours is recreated.
+
+    The trailing segment must parse BELOW the kernel pid ceiling
+    (/proc/sys/kernel/pid_max tops out at 2^22): an all-decimal content
+    FINGERPRINT in a same-prefix write-once store name (10 hex chars are
+    decimal ~0.9% of the time) must never be treated as a pid — that
+    would either rmtree a live store or overflow os.kill (r6 review)."""
     import glob
     import os
     import shutil
 
     for d in glob.glob(os.path.join(base, prefix + "*")):
         pid_s = d.rsplit("_", 1)[-1]
-        if not pid_s.isdigit():
+        if not pid_s.isdigit() or int(pid_s) > (1 << 22):
             continue
         try:
             os.kill(int(pid_s), 0)
         except ProcessLookupError:
             shutil.rmtree(d, ignore_errors=True)
-        except PermissionError:
-            pass  # alive under another uid — leave it
+        except (PermissionError, OverflowError):
+            pass  # alive under another uid / not a pid — leave it
+
+
+def sweep_stale_store_dirs(base: str, prefix: str, keep: str) -> None:
+    """Write-once stores are keyed on the testdata fingerprint, and the
+    driver regenerates testdata between rounds — without a sweep every
+    generation's store (and any crashed build's ``.tmp{pid}`` dir)
+    accumulates forever (r6 review; the leak class the r5 advisor
+    flagged for the restart scratch).  Removes every ``{base}/{prefix}*``
+    entry except ``keep`` (the current fingerprint's store) and any
+    in-flight ``.tmp{pid}`` build belonging to a LIVE pid."""
+    import glob
+    import os
+    import shutil
+
+    for d in glob.glob(os.path.join(base, prefix + "*")):
+        if d == keep:
+            continue
+        tail = d.rsplit(".tmp", 1)
+        if len(tail) == 2 and tail[1].isdigit() and int(tail[1]) <= (1 << 22):
+            try:
+                os.kill(int(tail[1]), 0)
+                continue  # live concurrent build — leave it
+            except (ProcessLookupError, PermissionError, OverflowError):
+                pass
+        shutil.rmtree(d, ignore_errors=True)
