@@ -308,3 +308,174 @@ def test_embedding_curation_matches_bruteforce(spark):
         "s4_balanced": stage(k4),
     }
     assert got == exp
+
+
+def test_rank_fusion_matches_bruteforce(spark):
+    """RRF recomputed end to end in plain Python: BM25 per-doc scores
+    (exact-int tf/df/dl stats, per-term round(6) + Decimal fold),
+    cosine ranking against vec 0, top-100 truncation, 1/(60+r) fusion."""
+    import math
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from dataframe_expressions_spark.operators.tier7 import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        rank_fusion_hybrid,
+    )
+
+    got = [
+        (r["rk"], r["doc_id"], r["rrf"])
+        for r in rank_fusion_hybrid(spark, SF_SMOKE).collect()
+    ]
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    toks = {d: [t for t in t_.split() if t] for d, t_ in docs}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n_docs = len(docs)
+    avgdl = sum(dl.values()) / n_docs
+    tf = defaultdict(Counter)
+    for d, ts in toks.items():
+        for t in ts:
+            if t in _BM25_TERMS:
+                tf[d][t] += 1
+    df_ = Counter()
+    for d in tf:
+        for t in tf[d]:
+            df_[t] += 1
+    scores = {}
+    for d in tf:
+        s = Decimal(0)
+        for t, f in tf[d].items():
+            idf = math.log(1 + (n_docs - df_[t] + 0.5) / (df_[t] + 0.5))
+            term = (
+                idf
+                * (f * (_BM25_K1 + 1))
+                / (f + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl[d] / avgdl))
+            )
+            s += Decimal(str(round(term, 6)))
+        scores[d] = float(s)
+    lex_rank = {
+        d: r + 1
+        for r, (d, _) in enumerate(
+            sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+        if r < 100
+    }
+
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {vid: [float(x) for x in v] for vid, v in emb}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    q = vecs[0]
+    qn = math.sqrt(dot(q, q))
+    sims = {}
+    for vid, v in vecs.items():
+        if vid == 0:
+            continue
+        nv = math.sqrt(dot(v, v))
+        if nv <= 0:
+            continue
+        sims[vid] = round(dot(q, v) / (qn * nv), 4)
+    vec_rank = {
+        vid: r + 1
+        for r, (vid, _) in enumerate(
+            sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+        if r < 100
+    }
+
+    fused = {}
+    for d in set(lex_rank) | set(vec_rank):
+        fused[d] = (1.0 / (60 + lex_rank[d]) if d in lex_rank else 0.0) + (
+            1.0 / (60 + vec_rank[d]) if d in vec_rank else 0.0
+        )
+    exp = [
+        (r + 1, d, round(s, 6))
+        for r, (d, s) in enumerate(
+            sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        )
+    ]
+    assert got == exp
+
+
+def test_recall_audit_matches_bruteforce(spark):
+    """Both legs recomputed in Python: exact cosine top-10 and the
+    LCG-hyperplane LSH bucket top-10, hit counts compared exactly."""
+    import math
+    from collections import defaultdict
+
+    from dataframe_expressions_spark.functions.similarity import (
+        _LSH_A,
+        _LSH_B,
+        _LSH_C,
+        _LSH_M,
+    )
+    from dataframe_expressions_spark.operators.tier7 import (
+        sim_search_recall_audit,
+    )
+
+    got = {
+        r["qid"]: (r["n_exact"], r["n_lsh"], r["n_hit"])
+        for r in sim_search_recall_audit(spark, SF_SMOKE).collect()
+    }
+
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {vid: [float(x) for x in v] for vid, v in emb}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    nrm = {vid: math.sqrt(dot(v, v)) for vid, v in vecs.items()}
+    valid = {vid for vid in vecs if nrm[vid] > 0}
+
+    def bucket(v):
+        out = 0
+        for b in range(4):
+            acc = 0.0
+            for i, x in enumerate(v):
+                odd = ((_LSH_A * (i + _LSH_B * b) + _LSH_C) % _LSH_M) % 2 == 1
+                acc += x if odd else -x
+            if acc > 0:
+                out |= 1 << b
+        return out
+
+    buckets = {vid: bucket(vecs[vid]) for vid in valid}
+
+    def topk(qid, cands):
+        scored = sorted(
+            (
+                (-round(dot(vecs[qid], vecs[v]) / (nrm[qid] * nrm[v]), 4), v)
+                for v in cands
+            ),
+        )[:10]
+        return [v for _, v in scored]
+
+    exp = {}
+    for qid in range(5):
+        if qid not in valid:
+            continue
+        ex = topk(qid, [v for v in valid if v != qid])
+        ls = topk(
+            qid,
+            [v for v in valid if v != qid and buckets[v] == buckets[qid]],
+        )
+        exp[qid] = (len(ex), len(ls), len(set(ex) & set(ls)))
+    assert got == exp
