@@ -98,15 +98,15 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "window_interval_merge",
     "stats_autocorr_lag",
     "multimodal_chunk_dedup",
-    # -- slots 24-43: the 20 remaining r1-vintage greens
+    # -- slots 24-43 (original plan): the 20 r1-vintage greens.  Each
+    #    operator added later in round 6 displaces one (zero evidence
+    #    beats a stale-but-green re-check — the policy the fronting test
+    #    enforces); displaced ids stay guarded by pytest parity and move
+    #    to the head of the round-7 refresh list.
     "project_scalar",
     "filter_mask",
     "filter_lambda",
     "cmp_ops",
-    "bool_ops",
-    "arith_ops",
-    "math_funcs",
-    "count_agg",
     "nested_count_cut",
     "nested_filter_agg",
     "alias_expand",
@@ -130,6 +130,12 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     # -- slot 50: the 7th round-6 addition (zero evidence takes the last
     #    re-check slot too — dedup_exact stays green r3 in pytest parity)
     "sim_search_recall_audit",
+    # -- late round-6 additions (displacing bool_ops, arith_ops,
+    #    math_funcs, count_agg from the r1-vintage refresh block)
+    "dq_split_leakage",
+    "emb_matryoshka_audit",
+    "data_mixture_token_budget",
+    "window_top_movers",
 )
 
 

@@ -3633,3 +3633,322 @@ def sim_search_recall_audit(spark: SparkSession, sf_dir: str) -> SDF:
             "n_hit",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-split contamination audit: near-dup pairs spanning k-fold boundaries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_split_leakage",
+    f"""
+    WITH t AS ({_SHINGLES3_SQL}),
+    p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh))) AS j
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+    q AS (SELECT a, b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5),
+    f AS (SELECT jaccard,
+                 least((a * 1103515245 + 12345) % 2147483647 % 5,
+                       (b * 1103515245 + 12345) % 2147483647 % 5) AS fold_a,
+                 greatest((a * 1103515245 + 12345) % 2147483647 % 5,
+                          (b * 1103515245 + 12345) % 2147483647 % 5) AS fold_b
+          FROM q)
+    SELECT CAST(fold_a AS BIGINT) AS fold_a,
+           CAST(fold_b AS BIGINT) AS fold_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           max(jaccard) AS max_jaccard
+    FROM f GROUP BY fold_a, fold_b
+    """,
+)
+def dq_split_leakage(spark: SparkSession, sf_dir: str) -> SDF:
+    """Cross-split CONTAMINATION audit — the composition every train/eval
+    split needs before anyone trusts an eval number: near-duplicate pairs
+    (dedup_near_minhash's exact-verified ≥0.5-Jaccard set) joined against
+    a doc-level k-fold assignment (data_kfold_assign's portable LCG,
+    k=5), rolled up per unordered fold pair.  Off-diagonal rows
+    (fold_a ≠ fold_b) are LEAKED eval pairs: a doc whose near-twin sits
+    in another fold inflates held-out metrics.  max_jaccard (of the
+    round-4 verified values) shows how bad the worst leak is.
+
+    Scale: the pair set comes from the banded minhash plan (LSH bucket
+    equi-join + exact verify — never corpus²); fold assignment is a
+    map-side expression on the pair row (two LCGs, no join back to the
+    corpus); the rollup shuffles ≤15 fold-pair groups with map-side
+    partials.  The audit's marginal cost over the dedup pass it reuses
+    is one 15-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(docs, threshold=0.5)
+
+    def fold(c):
+        return (c * 1103515245 + 12345) % 2147483647 % 5
+
+    fa, fb = fold(F.col("a")), fold(F.col("b"))
+    return (
+        pairs.select(
+            F.least(fa, fb).cast("long").alias("fold_a"),
+            F.greatest(fa, fb).cast("long").alias("fold_b"),
+            "jaccard",
+        )
+        .groupBy("fold_a", "fold_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit: recall@10 of the 16-dim prefix vs full 64-dim
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_matryoshka_audit",
+    """
+    WITH e0 AS (SELECT vec_id AS vid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    ef AS (SELECT vid, v FROM e0 WHERE list_inner_product(v, v) > 0),
+    qf AS (SELECT vid AS qid, v AS qv FROM ef WHERE vid < 5),
+    ex AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, vid) AS rk
+           FROM (SELECT q.qid, e.vid,
+                        round(list_inner_product(q.qv, e.v)
+                          / (sqrt(list_inner_product(q.qv, q.qv))
+                             * sqrt(list_inner_product(e.v, e.v))), 4) AS sim
+                 FROM ef e JOIN qf q ON e.vid != q.qid)),
+    exact10 AS (SELECT qid, vid FROM ex WHERE rk <= 10),
+    et AS (SELECT vid, v[1:16] AS t FROM e0
+           WHERE list_inner_product(v[1:16], v[1:16]) > 0),
+    qt AS (SELECT vid AS qid, t AS qv FROM et WHERE vid < 5),
+    tx AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, vid) AS rk
+           FROM (SELECT q.qid, e.vid,
+                        round(list_inner_product(q.qv, e.t)
+                          / (sqrt(list_inner_product(q.qv, q.qv))
+                             * sqrt(list_inner_product(e.t, e.t))), 4) AS sim
+                 FROM et e JOIN qt q ON e.vid != q.qid)),
+    trunc10 AS (SELECT qid, vid FROM tx WHERE rk <= 10)
+    SELECT x.qid,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM trunc10 t2 WHERE t2.qid = x.qid)
+                AS BIGINT) AS n_trunc,
+           CAST(sum(CASE WHEN t.vid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit
+    FROM exact10 x LEFT JOIN trunc10 t ON x.qid = t.qid AND x.vid = t.vid
+    GROUP BY x.qid
+    """,
+)
+def emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> SDF:
+    """MATRYOSHKA-truncation recall audit: for each probe query, the exact
+    cosine top-10 computed on the 16-dim PREFIX of the 64-dim embedding,
+    intersected with the full-dimension exact top-10 — the question a
+    store asks before serving truncated vectors (8x less memory
+    bandwidth, 4x smaller index) is exactly "what recall does the prefix
+    keep on MY data".  Sibling of sim_search_recall_audit (which audits
+    the LSH bucketing; this audits DIMENSION truncation — together they
+    price the two standard ANN cost levers).
+
+    Determinism: both rankings are round-4 cosines with vid tie-breaks
+    (the sim_search contract); validity is gated PER LEG (a vector whose
+    prefix is all-zero has no 16-dim direction and is excluded from the
+    truncated leg only — under ANSI the 0-divisor cosine would abort the
+    job); the report is pure BIGINT.
+
+    Scale: both legs broadcast the 5 probe queries over one corpus map
+    scan each — the truncated leg's scan reads 1/4 of the vector bytes
+    (at production scale that is the audited win); the intersect joins
+    two 50-row rankings."""
+    from ..functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).select(
+        "qid", "vid"
+    )
+    trunc = S.cosine_topk(
+        emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
+        query_ids=[0, 1, 2, 3, 4],
+        k=10,
+    ).select("qid", F.col("vid").alias("tvid"))
+    trunc_n = trunc.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trunc")
+    )
+    return (
+        exact.join(
+            trunc,
+            (exact["qid"] == trunc["qid"]) & (exact["vid"] == trunc["tvid"]),
+            "left",
+        )
+        .drop(trunc["qid"])
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.col("tvid").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .join(F.broadcast(trunc_n), "qid", "left")
+        .select(
+            "qid", "n_exact",
+            F.coalesce(F.col("n_trunc"), F.lit(0).cast("long")).alias(
+                "n_trunc"
+            ),
+            "n_hit",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture token budgeting: sqrt-scaled source weights -> sampling plan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "data_mixture_token_budget",
+    f"""
+    WITH s AS (SELECT source,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(len({_TOKS})) AS BIGINT) AS tokens
+               FROM documents GROUP BY source),
+    r AS (SELECT *, round(sqrt(tokens), 6) AS rs FROM s),
+    tot AS (SELECT CAST(sum(CAST(rs AS DECIMAL(38,6))) AS DOUBLE) AS total_rs,
+                   CAST(sum(tokens) AS BIGINT) AS total_tokens
+            FROM r)
+    SELECT source, n_docs, tokens,
+           round(rs / total_rs, 6) AS weight,
+           CAST(round(4 * total_tokens * round(rs / total_rs, 6))
+                AS BIGINT) AS target_tokens,
+           round(CAST(round(4 * total_tokens * round(rs / total_rs, 6))
+                      AS BIGINT) / CAST(tokens AS DOUBLE), 4) AS epochs
+    FROM r, tot
+    """,
+)
+def data_mixture_token_budget(spark: SparkSession, sf_dir: str) -> SDF:
+    """Mixture PLANNING for a pretraining token budget: per-source token
+    inventory → sqrt-scaled sampling weights (the standard
+    uniform-vs-proportional compromise: weight_s ∝ √tokens_s, upweighting
+    small high-value sources without flattening the mixture) → target
+    token allocation for a budget of 4× the corpus (so some sources run
+    multiple epochs) → implied epoch count per source.  The planning
+    complement of mixture_sample / mixture_temperature, which EXECUTE a
+    given mixture; this computes the plan a run would execute.
+
+    Determinism: per-source √tokens is rounded to 6 before the
+    DECIMAL-folded total (the r5 fold lesson — never sum raw doubles);
+    weight and epochs are single IEEE divisions of exact/rounded inputs,
+    rounded for display; target_tokens goes through BIGINT before the
+    epochs quotient so both engines divide identical integers.
+
+    Scale: one token-count shuffle to |sources| groups with map-side
+    partials (token counting itself is a codegen'd regexp split on the
+    scan — at 100 TB this is the only full-corpus pass, and it is
+    map-only); the weight normalization joins a 1-row broadcast total
+    onto a sources-sized frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(TX.tokens(F.col("text")))).cast("long").alias("tokens"),
+    )
+    r = s.withColumn("rs", F.round(F.sqrt(F.col("tokens")), 6))
+    tot = r.agg(
+        F.sum(F.col("rs").cast("decimal(38,6)")).cast("double").alias(
+            "total_rs"
+        ),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+    )
+    weight = F.round(F.col("rs") / F.col("total_rs"), 6)
+    target = F.round(4 * F.col("total_tokens") * weight).cast("long")
+    return r.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        weight.alias("weight"),
+        target.alias("target_tokens"),
+        F.round(target / F.col("tokens").cast("double"), 4).alias("epochs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# month-over-month revenue rank movers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_top_movers",
+    """
+    WITH rev AS (SELECT n_name AS nation,
+                        strftime(o_orderdate, '%Y-%m') AS month,
+                        sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+                 FROM orders
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey
+                 GROUP BY n_name, strftime(o_orderdate, '%Y-%m')),
+    rk AS (SELECT nation, month, CAST(rev AS DOUBLE) AS revenue,
+                  CAST(rank() OVER (PARTITION BY month
+                                    ORDER BY rev DESC, nation) AS BIGINT)
+                      AS rnk
+           FROM rev),
+    d AS (SELECT *, lag(rnk) OVER (PARTITION BY nation
+                                   ORDER BY month) AS prev_rank
+          FROM rk)
+    SELECT nation, month, revenue, rnk AS rank_now,
+           CAST(prev_rank AS BIGINT) AS prev_rank,
+           CAST(prev_rank - rnk AS BIGINT) AS delta
+    FROM d WHERE prev_rank IS NOT NULL AND prev_rank <> rnk
+    """,
+)
+def window_top_movers(spark: SparkSession, sf_dir: str) -> SDF:
+    """Month-over-month RANK MOVERS: nations ranked by exact DECIMAL
+    revenue within each month, self-compared via lag() along each
+    nation's month series; emits only rows whose rank actually moved
+    (delta = prev_rank − rank_now, positive = climbed).  The leaderboard
+    drift report behind every "top gainers" dashboard tile.
+
+    Determinism: ranking is over the exact DECIMAL revenue (never the
+    display double) with nation-name tie-breaks; month keys are string
+    yyyy-MM on both engines; all ranks are BIGINT.
+
+    Scale: two broadcast dim joins (customer at sf is the largest — at
+    true scale it exceeds the broadcast threshold and AQE picks shuffle
+    hash; nation always broadcasts) feed one (nation × month) rollup —
+    the only data-sized shuffle; both window passes run on the
+    aggregate-sized (nations × months) frame."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"))
+    )
+    rk = rev.select(
+        "nation",
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        F.rank()
+        .over(W.partitionBy("month").orderBy(F.desc("rev"), F.asc("nation")))
+        .cast("long")
+        .alias("rank_now"),
+    )
+    d = rk.withColumn(
+        "prev_rank",
+        F.lag("rank_now").over(W.partitionBy("nation").orderBy("month")),
+    )
+    return d.where(
+        F.col("prev_rank").isNotNull() & (F.col("prev_rank") != F.col("rank_now"))
+    ).select(
+        "nation",
+        "month",
+        "revenue",
+        "rank_now",
+        F.col("prev_rank").cast("long").alias("prev_rank"),
+        (F.col("prev_rank") - F.col("rank_now")).cast("long").alias("delta"),
+    )
