@@ -217,12 +217,33 @@ def main() -> None:
         if rep > 0:
             if not todo:
                 break
-            # estimate the pass from OBSERVED samples, not the anchor —
-            # an outlier by definition exceeded its anchor, so the
-            # anchor systematically underestimates the re-run cost
-            est = sum(min(runs[q]) if runs[q] else 1.0 for q in todo) + 10.0
-            if time.perf_counter() - t_start + est > budget_s:
+            # Budget-FIT, don't budget-SKIP (r6: a loaded pass 1 blew the
+            # estimate, the old all-or-nothing guard then refused passes
+            # 2-3 entirely, and every official number shipped as a single
+            # cold sample — the exact failure mode the adaptive protocol
+            # exists to avoid).  Rank outliers by ABSOLUTE excess over
+            # their anchor (the seconds a re-sample can actually win
+            # back; never-run ids front the list) and greedily keep as
+            # many as fit the remaining budget, estimating each from its
+            # OBSERVED best sample — an outlier by definition exceeded
+            # its anchor, so the anchor underestimates the re-run cost.
+            def _excess(qid: str) -> float:
+                best = min(runs[qid]) if runs[qid] else float("inf")
+                a = anchor_newest.get(qid)
+                return best - a if (a is not None and a > 0) else best
+
+            remaining = budget_s - (time.perf_counter() - t_start) - 10.0
+            kept: list[str] = []
+            acc = 0.0
+            for qid in sorted(todo, key=_excess, reverse=True):
+                cost = min(runs[qid]) if runs[qid] else 1.0
+                if acc + cost > remaining:
+                    continue  # too big — a cheaper outlier may still fit
+                kept.append(qid)
+                acc += cost
+            if not kept:
                 break
+            todo = kept
         for i, qid in enumerate(todo):
             _run_one(qid)
             # Periodic dual GC: Spark's ContextCleaner frees checkpoint

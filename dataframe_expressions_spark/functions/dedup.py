@@ -165,7 +165,7 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 32,
-    bands: int = 16,
+    bands: int | None = None,
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
@@ -175,12 +175,28 @@ def minhash_near_dup_pairs(
 
     Oracle contract: the EMITTED set is defined by the exact-Jaccard
     verify alone ("all pairs with true Jaccard ≥ t"); LSH is purely a
-    candidate pruner.  With 16 bands × 2 rows a qualifying pair at s = t
-    is missed with probability (1-t²)^16 — at the corpus's observed
-    near-dup range (s ≥ 0.89) that is < 1e-10, so DuckDB can mirror the
-    output as a blocked exact all-pairs Jaccard without modelling the
-    sketch.
+    candidate pruner, so its miss probability at the threshold must be
+    negligible for a DuckDB mirror (blocked exact all-pairs Jaccard, no
+    sketch model) to be a valid oracle.  The banding is therefore derived
+    FROM the threshold when not given explicitly (r6 ADVICE: the old
+    fixed 16 bands × 2 rows misses a pair at s = t = 0.5 with
+    (1-t²)^16 ≈ 1% — parity held only because the corpus's near-dups sit
+    at s ≥ 0.89, one testdata regeneration away from a silent oracle
+    divergence): rows-per-band is the LARGEST r in {4, 2, 1} whose miss
+    probability (1 - t^r)^(n/r) at s = t stays ≤ 1e-6.  At t = 0.5 that
+    picks 32 bands × 1 row (miss ≈ 2.3e-10, the dedup_incremental_minhash
+    setting); at t = 0.8, 16 × 2 (miss ≈ 8e-8).  Fewer rows per band
+    admits more mid-similarity candidates into the exact verify — the
+    deliberate cost of an oracle-grade recall floor; the verify join
+    still touches only banded candidates, never corpus².
     """
+    if bands is None:
+        rows = next(
+            (r for r in (4, 2, 1)
+             if (1 - threshold ** r) ** (n_hashes // r) <= 1e-6),
+            1,
+        )
+        bands = n_hashes // rows
     rows = n_hashes // bands
     # shingle construction: see hashed_shingle_sets (shared, hash-set
     # based, spread-materialized, eagerly checkpointed)

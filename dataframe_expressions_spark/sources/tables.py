@@ -379,6 +379,11 @@ def sweep_stale_store_dirs(base: str, prefix: str, keep: str) -> None:
             try:
                 os.kill(int(tail[1]), 0)
                 continue  # live concurrent build — leave it
-            except (ProcessLookupError, PermissionError, OverflowError):
-                pass
+            except ProcessLookupError:
+                pass  # dead builder — fall through to sweep
+            except PermissionError:
+                continue  # ALIVE under another uid (kill probe denied,
+                # pid exists) — same rule as sweep_dead_pid_dirs; r6
+                # review: falling through here would rmtree a live
+                # concurrent build owned by another user
         shutil.rmtree(d, ignore_errors=True)

@@ -272,12 +272,30 @@ def test_embedding_curation_matches_bruteforce(spark):
     k2 = {vid: k1[vid] and dist_ok[vid] for vid in vecs}
     surv = [vid for vid in sorted(vecs) if k2[vid]]
     nrm = {vid: math.sqrt(dot(vecs[vid][0], vecs[vid][0])) for vid in surv}
+
+    # cell assignment: nearest of the <=16 lowest-vec_id valid 64-dim
+    # seeds, ties to the lowest seed id (the r7 cell-blocked gate)
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    seeds = [vid for vid in sorted(vecs)
+             if k1[vid] and len(vecs[vid][0]) == 64 and vid < 16]
+    cell = {}
+    for vid in surv:
+        v = vecs[vid][0]
+        if len(v) == 64 and seeds:
+            cell[vid] = min(seeds, key=lambda s: (sqd(v, vecs[s][0]), s))
     dropped = set()
     for i, a in enumerate(surv):
         va, la = vecs[a]
         for b in surv[i + 1:]:
             vb, lb = vecs[b]
-            if la != lb:
+            if la != lb or a not in cell or b not in cell:
+                continue
+            if cell[a] != cell[b]:
                 continue
             if round(dot(va, vb) / (nrm[a] * nrm[b]), 4) >= 0.3:
                 dropped.add(b)
