@@ -14,7 +14,8 @@ define_alias, user_func, render — reference: dataframe_expressions/__init__.py
 from .plans.nodes import Column, DataFrame
 from .plans.alias import clear_aliases, define_alias
 from .plans.lowering import (Lowerer, LoweringError, render,
-                             render_callable, select, to_spark)
+                             render_callable, select, select_from,
+                             to_spark)
 from .functions.user import user_func
 
 __all__ = [
@@ -27,6 +28,7 @@ __all__ = [
     "render",
     "render_callable",
     "select",
+    "select_from",
     "to_spark",
     "user_func",
 ]

@@ -63,79 +63,77 @@ def query(qid: str, oracle: Optional[str] = None):
 # If CORRECTNESS_r06 comes back 50/50, every id has a driver-green row,
 # none older than r2.
 #
-# ROUND-7 PLAN (derive the exact list programmatically as above): with
-# r6 green the vintage distribution is r2:35 r3:48 r4:50 r5:50 r6:50 —
-# front any round-7 additions (zero evidence) first, then the 35
-# r2-vintage ids (oldest block: the tier3/tier4 dedup/text/multimodal/
-# scan families), then start on the r3 block.  From round 7 on the
-# zero-evidence backlog is empty, so the window has free capacity for
-# up to ~15 new operators per round without sacrificing refreshes.
+# ROUND-7 WINDOW.  Derived programmatically from the committed
+# CORRECTNESS_r0*.json files (latest round each id has a row; the
+# fronting test recomputes the same thing so this list can't silently
+# undercount).  Post-r6 vintage distribution: r1:4 r2:35 r3:48 r4:50
+# r5:50 r6:50 — NB the r6 VERDICT caught the old comment's "oldest
+# block is r2" undercount: the 4 late round-6 additions displaced
+# bool_ops/arith_ops/math_funcs/count_agg back to r1 vintage (their
+# evidence predates two testdata regenerations), so they refresh FIRST.
+# Composition: slots 1-2 the round-7 additions (zero evidence), slots
+# 3-6 the 4 r1-vintage ids, slots 7-41 the full 35-id r2 block, slots
+# 42-50 the alphabetical head of the r3 block.  Any further round-7
+# addition displaces the r3 tail (zero evidence beats a stale-but-green
+# re-check — enforced by test_window_fronts_zero_evidence_ids).
 # Everything outside the window stays guarded by
 # tests/test_oracle_parity.py, which checks ALL entries against DuckDB
 # (value-exact + driver-identical CSV hash) on every pytest run.
 DRIVER_WINDOW_PRIORITY: tuple = (
-    # -- slots 1-23: zero driver evidence (late round-5 tier7 block)
-    "text_ngram_novelty",
-    "data_shard_manifest",
-    "graph_triangle_count",
-    "sim_search_ivf_pq",
-    "join_runtime_bloom",
-    "dedup_minhash_audit",
-    "scan_csv_quarantine",
-    "stats_trend_mann_kendall",
-    "stats_benford_digit",
-    "sql_parameterized",
-    "data_curriculum_order",
-    "feature_hashing",
-    "feature_target_encode",
-    "stats_psi_drift",
-    "sessionize_paths",
-    "stats_gini_revenue",
-    "dq_referential_integrity",
-    "window_yoy_delta",
-    "agg_hll_audit",
-    "emb_knn_graph",
-    "window_interval_merge",
-    "stats_autocorr_lag",
-    "multimodal_chunk_dedup",
-    # -- slots 24-43 (original plan): the 20 r1-vintage greens.  Each
-    #    operator added later in round 6 displaces one (zero evidence
-    #    beats a stale-but-green re-check — the policy the fronting test
-    #    enforces); displaced ids stay guarded by pytest parity and move
-    #    to the head of the round-7 refresh list.
-    "project_scalar",
-    "filter_mask",
-    "filter_lambda",
-    "cmp_ops",
-    "nested_count_cut",
-    "nested_filter_agg",
-    "alias_expand",
-    "user_func_udf",
-    "callable_capture",
-    "nested_minmax_agg",
-    "join_left_semi_anti",
-    "join_outer",
-    "join_full_outer",
-    "agg_groupby",
-    "agg_distinct",
-    "agg_rollup_cube",
-    # -- slots 44-49: the round-6 additions (zero evidence of any
-    #    vintage beats a stale-but-green re-check)
-    "pipeline_multimodal_corpus",
-    "dedup_incremental_minhash",
-    "rank_fusion_hybrid",
-    "stats_cusum_changepoint",
-    "data_kfold_assign",
-    "pipeline_embedding_curation",
-    # -- slot 50: the 7th round-6 addition (zero evidence takes the last
-    #    re-check slot too — dedup_exact stays green r3 in pytest parity)
-    "sim_search_recall_audit",
-    # -- late round-6 additions (displacing bool_ops, arith_ops,
-    #    math_funcs, count_agg from the r1-vintage refresh block)
-    "dq_split_leakage",
-    "emb_matryoshka_audit",
-    "data_mixture_token_budget",
-    "window_top_movers",
+    # -- round-7 additions: zero driver evidence
+    "text_quality_model",
+    "text_token_bpe_merge",
+    # -- r1 vintage (evidence predates two testdata regenerations)
+    "arith_ops",
+    "bool_ops",
+    "count_agg",
+    "math_funcs",
+    # -- the 35-id r2 block
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "agg_quantiles",
+    "agg_stats",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "emb_centroid",
+    "explode_unnest",
+    "join_bucketed",
+    "multimodal_framesample",
+    "multimodal_meta",
+    "multimodal_resize",
+    "nested_topn_slice",
+    "nested_two_level",
+    "pipeline_clean_corpus",
+    "pivot_wide",
+    "sample_content_hash",
+    "scalar_subquery_rewrite",
+    "scan_csv",
+    "scan_json",
+    "scan_orc",
+    "sim_search_ivf",
+    "sim_search_lsh",
+    "sink_partitioned",
+    "sql_interface",
+    "text_lang_id",
+    "text_ngram_freq",
+    "text_quality",
+    "text_token_bpe",
+    "unpivot_long",
+    "window_ntile_pct",
+    "window_range_frame",
+    # -- alphabetical head of the r3 block
+    "agg_freq_items",
+    "agg_hll_rollup",
+    "agg_skew_twophase",
+    "anomaly_zscore",
+    "array_map_json_funcs",
+    "cdc_upsert_compact",
+    "cogrouped_asof_pandas",
+    "cohort_retention",
+    "compact_small_files",
 )
 
 

@@ -40,7 +40,7 @@ from pyspark.sql import types as T
 
 from .nodes import Column, DataFrame, Node
 
-__all__ = ["Lowerer", "to_spark", "select"]
+__all__ = ["Lowerer", "to_spark", "select", "select_from"]
 
 
 # ---------------------------------------------------------------------------
@@ -62,6 +62,16 @@ class LCol:
     col: SCol
     is_collection: bool = False
     elem_type: Optional[T.DataType] = None  # element type when is_collection
+
+
+@dataclass
+class LGrouped:
+    """A grouped event set: the pre-aggregation DataFrame plus the lowered
+    grouping keys (``.agg(...)`` is the only legal next step — the Spark
+    ``GroupedData`` shape, captured)."""
+
+    df: SDF
+    keys: list  # of pyspark Columns
 
 
 @dataclass
@@ -127,11 +137,25 @@ class Lowerer:
     the identical lowered object.
     """
 
-    def __init__(self, root: DataFrame, base_df: SDF) -> None:
+    def __init__(
+        self,
+        root: DataFrame,
+        base_df: SDF,
+        others: Optional[dict] = None,
+    ) -> None:
+        """``others`` (round-7, SURVEY §7 M4): additional root-node →
+        Spark-DataFrame bindings, so one lowering session can span the
+        several base tables a captured ``d.join(d2, on=...)`` references.
+        The reference is strictly single-source (DataFrame.py has no join
+        node; SURVEY §7 M4 names this the design extension), so the
+        single-root signature stays the default."""
         self.root = root
         self.base_df = base_df
+        self._bindings: Dict[int, SDF] = {id(root): base_df}
+        for r, df in (others or {}).items():
+            self._bindings[id(r)] = df
         self._memo: Dict[int, Any] = {}
-        self._keepalive = []  # nodes must outlive the memo (id() reuse)
+        self._keepalive = [root, *list((others or {}))]  # id() reuse guard
 
     # -- public entry points ------------------------------------------------
 
@@ -163,12 +187,14 @@ class Lowerer:
     def _lower_uncached(self, node: Node) -> Any:
         op = node.op
         if op == "root":
-            if node is not self.root:
+            bound = self._bindings.get(id(node))
+            if bound is None:
                 raise LoweringError(
-                    "Expression references a different root DataFrame() than "
-                    "the one bound to this lowering"
+                    "Expression references a root DataFrame() not bound to "
+                    "this lowering (bind join sources via Lowerer(..., "
+                    "others={d2: df2}) or select_from)"
                 )
-            return LFrame(self.base_df)
+            return LFrame(bound)
         if op == "attr":
             return self._lower_attr(node)
         if op == "filter":
@@ -211,9 +237,13 @@ class Lowerer:
                     f"Column {name!r} not found in schema "
                     f"{[f.name for f in parent.df.schema.fields]}"
                 ) from None
+            # BOUND reference (df[name], not F.col(name)) — round 7: with
+            # join capture, two roots can carry same-named columns, and
+            # only dataframe-bound refs disambiguate after the join
+            # (identical analyzed plan for the single-root paths)
             if isinstance(field.dataType, T.ArrayType):
-                return LCol(F.col(name), True, field.dataType.elementType)
-            return LCol(F.col(name))
+                return LCol(parent.df[name], True, field.dataType.elementType)
+            return LCol(parent.df[name])
         if isinstance(parent, LCol):
             if parent.is_collection:
                 et = parent.elem_type
@@ -385,9 +415,9 @@ class Lowerer:
             raise LoweringError(
                 f"Captured method {name!r} has no lowering rule "
                 "(reference leaves method meaning to the backend; ours are "
-                "Count/Sum/Min/Max/Mean/First/map)"
+                "Count/Sum/Min/Max/Mean/First/map/join/groupby/agg)"
             )
-        return handler(parent_node, parent, args)
+        return handler(parent_node, parent, args, dict(kwargs))
 
     def _agg_over(
         self, parent_node: Node, parent: Any, scalar_agg: Callable[[SCol], SCol]
@@ -418,7 +448,7 @@ class Lowerer:
                 )
         raise LoweringError("Nested aggregate applied to a non-collection")
 
-    def _call_count(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+    def _call_count(self, parent_node: Node, parent: Any, args: tuple, kwargs: dict) -> Any:
         if isinstance(parent, LFrame):
             # event-level Count(): a full aggregate over the frame
             return LFrame(parent.df.agg(F.count(F.lit(1)).alias("count")))
@@ -438,16 +468,16 @@ class Lowerer:
             arr, F.lit(0).cast(dec), lambda acc, x: acc + x.cast(dec)
         ).cast(T.DoubleType())
 
-    def _call_sum(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+    def _call_sum(self, parent_node: Node, parent: Any, args: tuple, kwargs: dict) -> Any:
         return self._agg_over(parent_node, parent, self._decimal_fold)
 
-    def _call_min(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+    def _call_min(self, parent_node: Node, parent: Any, args: tuple, kwargs: dict) -> Any:
         return self._agg_over(parent_node, parent, F.array_min)
 
-    def _call_max(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+    def _call_max(self, parent_node: Node, parent: Any, args: tuple, kwargs: dict) -> Any:
         return self._agg_over(parent_node, parent, F.array_max)
 
-    def _call_mean(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+    def _call_mean(self, parent_node: Node, parent: Any, args: tuple, kwargs: dict) -> Any:
         # try_divide: an empty collection yields null, matching the
         # reference's null-ish aggregate semantics — under Spark 4's
         # default ANSI mode a bare division would abort the job with
@@ -458,14 +488,14 @@ class Lowerer:
             lambda arr: F.try_divide(self._decimal_fold(arr), F.size(arr)),
         )
 
-    def _call_first(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+    def _call_first(self, parent_node: Node, parent: Any, args: tuple, kwargs: dict) -> Any:
         # try_element_at: null on empty collections instead of ANSI's
         # INVALID_ARRAY_INDEX_IN_ELEMENT_AT job abort.
         return self._agg_over(
             parent_node, parent, lambda arr: F.try_element_at(arr, F.lit(1))
         )
 
-    def _call_map(self, parent_node: Node, parent: Any, args: tuple) -> Any:
+    def _call_map(self, parent_node: Node, parent: Any, args: tuple, kwargs: dict) -> Any:
         """``coll.map(lambda elem: expr)`` — deferred lambda, expanded here
         against an element proxy (the Spark analogue of the reference's
         ``render_callable``, reference: render.py)."""
@@ -479,6 +509,130 @@ class Lowerer:
         if not isinstance(low, LElem):
             raise LoweringError(".map() lambda must produce a per-element value")
         return LElem(parent_node, low.fn, low.elem_type)
+
+    # -- relational sugar: join / groupby / agg (round 7, SURVEY §7 M4) ---------
+    #
+    # The reference DSL stops at nested-event analysis over ONE source
+    # (DataFrame.py has no join or groupby node — SURVEY §7 M4 names
+    # "d.join(d2, on=…) capture node" as the extension design work, and
+    # the r6 verdict ranked this the #1 forward gap: a DSL user falls off
+    # a cliff at their first dim join).  Capture needs NO new node types:
+    # ``d.join(d2, on=…, how=…)``, ``j.groupby(keys)`` and
+    # ``g.agg(name=expr)`` ride the existing attr+call machinery; only
+    # lowering rules are added, and they emit the exact tier-2 plans
+    # (bound-column refs, DECIMAL-fold sums) so a DSL-expressed query is
+    # plan-identical to its hand-written twin (explain/sameSemantics-
+    # asserted in tests/test_lowering.py).
+
+    def _call_join(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``d.join(d2, on=mask_or_names, how=..., hint="broadcast")`` →
+        the tier-2 join plan.  ``on`` as a capture mask gives a theta /
+        bound-equi join; as column name(s) a USING-style equi join.  The
+        broadcast hint mirrors join_broadcast's explicit F.broadcast —
+        the 100 TB discipline of pinning small-dim joins shuffle-free."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".join() applies to event frames")
+        if not args:
+            raise LoweringError(".join() requires the other frame")
+        other = self.lower(args[0])
+        if not isinstance(other, LFrame):
+            raise LoweringError(".join() right side must be an event frame")
+        on = kwargs.get("on", args[1] if len(args) > 1 else None)
+        how = kwargs.get("how", "inner")
+        right = other.df
+        if kwargs.get("hint") == "broadcast":
+            right = F.broadcast(right)
+        if isinstance(on, Node):
+            on_arg: Any = self._materialize(self.lower(on)).col
+        elif isinstance(on, str) or (
+            isinstance(on, (list, tuple))
+            and on
+            and all(isinstance(c, str) for c in on)
+        ):
+            on_arg = on if isinstance(on, str) else list(on)
+        else:
+            raise LoweringError(
+                ".join() on= must be a capture mask or column name(s)"
+            )
+        return LFrame(parent.df.join(right, on_arg, how))
+
+    def _call_groupby(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``frame.groupby(d.key, ..., name=expr)`` → grouped state.
+        Positional keys keep their column name; keyword keys are
+        aliased."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".groupby() applies to event frames")
+        keys = []
+        for k in args:
+            if isinstance(k, str):
+                keys.append(parent.df[k])
+            elif isinstance(k, Node):
+                keys.append(self._materialize(self.lower(k)).col)
+            else:
+                raise LoweringError(f"Bad groupby key: {k!r}")
+        for name, k in kwargs.items():
+            keys.append(self._materialize(self.lower(k)).col.alias(name))
+        if not keys:
+            raise LoweringError(".groupby() requires at least one key")
+        return LGrouped(parent.df, keys)
+
+    def _call_agg(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``grouped.agg(out=d.x.Sum(), avg=d.x.Sum() / d.Count(), ...)``
+        → the tier-2 aggregate plan: Sum/Mean fold in DECIMAL(38,6) and
+        cast back to double (exact, partition-order independent — the
+        same discipline as the nested Sum and agg_groupby's _dsum);
+        Count is COUNT(*) on the frame or COUNT(col) on a column;
+        arithmetic over aggregate calls composes (avg = Sum / Count)."""
+        if not isinstance(parent, LGrouped):
+            raise LoweringError(".agg() applies to a .groupby() result")
+        if args or not kwargs:
+            raise LoweringError(".agg() takes named aggregate expressions")
+        cols = [
+            self._agg_value(node).alias(name) for name, node in kwargs.items()
+        ]
+        return LFrame(parent.df.groupBy(*parent.keys).agg(*cols))
+
+    def _agg_value(self, node: Any) -> SCol:
+        """Lower an aggregate-context expression: Count/Sum/Min/Max/Mean
+        calls become SQL aggregates over their (event-level) operand;
+        bin arithmetic composes aggregates; literals pass through."""
+        if not isinstance(node, Node):
+            return self._lit(node)
+        if node.op == "bin":
+            opname, left, right = node.args
+            return _BIN_OPS[opname](self._agg_value(left), self._agg_value(right))
+        if node.op == "call":
+            p_node, mname, cargs, ckw = node.args
+            m = mname.lower()
+            if m not in ("count", "sum", "min", "max", "mean"):
+                raise LoweringError(
+                    f"Aggregate {mname!r} not supported in .agg() "
+                    "(Count/Sum/Min/Max/Mean)"
+                )
+            plow = self.lower(p_node)
+            if m == "count":
+                if isinstance(plow, LFrame):
+                    return F.count(F.lit(1))  # frame.Count() → COUNT(*)
+                return F.count(self._materialize(plow).col)
+            c = self._materialize(plow).col
+            if m == "sum":
+                return F.sum(c.cast(self._SUM_DECIMAL)).cast(T.DoubleType())
+            if m == "mean":
+                return F.sum(c.cast(self._SUM_DECIMAL)).cast(
+                    T.DoubleType()
+                ) / F.count(F.lit(1))
+            return (F.min if m == "min" else F.max)(c)
+        raise LoweringError(
+            f"Cannot lower {node.op!r} inside .agg() — aggregate "
+            "expressions are Count/Sum/Min/Max/Mean calls and arithmetic "
+            "over them"
+        )
 
     # -- user functions → pandas UDF --------------------------------------------
 
@@ -531,6 +685,27 @@ def select(
     low = Lowerer(root, base_df)
     df = low.frame(frame)
     return df.select(*[low.column(node).alias(name) for name, node in columns.items()])
+
+
+def select_from(
+    bindings: "dict[DataFrame, SDF]", frame: DataFrame, **columns: Node
+) -> SDF:
+    """Multi-source variant of ``select`` (round 7, SURVEY §7 M4):
+    ``bindings`` maps every root ``DataFrame()`` node the expression
+    references to its Spark DataFrame, so captured joins lower in ONE
+    shared memoized context.  ``select_from({d: orders, d2: customer},
+    d.join(d2, on=d.o_custkey == d2.c_custkey), ...)``."""
+    items = list(bindings.items())
+    if not items:
+        raise LoweringError("select_from requires at least one binding")
+    (root, base), others = items[0], dict(items[1:])
+    low = Lowerer(root, base, others)
+    df = low.frame(frame)
+    if not columns:
+        return df
+    return df.select(
+        *[low.column(node).alias(name) for name, node in columns.items()]
+    )
 
 
 def render(root: DataFrame, base_df: SDF, node: Node):

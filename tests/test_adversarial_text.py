@@ -76,6 +76,12 @@ _QIDS = (
     # unicode tokens (hash-set vs string-shingle Jaccard equality), and
     # a near-empty batch slice for the persisted-store probe
     "dedup_incremental_minhash",
+    # round-7: true-BPE merge rounds (single-char tokens with no pairs,
+    # unicode chars in merged symbols, tie-broken pair picks) and the
+    # Arrow-scored quality model (empty docs → NULL score/keep, unicode
+    # codepoint hashing ord≡ascii, single-token docs)
+    "text_token_bpe_merge",
+    "text_quality_model",
 )
 
 

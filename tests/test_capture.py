@@ -145,3 +145,26 @@ def test_nodes_immutable():
     d = DataFrame()
     with pytest.raises(AttributeError):
         d.op = "hacked"
+
+
+def test_join_groupby_capture_shapes():
+    """Round 7 (SURVEY §7 M4): joins/groupbys capture through the existing
+    attr+call machinery — no new node types, reference-style."""
+    from dataframe_expressions_spark.plans.nodes import DataFrame
+
+    d, d2 = DataFrame(), DataFrame()
+    j = d.join(d2, on=d.a == d2.b, how="left")
+    assert j.op == "call"
+    parent, name, args, kwargs = j.args
+    assert parent is d and name == "join" and args == (d2,)
+    kw = dict(kwargs)
+    assert kw["how"] == "left" and kw["on"].op == "cmp"
+
+    g = j.groupby(d.k).agg(n=d.Count(), s=d.x.Sum())
+    assert g.op == "call"
+    gparent, gname, gargs, gkwargs = g.args
+    assert gname == "agg"
+    inner = gparent  # the groupby call node (attr -> call chain)
+    assert inner.args[1] == "groupby" and inner.args[2] == (d.k,)
+    kw = dict(gkwargs)
+    assert kw["n"].op == "call" and kw["s"].op == "call"

@@ -114,6 +114,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "user_func_udf",
         "udtf_sentence_split",
         "mapinarrow_token_stats",
+        "text_quality_model",  # broadcast-weight Arrow scorer — MapInArrow by design
     }
     for qid, q in load_all().items():
         if "stream" in qid or qid in ("sink_partitioned", "scan_orc",

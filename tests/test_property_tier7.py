@@ -497,3 +497,101 @@ def test_recall_audit_matches_bruteforce(spark):
         )
         exp[qid] = (len(ex), len(ls), len(set(ex) & set(ls)))
     assert got == exp
+
+
+def test_bpe_merge_matches_bruteforce(spark):
+    """The 8 learned merges recomputed with the textbook algorithm in
+    plain Python (Counter over words, list-of-symbols sequences, greedy
+    left-to-right merge) — structurally INDEPENDENT of both the Spark
+    wrapped-string replace encoding and the oracle's CTE chain."""
+    import re
+    from collections import Counter
+
+    from dataframe_expressions_spark.operators.tier7 import (
+        text_token_bpe_merge,
+    )
+
+    got = [
+        (r["step"], r["lft"], r["rgt"], r["merged"], r["pair_n"],
+         r["corpus_symbols"])
+        for r in text_token_bpe_merge(spark, SF_SMOKE)
+        .orderBy("step")
+        .collect()
+    ]
+
+    con = duckdb.connect()
+    texts = [t for (t,) in con.execute(
+        f"SELECT text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()]
+    words = Counter()
+    for t in texts:
+        words.update(w for w in re.split(r"\s+", t) if w != "")
+    seqs = {w: list(w) for w in words}
+
+    exp = []
+    for step in range(1, 9):
+        pairs = Counter()
+        for w, seq in seqs.items():
+            n = words[w]
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += n
+        if not pairs:
+            break
+        (l, r), pn = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+        n_syms = sum(words[w] * len(seq) for w, seq in seqs.items())
+        exp.append((step, l, r, l + r, pn, n_syms))
+    assert got == exp
+
+
+def test_quality_model_matches_bruteforce(spark):
+    """Per-doc logits recomputed in plain Python floats (sequential
+    accumulation, exact unrounded quotient) — independent of numpy,
+    Arrow batching, and the oracle's list folds."""
+    import re
+
+    from dataframe_expressions_spark.operators.tier7 import (
+        _QM_BUCKETS,
+        _QM_HASH_MOD,
+        text_quality_model,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_toks"], r["score"], r["keep"])
+        for r in text_quality_model(spark, SF_SMOKE).collect()
+    }
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    exp = {}
+    for doc_id, text in rows:
+        toks = [w for w in re.split(r"\s+", text) if w != ""]
+        if not toks:
+            exp[doc_id] = (0, None, None)
+            continue
+        z = 0.0
+        for tok in toks:
+            h = 0
+            for ch in tok:
+                h = (h * 31 + ord(ch)) % _QM_HASH_MOD
+            b = h % _QM_BUCKETS
+            z += ((b * 1103515245 + 12345) % 2147483647 % 2001 - 1000) / 1000.0
+        # the operator emits the UNROUNDED quotient (one IEEE division
+        # of bit-identical doubles) — its first cut rounded to 6 dp and
+        # the sf0.1 sweep caught a round-half tie, the r5 lesson
+        score = z / len(toks)
+        exp[doc_id] = (len(toks), score, 1 if score >= 0 else 0)
+    assert got == exp
