@@ -182,22 +182,33 @@ def minhash_near_dup_pairs(
     fixed 16 bands × 2 rows misses a pair at s = t = 0.5 with
     (1-t²)^16 ≈ 1% — parity held only because the corpus's near-dups sit
     at s ≥ 0.89, one testdata regeneration away from a silent oracle
-    divergence): rows-per-band is the LARGEST r in {4, 2, 1} whose miss
-    probability (1 - t^r)^(n/r) at s = t stays ≤ 1e-6.  At t = 0.5 that
-    picks 32 bands × 1 row (miss ≈ 2.3e-10, the dedup_incremental_minhash
-    setting); at t = 0.8, 16 × 2 (miss ≈ 8e-8).  Fewer rows per band
-    admits more mid-similarity candidates into the exact verify — the
-    deliberate cost of an oracle-grade recall floor; the verify join
-    still touches only banded candidates, never corpus².
+    divergence): rows-per-band is the LARGEST r in {4, 2, 1} for which
+    the signature has room for enough bands to push the miss probability
+    (1 - t^r)^b at s = t under 1e-6, and b is the MINIMUM such band
+    count — both spurious candidates (≈ b·j^r per mid-similarity pair)
+    and the banded-explode row count scale linearly with b, so bands
+    beyond the recall floor are pure cost (a first cut used every lane,
+    32 × 1 at t = 0.5, and paid ~25% extra on the whole minhash family
+    for miss 2.3e-10 when 1e-6 was the contract).  At t = 0.5 this
+    derives 20 bands × 1 row (miss ≈ 9.5e-7); at t = 0.8, 14 × 2 (miss
+    ≈ 5.8e-7).  The cost of the recall floor stays: mid-similarity
+    candidates reach the exact verify that tighter banding would have
+    dropped — but the verify join still touches only banded candidates,
+    never corpus².
     """
     if bands is None:
-        rows = next(
-            (r for r in (4, 2, 1)
-             if (1 - threshold ** r) ** (n_hashes // r) <= 1e-6),
-            1,
-        )
-        bands = n_hashes // rows
-    rows = n_hashes // bands
+        import math
+
+        for r in (4, 2, 1):
+            p = threshold ** r
+            b_needed = math.ceil(math.log(1e-6) / math.log(1 - p))
+            if b_needed <= n_hashes // r:
+                rows, bands = r, b_needed
+                break
+        else:
+            rows, bands = 1, n_hashes
+    else:
+        rows = n_hashes // bands
     # shingle construction: see hashed_shingle_sets (shared, hash-set
     # based, spread-materialized, eagerly checkpointed)
     sh = hashed_shingle_sets(docs, id_col, text_col)

