@@ -71,11 +71,12 @@ def query(qid: str, oracle: Optional[str] = None):
 # block is r2" undercount: the 4 late round-6 additions displaced
 # bool_ops/arith_ops/math_funcs/count_agg back to r1 vintage (their
 # evidence predates two testdata regenerations), so they refresh FIRST.
-# Composition: slots 1-2 the round-7 additions (zero evidence), slots
-# 3-6 the 4 r1-vintage ids, slots 7-41 the full 35-id r2 block, slots
-# 42-50 the alphabetical head of the r3 block.  Any further round-7
-# addition displaces the r3 tail (zero evidence beats a stale-but-green
-# re-check — enforced by test_window_fronts_zero_evidence_ids).
+# Composition: slots 1-4 the round-7 additions (zero evidence), slots
+# 5-8 the 4 r1-vintage ids, slots 9-43 the full 35-id r2 block, slots
+# 44-50 the alphabetical head of the r3 block (cohort_retention and
+# compact_small_files were displaced back out when the 3rd/4th round-7
+# additions landed — zero evidence beats a stale-but-green re-check,
+# enforced by test_window_fronts_zero_evidence_ids).
 # Everything outside the window stays guarded by
 # tests/test_oracle_parity.py, which checks ALL entries against DuckDB
 # (value-exact + driver-identical CSV hash) on every pytest run.
@@ -83,6 +84,8 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     # -- round-7 additions: zero driver evidence
     "text_quality_model",
     "text_token_bpe_merge",
+    "text_token_bpe_apply",
+    "dedup_band_calibration",
     # -- r1 vintage (evidence predates two testdata regenerations)
     "arith_ops",
     "bool_ops",
@@ -132,8 +135,6 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "array_map_json_funcs",
     "cdc_upsert_compact",
     "cogrouped_asof_pandas",
-    "cohort_retention",
-    "compact_small_files",
 )
 
 

@@ -4038,7 +4038,7 @@ def _bpe_oracle_sql(k: int = _BPE_MERGES) -> str:
       SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
       FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok)""",
         """s0 AS MATERIALIZED (
-      SELECT array_to_string(list_transform(string_split(word, ''),
+      SELECT word, array_to_string(list_transform(string_split(word, ''),
              c -> chr(31) || c || chr(31)), '') AS s, n FROM w)""",
     ]
     for i in range(1, k + 1):
@@ -4055,7 +4055,7 @@ def _bpe_oracle_sql(k: int = _BPE_MERGES) -> str:
             f"ORDER BY pn DESC, l, r LIMIT 1)"
         )
         parts.append(f"""s{i} AS MATERIALIZED (
-      SELECT replace(s, chr(31)||t.l||chr(31)||chr(31)||t.r||chr(31),
+      SELECT word, replace(s, chr(31)||t.l||chr(31)||chr(31)||t.r||chr(31),
                      chr(31)||t.l||t.r||chr(31)) AS s, n
       FROM s{p} CROSS JOIN t{i} t)""")
     sel = "\n    UNION ALL\n".join(
@@ -4093,6 +4093,19 @@ def text_token_bpe_merge(spark: SparkSession, sf_dir: str) -> SDF:
     non-overlapping BPE application is literal-string replace — no
     per-symbol array churn, and DuckDB mirrors it with the identical
     replace call."""
+    _, out = _bpe_learn(spark, sf_dir)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """The shared k-round merge-learning loop (see text_token_bpe_merge
+    for the algorithm and scale argument).  Returns (final word-sequence
+    table after all merges, per-step merge-row DataFrames) so the
+    trainer (text_token_bpe_merge) and the applier
+    (text_token_bpe_apply) stay one implementation."""
     sep = F.lit(_BPE_SEP)
     docs = load_table(spark, sf_dir, "documents")
     words = (
@@ -4101,6 +4114,7 @@ def text_token_bpe_merge(spark: SparkSession, sf_dir: str) -> SDF:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     seqs = words.select(
+        "word",
         F.array_join(
             F.transform(F.split("word", ""), lambda c: F.concat(sep, c, sep)),
             "",
@@ -4136,6 +4150,7 @@ def text_token_bpe_merge(spark: SparkSession, sf_dir: str) -> SDF:
         seqs = (
             seqs.crossJoin(F.broadcast(top))
             .select(
+                "word",
                 F.replace(
                     F.col("s"),
                     F.concat(sep, F.col("l"), sep, sep, F.col("r"), sep),
@@ -4166,10 +4181,87 @@ def text_token_bpe_merge(spark: SparkSession, sf_dir: str) -> SDF:
                 F.col("pn").cast("long").alias("pair_n"),
             ).crossJoin(n_syms)
         )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionAll(df)
-    return res
+    return seqs, out
+
+
+@query(
+    "text_token_bpe_apply",
+    _bpe_oracle_sql().split("\nSELECT * FROM (")[0] + f""",
+    app AS MATERIALIZED (
+      SELECT word, n,
+             (len(s) - len(replace(s, chr(31), ''))) / 2 AS syms
+      FROM s{_BPE_MERGES}),
+    tc AS (SELECT source, tok AS word, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents) u
+           GROUP BY source, tok),
+    agg AS (SELECT tc.source,
+                   CAST(sum(c) AS BIGINT) AS ws_tokens,
+                   CAST(sum(c * syms) AS BIGINT) AS bpe_tokens
+            FROM tc JOIN app USING (word) GROUP BY tc.source),
+    meta AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(n_chars) AS BIGINT) AS n_chars
+             FROM documents GROUP BY source)
+    SELECT m.source, m.n_docs, m.n_chars,
+           coalesce(a.ws_tokens, 0) AS ws_tokens,
+           coalesce(a.bpe_tokens, 0) AS bpe_tokens
+    FROM meta m LEFT JOIN agg a ON m.source = a.source
+    """,
+)
+def text_token_bpe_apply(spark: SparkSession, sf_dir: str) -> SDF:
+    """APPLY the learned BPE merge table: per-source REAL token counts
+    under the trained tokenizer (chars, whitespace tokens, post-merge
+    BPE tokens) — the accounting that makes token-budget decisions
+    (data_mixture_token_budget, seq_pack_fill) consistent with an
+    actual tokenizer instead of the whitespace proxy (the r6 verdict's
+    gap #2 follow-through: learn, then USE the merges).
+
+    Scale: the merges come from _bpe_learn's vocabulary-sized loop; the
+    application never touches document text again — per-word post-merge
+    symbol counts are separator arithmetic on the final word-sequence
+    table ((len(s) − len(without-seps)) / 2), and the corpus-side cost
+    is one (source, word) count rollup joined against the
+    vocabulary-sized count table.  Sources whose documents are all
+    token-free survive with zero counts via the left join (adversarial
+    fixture: empty/whitespace-only docs)."""
+    seqs, _ = _bpe_learn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sep = F.lit(_BPE_SEP)
+    app = seqs.select(
+        "word",
+        (
+            (
+                F.length("s")
+                - F.length(F.replace(F.col("s"), sep, F.lit("")))
+            )
+            / 2
+        ).alias("syms"),
+    )
+    tc = (
+        docs.select("source", F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = (
+        tc.join(F.broadcast(app), "word")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("ws_tokens"),
+            F.sum(F.col("c") * F.col("syms")).cast("long").alias("bpe_tokens"),
+        )
+    )
+    meta = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return meta.join(agg, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.coalesce(F.col("ws_tokens"), F.lit(0).cast("long")).alias("ws_tokens"),
+        F.coalesce(F.col("bpe_tokens"), F.lit(0).cast("long")).alias(
+            "bpe_tokens"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4291,3 +4383,206 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> SDF:
         score.alias("score"),
         (score >= 0).cast("long").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding calibration: empirical candidate/recall audit per (bands, rows)
+# ---------------------------------------------------------------------------
+
+_CAL_P = 1_000_000_007
+_CAL_LANES = 32
+_CAL_CONFIGS = ((20, 1), (16, 2), (8, 4))
+_CAL_THRESHOLD = 0.5
+
+
+def _cal_oracle_sql() -> str:
+    """DuckDB mirror of the calibration: the PORTABLE minhash (LCG lanes
+    over rolling-hash shingles — exact BIGINT arithmetic both engines
+    evaluate identically, unlike the xxhash64 the production dedup path
+    uses) is simulated band-for-band, so candidate COUNTS — not just the
+    verified output — are part of the exact-hash contract."""
+    p = _CAL_P
+    tok_hash = _fp_sql("t")
+    parts = [
+        f"""tk AS MATERIALIZED (
+      SELECT doc_id AS id,
+             list_transform({_TOKS}, t -> {tok_hash}) AS th
+      FROM documents)""",
+        f"""shs AS MATERIALIZED (
+      SELECT id, list_distinct(list_transform(range(1, len(th) - 1),
+             i -> ((th[i] * 31 + th[i+1]) * 31 + th[i+2]) % {p})) AS sh
+      FROM tk WHERE len(th) >= 3)""",
+        f"""sig AS MATERIALIZED (
+      SELECT id, list_transform(range(0, {_CAL_LANES}),
+             i -> list_reduce(list_prepend(CAST({p} AS BIGINT),
+                    list_transform(sh, h -> ((2*i + 1) * h + i*i) % {p})),
+                  (a, x) -> least(a, x))) AS sig
+      FROM shs)""",
+    ]
+    for ci, (b, r) in enumerate(_CAL_CONFIGS, 1):
+        acc = "CAST(0 AS BIGINT)"
+        for k in range(r):
+            acc = f"(({acc}) * 131 + sig[j*{r} + {k} + 1]) % {p}"
+        parts.append(f"""bd{ci} AS MATERIALIZED (
+      SELECT id, unnest(range(0, {b})) AS band,
+             unnest(list_transform(range(0, {b}), j -> {acc})) AS bucket
+      FROM sig)""")
+        parts.append(f"""cand{ci} AS MATERIALIZED (
+      SELECT DISTINCT x.id AS a, y.id AS b
+      FROM bd{ci} x JOIN bd{ci} y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id)""")
+    union = " UNION ".join(
+        f"SELECT a, b FROM cand{ci}"
+        for ci in range(1, len(_CAL_CONFIGS) + 1)
+    )
+    parts.append(f"pool AS MATERIALIZED ({union})")
+    parts.append(f"""ver AS MATERIALIZED (
+      SELECT p.a, p.b FROM pool p
+      JOIN shs x ON x.id = p.a JOIN shs y ON y.id = p.b
+      WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+            >= {_CAL_THRESHOLD})""")
+    sel = "\n    UNION ALL\n".join(
+        f"""    SELECT {b} AS bands, {r} AS rows_per_band,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand{ci}) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM ver v
+            WHERE EXISTS (SELECT 1 FROM cand{ci} c
+                          WHERE c.a = v.a AND c.b = v.b)) AS n_verified,
+           (SELECT CAST(count(*) AS BIGINT) FROM ver v
+            WHERE NOT EXISTS (SELECT 1 FROM cand{ci} c
+                              WHERE c.a = v.a AND c.b = v.b)) AS n_missed"""
+        for ci, (b, r) in enumerate(_CAL_CONFIGS, 1)
+    )
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT * FROM (\n" + sel + "\n) ORDER BY bands")
+
+
+@query("dedup_band_calibration", _cal_oracle_sql())
+def dedup_band_calibration(spark: SparkSession, sf_dir: str) -> SDF:
+    """LSH BANDING calibration — empirically prices the banding lever the
+    dedup family runs on (minhash_near_dup_pairs derives its banding
+    from a theoretical miss bound; this measures what each configuration
+    actually buys on THIS corpus): for each (bands, rows-per-band) in
+    {(20,1), (16,2), (8,4)} over one shared 32-lane signature, the
+    candidate-pair count (the cost), the verified ≥0.5-Jaccard pairs it
+    finds (the yield), and the verified pairs it MISSES relative to the
+    pooled candidates of all configurations (the observed recall gap).
+    Completes the sketch-audit family (minhash estimate audit, HLL
+    audit, CMS heavy-hitter bound, ANN recall, Matryoshka prefix) with
+    the one knob they all hang off.
+
+    Portability: this operator uses a PORTABLE minhash — LCG lanes
+    ((2i+1)·h + i²) mod p over rolling-hash shingle fingerprints, the
+    simhash63 discipline — so DuckDB simulates the banding bit-for-bit
+    and candidate COUNTS join the exact-hash contract (the production
+    path's xxhash64 signatures are deliberately not mirrorable; its
+    oracle checks only the verify-defined output).
+
+    Scale: one corpus pass builds shingle sets (spread + checkpoint, the
+    hashed_shingle_sets shape); the 32-lane signature folds once and is
+    shared by every configuration; each configuration is an equi-join on
+    (band, bucket) over 8-byte keys — never corpus²; the pool verify
+    touches only pooled candidates.  Adding a candidate configuration
+    costs one more banded equi-join, which is exactly why a calibration
+    pass before a 100 TB dedup run is cheap insurance."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = D.spread(docs.select(F.col("doc_id").alias("id"), "text")).select(
+        "id", D.token_hashes(TX.tokens(F.col("text"))).alias("th")
+    )
+    n = F.size("th")
+    shingle = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: (
+                (
+                    F.element_at(F.col("th"), i) * 31
+                    + F.element_at(F.col("th"), i + 1)
+                )
+                * 31
+                + F.element_at(F.col("th"), i + 2)
+            )
+            % _CAL_P,
+        )
+    )
+    shs = (
+        D.spread(th)
+        .where(n >= 3)
+        .select("id", shingle.alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    lanes = F.sequence(F.lit(0), F.lit(_CAL_LANES - 1))
+    init = F.array_repeat(F.lit(_CAL_P).cast("long"), _CAL_LANES)
+    sig = F.aggregate(
+        F.col("sh"),
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            lanes,
+            lambda m, i: F.least(
+                m,
+                ((2 * i.cast("long") + 1) * h + i.cast("long") * i.cast("long"))
+                % _CAL_P,
+            ),
+        ),
+    )
+    sigs = shs.select("id", sig.alias("sig")).localCheckpoint(eager=True)
+
+    def band_buckets(bands: int, rows: int):
+        cols = []
+        for b in range(bands):
+            acc = F.lit(0).cast("long")
+            for k in range(rows):
+                acc = (acc * 131 + F.col("sig")[b * rows + k]) % _CAL_P
+            cols.append(acc)
+        return F.array(*cols)
+
+    cands = []
+    for bands, rws in _CAL_CONFIGS:
+        banded = sigs.select(
+            "id", F.posexplode(band_buckets(bands, rws)).alias("band", "bucket")
+        )
+        left = banded.select("band", "bucket", F.col("id").alias("a"))
+        right = banded.select("band", "bucket", F.col("id").alias("b"))
+        cands.append(
+            left.join(right, ["band", "bucket"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .dropDuplicates(["a", "b"])
+            .localCheckpoint(eager=True)
+        )
+    pool = (
+        cands[0]
+        .unionAll(cands[1])
+        .unionAll(cands[2])
+        .dropDuplicates(["a", "b"])
+    )
+    ver = (
+        pool.join(
+            shs.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a"
+        )
+        .join(shs.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .where(D.jaccard(F.col("sh_a"), F.col("sh_b")) >= _CAL_THRESHOLD)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for (bands, rws), c in zip(_CAL_CONFIGS, cands):
+        nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        nv = ver.join(c, ["a", "b"], "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_verified")
+        )
+        nm = ver.join(c, ["a", "b"], "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("n_missed")
+        )
+        out.append(
+            nc.crossJoin(nv)
+            .crossJoin(nm)
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rws).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+                "n_missed",
+            )
+        )
+    return out[0].unionAll(out[1]).unionAll(out[2])

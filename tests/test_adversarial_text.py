@@ -82,6 +82,12 @@ _QIDS = (
     # codepoint hashing ord≡ascii, single-token docs)
     "text_token_bpe_merge",
     "text_quality_model",
+    # round-7 late: per-source BPE accounting (sources whose docs are all
+    # token-free must survive with zero counts via the left join) and
+    # the banding calibration (sub-3-token docs excluded from the
+    # signature on both engines; unicode ord≡ascii portability)
+    "text_token_bpe_apply",
+    "dedup_band_calibration",
 )
 
 

@@ -595,3 +595,146 @@ def test_quality_model_matches_bruteforce(spark):
         score = z / len(toks)
         exp[doc_id] = (len(toks), score, 1 if score >= 0 else 0)
     assert got == exp
+
+
+def _bruteforce_bpe(texts, k=8):
+    """Textbook BPE trainer on the word-frequency table (shared by the
+    merge-table and apply brute-force tests)."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        words.update(w for w in re.split(r"\s+", t) if w != "")
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for step in range(1, k + 1):
+        pairs = Counter()
+        for w, seq in seqs.items():
+            n = words[w]
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += n
+        if not pairs:
+            break
+        (l, r), pn = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+        merges.append((step, l, r, pn))
+    return words, seqs, merges
+
+
+def test_bpe_apply_matches_bruteforce(spark):
+    """Per-source token accounting recomputed from the textbook trainer —
+    independent of the wrapped-string encoding AND the oracle chain."""
+    import re
+
+    from dataframe_expressions_spark.operators.tier7 import (
+        text_token_bpe_apply,
+    )
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_chars"], r["ws_tokens"],
+                      r["bpe_tokens"])
+        for r in text_token_bpe_apply(spark, SF_SMOKE).collect()
+    }
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, text, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    _, seqs, _ = _bruteforce_bpe([t for _, t, _ in rows])
+    exp = {}
+    for src, text, n_chars in rows:
+        toks = [w for w in re.split(r"\s+", text) if w != ""]
+        d = exp.setdefault(src, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += n_chars
+        d[2] += len(toks)
+        d[3] += sum(len(seqs[w]) for w in toks)
+    assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+def test_band_calibration_matches_bruteforce(spark):
+    """Candidate/verified/missed counts per banding config recomputed in
+    plain Python dict-buckets — independent of the join plans and the
+    oracle's CTE simulation."""
+    import re
+    from collections import defaultdict
+
+    from dataframe_expressions_spark.operators.tier7 import (
+        _CAL_CONFIGS,
+        _CAL_LANES,
+        _CAL_P,
+        _CAL_THRESHOLD,
+        dedup_band_calibration,
+    )
+
+    got = {
+        (r["bands"], r["rows_per_band"]): (
+            r["n_candidates"], r["n_verified"], r["n_missed"])
+        for r in dedup_band_calibration(spark, SF_SMOKE).collect()
+    }
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    sh = {}
+    for doc_id, text in rows:
+        toks = [w for w in re.split(r"\s+", text) if w != ""]
+        th = []
+        for t in toks:
+            h = 0
+            for ch in t:
+                h = (h * 31 + ord(ch)) % _CAL_P
+            th.append(h)
+        if len(th) < 3:
+            continue
+        sh[doc_id] = list(dict.fromkeys(
+            ((th[i] * 31 + th[i + 1]) * 31 + th[i + 2]) % _CAL_P
+            for i in range(len(th) - 2)
+        ))
+    sig = {}
+    for doc_id, hs in sh.items():
+        sig[doc_id] = [
+            min(((2 * i + 1) * h + i * i) % _CAL_P for h in hs)
+            for i in range(_CAL_LANES)
+        ]
+    cand = {}
+    for bands, rws in _CAL_CONFIGS:
+        buckets = defaultdict(list)
+        for doc_id, s in sig.items():
+            for b in range(bands):
+                acc = 0
+                for k in range(rws):
+                    acc = (acc * 131 + s[b * rws + k]) % _CAL_P
+                buckets[(b, acc)].append(doc_id)
+        pairs = set()
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for i, a in enumerate(ids):
+                for b2 in ids[i + 1:]:
+                    pairs.add((a, b2))
+        cand[(bands, rws)] = pairs
+    pool = set().union(*cand.values())
+
+    def jac(a, b):
+        sa, sb = set(sh[a]), set(sh[b])
+        return len(sa & sb) / len(sa | sb)
+
+    ver = {p for p in pool if jac(*p) >= _CAL_THRESHOLD}
+    exp = {
+        cfg: (len(pairs), len(ver & pairs), len(ver - pairs))
+        for cfg, pairs in cand.items()
+    }
+    assert got == exp
