@@ -598,6 +598,39 @@ class Lowerer:
         ]
         return LFrame(parent.df.groupBy(*parent.keys).agg(*cols))
 
+    def _call_orderby(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``frame.orderby(keys..., ascending=bool | [bool, ...])`` —
+        with a downstream ``.limit(n)`` Catalyst plans the pair as
+        TakeOrderedAndProject (per-partition top-k, no global sort), the
+        same plan the hand-written tier-2 top-k queries get."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".orderby() applies to event frames")
+        if not args:
+            raise LoweringError(".orderby() requires at least one key")
+        cols = []
+        for k in args:
+            if isinstance(k, str):
+                cols.append(parent.df[k])
+            else:
+                cols.append(self._materialize(self.lower(k)).col)
+        asc = kwargs.get("ascending", True)
+        flags = list(asc) if isinstance(asc, (list, tuple)) else [asc] * len(cols)
+        if len(flags) != len(cols):
+            raise LoweringError("ascending= list must match the key count")
+        ordered = [c if f else c.desc() for c, f in zip(cols, flags)]
+        return LFrame(parent.df.orderBy(*ordered))
+
+    def _call_limit(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".limit() applies to event frames")
+        if len(args) != 1 or isinstance(args[0], Node):
+            raise LoweringError(".limit() takes one integer")
+        return LFrame(parent.df.limit(int(args[0])))
+
     def _agg_value(self, node: Any) -> SCol:
         """Lower an aggregate-context expression: Count/Sum/Min/Max/Mean
         calls become SQL aggregates over their (event-level) operand;

@@ -383,3 +383,51 @@ def test_captured_join_error_paths(spark, lineitem):
             {d: lineitem},
             d.groupby(d.l_returnflag).agg(x=d.l_quantity.Median()),
         )
+
+
+def test_captured_tpch_q3_through_dsl(spark):
+    """The full TPC-H Q3 pipeline — filter → join → join → groupby/agg →
+    orderby → limit — captured end to end through the DSL: results must
+    equal the hand-written tier-2 operator row-for-row, and the plan
+    must keep the top-k discipline (TakeOrderedAndProject, both dim
+    filters pushed to the scans)."""
+    import datetime
+
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.operators.tier2 import (
+        tpch_q3_shipping_priority,
+    )
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    cust = lt(spark, SF_SMOKE, "customer")
+    orders = lt(spark, SF_SMOKE, "orders")
+    lin = lt(spark, SF_SMOKE, "lineitem")
+
+    dc, do, dl = DataFrame(), DataFrame(), DataFrame()
+    c = dc[dc.c_mktsegment == "BUILDING"]
+    o = do[do.o_orderdate < datetime.date(1995, 3, 15)]
+    l = dl[dl.l_shipdate > datetime.datetime(1995, 3, 15)]  # noqa: E741
+    j = c.join(o, on=dc.c_custkey == do.o_custkey).join(
+        l, on=dl.l_orderkey == do.o_orderkey
+    )
+    g = j.groupby(dl.l_orderkey, do.o_orderdate, do.o_orderpriority).agg(
+        revenue=(dl.l_extendedprice * (1 - dl.l_discount)).Sum()
+    )
+    top = g.orderby(
+        g.revenue, g.o_orderdate, g.l_orderkey,
+        ascending=[False, True, True],
+    ).limit(10)
+    dsl = select_from(
+        {dc: cust, do: orders, dl: lin},
+        top,
+        l_orderkey=g.l_orderkey,
+        revenue=g.revenue,
+        o_orderdate=g.o_orderdate,
+        o_orderpriority=g.o_orderpriority,
+    )
+    twin = tpch_q3_shipping_priority(spark, SF_SMOKE)
+    got = [tuple(r) for r in dsl.collect()]
+    want = [tuple(r) for r in twin.collect()]
+    assert got == want and len(got) == 10
+    plan = dsl._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
