@@ -71,12 +71,13 @@ def query(qid: str, oracle: Optional[str] = None):
 # block is r2" undercount: the 4 late round-6 additions displaced
 # bool_ops/arith_ops/math_funcs/count_agg back to r1 vintage (their
 # evidence predates two testdata regenerations), so they refresh FIRST.
-# Composition: slots 1-4 the round-7 additions (zero evidence), slots
-# 5-8 the 4 r1-vintage ids, slots 9-43 the full 35-id r2 block, slots
-# 44-50 the alphabetical head of the r3 block (cohort_retention and
-# compact_small_files were displaced back out when the 3rd/4th round-7
-# additions landed — zero evidence beats a stale-but-green re-check,
-# enforced by test_window_fronts_zero_evidence_ids).
+# Composition: slots 1-9 the round-7 additions (zero evidence — the 4
+# early-round ids plus the 5 tier-8 statistics/splits operators), slots
+# 10-13 the 4 r1-vintage ids, slots 14-48 the full 35-id r2 block,
+# slots 49-50 the alphabetical head of the r3 block (the rest of the
+# r3 head was displaced back out as tier-8 additions landed — zero
+# evidence beats a stale-but-green re-check, enforced by
+# test_window_fronts_zero_evidence_ids).
 # Everything outside the window stays guarded by
 # tests/test_oracle_parity.py, which checks ALL entries against DuckDB
 # (value-exact + driver-identical CSV hash) on every pytest run.
@@ -86,6 +87,11 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "text_token_bpe_merge",
     "text_token_bpe_apply",
     "dedup_band_calibration",
+    "stats_bootstrap_ci",
+    "stats_seasonal_decompose",
+    "stats_xi_correlation",
+    "dq_snapshot_drift",
+    "data_temporal_split",
     # -- r1 vintage (evidence predates two testdata regenerations)
     "arith_ops",
     "bool_ops",
@@ -130,18 +136,22 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     # -- alphabetical head of the r3 block
     "agg_freq_items",
     "agg_hll_rollup",
-    "agg_skew_twophase",
-    "anomaly_zscore",
-    "array_map_json_funcs",
-    "cdc_upsert_compact",
-    "cogrouped_asof_pandas",
 )
 
 
 def load_all() -> Dict[str, Query]:
     """Import every operator module so registrations run; order the result
     so DRIVER_WINDOW_PRIORITY ids come first (the driver's check window)."""
-    from . import tier1, tier2, tier3, tier4, tier5, tier6, tier7  # noqa: F401
+    from . import (  # noqa: F401
+        tier1,
+        tier2,
+        tier3,
+        tier4,
+        tier5,
+        tier6,
+        tier7,
+        tier8,
+    )
 
     ordered: Dict[str, Query] = {}
     for qid in DRIVER_WINDOW_PRIORITY:
