@@ -71,13 +71,14 @@ def query(qid: str, oracle: Optional[str] = None):
 # block is r2" undercount: the 4 late round-6 additions displaced
 # bool_ops/arith_ops/math_funcs/count_agg back to r1 vintage (their
 # evidence predates two testdata regenerations), so they refresh FIRST.
-# Composition: slots 1-9 the round-7 additions (zero evidence — the 4
-# early-round ids plus the 5 tier-8 statistics/splits operators), slots
-# 10-13 the 4 r1-vintage ids, slots 14-48 the full 35-id r2 block,
-# slots 49-50 the alphabetical head of the r3 block (the rest of the
-# r3 head was displaced back out as tier-8 additions landed — zero
-# evidence beats a stale-but-green re-check, enforced by
-# test_window_fronts_zero_evidence_ids).
+# Composition: slots 1-14 the round-7 additions (zero evidence — the 4
+# early-round ids, the 5 tier-8 batch-A statistics/splits operators,
+# and the 5 tier-8 batch-B ranking/dedup/whitening/funnel operators),
+# slots 15-18 the 4 r1-vintage ids, slots 19-50 the alphabetical head
+# (32 of 35) of the r2 block — unpivot_long / window_ntile_pct /
+# window_range_frame and the r3 head were displaced back out as tier-8
+# additions landed (zero evidence beats a stale-but-green re-check,
+# enforced by test_window_fronts_zero_evidence_ids).
 # Everything outside the window stays guarded by
 # tests/test_oracle_parity.py, which checks ALL entries against DuckDB
 # (value-exact + driver-identical CSV hash) on every pytest run.
@@ -92,6 +93,11 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "stats_xi_correlation",
     "dq_snapshot_drift",
     "data_temporal_split",
+    "rank_mmr",
+    "rank_ndcg_audit",
+    "text_line_dedup",
+    "emb_whitening",
+    "funnel_time_bounded",
     # -- r1 vintage (evidence predates two testdata regenerations)
     "arith_ops",
     "bool_ops",
@@ -130,12 +136,6 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "text_ngram_freq",
     "text_quality",
     "text_token_bpe",
-    "unpivot_long",
-    "window_ntile_pct",
-    "window_range_frame",
-    # -- alphabetical head of the r3 block
-    "agg_freq_items",
-    "agg_hll_rollup",
 )
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import epoch_us, load_table
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -688,4 +688,786 @@ def data_temporal_split(spark: SparkSession, sf_dir: str) -> SDF:
         F.round(
             F.sum(F.when(in_test, F.col("price"))).cast("double"), 2
         ).alias("test_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k retrieval
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20
+_MMR_K = 8
+_MMR_LAMBDA = 0.7
+
+_COS8 = (
+    "list_inner_product({l}.v, {r}.v) / "
+    "(sqrt(list_inner_product({l}.v, {l}.v))"
+    " * sqrt(list_inner_product({r}.v, {r}.v)))"
+)
+
+
+def _mmr_oracle_sql() -> str:
+    """DuckDB mirror of the greedy MMR selection, generated as a chained
+    CTE sequence (the _bpe_oracle_sql pattern): sel_i picks round i's
+    argmax of lam*rel − (1−lam)*max_sim_to_selected over the remaining
+    pool, ss_i accumulates the selected set.  MATERIALIZED is
+    load-bearing (the _bpe_oracle_sql lesson): without it DuckDB
+    re-inlines the whole upstream tree (scored/pool/pw) into every
+    round's CTE, an exponential plan blowup that OOMs at sf0.01."""
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    parts = [
+        f"""
+    WITH e0 AS MATERIALIZED (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    e AS MATERIALIZED (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+    q AS MATERIALIZED (SELECT v FROM e WHERE vec_id = 0),
+    scored AS MATERIALIZED (SELECT e.vec_id AS vid,
+                      round({_COS8.format(l='q', r='e')}, 4) AS rel
+               FROM e CROSS JOIN q WHERE e.vec_id != 0),
+    pool AS MATERIALIZED (SELECT vid, rel FROM scored
+             QUALIFY row_number() OVER (ORDER BY rel DESC, vid)
+                     <= {_MMR_POOL}),
+    pv AS MATERIALIZED (SELECT p.vid, p.rel, e.v FROM pool p
+           JOIN e ON e.vec_id = p.vid),
+    pw AS MATERIALIZED (SELECT a.vid AS av, b.vid AS bv,
+                  round({_COS8.format(l='a', r='b')}, 4) AS sim
+           FROM pv a JOIN pv b ON a.vid != b.vid),
+    sel1 AS MATERIALIZED (SELECT 1 AS rk, vid, rel, 0.0 AS ms,
+                    {lam} * rel - {mu} * 0.0 AS score
+             FROM pool
+             QUALIFY row_number() OVER (
+                 ORDER BY {lam} * rel - {mu} * 0.0 DESC, vid) = 1),
+    ss1 AS MATERIALIZED (SELECT vid FROM sel1)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    cand{i} AS MATERIALIZED (SELECT p.vid, p.rel, max(w.sim) AS ms
+                FROM pool p
+                JOIN pw w ON w.av = p.vid
+                JOIN ss{p} s ON w.bv = s.vid
+                WHERE p.vid NOT IN (SELECT vid FROM ss{p})
+                GROUP BY p.vid, p.rel),
+    sel{i} AS MATERIALIZED (SELECT {i} AS rk, vid, rel, ms,
+                      {lam} * rel - {mu} * ms AS score
+               FROM cand{i}
+               QUALIFY row_number() OVER (
+                   ORDER BY {lam} * rel - {mu} * ms DESC, vid) = 1),
+    ss{i} AS MATERIALIZED (SELECT vid FROM ss{p} UNION ALL SELECT vid FROM sel{i})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, _MMR_K + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(rk AS BIGINT) AS rk, vid, rel,
+           round(ms, 4) AS max_sim_sel, round(score, 6) AS mmr_score
+    FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+@query("rank_mmr", _mmr_oracle_sql())
+def rank_mmr(spark: SparkSession, sf_dir: str) -> SDF:
+    """MAXIMAL MARGINAL RELEVANCE diversified retrieval (Carbonell &
+    Goldstein 1998): from the top-20 cosine pool for query vector 0,
+    greedily select k=8 documents maximizing lam*relevance − (1−lam)*
+    max-similarity-to-already-selected (lam=0.7) — the standard
+    redundancy-removal re-rank between ANN retrieval and a RAG context
+    window.
+
+    Determinism: relevance and all pairwise pool similarities are
+    rounded to 4dp BEFORE selection, so every engine sees the same
+    comparator inputs; the greedy argmax is (score desc, vid asc); the
+    selection score is the same two-term IEEE expression on both
+    engines (and in the Arrow stage, whose Python floats are the same
+    doubles).
+
+    Scale: the pool is a global top-K rank filter (WindowGroupLimit —
+    never a full sort) and everything after is bounded by POOL=20
+    regardless of corpus size: ≤ 380 pairwise rows feed ONE Arrow
+    grouped-map whose group is the whole (bounded) pool — the greedy
+    loop is O(k·pool) on ~kilobytes.  The corpus-sized work is exactly
+    one broadcast-query cosine map, as in sim_search_topk."""
+    import pandas as pd
+
+    from ..functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = (
+        emb.select(
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("n2", S.dot(F.col("v"), F.col("v")))
+        .where(F.col("n2") > 0)
+    )
+    q = corpus.where(F.col("vid") == 0).select(
+        F.col("v").alias("qv"), F.col("n2").alias("qn2")
+    )
+    scored = corpus.where(F.col("vid") != 0).crossJoin(F.broadcast(q)).select(
+        "vid",
+        "v",
+        F.round(
+            S.dot(F.col("qv"), F.col("v"))
+            / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2"))),
+            4,
+        ).alias("rel"),
+    )
+    pool = scored.select(
+        "vid",
+        "v",
+        "rel",
+        F.row_number().over(W.orderBy(F.desc("rel"), F.asc("vid"))).alias("prk"),
+    ).where(F.col("prk") <= _MMR_POOL)
+    a = pool.select(
+        F.col("vid").alias("av"), F.col("v").alias("va"), F.col("rel")
+    )
+    b = pool.select(F.col("vid").alias("bv"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, F.col("av") != F.col("bv"))
+        .select(
+            "av",
+            "bv",
+            "rel",
+            F.round(
+                S.dot(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(S.dot(F.col("va"), F.col("va")))
+                    * F.sqrt(S.dot(F.col("vb"), F.col("vb")))
+                ),
+                4,
+            ).alias("sim"),
+        )
+        .withColumn("g", F.lit(1))
+    )
+
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    k = _MMR_K
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[int(r.av)] = float(r.rel)
+            sim[(int(r.av), int(r.bv))] = float(r.sim)
+        selected: list[int] = []
+        out = []
+        remaining = set(rel)
+        for rk in range(1, k + 1):
+            if not remaining:
+                break
+            best = None
+            for vid in remaining:
+                ms = (
+                    max(sim[(vid, s)] for s in selected)
+                    if selected
+                    else 0.0
+                )
+                score = lam * rel[vid] - mu * ms
+                key = (-score, vid)
+                if best is None or key < best[0]:
+                    best = (key, vid, ms, score)
+            _, vid, ms, score = best
+            selected.append(vid)
+            remaining.discard(vid)
+            out.append((rk, vid, rel[vid], ms, score))
+        return pd.DataFrame(
+            out, columns=["rk", "vid", "rel", "max_sim_sel", "mmr_score"]
+        )
+
+    sel = pairs.groupBy("g").applyInPandas(
+        _greedy,
+        schema="rk long, vid long, rel double, max_sim_sel double, "
+        "mmr_score double",
+    )
+    return sel.select(
+        "rk",
+        "vid",
+        "rel",
+        F.round("max_sim_sel", 4).alias("max_sim_sel"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 ranking-quality audit of the LSH retrieval
+# ---------------------------------------------------------------------------
+
+# Graded relevance from the EXACT cosine (calibrated to the fixture's
+# similarity range — max observed ~0.37): 3 / 2 / 1 / 0 grade bands.
+_NDCG_G3, _NDCG_G2, _NDCG_G1 = 0.25, 0.15, 0.05
+_NDCG_K = 10
+
+_NDCG_GRADE = (
+    "(CASE WHEN {s} >= 0.25 THEN 3 WHEN {s} >= 0.15 THEN 2 "
+    "WHEN {s} >= 0.05 THEN 1 ELSE 0 END)"
+)
+
+# Same portable sign-LSH bucket arithmetic the sim_search_lsh oracle
+# mirrors (tier3._LSH_BUCKET_SQL) — shared so the audited index IS the
+# indexed path, not a re-derivation.
+from .tier3 import _LSH_BUCKET_SQL as _T3_LSH  # noqa: E402
+
+_LSH_BUCKET8 = _T3_LSH.format(v="e.v")
+
+
+@query(
+    "rank_ndcg_audit",
+    f"""
+    WITH e0 AS (SELECT vec_id AS vid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+    eb AS (SELECT vid, v, {{LSHB}} AS bucket FROM e),
+    q AS (SELECT vid AS qid, v AS qv, bucket FROM eb WHERE vid < 5),
+    exact AS (SELECT q2.qid, e.vid,
+                     round({_COS8.format(l='q2', r='e')}, 4) AS sim
+              FROM e JOIN (SELECT qid, qv AS v FROM q) q2
+                ON e.vid != q2.qid),
+    lsh AS (SELECT q.qid, e.vid,
+                   round(list_inner_product(q.qv, e.v)
+                         / (sqrt(list_inner_product(q.qv, q.qv))
+                            * sqrt(list_inner_product(e.v, e.v))), 4) AS sim
+            FROM eb e JOIN q ON e.bucket = q.bucket AND e.vid != q.qid),
+    lr AS (SELECT qid, vid, sim,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, vid) AS rk
+           FROM lsh QUALIFY rk <= {_NDCG_K}),
+    lg AS (SELECT l.qid, l.rk,
+                  {_NDCG_GRADE.format(s='x.sim')} AS g
+           FROM lr l JOIN exact x ON x.qid = l.qid AND x.vid = l.vid),
+    ig AS (SELECT qid, {_NDCG_GRADE.format(s='sim')} AS g,
+                  row_number() OVER (PARTITION BY qid
+                      ORDER BY {_NDCG_GRADE.format(s='sim')} DESC, vid)
+                    AS rk
+           FROM exact QUALIFY rk <= {_NDCG_K}),
+    dcg AS (SELECT qid,
+                   CAST(count(*) AS BIGINT) AS n_lsh,
+                   CAST(sum(CAST(round(g / log2(rk + 1), 9)
+                                 AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS d
+            FROM lg GROUP BY qid),
+    idcg AS (SELECT qid,
+                    CAST(sum(CAST(round(g / log2(rk + 1), 9)
+                                  AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS i
+             FROM ig GROUP BY qid)
+    SELECT idcg.qid, coalesce(dcg.n_lsh, 0) AS n_lsh,
+           round(CAST(coalesce(dcg.d, 0) AS DOUBLE), 6) AS dcg,
+           round(CAST(idcg.i AS DOUBLE), 6) AS idcg,
+           CASE WHEN CAST(idcg.i AS DOUBLE) > 0
+                THEN round(CAST(coalesce(dcg.d, 0) AS DOUBLE)
+                           / CAST(idcg.i AS DOUBLE), 6)
+                ELSE 0.0 END AS ndcg
+    FROM idcg LEFT JOIN dcg ON dcg.qid = idcg.qid
+    """.replace("{LSHB}", _LSH_BUCKET8),
+)
+def rank_ndcg_audit(spark: SparkSession, sf_dir: str) -> SDF:
+    """NDCG@10 RANKING-QUALITY audit of the sign-LSH retrieval: grade
+    every (query, doc) pair by its EXACT cosine (graded bands 3/2/1/0
+    calibrated to the fixture's similarity range), compute the DCG of
+    the LSH top-10 list and the ideal DCG of the exact grade ordering,
+    and report per-query NDCG — the graded companion to
+    sim_search_recall_audit's binary recall (a near-miss retrieval that
+    swaps a grade-3 doc for a grade-2 doc costs NDCG but not recall@K's
+    set membership).
+
+    Determinism: grades are exact-int CASE bands on round-4 cosines;
+    each DCG term grade/log2(rank+1) is the same IEEE expression on
+    exact ints, rounded to 9dp and DECIMAL-folded so the per-query sums
+    are partition-order independent; ideal ties break by vid.
+
+    Scale: the LSH leg probes only same-bucket candidates (the indexed
+    path); the exact leg is the per-query brute-force scan every
+    ranking audit pays — bounded by |probe queries| × corpus, the same
+    audit cost profile as sim_search_recall_audit, run on a sample in
+    production.  All windows are per-query top-K rank filters
+    (WindowGroupLimit)."""
+    from ..functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = S.cosine_topk_lsh(emb, query_ids=[0, 1, 2, 3, 4], k=_NDCG_K)
+    corpus = (
+        emb.select(
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("n2", S.dot(F.col("v"), F.col("v")))
+        .where(F.col("n2") > 0)
+    )
+    q = corpus.where(F.col("vid") < 5).select(
+        F.col("vid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    exact = corpus.join(
+        F.broadcast(q), F.col("vid") != F.col("qid")
+    ).select(
+        "qid",
+        "vid",
+        F.round(
+            S.dot(F.col("qv"), F.col("v"))
+            / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2"))),
+            4,
+        ).alias("sim"),
+    )
+
+    def _grade(s):
+        return (
+            F.when(s >= _NDCG_G3, 3)
+            .when(s >= _NDCG_G2, 2)
+            .when(s >= _NDCG_G1, 1)
+            .otherwise(0)
+        )
+
+    lg = lsh.select("qid", "vid", "rk").join(
+        exact.select(
+            F.col("qid").alias("xq"), F.col("vid").alias("xv"), "sim"
+        ),
+        (F.col("qid") == F.col("xq")) & (F.col("vid") == F.col("xv")),
+    ).select("qid", "rk", _grade(F.col("sim")).alias("g"))
+    ig = exact.select(
+        "qid",
+        "vid",
+        _grade(F.col("sim")).alias("g"),
+    ).select(
+        "qid",
+        "g",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("g"), F.asc("vid")))
+        .alias("rk"),
+    ).where(F.col("rk") <= _NDCG_K)
+
+    def _dcg_term():
+        return F.round(
+            F.col("g") / F.log2(F.col("rk") + 1), 9
+        ).cast("decimal(38,9)")
+
+    dcg = lg.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_lsh"),
+        F.sum(_dcg_term()).cast("decimal(38,9)").alias("d"),
+    )
+    idcg = ig.groupBy("qid").agg(
+        F.sum(_dcg_term()).cast("decimal(38,9)").alias("i")
+    )
+    return idcg.join(dcg, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("n_lsh"), F.lit(0)).cast("long").alias("n_lsh"),
+        F.round(
+            F.coalesce(F.col("d"), F.lit(0)).cast("double"), 6
+        ).alias("dcg"),
+        F.round(F.col("i").cast("double"), 6).alias("idcg"),
+        F.when(
+            F.col("i").cast("double") > 0,
+            F.round(
+                F.coalesce(F.col("d"), F.lit(0)).cast("double")
+                / F.col("i").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(0.0)
+        .alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-document chunk ("line") boilerplate dedup accounting
+# ---------------------------------------------------------------------------
+
+_LINE_CHUNK = 8  # tokens per chunk
+_LINE_MIN_DOCS = 3  # chunk is boilerplate if it appears in >= this many docs
+
+_TOKS8 = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+
+
+@query(
+    "text_line_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS8} AS toks FROM documents),
+    ch AS (SELECT doc_id, source,
+                  array_to_string(list_slice(toks, i * {_LINE_CHUNK} + 1,
+                                             (i + 1) * {_LINE_CHUNK}), ' ')
+                    AS chunk,
+                  len(list_slice(toks, i * {_LINE_CHUNK} + 1,
+                                 (i + 1) * {_LINE_CHUNK})) AS cnt
+           FROM t, unnest(range(0, CAST(ceil(len(toks) / {_LINE_CHUNK}.0)
+                                        AS BIGINT))) AS u(i)),
+    fp AS (SELECT doc_id, source, cnt,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(chunk) + 1),
+                          j -> CAST(ascii(substr(chunk, j, 1)) AS BIGINT))),
+                      (a, x) -> (a * 31 + x) % 1000000007) AS f
+           FROM ch),
+    common AS (SELECT f FROM fp GROUP BY f
+               HAVING count(DISTINCT doc_id) >= {_LINE_MIN_DOCS}),
+    flagged AS (SELECT fp.source, fp.doc_id, fp.cnt,
+                       CASE WHEN c.f IS NOT NULL THEN 1 ELSE 0 END
+                         AS dropped
+                FROM fp LEFT JOIN common c ON fp.f = c.f),
+    docs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             FROM t GROUP BY source)
+    SELECT d.source, d.n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(dropped) AS BIGINT) AS n_dropped,
+           round(CAST(sum(dropped) AS DOUBLE) / count(*), 6) AS pct_dropped,
+           CAST(sum(CASE WHEN dropped = 0 THEN cnt ELSE 0 END) AS BIGINT)
+             AS tokens_kept
+    FROM flagged f JOIN docs d ON d.source = f.source
+    GROUP BY d.source, d.n_docs
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """Cross-document LINE-LEVEL boilerplate dedup accounting (the
+    CCNet / RefinedWeb line-dedup stage, re-expressed over the
+    fixture's unpunctuated word streams as fixed 8-token chunks): a
+    chunk appearing in >= 3 distinct documents is boilerplate (nav
+    bars, cookie banners, license headers) and is dropped everywhere;
+    the report gives per-source chunk/token reduction — the
+    observability summary a corpus-cleaning run ships.
+
+    Determinism: chunk identity is the portable rolling char
+    fingerprint (doc_fingerprint's fold) of the space-joined chunk;
+    counts are exact BIGINTs; pct is one IEEE division of exact ints.
+
+    Scale: chunking is map-side (slice arithmetic on the token array —
+    the text is touched once); the frequency shuffle carries ONLY
+    (8-byte fingerprint, doc_id) pairs, never chunk text (the
+    dedup_exact discipline); the boilerplate set joins back by
+    fingerprint — at 100 TB the common-chunk side is tiny (boilerplate
+    is by definition heavy-hitter) and AQE broadcasts it."""
+    from ..functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("toks")
+    )
+    nch = F.ceil(F.size("toks") / float(_LINE_CHUNK)).cast("int")
+    # sequence(0, -1) yields [0, -1] in Spark (descending-step inference
+    # when start > stop) while the oracle's range(0, 0) is empty — an
+    # empty/whitespace-only document must produce ZERO chunks on both
+    # engines (the multimodal_chunk_dedup round-6 guard).
+    chunks = F.when(
+        nch > 0,
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.struct(
+                F.array_join(
+                    F.slice(F.col("toks"), i * _LINE_CHUNK + 1, _LINE_CHUNK),
+                    " ",
+                ).alias("chunk"),
+                F.size(
+                    F.slice(F.col("toks"), i * _LINE_CHUNK + 1, _LINE_CHUNK)
+                ).alias("cnt"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk:string,cnt:int>>"))
+    ch = t.select(
+        "doc_id", "source", F.explode(chunks).alias("c")
+    ).select("doc_id", "source", F.col("c.chunk"), F.col("c.cnt"))
+    fp = ch.select(
+        "doc_id",
+        "source",
+        "cnt",
+        TX.char_fingerprint(F.col("chunk")).alias("f"),
+    )
+    common = (
+        fp.groupBy("f")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _LINE_MIN_DOCS)
+        .select("f", F.lit(1).alias("is_common"))
+    )
+    flagged = fp.join(common, "f", "left").select(
+        "source",
+        "cnt",
+        F.coalesce(F.col("is_common"), F.lit(0)).alias("dropped"),
+    )
+    ndocs = t.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            F.round(
+                F.sum("dropped").cast("double") / F.count("*"), 6
+            ).alias("pct_dropped"),
+            F.sum(F.when(F.col("dropped") == 0, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .join(F.broadcast(ndocs), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_chunks",
+            "n_dropped",
+            "pct_dropped",
+            "tokens_kept",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# diagonal embedding whitening with an in-output verification pass
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_whitening",
+    """
+    WITH d0 AS (SELECT vec_id,
+                       CAST(unnest(range(0, len(embedding))) AS BIGINT)
+                         AS dim,
+                       round(CAST(unnest(embedding) AS DOUBLE), 6) AS xd
+                FROM embeddings),
+    d AS (SELECT vec_id, dim,
+                 CAST(xd AS DECIMAL(38,6)) AS x,
+                 CAST(round(xd * xd, 6) AS DECIMAL(38,6)) AS sq
+          FROM d0),
+    st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                  round(CAST(sum(x) AS DOUBLE) / count(*), 6) + 0.0 AS mu,
+                  round(sqrt((count(*) * CAST(sum(sq) AS DOUBLE)
+                              - CAST(sum(x) AS DOUBLE)
+                                * CAST(sum(x) AS DOUBLE))
+                             / (CAST(count(*) AS DOUBLE) * count(*))), 6)
+                    AS sigma
+           FROM d GROUP BY dim),
+    wh AS (SELECT d.dim,
+                  round((CAST(d.x AS DOUBLE) - st.mu) / st.sigma, 6) AS wd
+           FROM d JOIN st ON st.dim = d.dim
+           WHERE st.sigma > 0),
+    w2 AS (SELECT dim, CAST(wd AS DECIMAL(38,6)) AS w,
+                  CAST(round(wd * wd, 6) AS DECIMAL(38,6)) AS wsq
+           FROM wh),
+    chk AS (SELECT dim,
+                   round(CAST(sum(w) AS DOUBLE) / count(*), 6) + 0.0 AS wmean,
+                   round((count(*) * CAST(sum(wsq) AS DOUBLE)
+                          - CAST(sum(w) AS DOUBLE) * CAST(sum(w) AS DOUBLE))
+                         / (CAST(count(*) AS DOUBLE) * count(*)), 6) + 0.0
+                     AS wvar
+            FROM w2 GROUP BY dim)
+    SELECT st.dim, st.n, st.mu, st.sigma, chk.wmean, chk.wvar
+    FROM st JOIN chk ON chk.dim = st.dim
+    """,
+)
+def emb_whitening(spark: SparkSession, sf_dir: str) -> SDF:
+    """DIAGONAL WHITENING of the embedding table (per-dimension
+    standardize — the cheap, embarrassingly-parallel core of embedding
+    post-processing; full PCA whitening adds a d×d rotation on top):
+    compute per-dimension mean/std, transform x → (x−mu)/sigma, and
+    VERIFY the transform in the output (the agg_hll_audit discipline) —
+    each dimension's whitened mean ≈ 0 and variance ≈ 1 are re-measured
+    from the transformed values, not assumed.
+
+    Determinism: inputs rounded to 6dp then DECIMAL-folded; each
+    SQUARE is rounded to 6dp as an IEEE double before its DECIMAL fold
+    (Spark's (38,6)×(38,6) decimal product would silently clamp back to
+    scale 6 while DuckDB keeps scale 12 — round-then-fold makes both
+    engines sum bit-identical terms); mu/sigma rounded to 6dp so the
+    second pass divides bit-identical doubles; population variance via
+    the (n·Σx² − (Σx)²)/n² identity on the exact folded sums.
+
+    Scale: two shuffles, each to |dims| groups with map-side partials
+    (posexplode is map-side; the per-dim stats frame is 64 rows and
+    broadcasts back onto the second pass).  No driver collect, no
+    d×d matrix — the 100 TB path just works; the full-PCA upgrade
+    (Gram matrix + driver eigen, d² ≪ memory) is documented here as
+    the extension."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x0"
+        ),
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x0"), 6).alias("xd"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.col("xd").cast("decimal(38,6)").alias("x"),
+        F.round(F.col("xd") * F.col("xd"), 6)
+        .cast("decimal(38,6)")
+        .alias("sq"),
+    )
+    st = d.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.round(F.sum("x").cast("double") / F.count("*"), 6) + 0.0
+        ).alias("mu"),
+        F.round(
+            F.sqrt(
+                (
+                    F.count("*") * F.sum("sq").cast("double")
+                    - F.sum("x").cast("double") * F.sum("x").cast("double")
+                )
+                / (F.count("*").cast("double") * F.count("*"))
+            ),
+            6,
+        ).alias("sigma"),
+    )
+    wh = (
+        d.join(F.broadcast(st), "dim")
+        .where(F.col("sigma") > 0)
+        .select(
+            "dim",
+            F.round(
+                (F.col("x").cast("double") - F.col("mu")) / F.col("sigma"), 6
+            ).alias("wd"),
+        )
+        .select(
+            "dim",
+            F.col("wd").cast("decimal(38,6)").alias("w"),
+            F.round(F.col("wd") * F.col("wd"), 6)
+            .cast("decimal(38,6)")
+            .alias("wsq"),
+        )
+    )
+    chk = wh.groupBy("dim").agg(
+        (
+            F.round(F.sum("w").cast("double") / F.count("*"), 6) + 0.0
+        ).alias("wmean"),
+        (
+            F.round(
+                (
+                    F.count("*") * F.sum("wsq").cast("double")
+                    - F.sum("w").cast("double") * F.sum("w").cast("double")
+                )
+                / (F.count("*").cast("double") * F.count("*")),
+                6,
+            )
+            + 0.0
+        ).alias("wvar"),
+    )
+    return st.join(chk, "dim").select(
+        "dim", "n", "mu", "sigma", "wmean", "wvar"
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-bounded conversion funnel (view → click → purchase, 1 h per step)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_US = 3_600_000_000  # 1 hour per step, in microseconds
+
+
+@query(
+    "funnel_time_bounded",
+    f"""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (SELECT user_id, min(us) AS t1 FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, v.t1, min(e.us) AS t2
+          FROM ev e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click'
+            AND e.us >= v.t1 AND e.us <= v.t1 + {_FUNNEL_WINDOW_US}
+          GROUP BY e.user_id, v.t1),
+    p AS (SELECT e.user_id, c.t2, min(e.us) AS t3
+          FROM ev e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase'
+            AND e.us >= c.t2 AND e.us <= c.t2 + {_FUNNEL_WINDOW_US}
+          GROUP BY e.user_id, c.t2),
+    agg AS (SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+              (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+              (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+              (SELECT CAST(sum(t2 - t1) AS BIGINT) FROM c) AS lat_vc,
+              (SELECT CAST(sum(t3 - t2) AS BIGINT) FROM p) AS lat_cp)
+    SELECT n_view, n_click, n_purchase,
+           round(CAST(n_click AS DOUBLE) / n_view, 6) AS click_rate,
+           round(CAST(n_purchase AS DOUBLE)
+                 / nullif(n_click, 0), 6) AS purchase_rate,
+           round(CAST(lat_vc AS DOUBLE) / n_click / 1000000, 6)
+             AS avg_view_to_click_s,
+           round(CAST(lat_cp AS DOUBLE) / nullif(n_purchase, 0) / 1000000, 6)
+             AS avg_click_to_purchase_s
+    FROM agg
+    """,
+)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> SDF:
+    """TIME-BOUNDED conversion funnel: view → click within 1 h of the
+    user's first view → purchase within 1 h of that click.  Unlike
+    funnel_conversion (any-order-of-time stage membership), each stage
+    must fire inside a window anchored at the previous stage's event —
+    the product-analytics definition ("purchased within an hour of
+    clicking"), plus average step latencies.
+
+    Determinism: all times are exact BIGINT epoch-microseconds
+    (the shared tz-independent epoch_us on both sides — never
+    engine-local date math); stage
+    times are per-user mins; latency sums are exact BIGINT µs divided
+    once into display seconds.
+
+    Scale: three aggregations all keyed by user_id — Spark reuses the
+    exchange across them (one physical shuffle partitioning), and each
+    stage join's right side is the shrinking survivor set (click
+    survivors ⊆ viewers, ...), exactly the funnel you want at 100 TB:
+    the wide fact table is scanned once per stage filter, survivors
+    are user-count-sized.  The final report is a 1-row reduce."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us("ts").alias("us")
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("us") >= F.col("t1"))
+            & (F.col("us") <= F.col("t1") + _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t2"), "user_id")
+        .where(
+            (F.col("us") >= F.col("t2"))
+            & (F.col("us") <= F.col("t2") + _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id", "t2")
+        .agg(F.min("us").alias("t3"))
+    )
+    nv = v.agg(F.count("*").cast("long").alias("n_view"))
+    nc = c.agg(
+        F.count("*").cast("long").alias("n_click"),
+        F.sum(F.col("t2") - F.col("t1")).cast("long").alias("lat_vc"),
+    )
+    np_ = p.agg(
+        F.count("*").cast("long").alias("n_purchase"),
+        F.sum(F.col("t3") - F.col("t2")).cast("long").alias("lat_cp"),
+    )
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(
+                F.col("n_click").cast("double") / F.col("n_view"), 6
+            ).alias("click_rate"),
+            F.round(
+                F.col("n_purchase").cast("double")
+                / F.nullif(F.col("n_click"), F.lit(0)),
+                6,
+            ).alias("purchase_rate"),
+            F.round(
+                F.col("lat_vc").cast("double") / F.col("n_click") / 1000000,
+                6,
+            ).alias("avg_view_to_click_s"),
+            F.round(
+                F.col("lat_cp").cast("double")
+                / F.nullif(F.col("n_purchase"), F.lit(0))
+                / 1000000,
+                6,
+            ).alias("avg_click_to_purchase_s"),
+        )
     )

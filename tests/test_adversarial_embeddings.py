@@ -67,6 +67,15 @@ _QIDS = (
     # recall audit (zero-norm query vec_id 0 must drop from BOTH legs)
     "pipeline_embedding_curation",
     "sim_search_recall_audit",
+    # round-7 batch B: whitening (constant dims → sigma 0 dropped from
+    # BOTH passes; 1e-30 underflow rounds to 0 at 6dp), MMR (zero-norm
+    # query vec 0 empties the pool → zero rows on both engines; the
+    # duplicate/negated pairs put cosine ±1 ties on the round boundary),
+    # and the NDCG audit (zero-norm query drops from both legs; negative
+    # cosines all land in grade band 0)
+    "emb_whitening",
+    "rank_mmr",
+    "rank_ndcg_audit",
 )
 
 

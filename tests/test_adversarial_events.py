@@ -85,6 +85,11 @@ _QIDS = (
     # single-user types, same-user-many-types overlap between the
     # per-type and global bitmap rollup levels
     "agg_bitmap_distinct",
+    # round-7 batch B: view/click/purchase at the SAME instant (the
+    # us >= t1 inclusive lower bound makes t2 = t1, zero latency),
+    # click-only and purchase-free users (empty stage sides → NULL
+    # latency averages via nullif on both engines)
+    "funnel_time_bounded",
 )
 
 

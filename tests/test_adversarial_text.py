@@ -88,6 +88,11 @@ _QIDS = (
     # signature on both engines; unicode ord≡ascii portability)
     "text_token_bpe_apply",
     "dedup_band_calibration",
+    # round-7 batch B: line-level boilerplate dedup — empty/space-only
+    # docs must produce ZERO chunks on both engines (the sequence(0,-1)
+    # phantom-chunk guard), duplicate docs share every chunk fingerprint,
+    # and sub-chunk docs yield one short tail chunk
+    "text_line_dedup",
 )
 
 
