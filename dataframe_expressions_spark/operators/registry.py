@@ -71,14 +71,15 @@ def query(qid: str, oracle: Optional[str] = None):
 # block is r2" undercount: the 4 late round-6 additions displaced
 # bool_ops/arith_ops/math_funcs/count_agg back to r1 vintage (their
 # evidence predates two testdata regenerations), so they refresh FIRST.
-# Composition: slots 1-14 the round-7 additions (zero evidence — the 4
-# early-round ids, the 5 tier-8 batch-A statistics/splits operators,
-# and the 5 tier-8 batch-B ranking/dedup/whitening/funnel operators),
-# slots 15-18 the 4 r1-vintage ids, slots 19-50 the alphabetical head
-# (32 of 35) of the r2 block — unpivot_long / window_ntile_pct /
-# window_range_frame and the r3 head were displaced back out as tier-8
-# additions landed (zero evidence beats a stale-but-green re-check,
-# enforced by test_window_fronts_zero_evidence_ids).
+# Composition: slots 1-18 the round-7 additions (zero evidence — the 4
+# early-round ids, then tier-8 batch A statistics/splits, batch B
+# ranking/dedup/whitening/funnel, batch C bucketing/softdedup/graph/
+# cluster-stats), slots 19-22 the 4 r1-vintage ids, slots 23-50 the
+# alphabetical head (28 of 35) of the r2 block — the r2 tail
+# (text_lang_id … window_range_frame, unpivot_long) and the r3 head
+# were displaced back out as tier-8 additions landed (zero evidence
+# beats a stale-but-green re-check, enforced by
+# test_window_fronts_zero_evidence_ids).
 # Everything outside the window stays guarded by
 # tests/test_oracle_parity.py, which checks ALL entries against DuckDB
 # (value-exact + driver-identical CSV hash) on every pytest run.
@@ -98,6 +99,10 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "text_line_dedup",
     "emb_whitening",
     "funnel_time_bounded",
+    "text_perplexity_bucket",
+    "sample_importance_softdedup",
+    "graph_common_neighbors",
+    "dq_duplicate_cluster_stats",
     # -- r1 vintage (evidence predates two testdata regenerations)
     "arith_ops",
     "bool_ops",
@@ -132,10 +137,6 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "sim_search_lsh",
     "sink_partitioned",
     "sql_interface",
-    "text_lang_id",
-    "text_ngram_freq",
-    "text_quality",
-    "text_token_bpe",
 )
 
 

@@ -1471,3 +1471,381 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> SDF:
             ).alias("avg_click_to_purchase_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# perplexity-bucketed corpus mixture report
+# ---------------------------------------------------------------------------
+
+_PPL_BUCKETS = 10
+
+_TOKS8B = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+
+
+@query(
+    "text_perplexity_bucket",
+    f"""
+    WITH tv AS (SELECT doc_id, unnest(toks) AS tok
+                FROM (SELECT doc_id, {_TOKS8B} AS toks FROM documents)
+                WHERE len(toks) > 0),
+    vocab AS (SELECT tok, count(*) AS n FROM tv GROUP BY tok),
+    tot AS (SELECT sum(n) AS t FROM vocab),
+    term AS (SELECT tok,
+                    round(ln(CAST(t AS DOUBLE)) - ln(CAST(n AS DOUBLE)), 6)
+                      AS srp
+             FROM vocab, tot),
+    doc AS (SELECT tv.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tok,
+                   sum(CAST(srp AS DECIMAL(38,6))) AS s
+            FROM tv JOIN term USING (tok)
+            GROUP BY tv.doc_id),
+    b AS (SELECT doc_id, n_tok, s,
+                 ntile({_PPL_BUCKETS}) OVER (
+                     ORDER BY CAST(s AS DOUBLE) / n_tok, doc_id) AS bucket
+          FROM doc)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(s) AS DOUBLE) AS sum_surprisal
+    FROM b GROUP BY bucket
+    """,
+)
+def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> SDF:
+    """PERPLEXITY BUCKETING of the corpus (the CCNet / Dolma mixture
+    step): score every document by its mean unigram surprisal (the
+    text_unigram_surprisal signal — a cheap LM-quality proxy), split
+    the corpus into 10 equal-count buckets from easiest (stopword soup)
+    to hardest (rare-token gibberish), and report each bucket's
+    document count, token inventory, and exact surprisal mass — the
+    table a mixture planner reads to decide how much of each quality
+    band enters the pretraining mix.
+
+    Determinism: per-token surprisal is rounded 6dp in the vocab-sized
+    table then DECIMAL-folded per doc (the text_unigram_surprisal
+    discipline); the bucket ORDER key is the IEEE division of that
+    exact decimal-as-double by the exact BIGINT token count — identical
+    inputs → identical doubles on both engines — tie-broken by doc_id;
+    the report emits the exact DECIMAL fold, never a rounded quotient.
+
+    Scale: the wordcount and per-doc rollup shuffles are
+    text_unigram_surprisal's plan; the ntile window is ordered over the
+    doc-count-sized (doc_id, mean) frame — Spark runs it single-task
+    here; at 100 TB the documented flip is the two-phase range
+    partitioner (sample quantile cuts → rangepartition → local rank),
+    the same fallback stats_xi_correlation records.  The final rollup
+    is 10 groups."""
+    from ..functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    tv = (
+        docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+        .where(F.size("toks") > 0)
+        .select("doc_id", F.explode("toks").alias("tok"))
+    )
+    vocab = tv.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = vocab.agg(F.sum("n").alias("t"))
+    term = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.log(F.col("t").cast("double")) - F.log(F.col("n").cast("double")),
+            6,
+        ).alias("srp"),
+    )
+    doc = (
+        tv.join(term, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum(F.col("srp").cast("decimal(38,6)")).alias("s"),
+        )
+    )
+    b = doc.select(
+        "doc_id",
+        "n_tok",
+        "s",
+        F.ntile(_PPL_BUCKETS)
+        .over(
+            W.orderBy(
+                F.col("s").cast("double") / F.col("n_tok"), F.col("doc_id")
+            )
+        )
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("s").cast("double").alias("sum_surprisal"),
+    ).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs",
+        "n_tokens",
+        "sum_surprisal",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SoftDeDup importance weights (down-weight, don't drop, duplicates)
+# ---------------------------------------------------------------------------
+
+_FP8 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length(text) + 1), "
+    "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), "
+    "(a, x) -> (a * 31 + x) % 1000000007)"
+)
+
+
+@query(
+    "sample_importance_softdedup",
+    f"""
+    WITH fp AS (SELECT doc_id, source, {_FP8} AS f FROM documents),
+    dup AS (SELECT f, count(*) AS dc FROM fp GROUP BY f),
+    w AS (SELECT fp.source, fp.f,
+                 CAST(floor(1000000.0 / dup.dc) AS BIGINT) AS weight_ppm
+          FROM fp JOIN dup USING (f))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT f) AS BIGINT) AS n_clusters,
+           CAST(sum(weight_ppm) AS BIGINT) AS total_weight_ppm
+    FROM w GROUP BY source
+    """,
+)
+def sample_importance_softdedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """SOFT DEDUPLICATION importance weights (SoftDeDup, Xue et al.:
+    down-WEIGHT repeated content in the training loss instead of
+    dropping copies): every document gets weight 1/dup_count of its
+    exact-content cluster, reported per source as exact parts-per-
+    million integers — n_docs vs n_clusters vs the total retained
+    weight is the soft-vs-hard dedup tradeoff table (hard dedup keeps
+    n_clusters ppm-millions; soft keeps total_weight_ppm).
+
+    Determinism: cluster identity is the portable rolling char
+    fingerprint; the weight is floor(1e6 / dup_count) — one IEEE
+    division of exact integers floored to a BIGINT, bit-identical on
+    both engines; every output column is an exact BIGINT.
+
+    Scale: the dup-count shuffle carries ONLY the 8-byte fingerprint
+    (the dedup_exact discipline — text never shuffles); the weight join
+    is fingerprint-keyed and the dup side is pre-aggregated (corpus-
+    distinct-sized, AQE broadcasts it when small); the report is
+    |sources| groups with map-side partials."""
+    from ..functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", TX.char_fingerprint(F.col("text")).alias("f")
+    )
+    dup = fp.groupBy("f").agg(F.count(F.lit(1)).alias("dc"))
+    w = fp.join(dup, "f").select(
+        "source",
+        "f",
+        F.floor(F.lit(1000000.0) / F.col("dc")).cast("long").alias(
+            "weight_ppm"
+        ),
+    )
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("f").cast("long").alias("n_clusters"),
+        F.sum("weight_ppm").cast("long").alias("total_weight_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# common-neighbor link prediction over the mod-projected graph
+# ---------------------------------------------------------------------------
+
+_LP_TOPK = 20
+
+
+@query(
+    "graph_common_neighbors",
+    f"""
+    WITH pr AS (SELECT DISTINCT
+                  least(o_custkey % 4096, o_orderkey % 4096) AS lo,
+                  greatest(o_custkey % 4096, o_orderkey % 4096) AS hi
+                FROM orders
+                WHERE o_custkey % 4096 <> o_orderkey % 4096),
+    e AS (SELECT lo AS s, hi AS d FROM pr
+          UNION ALL SELECT hi, lo FROM pr),
+    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg
+            FROM e GROUP BY s),
+    cn AS (SELECT e1.d AS u, e2.d AS w, CAST(count(*) AS BIGINT) AS c
+           FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.d < e2.d
+           GROUP BY e1.d, e2.d),
+    cand AS (SELECT cn.u, cn.w, cn.c
+             FROM cn ANTI JOIN pr ON pr.lo = cn.u AND pr.hi = cn.w),
+    sc AS (SELECT c2.u, c2.w, c2.c,
+                  CAST(floor(1000000.0 * c2.c
+                             / (du.dg + dw.dg - c2.c)) AS BIGINT)
+                    AS jaccard_ppm
+           FROM cand c2
+           JOIN deg du ON du.node = c2.u
+           JOIN deg dw ON dw.node = c2.w)
+    SELECT CAST(row_number() OVER (
+               ORDER BY jaccard_ppm DESC, u, w) AS BIGINT) AS rk,
+           u, w, c AS common_neighbors, jaccard_ppm
+    FROM sc
+    QUALIFY rk <= {_LP_TOPK}
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> SDF:
+    """COMMON-NEIGHBOR LINK PREDICTION over the mod-projected
+    order↔customer graph (same deterministic stand-in graph as
+    graph_triangle_count): for every NON-edge pair (u, w) sharing at
+    least one neighbor, count common neighbors and score neighborhood
+    Jaccard |N(u)∩N(w)| / |N(u)∪N(w)|; report the top-20 predicted
+    links — the classic graph-completion / recommendation primitive
+    (fourth graph kernel next to connectivity, centrality, triangles).
+
+    Determinism: counts and degrees are exact BIGINTs; the Jaccard is
+    floor(1e6·c/(du+dw−c)) — one IEEE division of exact integers
+    floored into ppm; ranking ties break (u, w).
+
+    Scale: wedge generation is the center-node self-join — Σ deg(s)²
+    wedges, the honest cost of exact common-neighbor counting (the
+    degree-ordered orientation that bounds triangle counting cannot
+    apply: CN needs BOTH wedge arms from every center).  At 100 TB the
+    standard mitigations are per-center neighbor sampling or a
+    max-degree cap on wedge centers (hub centers contribute wedges
+    quadratically but only ever link their own neighborhoods); the
+    anti-join against the edge list and the degree joins are all
+    equi-joins on node ids; top-k is a WindowGroupLimit rank filter."""
+    o = load_table(spark, sf_dir, "orders")
+    pr = (
+        o.select(
+            F.least(
+                F.col("o_custkey") % 4096, F.col("o_orderkey") % 4096
+            ).alias("lo"),
+            F.greatest(
+                F.col("o_custkey") % 4096, F.col("o_orderkey") % 4096
+            ).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    e = pr.select(F.col("lo").alias("s"), F.col("hi").alias("d")).unionAll(
+        pr.select(F.col("hi").alias("s"), F.col("lo").alias("d"))
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("dg")).select(
+        F.col("s").alias("node"), "dg"
+    )
+    e2 = e.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    cn = (
+        e.join(e2, (F.col("s") == F.col("s2")) & (F.col("d") < F.col("d2")))
+        .groupBy(F.col("d").alias("u"), F.col("d2").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cand = cn.join(
+        pr,
+        (pr["lo"] == cn["u"]) & (pr["hi"] == cn["w"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
+    dw = deg.select(F.col("node").alias("w"), F.col("dg").alias("dw"))
+    sc = (
+        cand.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            "c",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("c")
+                / (F.col("du") + F.col("dw") - F.col("c"))
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+    ranked = sc.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("w")))
+        .cast("long")
+        .alias("rk"),
+        "u",
+        "w",
+        F.col("c").alias("common_neighbors"),
+        "jaccard_ppm",
+    )
+    return ranked.where(F.col("rk") <= _LP_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster size histogram (dedup observability)
+# ---------------------------------------------------------------------------
+
+
+def _dup_cluster_oracle() -> str:
+    from .tier3 import _SHINGLES3
+
+    return f"""
+    WITH RECURSIVE t AS ({_SHINGLES3}),
+    p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 0.5),
+    e AS (SELECT a AS src, b AS dst FROM p
+          UNION SELECT b, a FROM p
+          UNION SELECT a, a FROM p
+          UNION SELECT b, b FROM p),
+    r(n, m) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.n, e.dst FROM r JOIN e ON r.m = e.src),
+    comp AS (SELECT n AS doc_id, min(m) AS component FROM r GROUP BY n),
+    lab AS (SELECT d.doc_id,
+                   coalesce(comp.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+    sz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY component)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sz GROUP BY cluster_size
+    """
+
+
+@query("dq_duplicate_cluster_stats", _dup_cluster_oracle())
+def dq_duplicate_cluster_stats(spark: SparkSession, sf_dir: str) -> SDF:
+    """NEAR-DUP CLUSTER SIZE HISTOGRAM — the observability report a
+    dedup run ships before anyone deletes data: how many clusters of
+    each size exist (size 1 = unique docs), so the corpus owner can see
+    whether duplication is a long tail of pairs or a few megaclusters
+    (which drive both the dedup gain and the risk of over-merging).
+    Composes the production pair generator (banded MinHash LSH,
+    functions/dedup.py) with connected components and a two-level
+    rollup; singletons enter via a left join of the full corpus against
+    the component labels.
+
+    Determinism: component labels are min-doc_id (the dedup_components
+    contract); all outputs are exact BIGINTs.
+
+    Scale: pair generation and components are the dedup_components
+    plan (banded equi-joins, O(diameter) Pregel rounds, lineage cuts);
+    the singleton join is doc_id-keyed against the component-labelled
+    minority; the histogram is two tiny rollups (cluster count, then
+    size histogram)."""
+    from ..functions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(docs, threshold=0.5)
+    comp = D.connected_components(pairs)
+    lab = docs.select("doc_id").join(
+        comp.select("doc_id", "component"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    sz = lab.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sz.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+    )

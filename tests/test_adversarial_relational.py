@@ -107,6 +107,11 @@ _QIDS = (
     # round-6: single-customer and NULL-key order fixtures — folds must
     # still partition the orders and the leakage audit must stay 0
     "data_kfold_assign",
+    # round-7: common-neighbor link prediction — the NULL-custkey order
+    # must drop from the edge list on BOTH engines (NULL % 4096 compares
+    # unknown), and the tiny mod graph stresses the anti-join (most
+    # candidate pairs ARE edges)
+    "graph_common_neighbors",
 )
 
 

@@ -93,6 +93,15 @@ _QIDS = (
     # phantom-chunk guard), duplicate docs share every chunk fingerprint,
     # and sub-chunk docs yield one short tail chunk
     "text_line_dedup",
+    # round-7 batch C: perplexity bucketing (token-free docs drop before
+    # the ntile; 22 docs over 10 buckets exercises the n%b extra-row
+    # rule), softdedup weights (exact-duplicate docs 17/20 share a
+    # fingerprint cluster; empty and space-only docs collide on fp("")
+    # vs fp("   ") — DISTINCT fingerprints, not distinct texts), and the
+    # cluster histogram (sub-shingle docs are singletons on both engines)
+    "text_perplexity_bucket",
+    "sample_importance_softdedup",
+    "dq_duplicate_cluster_stats",
 )
 
 

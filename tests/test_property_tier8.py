@@ -1,0 +1,296 @@
+"""Independent brute-force references for tier-8 operators whose DuckDB
+oracles mirror the SAME algorithm (greedy MMR chain, wedge joins,
+fingerprint weighting, ntile bucketing, stage-anchored funnel) — a
+shared-structure bug would pass parity, so these recompute the answer a
+different way in plain Python (the test_property_tier7 discipline)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+
+from conftest import SF_SMOKE
+
+
+def _docs(con=None):
+    con = con or duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, text, source FROM '{SF_SMOKE}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+
+
+def test_rank_mmr_matches_bruteforce(spark):
+    """Operator runs the greedy loop in one applyInPandas group over
+    JVM-prerounded inputs; reference recomputes pool, pairwise sims and
+    the greedy argmax chain with plain Python floats."""
+    from dataframe_expressions_spark.operators.tier8 import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_POOL,
+        rank_mmr,
+    )
+
+    got = {
+        r["rk"]: (r["vid"], r["rel"], r["max_sim_sel"], r["mmr_score"])
+        for r in rank_mmr(spark, SF_SMOKE).collect()
+    }
+
+    con = duckdb.connect()
+    vecs = {
+        vid: v
+        for vid, v in con.execute(
+            "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+            f" FROM '{SF_SMOKE}/embeddings.parquet'"
+        ).fetchall()
+        if sum(x * x for x in v) > 0
+    }
+    q = vecs[0]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(
+            num
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(y * y for y in b))
+            ),
+            4,
+        )
+
+    rel = {vid: cos(q, v) for vid, v in vecs.items() if vid != 0}
+    pool = sorted(rel, key=lambda vid: (-rel[vid], vid))[:_MMR_POOL]
+    sim = {
+        (a, b): cos(vecs[a], vecs[b]) for a in pool for b in pool if a != b
+    }
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 10)
+    selected, remaining = [], set(pool)
+    for rk in range(1, _MMR_K + 1):
+        best = None
+        for vid in sorted(remaining):
+            ms = max((sim[(vid, s)] for s in selected), default=0.0)
+            score = lam * rel[vid] - mu * ms
+            if best is None or (-score, vid) < (-best[3], best[0]):
+                best = (vid, rel[vid], ms, score)
+        vid, r, ms, score = best
+        selected.append(vid)
+        remaining.discard(vid)
+        assert got[rk] == (vid, r, round(ms, 4), round(score, 6)), (
+            rk,
+            got[rk],
+            (vid, r, ms, score),
+        )
+    assert len(got) == _MMR_K
+
+
+def test_common_neighbors_matches_bruteforce(spark):
+    """Operator scores via wedge self-joins; reference intersects
+    Python neighbor sets for every non-edge pair."""
+    from dataframe_expressions_spark.operators.tier8 import (
+        _LP_TOPK,
+        graph_common_neighbors,
+    )
+
+    got = [
+        (r["rk"], r["u"], r["w"], r["common_neighbors"], r["jaccard_ppm"])
+        for r in graph_common_neighbors(spark, SF_SMOKE).collect()
+    ]
+
+    con = duckdb.connect()
+    pairs = set(
+        con.execute(
+            f"""
+            SELECT DISTINCT least(o_custkey % 4096, o_orderkey % 4096),
+                            greatest(o_custkey % 4096, o_orderkey % 4096)
+            FROM '{SF_SMOKE}/orders.parquet'
+            WHERE o_custkey % 4096 <> o_orderkey % 4096
+            """
+        ).fetchall()
+    )
+    adj = defaultdict(set)
+    for lo, hi in pairs:
+        adj[lo].add(hi)
+        adj[hi].add(lo)
+    scored = []
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for w in nodes[i + 1:]:
+            if (u, w) in pairs:
+                continue
+            c = len(adj[u] & adj[w])
+            if c == 0:
+                continue
+            jp = math.floor(1000000.0 * c / (len(adj[u]) + len(adj[w]) - c))
+            scored.append((-jp, u, w, c))
+    scored.sort()
+    want = [
+        (rk + 1, u, w, c, -njp)
+        for rk, (njp, u, w, c) in enumerate(scored[:_LP_TOPK])
+    ]
+    assert got == want
+
+
+def test_softdedup_matches_bruteforce(spark):
+    """Operator weights via the fingerprint rollup; reference groups by
+    the raw TEXT itself (different cluster key derivation — catches a
+    fingerprint collision or a fingerprint-expression bug)."""
+    from dataframe_expressions_spark.operators.tier8 import (
+        sample_importance_softdedup,
+    )
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_clusters"], r["total_weight_ppm"])
+        for r in sample_importance_softdedup(spark, SF_SMOKE).collect()
+    }
+
+    by_text = Counter(t for _, t, _ in _docs())
+    per_source = defaultdict(lambda: [0, set(), 0])
+    for _, text, source in _docs():
+        st = per_source[source]
+        st[0] += 1
+        st[1].add(text)
+        st[2] += math.floor(1000000.0 / by_text[text])
+    want = {s: (n, len(c), w) for s, (n, c, w) in per_source.items()}
+    assert got == want
+
+
+def test_perplexity_bucket_matches_bruteforce(spark):
+    """Operator buckets via ntile; reference computes surprisal sums and
+    SQL-ntile sizing (first n%b buckets take the extra row) in Python."""
+    from dataframe_expressions_spark.operators.tier8 import (
+        _PPL_BUCKETS,
+        text_perplexity_bucket,
+    )
+
+    got = {
+        r["bucket"]: (r["n_docs"], r["n_tokens"], r["sum_surprisal"])
+        for r in text_perplexity_bucket(spark, SF_SMOKE).collect()
+    }
+
+    toks = {d: t.split() for d, t, _ in _docs()}
+    toks = {d: tk for d, tk in toks.items() if tk}
+    vocab = Counter(t for tk in toks.values() for t in tk)
+    total = sum(vocab.values())
+    srp = {t: round(math.log(total) - math.log(n), 6) for t, n in vocab.items()}
+    docs = []
+    for d, tk in toks.items():
+        s = round(sum(srp[t] for t in tk), 6)  # decimal fold is exact
+        docs.append((s / len(tk), d, len(tk), s))
+    docs.sort(key=lambda x: (x[0], x[1]))
+    n, b = len(docs), _PPL_BUCKETS
+    base, extra = divmod(n, b)
+    want, i = {}, 0
+    for bucket in range(1, b + 1):
+        size = base + (1 if bucket <= extra else 0)
+        chunk = docs[i : i + size]
+        i += size
+        want[bucket] = (
+            len(chunk),
+            sum(c[2] for c in chunk),
+            round(sum(c[3] for c in chunk), 6),
+        )
+    assert set(got) == set(want)
+    for bucket in want:
+        g, w = got[bucket], want[bucket]
+        assert g[0] == w[0] and g[1] == w[1], (bucket, g, w)
+        assert abs(g[2] - w[2]) < 1e-6, (bucket, g, w)
+
+
+def test_funnel_time_bounded_matches_bruteforce(spark):
+    """Operator anchors stages via joins; reference walks each user's
+    event list in Python."""
+    from dataframe_expressions_spark.operators.tier8 import (
+        _FUNNEL_WINDOW_US,
+        funnel_time_bounded,
+    )
+
+    row = funnel_time_bounded(spark, SF_SMOKE).collect()[0]
+
+    con = duckdb.connect()
+    evs = con.execute(
+        f"""
+        SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM '{SF_SMOKE}/events.parquet'
+        """
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, et, us in evs:
+        by_user[u].append((et, us))
+    n_view = n_click = n_purch = lat_vc = lat_cp = 0
+    for u, es in by_user.items():
+        views = [us for et, us in es if et == "view"]
+        if not views:
+            continue
+        n_view += 1
+        t1 = min(views)
+        clicks = [
+            us
+            for et, us in es
+            if et == "click" and t1 <= us <= t1 + _FUNNEL_WINDOW_US
+        ]
+        if not clicks:
+            continue
+        n_click += 1
+        t2 = min(clicks)
+        lat_vc += t2 - t1
+        purchases = [
+            us
+            for et, us in es
+            if et == "purchase" and t2 <= us <= t2 + _FUNNEL_WINDOW_US
+        ]
+        if not purchases:
+            continue
+        n_purch += 1
+        lat_cp += min(purchases) - t2
+    assert row["n_view"] == n_view
+    assert row["n_click"] == n_click
+    assert row["n_purchase"] == n_purch
+    assert row["click_rate"] == round(n_click / n_view, 6)
+    assert row["avg_view_to_click_s"] == round(lat_vc / n_click / 1e6, 6)
+
+
+def test_line_dedup_matches_bruteforce(spark):
+    """Operator drops boilerplate via fingerprint rollups; reference
+    chunks and counts with raw CHUNK STRINGS as the identity."""
+    from dataframe_expressions_spark.operators.tier8 import (
+        _LINE_CHUNK,
+        _LINE_MIN_DOCS,
+        text_line_dedup,
+    )
+
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_chunks"],
+            r["n_dropped"],
+            r["tokens_kept"],
+        )
+        for r in text_line_dedup(spark, SF_SMOKE).collect()
+    }
+
+    chunk_docs = defaultdict(set)
+    rows = []
+    for d, text, source in _docs():
+        tk = text.split()
+        for i in range(0, len(tk), _LINE_CHUNK):
+            chunk = " ".join(tk[i : i + _LINE_CHUNK])
+            chunk_docs[chunk].add(d)
+            rows.append((source, d, chunk, len(tk[i : i + _LINE_CHUNK])))
+    common = {c for c, ds in chunk_docs.items() if len(ds) >= _LINE_MIN_DOCS}
+    per_source = defaultdict(lambda: [set(), 0, 0, 0])
+    for source, d, chunk, cnt in rows:
+        st = per_source[source]
+        st[0].add(d)
+        st[1] += 1
+        if chunk in common:
+            st[2] += 1
+        else:
+            st[3] += cnt
+    # n_docs counts ALL docs of the source (empty ones too)
+    all_docs = Counter(s for _, _, s in _docs())
+    want = {
+        s: (all_docs[s], st[1], st[2], st[3]) for s, st in per_source.items()
+    }
+    assert got == want
