@@ -115,6 +115,9 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "udtf_sentence_split",
         "mapinarrow_token_stats",
         "text_quality_model",  # broadcast-weight Arrow scorer — MapInArrow by design
+        "rank_mmr",  # greedy MMR over the 20-row pre-rounded pool — one
+        # FlatMapGroupsInPandas group by design (the sequential argmax
+        # chain is inherently iterative; all heavy work is JVM-side)
     }
     for qid, q in load_all().items():
         if "stream" in qid or qid in ("sink_partitioned", "scan_orc",
