@@ -80,6 +80,16 @@ def query(qid: str, oracle: Optional[str] = None):
 # were displaced back out as tier-8 additions landed (zero evidence
 # beats a stale-but-green re-check, enforced by
 # test_window_fronts_zero_evidence_ids).
+#
+# ROUND-8 WINDOW (plan — DERIVE it programmatically from the committed
+# CORRECTNESS_r0*.json files like the fronting test does; do not trust
+# this comment's arithmetic).  If CORRECTNESS_r07 comes back 50/50, the
+# remaining backlog is: the 7 displaced r2-vintage ids (text_lang_id,
+# text_ngram_freq, text_quality, text_token_bpe, unpivot_long,
+# window_ntile_pct, window_range_frame — front these after any round-8
+# additions), then the 48-id r3 block (alphabetical from agg_freq_items).
+# Every id outside the window stays guarded by the full pytest parity
+# tier at sf0.001 plus the window test at sf0.01.
 # Everything outside the window stays guarded by
 # tests/test_oracle_parity.py, which checks ALL entries against DuckDB
 # (value-exact + driver-identical CSV hash) on every pytest run.
