@@ -294,3 +294,88 @@ def test_line_dedup_matches_bruteforce(spark):
         s: (all_docs[s], st[1], st[2], st[3]) for s, st in per_source.items()
     }
     assert got == want
+
+
+def test_xi_correlation_matches_bruteforce(spark):
+    """Operator builds ranks via two window passes; reference sorts each
+    priority group twice in Python and walks the rank sequence."""
+    from dataframe_expressions_spark.operators.tier8 import (
+        stats_xi_correlation,
+    )
+
+    got = {
+        r["grp"]: (r["n"], r["sdiff"], r["xi"])
+        for r in stats_xi_correlation(spark, SF_SMOKE).collect()
+    }
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT o_orderpriority, o_orderkey,
+               datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)),
+               o_totalprice
+        FROM '{SF_SMOKE}/orders.parquet'
+        """
+    ).fetchall()
+    groups = defaultdict(list)
+    for grp, ok, xd, y in rows:
+        groups[grp].append((ok, xd, y))
+    want = {}
+    for grp, g in groups.items():
+        # y-rank with (y, orderkey) tie-break
+        by_y = sorted(g, key=lambda t: (t[2], t[0]))
+        rank = {t[0]: i + 1 for i, t in enumerate(by_y)}
+        # walk in (x, orderkey) order
+        by_x = sorted(g, key=lambda t: (t[1], t[0]))
+        seq = [rank[t[0]] for t in by_x]
+        sdiff = sum(abs(b - a) for a, b in zip(seq, seq[1:]))
+        n = len(g)
+        want[grp] = (n, sdiff, round(1.0 - 3.0 * sdiff / (float(n) * n - 1), 6))
+    assert got == want
+
+
+def test_temporal_split_matches_bruteforce(spark):
+    """Operator folds via one conditional-aggregate pass; reference
+    filters the day list per fold in Python."""
+    from dataframe_expressions_spark.operators.tier8 import (
+        _TS_EMBARGO_DAYS,
+        _TS_FOLDS,
+        data_temporal_split,
+    )
+
+    got = {
+        r["fold"]: (
+            r["train_end"], r["test_start"], r["test_end"],
+            r["train_n"], r["test_n"], r["embargoed_n"],
+            r["max_train_day"], r["min_test_day"],
+        )
+        for r in data_temporal_split(spark, SF_SMOKE).collect()
+    }
+
+    con = duckdb.connect()
+    days = [
+        d
+        for (d,) in con.execute(
+            "SELECT datediff('day', DATE '1995-01-01', "
+            f"CAST(o_orderdate AS DATE)) FROM '{SF_SMOKE}/orders.parquet'"
+        ).fetchall()
+    ]
+    d0, d1 = min(days), max(days)
+    seg = (d1 - d0) // (_TS_FOLDS + 1)
+    want = {}
+    for fold in range(1, _TS_FOLDS + 1):
+        te = d0 + fold * seg
+        ts_ = te + _TS_EMBARGO_DAYS
+        tend = d0 + (fold + 1) * seg
+        train = [d for d in days if d < te]
+        test = [d for d in days if ts_ <= d < tend]
+        emb = [d for d in days if te <= d < ts_]
+        want[fold] = (
+            te, ts_, tend, len(train), len(test), len(emb),
+            max(train) if train else None,
+            min(test) if test else None,
+        )
+        # protocol invariant: the embargo actually held
+        if train and test:
+            assert min(test) - max(train) >= _TS_EMBARGO_DAYS
+    assert got == want
