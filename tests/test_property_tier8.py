@@ -379,3 +379,94 @@ def test_temporal_split_matches_bruteforce(spark):
         if train and test:
             assert min(test) - max(train) >= _TS_EMBARGO_DAYS
     assert got == want
+
+
+def test_bootstrap_ci_matches_bruteforce(spark):
+    """Operator folds Poisson weights via conditional aggregates;
+    reference recomputes the LCG weights and replicate means row by row
+    in Python (exact ints + Decimal sums)."""
+    from decimal import Decimal
+
+    from dataframe_expressions_spark.operators.tier8 import (
+        _BOOT_B,
+        _POIS_CDF,
+        stats_bootstrap_ci,
+    )
+
+    row = stats_bootstrap_ci(spark, SF_SMOKE).collect()[0]
+
+    con = duckdb.connect()
+    data = con.execute(
+        "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,6)) "
+        f"FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchall()
+    cdf = [float(t) for t in _POIS_CDF]
+    means = []
+    for b in range(_BOOT_B):
+        sw, swx = 0, Decimal(0)
+        for ok, x in data:
+            u = (((ok * _BOOT_B + b) % 2147483647) * 1103515245 + 12345) \
+                % 2147483647 / 2147483647.0
+            wt = 5
+            for k, t in enumerate(cdf):
+                if u < t:
+                    wt = k
+                    break
+            sw += wt
+            swx += wt * x
+        means.append((round(float(swx) / float(sw), 6), b))
+    means.sort()
+    ms = [m for m, _ in means]
+    assert row["n_rows"] == len(data)
+    assert row["n_reps"] == _BOOT_B
+    assert abs(row["ci_lo"] - ms[1]) < 1e-9
+    assert abs(row["ci_hi"] - ms[_BOOT_B - 2]) < 1e-9
+    sm = sum(Decimal(str(m)) for m in ms)
+    sm2 = sum(Decimal(str(m)) * Decimal(str(m)) for m in ms)
+    se = math.sqrt(
+        (_BOOT_B * float(sm2) - float(sm) * float(sm))
+        / (_BOOT_B * (_BOOT_B - 1))
+    )
+    assert abs(row["boot_se"] - round(se, 6)) < 2e-6
+    point = sum(x for _, x in data)
+    assert abs(row["point_est"] - round(float(point) / len(data), 6)) < 1e-9
+
+
+def test_seasonal_decompose_matches_bruteforce(spark):
+    """Operator decomposes via windows; reference walks the daily series
+    in Python (list-slice moving average, dict-of-dow means)."""
+    import datetime as dt
+
+    from dataframe_expressions_spark.operators.tier8 import (
+        _MONDAY_EPOCH,
+        stats_seasonal_decompose,
+    )
+
+    got = {
+        r["dow"]: (r["n_obs"], r["seasonal_idx"])
+        for r in stats_seasonal_decompose(spark, SF_SMOKE).collect()
+    }
+
+    con = duckdb.connect()
+    daily = con.execute(
+        "SELECT CAST(ts AS DATE) AS day, count(*) FROM "
+        f"'{SF_SMOKE}/events.parquet' GROUP BY 1 ORDER BY day"
+    ).fetchall()
+    anchor = dt.date.fromisoformat(_MONDAY_EPOCH)
+    xs = [x for _, x in daily]
+    by_dow = defaultdict(list)
+    for i, (day, x) in enumerate(daily):
+        lo, hi = i - 3, i + 4
+        if lo < 0 or hi > len(daily):
+            continue
+        trend = sum(xs[lo:hi]) / 7.0
+        dow = ((day - anchor).days % 7 + 7) % 7
+        by_dow[dow].append(round(x - trend, 6))
+    raw = {
+        dow: (len(v), round(sum(v) / len(v), 6)) for dow, v in by_dow.items()
+    }
+    g = round(sum(s for _, s in raw.values()) / 7.0, 6)
+    assert set(got) == set(raw)
+    for dow, (n, s) in raw.items():
+        assert got[dow][0] == n
+        assert abs(got[dow][1] - round(s - g, 6)) < 2e-6, (dow, got[dow], s, g)
