@@ -71,23 +71,24 @@ def query(qid: str, oracle: Optional[str] = None):
 # block is r2" undercount: the 4 late round-6 additions displaced
 # bool_ops/arith_ops/math_funcs/count_agg back to r1 vintage (their
 # evidence predates two testdata regenerations), so they refresh FIRST.
-# Composition: slots 1-18 the round-7 additions (zero evidence — the 4
+# Composition: slots 1-21 the round-7 additions (zero evidence — the 4
 # early-round ids, then tier-8 batch A statistics/splits, batch B
 # ranking/dedup/whitening/funnel, batch C bucketing/softdedup/graph/
-# cluster-stats), slots 19-22 the 4 r1-vintage ids, slots 23-50 the
-# alphabetical head (28 of 35) of the r2 block — the r2 tail
-# (text_lang_id … window_range_frame, unpivot_long) and the r3 head
-# were displaced back out as tier-8 additions landed (zero evidence
-# beats a stale-but-green re-check, enforced by
+# cluster-stats, batch D epoch-shuffle/IVF-balance/Theil–Sen), slots
+# 22-25 the 4 r1-vintage ids, slots 26-50 the alphabetical head (25 of
+# 35) of the r2 block — the r2 tail (sim_search_lsh … window_range_frame)
+# and the r3 head were displaced back out as tier-8 additions landed
+# (zero evidence beats a stale-but-green re-check, enforced by
 # test_window_fronts_zero_evidence_ids).
 #
 # ROUND-8 WINDOW (plan — DERIVE it programmatically from the committed
 # CORRECTNESS_r0*.json files like the fronting test does; do not trust
 # this comment's arithmetic).  If CORRECTNESS_r07 comes back 50/50, the
-# remaining backlog is: the 7 displaced r2-vintage ids (text_lang_id,
-# text_ngram_freq, text_quality, text_token_bpe, unpivot_long,
-# window_ntile_pct, window_range_frame — front these after any round-8
-# additions), then the 48-id r3 block (alphabetical from agg_freq_items).
+# remaining backlog is: the 10 displaced r2-vintage ids (sim_search_lsh,
+# sink_partitioned, sql_interface, text_lang_id, text_ngram_freq,
+# text_quality, text_token_bpe, unpivot_long, window_ntile_pct,
+# window_range_frame — front these after any round-8 additions), then
+# the 48-id r3 block (alphabetical from agg_freq_items).
 # Every id outside the window stays guarded by the full pytest parity
 # tier at sf0.001 plus the window test at sf0.01.
 # Everything outside the window stays guarded by
@@ -113,6 +114,9 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "sample_importance_softdedup",
     "graph_common_neighbors",
     "dq_duplicate_cluster_stats",
+    "data_epoch_shuffle",
+    "emb_ivf_balance_audit",
+    "stats_theil_sen_trend",
     # -- r1 vintage (evidence predates two testdata regenerations)
     "arith_ops",
     "bool_ops",
@@ -144,9 +148,6 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "scan_json",
     "scan_orc",
     "sim_search_ivf",
-    "sim_search_lsh",
-    "sink_partitioned",
-    "sql_interface",
 )
 
 

@@ -1849,3 +1849,269 @@ def dq_duplicate_cluster_stats(spark: SparkSession, sf_dir: str) -> SDF:
         .cast("long")
         .alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-epoch training shuffle (shard + order assignment)
+# ---------------------------------------------------------------------------
+
+_EPOCHS = 3
+_SHARDS = 8
+_SHUF_MOD = 2147483647  # 2^31 - 1, the portable-LCG modulus
+
+
+@query(
+    "data_epoch_shuffle",
+    f"""
+    WITH ep AS (SELECT CAST(range AS BIGINT) + 1 AS epoch
+                FROM range({_EPOCHS})),
+    keyed AS (SELECT ep.epoch, d.doc_id, d.n_chars,
+                     CAST((((d.doc_id * {_EPOCHS} + ep.epoch)
+                            % {_SHUF_MOD}) * 1103515245 + 12345)
+                          % {_SHUF_MOD} AS BIGINT) AS pos
+              FROM documents d CROSS JOIN ep)
+    SELECT epoch,
+           CAST(pos % {_SHARDS} AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT pos) AS BIGINT) AS n_distinct_pos,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(min(pos) AS BIGINT) AS first_pos
+    FROM keyed GROUP BY epoch, pos % {_SHARDS}
+    """,
+)
+def data_epoch_shuffle(spark: SparkSession, sf_dir: str) -> SDF:
+    """DETERMINISTIC PER-EPOCH TRAINING SHUFFLE: every training epoch
+    needs a different global read order and a balanced shard assignment
+    WITHOUT materializing a permuted copy of the corpus — the standard
+    trick is a keyed pseudo-random sort key per (sample, epoch).  Each
+    doc gets pos = LCG(doc_id, epoch) (the repo's portable LCG, exactly
+    mirrorable), shard = pos mod 8; readers stream each shard in pos
+    order.  The report is the shard-balance + collision audit a data
+    loader ships per epoch: docs and payload bytes per shard (balance),
+    distinct positions vs docs (ordering-collision rate), and the
+    shard's first position (a spot-checkable order witness).
+
+    Determinism: the LCG key is reduced mod 2^31−1 before the multiply
+    (the stats_bootstrap_ci discipline) so arithmetic stays inside
+    BIGINT at any doc_id scale; every output column is an exact BIGINT.
+
+    Scale: the ×epochs expansion is map-side (explode of a 3-element
+    literal sequence) and collapses into per-task partials — one
+    shuffle to epochs×shards = 24 groups; nothing resembling a
+    row-level permutation materialization ever happens (that is the
+    point of the operator)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(1), F.lit(_EPOCHS))).alias("epoch"),
+    ).select(
+        "epoch",
+        "n_chars",
+        (
+            (
+                ((F.col("doc_id") * _EPOCHS + F.col("epoch")) % _SHUF_MOD)
+                * 1103515245
+                + 12345
+            )
+            % _SHUF_MOD
+        )
+        .cast("long")
+        .alias("pos"),
+    )
+    return keyed.groupBy(
+        "epoch", (F.col("pos") % _SHARDS).cast("long").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("pos").cast("long").alias("n_distinct_pos"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF cell balance audit
+# ---------------------------------------------------------------------------
+
+_IVF_COS8 = (
+    "list_inner_product({l}, {r}) / "
+    "(sqrt(list_inner_product({l}, {l})) * sqrt(list_inner_product({r}, {r})))"
+)
+
+
+@query(
+    "emb_ivf_balance_audit",
+    f"""
+    WITH e0 AS (SELECT vec_id AS vid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+    e AS (SELECT * FROM e0 WHERE list_inner_product(v, v) > 0),
+    cent0 AS (
+      SELECT CAST(label AS BIGINT) AS cell, list(c ORDER BY pos) AS cvec
+      FROM (
+        SELECT label, pos,
+               round(CAST(sum(CAST(CAST(ev AS DOUBLE) AS DECIMAL(38,12)))
+                     AS DOUBLE) / count(*), 6) AS c
+        FROM (SELECT label, unnest(embedding) AS ev,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings)
+        GROUP BY label, pos) GROUP BY label),
+    cent AS (SELECT * FROM cent0 WHERE list_inner_product(cvec, cvec) > 0),
+    assigned AS (
+      SELECT vid, cell FROM (
+        SELECT e.vid, c.cell,
+               row_number() OVER (PARTITION BY e.vid
+                   ORDER BY {_IVF_COS8.format(l='e.v', r='c.cvec')} DESC,
+                            c.cell) AS crk
+        FROM e CROSS JOIN cent c) WHERE crk = 1),
+    sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+           FROM assigned GROUP BY cell),
+    tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM sz)
+    SELECT sz.cell, sz.n_vectors,
+           round(CAST(sz.n_vectors AS DOUBLE) / tot.n, 6) AS pct,
+           round(CAST(sz.n_vectors AS DOUBLE) * tot.k / tot.n, 6)
+             AS balance_factor
+    FROM sz CROSS JOIN tot
+    """,
+)
+def emb_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> SDF:
+    """IVF CELL BALANCE AUDIT — the third leg of the ANN observability
+    family (recall_audit prices recall, matryoshka_audit prices
+    truncation; this prices PARTITION SKEW): assign the corpus to the
+    same centroid cells sim_search_ivf probes and report each cell's
+    size, share, and balance factor (size ÷ ideal-uniform size).  A
+    cell with balance 4.0 makes every probe touching it 4× the ideal
+    cost — the number that decides when to re-train or split centroids.
+
+    Determinism: the assignment is sim_search_ivf's exact argmax
+    (round-6dp centroids, csim desc / cell tie-break); counts are exact
+    BIGINTs; pct/balance are single IEEE divisions of exact ints.
+
+    Scale: centroid assignment is the broadcast scored map stage
+    (ivf_assign — no corpus shuffle); the size rollup is one shuffle to
+    |cells| groups; the totals frame is |cells| rows crossed back.  The
+    probe-cost interpretation is direct: expected probe work =
+    Σ pct·size = (n/k)·Σ balance²/k."""
+    from ..functions import dedup as D
+    from ..functions import similarity as S
+    from .tier3 import emb_centroid
+
+    emb = D.spread(load_table(spark, sf_dir, "embeddings"))
+    cent = (
+        emb_centroid(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").cast("long").alias("cell"),
+            F.transform("pc", lambda x: x["c"]).alias("cvec"),
+        )
+    )
+    e = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("vvec"),
+    )
+    assigned = S.ivf_assign(e, cent)
+    sz = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    tot = sz.agg(
+        F.sum("n_vectors").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return sz.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vectors",
+        F.round(F.col("n_vectors").cast("double") / F.col("n"), 6).alias(
+            "pct"
+        ),
+        F.round(
+            F.col("n_vectors").cast("double") * F.col("k") / F.col("n"), 6
+        ).alias("balance_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend over the daily event series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_theil_sen_trend",
+    """
+    WITH daily AS (SELECT CAST(datediff('day', DATE '1995-01-01',
+                                        CAST(ts AS DATE)) AS BIGINT) AS d,
+                          CAST(count(*) AS BIGINT) AS x
+                   FROM events GROUP BY 1),
+    pr AS (SELECT a.d AS di, b.d AS dj,
+                  (CAST(b.x AS DOUBLE) - a.x) / (b.d - a.d) AS slope
+           FROM daily a JOIN daily b ON a.d < b.d),
+    rs AS (SELECT slope,
+                  row_number() OVER (ORDER BY slope, di, dj) AS rn,
+                  count(*) OVER () AS np
+           FROM pr),
+    med AS (SELECT round(avg(slope), 6) AS slope,
+                   CAST(max(np) AS BIGINT) AS n_pairs
+            FROM rs WHERE rn IN ((np + 1) // 2, (np + 2) // 2))
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           n_pairs, slope
+    FROM med
+    """,
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> SDF:
+    """THEIL–SEN robust trend estimator over the daily event-count
+    series: the median of all pairwise slopes (x_j−x_i)/(d_j−d_i) — the
+    outlier-resistant alternative to OLS slope (breakdown point ~29%),
+    the standard trend number for noisy operational series (the
+    magnitude companion to stats_trend_mann_kendall's direction test,
+    which ranks the same pairs but only signs them).
+
+    Determinism: each slope is ONE IEEE division of exact BIGINTs —
+    identical doubles on both engines; the median is an order-statistic
+    selection (ties broken by the (di, dj) pair identity), averaging
+    the two middle ranks for even counts; only the final median is
+    rounded.
+
+    Scale: the pairwise join runs on the DAILY AGGREGATE (one row per
+    calendar day — the only data-sized shuffle is the daily rollup), so
+    n(n−1)/2 pairs of a years-long series is ~1e6 rows, trivially
+    parallel; the global rank selection is a window over that same
+    aggregate-sized frame.  Theil–Sen over raw events would be
+    quadratic in the corpus — the aggregate-first shape is the point."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    b = daily.select(F.col("d").alias("dj"), F.col("x").alias("xj"))
+    pr = daily.join(b, F.col("d") < F.col("dj")).select(
+        F.col("d").alias("di"),
+        "dj",
+        ((F.col("xj").cast("double") - F.col("x")) / (F.col("dj") - F.col("d")))
+        .alias("slope"),
+    )
+    rs = pr.select(
+        "slope",
+        F.row_number().over(W.orderBy("slope", "di", "dj")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("np"),
+    )
+    # floor-divide like the oracle's `//`: plain `/` is a DOUBLE divide
+    # in Spark, and for an even pair count (np+1)/2 = k.5 matches no
+    # integer rank — both middle ranks must qualify
+    med = rs.where(
+        (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return n_days.crossJoin(
+        F.broadcast(
+            med.agg(
+                F.round(F.avg("slope"), 6).alias("slope"),
+                F.max("np").cast("long").alias("n_pairs"),
+            )
+        )
+    ).select("n_days", "n_pairs", "slope")

@@ -76,6 +76,10 @@ _QIDS = (
     "emb_whitening",
     "rank_mmr",
     "rank_ndcg_audit",
+    # round-7 batch D: IVF balance — the zero vector drops from the
+    # assignment on both engines, zero-norm centroids drop from the
+    # cell set, and labels that lose every vector vanish from the audit
+    "emb_ivf_balance_audit",
 )
 
 

@@ -90,6 +90,10 @@ _QIDS = (
     # click-only and purchase-free users (empty stage sides → NULL
     # latency averages via nullif on both engines)
     "funnel_time_bounded",
+    # round-7 batch D: Theil–Sen — same-instant events collapse to one
+    # day bucket (single-day groups yield zero pairs on both engines if
+    # the series degenerates); integer day deltas keep slopes exact
+    "stats_theil_sen_trend",
 )
 
 

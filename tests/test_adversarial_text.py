@@ -102,6 +102,10 @@ _QIDS = (
     "text_perplexity_bucket",
     "sample_importance_softdedup",
     "dq_duplicate_cluster_stats",
+    # round-7 batch D: epoch shuffle — tiny corpus over 8 shards leaves
+    # EMPTY shards on both engines (absent groups, not zero rows), and
+    # the LCG must stay exact on small doc_ids
+    "data_epoch_shuffle",
 )
 
 
