@@ -82,9 +82,7 @@ def _pois_weight_sql(u: str) -> str:
                FROM means),
     spread AS (SELECT CAST(sum(CAST(m AS DECIMAL(38,6))) AS DECIMAL(38,6))
                         AS sm,
-                      CAST(sum(CAST(m AS DECIMAL(38,6))
-                               * CAST(m AS DECIMAL(38,6)))
-                           AS DECIMAL(38,12)) AS sm2
+                      sum(CAST(round(m * m, 6) AS DECIMAL(38,6))) AS sm2
                FROM means),
     pt AS (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
                              AS DOUBLE) / count(*), 6) AS est,
@@ -160,13 +158,20 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> SDF:
     hi = ranked.where(F.col("rn") == _BOOT_B - 1).select(
         F.col("m").alias("ci_hi")
     )
+    # sm2 folds round(m*m, 6) as a double cast to DECIMAL(38,6) — the
+    # round-then-DECIMAL-fold pattern from emb_whitening.  A raw
+    # DECIMAL(38,6)*DECIMAL(38,6) product is the documented cross-engine
+    # scale-clamp hazard: Spark clamps the product back to scale 6 (the
+    # 77-digit ideal precision exceeds 38), DuckDB keeps scale 12, so
+    # bit-identical parity of boot_se held only probabilistically (the
+    # divergence sat below the 6dp rounding).  Rounding the IEEE double
+    # product to 6dp BEFORE the decimal cast makes both engines fold the
+    # exact same decimals by construction (r7 ADVICE).
     spread = means.agg(
         F.sum(F.col("m").cast("decimal(38,6)")).alias("sm"),
-        F.sum(
-            F.col("m").cast("decimal(38,6)") * F.col("m").cast("decimal(38,6)")
-        )
-        .cast("decimal(38,12)")
-        .alias("sm2"),
+        F.sum(F.round(F.col("m") * F.col("m"), 6).cast("decimal(38,6)")).alias(
+            "sm2"
+        ),
     )
     pt = o.agg(
         F.round(
@@ -222,14 +227,16 @@ _MONDAY_EPOCH = "1995-01-02"
                   ((CAST(datediff('day', DATE '{_MONDAY_EPOCH}', day)
                          AS BIGINT) % 7) + 7) % 7 AS dow,
                   CAST(sum(x) OVER w7 AS BIGINT) AS s7,
-                  CAST(count(*) OVER w7 AS BIGINT) AS n7
+                  CAST(count(*) OVER w7 AS BIGINT) AS n7,
+                  CAST(datediff('day', min(day) OVER w7, max(day) OVER w7)
+                       AS BIGINT) AS span7
            FROM daily
            WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
                          AND 3 FOLLOWING)),
     det AS (SELECT dow,
                    CAST(round(x - CAST(s7 AS DOUBLE) / 7, 6)
                         AS DECIMAL(38,6)) AS d
-            FROM tr WHERE n7 = 7),
+            FROM tr WHERE n7 = 7 AND span7 = 6),
     raw AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_obs,
                    round(CAST(sum(d) AS DOUBLE) / count(*), 6) AS s_raw
             FROM det GROUP BY dow),
@@ -283,8 +290,17 @@ def stats_seasonal_decompose(spark: SparkSession, sf_dir: str) -> SDF:
         ).alias("dow"),
         F.sum("x").over(w7).cast("long").alias("s7"),
         F.count("*").over(w7).cast("long").alias("n7"),
+        F.datediff(F.max("day").over(w7), F.min("day").over(w7))
+        .cast("long")
+        .alias("span7"),
     )
-    det = tr.where(F.col("n7") == 7).select(
+    # n7 = 7 counts ROWS of the daily aggregate; on a sparse series a
+    # calendar gap would silently widen the 7-row span beyond 7 days, so
+    # the trend also requires the window's calendar span to be exactly 6
+    # days (r7 ADVICE: the old rows-only gate made the docstring's "full
+    # 7 days" claim inaccurate for sparse series).  On a dense daily
+    # series both gates are equivalent.
+    det = tr.where((F.col("n7") == 7) & (F.col("span7") == 6)).select(
         "dow",
         F.round(F.col("x") - F.col("s7").cast("double") / 7, 6)
         .cast("decimal(38,6)")
@@ -822,25 +838,30 @@ def rank_mmr(spark: SparkSession, sf_dir: str) -> SDF:
         "rel",
         F.row_number().over(W.orderBy(F.desc("rel"), F.asc("vid"))).alias("prk"),
     ).where(F.col("prk") <= _MMR_POOL)
-    a = pool.select(
-        F.col("vid").alias("av"), F.col("v").alias("va"), F.col("rel")
-    )
+    a = pool.select(F.col("vid").alias("av"), F.col("v").alias("va"))
     b = pool.select(F.col("vid").alias("bv"), F.col("v").alias("vb"))
+    sims = a.join(b, F.col("av") != F.col("bv")).select(
+        "av",
+        "bv",
+        F.round(
+            S.dot(F.col("va"), F.col("vb"))
+            / (
+                F.sqrt(S.dot(F.col("va"), F.col("va")))
+                * F.sqrt(S.dot(F.col("vb"), F.col("vb")))
+            ),
+            4,
+        ).alias("sim"),
+    )
+    # The grouped map is fed from the POOL (left-joined onto the pairwise
+    # sims), never from the self-join alone: a pool of exactly one
+    # candidate produces zero (av != bv) pairs, and a pairs-only feed
+    # would emit zero rows while the oracle's sel1 still selects that
+    # lone candidate (r7 ADVICE — latent parity divergence on degenerate
+    # corpora; covered by the single-candidate fixture in
+    # tests/test_adversarial_fixtures.py).
     pairs = (
-        a.join(b, F.col("av") != F.col("bv"))
-        .select(
-            "av",
-            "bv",
-            "rel",
-            F.round(
-                S.dot(F.col("va"), F.col("vb"))
-                / (
-                    F.sqrt(S.dot(F.col("va"), F.col("va")))
-                    * F.sqrt(S.dot(F.col("vb"), F.col("vb")))
-                ),
-                4,
-            ).alias("sim"),
-        )
+        pool.select(F.col("vid").alias("av"), "rel")
+        .join(sims, "av", "left")
         .withColumn("g", F.lit(1))
     )
 
@@ -852,7 +873,11 @@ def rank_mmr(spark: SparkSession, sf_dir: str) -> SDF:
         sim = {}
         for r in pdf.itertuples(index=False):
             rel[int(r.av)] = float(r.rel)
-            sim[(int(r.av), int(r.bv))] = float(r.sim)
+            # left-join feed: a single-candidate pool has a null bv/sim
+            # placeholder row (no pairs exist) — it registers the
+            # candidate's rel and contributes no similarity edge
+            if r.bv is not None and not pd.isna(r.bv):
+                sim[(int(r.av), int(r.bv))] = float(r.sim)
         selected: list[int] = []
         out = []
         remaining = set(rel)

@@ -123,3 +123,55 @@ def test_embedding_ops_survive_adversarial_input(spark, adv_emb_dir):
         if err:
             failures[qid] = err
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def single_candidate_dir(tmp_path_factory):
+    """Degenerate corpus for the MMR pool-of-one edge (round-8, r7
+    ADVICE): query vec 0 plus exactly ONE other nonzero vector — the
+    pairwise (av != bv) self-join is empty, so a pairs-only grouped-map
+    feed would emit zero rows while the oracle's sel1 still selects the
+    lone candidate.  Zero vectors pad the corpus so the norm gate does
+    real work."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("adv_emb_one")
+    vecs = [
+        [1.0] + [0.0] * (_DIM - 1),          # query (vec_id 0)
+        [0.5, 0.5] + [0.0] * (_DIM - 2),     # the lone candidate
+        [0.0] * _DIM,                        # zero vectors: dropped by
+        [0.0] * _DIM,                        # the n2 > 0 gate
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_rank_mmr_single_candidate_pool(spark, single_candidate_dir):
+    import duckdb
+
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    qs = load_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{single_candidate_dir}/embeddings.parquet')"
+    )
+    err = oc.run_one("rank_mmr", spark, con, single_candidate_dir)
+    assert not err, err
+    # parity alone could hide a both-engines-empty bug: the lone
+    # candidate must actually be selected at rank 1 with max_sim_sel 0
+    rows = qs["rank_mmr"].fn(spark, single_candidate_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["rk"] == 1 and rows[0]["vid"] == 1
+    assert rows[0]["max_sim_sel"] == 0.0

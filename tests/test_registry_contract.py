@@ -104,3 +104,20 @@ def test_window_fronts_zero_evidence_ids():
         f"{len(outside)} registered ids have no driver row and no window "
         f"slot: {outside} — front them in DRIVER_WINDOW_PRIORITY"
     )
+
+
+def test_readme_operator_count_matches_registry():
+    """README's "N oracle-checked operators" line is derived from the
+    registry, not hand-maintained (round-7 ADVICE: the hand-written 255
+    survived a round after the registry reached 258)."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "README.md")) as fh:
+        m = re.search(r"(\d+) oracle-checked operators", fh.read())
+    assert m, "README.md lost its operator-count line"
+    assert int(m.group(1)) == len(load_all()), (
+        f"README says {m.group(1)} operators, registry has "
+        f"{len(load_all())} — update README.md"
+    )
