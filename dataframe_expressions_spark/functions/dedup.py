@@ -247,6 +247,61 @@ def minhash_near_dup_pairs(
     )
 
 
+def minhash_pairs_cached(
+    spark,
+    sf_dir: str,
+    threshold: float = 0.5,
+    n_hashes: int = 32,
+) -> DataFrame:
+    """Write-once materialization of the verified MinHash near-dup pair
+    table over the full ``documents`` table — the compute-once/audit-many
+    shape every downstream consumer wants: the pair pipeline (shingle →
+    minhash → band → verify) ran four times per bench round because
+    dedup_near_minhash, dedup_minhash_audit, dq_split_leakage,
+    dq_duplicate_cluster_stats and dedup_components each rebuilt it from
+    scratch (~40 s of the round-7 bench; r7 VERDICT item 1).  At 100 TB
+    this IS the production layout: the dedup pass writes its verified
+    pair list once and every audit/split/components job scans that
+    parquet shuffle-free instead of re-sketching the corpus.
+
+    Keyed like the other write-once stores (sources/tables.py
+    ``_materialize`` / tier7's incremental-signature store): sf key +
+    (threshold, n_hashes) + a version tag + the mtime/size fingerprint of
+    documents.parquet, so a driver testdata regeneration invalidates the
+    cache; stale fingerprints' stores and dead ``.tmp{pid}`` build dirs
+    are swept on every call; the build lands pid-suffixed and is renamed
+    into place so concurrent first-callers don't corrupt each other.
+    Contents are deterministic (the whole pipeline is), so any caller may
+    build."""
+    import os
+    import shutil
+
+    from ..sources.tables import (
+        load_table,
+        source_fingerprint,
+        sweep_stale_store_dirs,
+    )
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    tt = repr(threshold).replace(".", "p")
+    prefix = f"spark_graft_mhpairs_{key}_t{tt}_h{n_hashes}_v1_"
+    out = f"/tmp/{prefix}{source_fingerprint(sf_dir, tables=('documents',))}"
+    sweep_stale_store_dirs("/tmp", prefix, out)
+    if not os.path.exists(out):
+        docs = load_table(spark, sf_dir, "documents")
+        tmp = f"{out}.tmp{os.getpid()}"
+        # the pair table is tiny (thousands of rows at sf0.1) — 4 files
+        # keeps the read-back parallel without a small-files mess
+        minhash_near_dup_pairs(
+            docs, threshold=threshold, n_hashes=n_hashes
+        ).repartition(4).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:  # lost the race: another process renamed first
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(out)
+
+
 # Portable token hash: rolling polynomial hash of the token's characters
 # mod 1e9+7 — same value in any engine (DuckDB mirrors it exactly with
 # list_reduce over ascii codes), unlike xxhash64.  ~30 bits of entropy,

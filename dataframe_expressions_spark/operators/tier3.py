@@ -92,8 +92,9 @@ _SHINGLES3 = f"""
     """,
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> SDF:
-    docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_near_dup_pairs(docs, threshold=0.5)
+    # read-through the fingerprint-keyed write-once pair store: five
+    # consumers share ONE pipeline run per testdata generation
+    return D.minhash_pairs_cached(spark, sf_dir, threshold=0.5)
 
 
 @query(
@@ -1330,8 +1331,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> SDF:
     same components with a recursive transitive-closure CTE — closure is
     fine at oracle scale, while the Spark side runs the O(diameter)-round
     Pregel loop that survives 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_near_dup_pairs(docs, threshold=0.5)
+    pairs = D.minhash_pairs_cached(spark, sf_dir, threshold=0.5)
     return D.connected_components(pairs)
 
 

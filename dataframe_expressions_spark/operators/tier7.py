@@ -1532,7 +1532,7 @@ def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> SDF:
             for j in range(16)
         ]
     )
-    pairs = D.minhash_near_dup_pairs(docs, threshold=0.5)
+    pairs = D.minhash_pairs_cached(spark, sf_dir, threshold=0.5)
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     eq = sum(
@@ -3735,8 +3735,7 @@ def dq_split_leakage(spark: SparkSession, sf_dir: str) -> SDF:
     corpus); the rollup shuffles ≤15 fold-pair groups with map-side
     partials.  The audit's marginal cost over the dedup pass it reuses
     is one 15-group aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_near_dup_pairs(docs, threshold=0.5)
+    pairs = D.minhash_pairs_cached(spark, sf_dir, threshold=0.5)
 
     def fold(c):
         return (c * 1103515245 + 12345) % 2147483647 % 5

@@ -1857,7 +1857,7 @@ def dq_duplicate_cluster_stats(spark: SparkSession, sf_dir: str) -> SDF:
     from ..functions import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_near_dup_pairs(docs, threshold=0.5)
+    pairs = D.minhash_pairs_cached(spark, sf_dir, threshold=0.5)
     comp = D.connected_components(pairs)
     lab = docs.select("doc_id").join(
         comp.select("doc_id", "component"), "doc_id", "left"
