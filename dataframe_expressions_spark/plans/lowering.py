@@ -631,6 +631,177 @@ class Lowerer:
             raise LoweringError(".limit() takes one integer")
         return LFrame(parent.df.limit(int(args[0])))
 
+    # -- windows + set ops (round 8, SURVEY §7 M4 close-out) --------------------
+    #
+    # The last two relational families a DSL user couldn't reach (r7
+    # VERDICT "What's missing #1"): window functions and set operations.
+    # Same design rule as join/groupby/agg — no new node types, only
+    # lowering rules, and the emitted plans are the tier-2 plans
+    # (plan-discipline asserted in tests/test_lowering.py: one exchange
+    # serves all same-partitioning window functions; set-op legs stay
+    # name-resolved).
+
+    def _call_select(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``frame.select("kept_col", name=expr_or_literal, ...)`` →
+        projection.  Positional strings pass columns through under their
+        own name; keyword values are capture expressions (aliased) or
+        Python literals (constant columns — the tag column a set-op union
+        needs)."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".select() applies to event frames")
+        cols = []
+        for a in args:
+            if not isinstance(a, str):
+                raise LoweringError(
+                    ".select() positional args must be column-name strings"
+                )
+            cols.append(parent.df[a])
+        for name, v in kwargs.items():
+            if isinstance(v, Node):
+                cols.append(self._materialize(self.lower(v)).col.alias(name))
+            else:
+                cols.append(self._lit(v).alias(name))
+        if not cols:
+            raise LoweringError(".select() requires at least one column")
+        return LFrame(parent.df.select(*cols))
+
+    def _call_distinct(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".distinct() applies to event frames")
+        if args or kwargs:
+            raise LoweringError(".distinct() takes no arguments")
+        return LFrame(parent.df.distinct())
+
+    def _set_op_other(self, opname: str, args: tuple) -> "LFrame":
+        if len(args) != 1:
+            raise LoweringError(f".{opname}() takes exactly one other frame")
+        other = self.lower(args[0])
+        if not isinstance(other, LFrame):
+            raise LoweringError(f".{opname}() right side must be an event frame")
+        return other
+
+    def _call_union(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``a.union(b)`` — UNION ALL, name-resolved (Spark
+        ``unionByName``; positional union silently mis-zips reordered
+        schemas).  SQL UNION-distinct is ``a.union(b).distinct()``."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".union() applies to event frames")
+        return LFrame(parent.df.unionByName(self._set_op_other("union", args).df))
+
+    def _call_intersect(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".intersect() applies to event frames")
+        return LFrame(
+            parent.df.intersect(self._set_op_other("intersect", args).df)
+        )
+
+    def _call_subtract(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``a.subtract(b)`` / ``a.except_(b)`` — SQL EXCEPT (distinct)."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".subtract() applies to event frames")
+        return LFrame(
+            parent.df.subtract(self._set_op_other("subtract", args).df)
+        )
+
+    _call_except_ = _call_subtract
+
+    def _call_window(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``frame.window(part_keys..., order_by=key | (keys...),
+        ascending=bool | [bool,...], name=spec, ...)`` → the frame with
+        one appended column per named spec, all sharing ONE window
+        specification (one shuffle serves every spec in the call — the
+        tier-2 window discipline; a second ordering is a second
+        ``.window()`` call, which Catalyst groups into the same exchange
+        when the partitioning matches).
+
+        Specs: ``"row_number"`` / ``"rank"`` / ``"dense_rank"`` /
+        ``"ntile:<n>"`` (strings), or tuples ``("lag", expr[, offset])``,
+        ``("lead", expr[, offset])``, ``("sum", expr)`` — the running
+        DECIMAL-folded sum over UNBOUNDED PRECEDING..CURRENT ROW, cast
+        back to double (the window_analytic discipline)."""
+        from pyspark.sql import Window as W
+
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".window() applies to event frames")
+        if not args:
+            raise LoweringError(".window() requires at least one partition key")
+        df = parent.df
+
+        def as_cols(keys) -> list:
+            out = []
+            for k in keys:
+                if isinstance(k, str):
+                    out.append(df[k])
+                elif isinstance(k, Node):
+                    out.append(self._materialize(self.lower(k)).col)
+                else:
+                    raise LoweringError(f"Bad window key: {k!r}")
+            return out
+
+        part = as_cols(args)
+        order = kwargs.pop("order_by", None)
+        if order is None:
+            raise LoweringError(".window() requires order_by=")
+        okeys = list(order) if isinstance(order, (list, tuple)) else [order]
+        ocols = as_cols(okeys)
+        asc = kwargs.pop("ascending", True)
+        flags = list(asc) if isinstance(asc, (list, tuple)) else [asc] * len(ocols)
+        if len(flags) != len(ocols):
+            raise LoweringError("ascending= list must match the order_by count")
+        w = W.partitionBy(*part).orderBy(
+            *[c if f else c.desc() for c, f in zip(ocols, flags)]
+        )
+        if not kwargs:
+            raise LoweringError(".window() requires at least one named spec")
+        named = []
+        for name, spec in kwargs.items():
+            named.append(self._window_col(w, spec).alias(name))
+        return LFrame(df.select("*", *named))
+
+    def _window_col(self, w, spec: Any) -> SCol:
+        from pyspark.sql import Window as W
+
+        if isinstance(spec, str):
+            if spec == "row_number":
+                return F.row_number().over(w)
+            if spec == "rank":
+                return F.rank().over(w)
+            if spec == "dense_rank":
+                return F.dense_rank().over(w)
+            if spec.startswith("ntile:"):
+                return F.ntile(int(spec.split(":", 1)[1])).over(w)
+            raise LoweringError(
+                f"Unknown window spec {spec!r} (row_number / rank / "
+                "dense_rank / ntile:<n>, or a (lag|lead|sum, expr) tuple)"
+            )
+        if isinstance(spec, tuple) and spec and isinstance(spec[0], str):
+            fn = spec[0]
+            if fn in ("lag", "lead") and len(spec) in (2, 3):
+                operand = self._materialize(self.lower(spec[1])).col
+                off = int(spec[2]) if len(spec) == 3 else 1
+                return (F.lag if fn == "lag" else F.lead)(operand, off).over(w)
+            if fn == "sum" and len(spec) == 2:
+                operand = self._materialize(self.lower(spec[1])).col
+                running = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+                return (
+                    F.sum(operand.cast(self._SUM_DECIMAL))
+                    .over(running)
+                    .cast(T.DoubleType())
+                )
+        raise LoweringError(f"Bad window spec: {spec!r}")
+
     def _agg_value(self, node: Any) -> SCol:
         """Lower an aggregate-context expression: Count/Sum/Min/Max/Mean
         calls become SQL aggregates over their (event-level) operand;

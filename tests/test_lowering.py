@@ -431,3 +431,100 @@ def test_captured_tpch_q3_through_dsl(spark):
     assert got == want and len(got) == 10
     plan = dsl._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_captured_window_rank_through_dsl(spark):
+    """window_rank re-expressed through the capture DSL (round 8, M4
+    close-out): two .window() calls (the unique-tie-break row_number
+    ordering and the ties rank/dense_rank ordering), filter, project —
+    results must equal the hand-written tier-2 operator row-for-row and
+    the plan must keep the one-shuffle window discipline (a single
+    o_custkey exchange serves all three window functions)."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.operators.tier2 import window_rank
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    orders = lt(spark, SF_SMOKE, "orders")
+    d = DataFrame()
+    w1 = d.window(
+        d.o_custkey,
+        order_by=(d.o_totalprice, d.o_orderkey),
+        ascending=[False, True],
+        rn="row_number",
+    )
+    w2 = w1.window(
+        d.o_custkey,
+        order_by=d.o_totalprice,
+        ascending=False,
+        rnk="rank",
+        drnk="dense_rank",
+    )
+    top = w2[w2.rn <= 3]
+    dsl = select_from(
+        {d: orders},
+        top,
+        o_custkey=d.o_custkey,
+        o_orderkey=d.o_orderkey,
+        o_totalprice=d.o_totalprice,
+        rn=w1.rn,
+        rnk=w2.rnk,
+        drnk=w2.drnk,
+    )
+    twin = window_rank(spark, SF_SMOKE)
+    key = lambda r: tuple(r)  # noqa: E731
+    got = sorted((key(r) for r in dsl.collect()))
+    want = sorted((key(r) for r in twin.collect()))
+    assert got == want and len(got) > 0
+    # AQE prints the plan twice (Final + Initial) — count only the final
+    plan = (
+        dsl._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("+- Window ") == 2, plan
+
+
+def test_captured_set_ops_through_dsl(spark):
+    """set_ops re-expressed through the capture DSL: filter → project →
+    intersect/subtract/union(distinct) → literal-tagged union-all.
+    Results must equal the hand-written tier-2 operator row-for-row."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.operators.tier2 import set_ops
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    cust = lt(spark, SF_SMOKE, "customer")
+    orders = lt(spark, SF_SMOKE, "orders")
+    dc, do = DataFrame(), DataFrame()
+    a = dc[dc.c_mktsegment == "BUILDING"].select(k=dc.c_custkey)
+    b = do.select(k=do.o_custkey).distinct()
+    inter = a.intersect(b)
+    exc = a.subtract(b)
+    uni = a.union(b).distinct()
+    tagged = (
+        inter.select(kind="intersect", k=inter.k)
+        .union(exc.select(kind="except", k=exc.k))
+        .union(uni.select(kind="union", k=uni.k))
+    )
+    dsl = select_from({dc: cust, do: orders}, tagged)
+    twin = set_ops(spark, SF_SMOKE)
+    got = sorted(tuple(r) for r in dsl.collect())
+    want = sorted(tuple(r) for r in twin.collect())
+    assert got == want and len(got) > 0
+
+
+def test_window_and_set_op_capture_errors():
+    d = DataFrame()
+    with pytest.raises(TypeError):
+        # window spec on a non-frame (per-element) parent is rejected at
+        # lowering; here: order_by missing raises LoweringError
+        from dataframe_expressions_spark.session import get_spark
+
+        spark = get_spark("tests")
+        from dataframe_expressions_spark import select_from
+        from dataframe_expressions_spark.sources.tables import load_table as lt
+
+        orders = lt(spark, SF_SMOKE, "orders")
+        bad = d.window(d.o_custkey, rn="row_number")  # no order_by
+        select_from({d: orders}, bad)
