@@ -431,3 +431,40 @@ def test_emb_dim_slice_broadcast_queries(spark):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "qid", ["rank_bm25", "sample_weighted", "rank_mmr", "graph_common_neighbors"]
+)
+def test_global_topk_plans_as_take_ordered(spark, qid):
+    """The global-top-k family's scale story hangs on Catalyst's
+    LimitPushDownThroughWindow rewrite: ``row_number() OVER (ORDER BY
+    ...)`` + ``rk <= k`` must plan as TakeOrderedAndProject (each
+    partition keeps its local top-k, driver merges k rows) feeding the
+    single-partition Window — never a full-input global sort.  Nothing
+    guarded the rewrite before (r7 VERDICT item 5): a Spark upgrade or a
+    query edit that breaks the filter-over-window adjacency would
+    silently regress to sorting the whole input on one partition (the
+    WindowExec "no partition defined" warning already makes it look
+    broken; this proves it isn't)."""
+    import re
+
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    df = load_all()[qid].fn(spark, SF_SMOKE)
+    df.collect()  # executed (AQE-final) plan, not the initial estimate
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    # no full-input global sort may survive anywhere in the plan: the
+    # only global orderings are the top-k ones, and those must have been
+    # rewritten away (Sort's second toString arg is the global flag)
+    global_sorts = re.findall(r"Sort \[[^\]]*\], true, ", plan)
+    assert not global_sorts, (global_sorts, plan)
