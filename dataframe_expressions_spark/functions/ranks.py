@@ -1,0 +1,92 @@
+"""Distributed rank primitives.
+
+``two_phase_rank`` is the executable 100 TB fallback for
+``row_number() OVER (PARTITION BY g ORDER BY key, tie)`` that several
+operator docstrings reference (stats_xi_correlation, stats_mann_whitney,
+stats_ks_test, text_perplexity_bucket): with few huge groups the native
+window funnels each group through ONE task's sort, which stops scaling
+long before the shuffle does.  The two-phase shape keeps every task's
+sort bounded:
+
+  1. sample per-group quantile cuts of the sort key (one map-side-
+     combined aggregate; ``percentile_approx`` sketches merge
+     associatively);
+  2. range-bucket every row by those cuts (broadcast join + one
+     JVM-side array scan per row — all rows with equal keys land in the
+     same bucket, so bucketing is consistent with the (key, tie)
+     order);
+  3. local ``row_number`` within (group, bucket) — n_buckets× more,
+     n_buckets× smaller sort partitions;
+  4. global rank = local rank + the prefix count of earlier buckets
+     (a window over the tiny (group × bucket) count table, broadcast
+     back).
+
+The result is EXACT — identical to the native window for every row
+regardless of where the sampled cuts land (cut placement only moves
+work between buckets, never reorders keys across them), so an operator
+can switch paths without touching its oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["two_phase_rank"]
+
+
+def two_phase_rank(
+    df: DataFrame,
+    grp_cols: Sequence[str],
+    key_col: str,
+    tie_col: str,
+    rank_name: str = "r",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """``df`` plus a bigint ``rank_name`` column equal to
+    ``row_number() OVER (PARTITION BY grp_cols ORDER BY key_col,
+    tie_col)``, computed with per-task sorts bounded by ~|group| /
+    n_buckets instead of |group|.  ``tie_col`` must be unique within a
+    group (the usual deterministic tie-break discipline)."""
+    gc = list(grp_cols)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.groupBy(*gc).agg(
+        F.percentile_approx(key_col, qs, 10_000).alias("_cuts")
+    )
+    # strict `cut < key`: rows whose key EQUALS a cut all take the lower
+    # bucket, so equal keys can never straddle a bucket boundary and the
+    # (key, tie) tie-break stays entirely inside one local sort
+    b = (
+        df.join(F.broadcast(cuts), gc)
+        .withColumn(
+            "_bkt",
+            F.size(F.filter("_cuts", lambda c: c < F.col(key_col))).cast(
+                "int"
+            ),
+        )
+        .drop("_cuts")
+    )
+    counts = b.groupBy(*gc, "_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    woff = (
+        W.partitionBy(*gc)
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *gc,
+        "_bkt",
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
+        .cast("long")
+        .alias("_off"),
+    )
+    local = F.row_number().over(
+        W.partitionBy(*gc, "_bkt").orderBy(key_col, tie_col)
+    )
+    return (
+        b.join(F.broadcast(offsets), gc + ["_bkt"])
+        .withColumn(rank_name, (F.col("_off") + local).cast("long"))
+        .drop("_bkt", "_off")
+    )

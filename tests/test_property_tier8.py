@@ -470,3 +470,43 @@ def test_seasonal_decompose_matches_bruteforce(spark):
     for dow, (n, s) in raw.items():
         assert got[dow][0] == n
         assert abs(got[dow][1] - round(s - g, 6)) < 2e-6, (dow, got[dow], s, g)
+
+
+def test_xi_two_phase_rank_path_identical(spark):
+    """The range-partitioned rank fallback (functions/ranks.py
+    two_phase_rank; r7 VERDICT item 4 made it code, not prose) must be
+    row-identical to the native window path — cut placement moves work
+    between buckets, never ranks across them — and the generic primitive
+    must agree with row_number on a skewed, tie-heavy frame."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dataframe_expressions_spark.functions.ranks import two_phase_rank
+    from dataframe_expressions_spark.operators.tier8 import _xi_correlation
+
+    native = sorted(
+        tuple(r) for r in _xi_correlation(spark, SF_SMOKE, two_phase=False).collect()
+    )
+    fallback = sorted(
+        tuple(r) for r in _xi_correlation(spark, SF_SMOKE, two_phase=True).collect()
+    )
+    assert native == fallback and len(native) > 0
+
+    # adversarial primitive check: 2 groups, heavy key ties (key = id%7,
+    # so every quantile cut lands ON a tie run), unique tie-break
+    df = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 7).cast("long").alias("k"),
+        F.col("id").alias("t"),
+    )
+    want = df.select(
+        "g",
+        "t",
+        F.row_number().over(W.partitionBy("g").orderBy("k", "t")).alias("r"),
+    )
+    got = two_phase_rank(df, ["g"], "k", "t", "r", n_buckets=8).select(
+        "g", "t", "r"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
