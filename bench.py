@@ -133,6 +133,15 @@ def main() -> None:
     _restart_src_files(spark, sf_dir)
     _month_partitioned_orders(spark, sf_dir)
     _incremental_sig_store(spark, sf_dir)
+    # round-8 stores: the verified minhash pair table (read through by
+    # five queries) and the scored common-neighbor table (two queries)
+    from dataframe_expressions_spark.functions.dedup import (
+        minhash_pairs_cached,
+    )
+    from dataframe_expressions_spark.operators.tier8 import _cn_scored_store
+
+    minhash_pairs_cached(spark, sf_dir, threshold=0.5)
+    _cn_scored_store(spark, sf_dir)
 
     # BASELINE.md protocol, round-5 revision.  The r4 failure: one FULL
     # pass of 195 queries under driver load took 620.9 s, the 540 s

@@ -29,9 +29,19 @@ QUERIES: Dict[str, Query] = {}
 
 
 def query(qid: str, oracle: Optional[str] = None):
-    """Register a query id (SURVEY.md §2 contract name)."""
+    """Register a query id (SURVEY.md §2 contract name).
+
+    Duplicate ids raise at import time: registration is a dict write, so
+    a second ``@query("same_id")`` would otherwise silently SHADOW the
+    driver-verified original (round 8 nearly shipped exactly that — a
+    tier-8 re-implementation of tier-7's stats_cusum_changepoint)."""
 
     def deco(fn: Callable[[SparkSession, str], SDF]):
+        if qid in QUERIES:
+            raise ValueError(
+                f"query id {qid!r} already registered by "
+                f"{QUERIES[qid].fn.__module__}.{QUERIES[qid].fn.__qualname__}"
+            )
         QUERIES[qid] = Query(qid, fn, oracle)
         return fn
 
@@ -63,91 +73,80 @@ def query(qid: str, oracle: Optional[str] = None):
 # If CORRECTNESS_r06 comes back 50/50, every id has a driver-green row,
 # none older than r2.
 #
-# ROUND-7 WINDOW.  Derived programmatically from the committed
+# ROUND-8 WINDOW.  Derived programmatically from the committed
 # CORRECTNESS_r0*.json files (latest round each id has a row; the
 # fronting test recomputes the same thing so this list can't silently
-# undercount).  Post-r6 vintage distribution: r1:4 r2:35 r3:48 r4:50
-# r5:50 r6:50 — NB the r6 VERDICT caught the old comment's "oldest
-# block is r2" undercount: the 4 late round-6 additions displaced
-# bool_ops/arith_ops/math_funcs/count_agg back to r1 vintage (their
-# evidence predates two testdata regenerations), so they refresh FIRST.
-# Composition: slots 1-21 the round-7 additions (zero evidence — the 4
-# early-round ids, then tier-8 batch A statistics/splits, batch B
-# ranking/dedup/whitening/funnel, batch C bucketing/softdedup/graph/
-# cluster-stats, batch D epoch-shuffle/IVF-balance/Theil–Sen), slots
-# 22-25 the 4 r1-vintage ids, slots 26-50 the alphabetical head (25 of
-# 35) of the r2 block — the r2 tail (sim_search_lsh … window_range_frame)
-# and the r3 head were displaced back out as tier-8 additions landed
-# (zero evidence beats a stale-but-green re-check, enforced by
-# test_window_fronts_zero_evidence_ids).
+# undercount).  CORRECTNESS_r07 came back 50/50, so the post-r7 vintage
+# distribution is r2:10 r3:48 r4:50 r5:50 r6:50 r7:50 and the r7
+# VERDICT's plan applies verbatim: slot 1 the round-8 addition
+# (graph_common_neighbors_sampled, zero evidence), slots 2-11 the 10
+# displaced r2-vintage ids (sim_search_lsh … window_range_frame), slots
+# 12-50 the alphabetical head (39 of 48) of the r3 block (agg_freq_items
+# … tpch_q13_cust_order_dist).
 #
-# ROUND-8 WINDOW (plan — DERIVE it programmatically from the committed
-# CORRECTNESS_r0*.json files like the fronting test does; do not trust
-# this comment's arithmetic).  If CORRECTNESS_r07 comes back 50/50, the
-# remaining backlog is: the 10 displaced r2-vintage ids (sim_search_lsh,
-# sink_partitioned, sql_interface, text_lang_id, text_ngram_freq,
-# text_quality, text_token_bpe, unpivot_long, window_ntile_pct,
-# window_range_frame — front these after any round-8 additions), then
-# the 48-id r3 block (alphabetical from agg_freq_items).
-# Every id outside the window stays guarded by the full pytest parity
-# tier at sf0.001 plus the window test at sf0.01.
+# ROUND-9 WINDOW (plan — DERIVE it programmatically like the fronting
+# test does; do not trust this comment's arithmetic).  If
+# CORRECTNESS_r08 comes back 50/50, the oldest remaining evidence is the
+# 9-id r3 tail (tpch_q1_pricing_summary … window_analytic, alphabetical
+# after tpch_q13_cust_order_dist) — front any round-9 additions, then
+# that tail, then the alphabetical head of the r4 block.
 # Everything outside the window stays guarded by
 # tests/test_oracle_parity.py, which checks ALL entries against DuckDB
 # (value-exact + driver-identical CSV hash) on every pytest run.
 DRIVER_WINDOW_PRIORITY: tuple = (
-    # -- round-7 additions: zero driver evidence
-    "text_quality_model",
-    "text_token_bpe_merge",
-    "text_token_bpe_apply",
-    "dedup_band_calibration",
-    "stats_bootstrap_ci",
-    "stats_seasonal_decompose",
-    "stats_xi_correlation",
-    "dq_snapshot_drift",
-    "data_temporal_split",
-    "rank_mmr",
-    "rank_ndcg_audit",
-    "text_line_dedup",
-    "emb_whitening",
-    "funnel_time_bounded",
-    "text_perplexity_bucket",
-    "sample_importance_softdedup",
-    "graph_common_neighbors",
-    "dq_duplicate_cluster_stats",
-    "data_epoch_shuffle",
-    "emb_ivf_balance_audit",
-    "stats_theil_sen_trend",
-    # -- r1 vintage (evidence predates two testdata regenerations)
-    "arith_ops",
-    "bool_ops",
-    "count_agg",
-    "math_funcs",
-    # -- the 35-id r2 block
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "agg_quantiles",
-    "agg_stats",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_near_minhash",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "emb_centroid",
-    "explode_unnest",
-    "join_bucketed",
-    "multimodal_framesample",
-    "multimodal_meta",
-    "multimodal_resize",
-    "nested_topn_slice",
-    "nested_two_level",
-    "pipeline_clean_corpus",
-    "pivot_wide",
-    "sample_content_hash",
-    "scalar_subquery_rewrite",
-    "scan_csv",
-    "scan_json",
-    "scan_orc",
-    "sim_search_ivf",
+    # -- round-8 additions: zero driver evidence
+    "graph_common_neighbors_sampled",
+    "stats_ols_trend",
+    # -- the 10 displaced r2-vintage ids (last pre-r3 evidence)
+    "sim_search_lsh",
+    "sink_partitioned",
+    "sql_interface",
+    "text_lang_id",
+    "text_ngram_freq",
+    "text_quality",
+    "text_token_bpe",
+    "unpivot_long",
+    "window_ntile_pct",
+    "window_range_frame",
+    # -- alphabetical head of the 48-id r3 block
+    "agg_freq_items",
+    "agg_hll_rollup",
+    "agg_skew_twophase",
+    "anomaly_zscore",
+    "array_map_json_funcs",
+    "cdc_upsert_compact",
+    "cogrouped_asof_pandas",
+    "cohort_retention",
+    "compact_small_files",
+    "dedup_components",
+    "dedup_incremental",
+    "ewma_smooth",
+    "funnel_conversion",
+    "grouped_map_pandas",
+    "join_asof",
+    "join_range_theta",
+    "join_salted",
+    "json_variant_extract",
+    "kmeans_lloyd",
+    "map_funcs",
+    "mapinarrow_token_stats",
+    "scan_parquet",
+    "seq_pack_fill",
+    "session_window",
+    "sessionize_batch",
+    "sink_zorder",
+    "stream_dedup",
+    "stream_dedup_watermarked",
+    "stream_foreach_batch_sink",
+    "stream_sliding_session",
+    "stream_stateful_count",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_tumbling",
+    "stream_watermark_late",
+    "tfidf_top_terms",
+    "timeseries_gapfill",
 )
 
 

@@ -1759,11 +1759,34 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> SDF:
     wedges, the honest cost of exact common-neighbor counting (the
     degree-ordered orientation that bounds triangle counting cannot
     apply: CN needs BOTH wedge arms from every center).  At 100 TB the
-    standard mitigations are per-center neighbor sampling or a
-    max-degree cap on wedge centers (hub centers contribute wedges
-    quadratically but only ever link their own neighborhoods); the
-    anti-join against the edge list and the degree joins are all
-    equi-joins on node ids; top-k is a WindowGroupLimit rank filter."""
+    standard mitigations are per-center neighbor sampling (implemented:
+    graph_common_neighbors_sampled) or a max-degree cap on wedge centers
+    (hub centers contribute wedges quadratically but only ever link
+    their own neighborhoods); the anti-join against the edge list and
+    the degree joins are all equi-joins on node ids; top-k is a
+    WindowGroupLimit rank filter.  The scored non-edge table is
+    materialized write-once per orders fingerprint (_cn_scored_store) —
+    the exact leg is the expensive part and BOTH this query and the
+    sampled audit rank over it, so it is built once per testdata
+    generation (compute-once/audit-many, same as the minhash pair
+    store)."""
+    sc = _cn_scored_store(spark, sf_dir)
+    ranked = sc.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("w")))
+        .cast("long")
+        .alias("rk"),
+        "u",
+        "w",
+        F.col("c").alias("common_neighbors"),
+        "jaccard_ppm",
+    )
+    return ranked.where(F.col("rk") <= _LP_TOPK)
+
+
+def _mod_graph(spark: SparkSession, sf_dir: str):
+    """(pr, e, deg) of the deterministic mod-projected order↔customer
+    graph shared by the common-neighbor family."""
     o = load_table(spark, sf_dir, "orders")
     pr = (
         o.select(
@@ -1783,46 +1806,242 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> SDF:
     deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("dg")).select(
         F.col("s").alias("node"), "dg"
     )
-    e2 = e.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
-    cn = (
-        e.join(e2, (F.col("s") == F.col("s2")) & (F.col("d") < F.col("d2")))
-        .groupBy(F.col("d").alias("u"), F.col("d2").alias("w"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    cand = cn.join(
-        pr,
-        (pr["lo"] == cn["u"]) & (pr["hi"] == cn["w"]),
-        "left_anti",
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
-    dw = deg.select(F.col("node").alias("w"), F.col("dg").alias("dw"))
-    sc = (
-        cand.join(du, "u")
-        .join(dw, "w")
-        .select(
-            "u",
-            "w",
-            "c",
-            F.floor(
-                F.lit(1000000.0)
-                * F.col("c")
-                / (F.col("du") + F.col("dw") - F.col("c"))
-            )
-            .cast("long")
-            .alias("jaccard_ppm"),
+    return pr, e, deg
+
+
+def _cn_scored_store(spark: SparkSession, sf_dir: str) -> SDF:
+    """Write-once scored non-edge table ``(u, w, c, du, dw,
+    jaccard_ppm)`` — the Σdeg² wedge join is the expensive leg of the
+    common-neighbor family, and both graph_common_neighbors (rank) and
+    graph_common_neighbors_sampled (audit baseline) consume the SAME
+    table, so it is built once per orders fingerprint and read through
+    parquet afterwards.  Keyed/swept exactly like the minhash pair
+    store."""
+    import os
+    import shutil
+
+    from ..sources.tables import source_fingerprint, sweep_stale_store_dirs
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    prefix = f"spark_graft_cnsc_{key}_v1_"
+    out = f"/tmp/{prefix}{source_fingerprint(sf_dir, tables=('orders',))}"
+    sweep_stale_store_dirs("/tmp", prefix, out)
+    if not os.path.exists(out):
+        pr, e, deg = _mod_graph(spark, sf_dir)
+        e2 = e.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+        cn = (
+            e.join(e2, (F.col("s") == F.col("s2")) & (F.col("d") < F.col("d2")))
+            .groupBy(F.col("d").alias("u"), F.col("d2").alias("w"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
-    )
-    ranked = sc.select(
+        cand = cn.join(
+            pr,
+            (pr["lo"] == cn["u"]) & (pr["hi"] == cn["w"]),
+            "left_anti",
+        )
+        du = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
+        dw = deg.select(F.col("node").alias("w"), F.col("dg").alias("dw"))
+        sc = (
+            cand.join(du, "u")
+            .join(dw, "w")
+            .select(
+                "u",
+                "w",
+                "c",
+                "du",
+                "dw",
+                F.floor(
+                    F.lit(1000000.0)
+                    * F.col("c")
+                    / (F.col("du") + F.col("dw") - F.col("c"))
+                )
+                .cast("long")
+                .alias("jaccard_ppm"),
+            )
+        )
+        tmp = f"{out}.tmp{os.getpid()}"
+        sc.repartition(8).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:  # lost the race: another process renamed first
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# per-center sampled common neighbors (the executable Σdeg² cap) + audit
+# ---------------------------------------------------------------------------
+
+# Per-center neighbor sample size.  24 keeps the estimate tight at the
+# fixture's degree range while making the cap REAL at sf0.1 (hub centers
+# there exceed it); centers at or below the cap are estimated exactly
+# (weight 1), so abs_err_ppm isolates the sampling loss to hub wedges.
+_LP_SAMPLE = 24
+
+_LP_HASH = "((({s}) * 8191 + ({d})) * 1103515245 + 12345) % 2147483647"
+
+
+@query(
+    "graph_common_neighbors_sampled",
+    f"""
+    WITH pr AS (SELECT DISTINCT
+                  least(o_custkey % 4096, o_orderkey % 4096) AS lo,
+                  greatest(o_custkey % 4096, o_orderkey % 4096) AS hi
+                FROM orders
+                WHERE o_custkey % 4096 <> o_orderkey % 4096),
+    e AS (SELECT lo AS s, hi AS d FROM pr
+          UNION ALL SELECT hi, lo FROM pr),
+    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg
+            FROM e GROUP BY s),
+    cn AS (SELECT e1.d AS u, e2.d AS w, CAST(count(*) AS BIGINT) AS c
+           FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.d < e2.d
+           GROUP BY e1.d, e2.d),
+    cand AS (SELECT cn.u, cn.w, cn.c
+             FROM cn ANTI JOIN pr ON pr.lo = cn.u AND pr.hi = cn.w),
+    sc AS (SELECT c2.u, c2.w, c2.c, du.dg AS du, dw.dg AS dw,
+                  CAST(floor(1000000.0 * c2.c
+                             / (du.dg + dw.dg - c2.c)) AS BIGINT)
+                    AS jaccard_ppm
+           FROM cand c2
+           JOIN deg du ON du.node = c2.u
+           JOIN deg dw ON dw.node = c2.w),
+    topk AS (SELECT CAST(row_number() OVER (
+                 ORDER BY jaccard_ppm DESC, u, w) AS BIGINT) AS rk,
+                    u, w, c, du, dw, jaccard_ppm
+             FROM sc QUALIFY rk <= {_LP_TOPK}),
+    es AS (SELECT s, d FROM (
+             SELECT s, d, row_number() OVER (PARTITION BY s
+                 ORDER BY {_LP_HASH.format(s='s', d='d')}, d) AS rn
+             FROM e) WHERE rn <= {_LP_SAMPLE}),
+    cwgt AS (SELECT node AS s,
+                    round(CAST(dg * (dg - 1) AS DOUBLE)
+                          / (least(dg, {_LP_SAMPLE})
+                             * (least(dg, {_LP_SAMPLE}) - 1)), 6) AS wgt
+             FROM deg WHERE dg >= 2),
+    west AS (SELECT e1.d AS u, e2.d AS w, e1.s AS s
+             FROM es e1 JOIN es e2 ON e1.s = e2.s AND e1.d < e2.d),
+    est AS (SELECT u, w,
+                   sum(CAST(wgt AS DECIMAL(38,6))) AS c_est_dec
+            FROM west JOIN cwgt ON cwgt.s = west.s GROUP BY u, w),
+    j AS (SELECT t.rk, t.u, t.w, t.c, t.jaccard_ppm,
+                 round(coalesce(CAST(est.c_est_dec AS DOUBLE), 0.0), 6)
+                   AS c_est,
+                 CAST(least(floor(1000000.0
+                        * coalesce(CAST(est.c_est_dec AS DOUBLE), 0.0)
+                        / greatest(t.du + t.dw
+                            - coalesce(CAST(est.c_est_dec AS DOUBLE), 0.0),
+                          1.0)),
+                      1000000.0) AS BIGINT) AS est_jaccard_ppm
+          FROM topk t LEFT JOIN est ON est.u = t.u AND est.w = t.w)
+    SELECT rk, u, w, c AS common_neighbors, jaccard_ppm, c_est,
+           est_jaccard_ppm,
+           CAST(abs(jaccard_ppm - est_jaccard_ppm) AS BIGINT)
+             AS abs_err_ppm
+    FROM j
+    """,
+)
+def graph_common_neighbors_sampled(spark: SparkSession, sf_dir: str) -> SDF:
+    """PER-CENTER SAMPLED common-neighbor estimation + exact-vs-sampled
+    audit — graph_common_neighbors' documented Σdeg² cap, executed (r7
+    VERDICT item 7, the sketch-audit pattern of dedup_minhash_audit /
+    sim_search_recall_audit): every wedge center keeps at most
+    {_LP_SAMPLE} neighbors (a deterministic portable-LCG rank over its
+    adjacency, so both engines sample the SAME subset), wedges are
+    counted on the sampled adjacency, and each observed wedge is
+    up-weighted by the center's inverse inclusion ratio
+    dg·(dg−1) / (min(dg, S)·(min(dg, S)−1)) — the Horvitz–Thompson-style
+    estimate ĉ of the true common-neighbor count.  The report joins the
+    estimate onto the EXACT top-20 non-edge pairs and shows per-pair
+    c vs ĉ and jaccard_ppm vs est_jaccard_ppm deltas, so the corpus
+    owner sees exactly what the cap costs before enabling it.
+
+    Determinism: the sample rank is exact integer LCG arithmetic (keys
+    < 4096 keep the multiply far inside BIGINT); per-center weights are
+    one IEEE division of exact ints rounded to 6dp and DECIMAL-folded
+    (partition-order independent); the estimated Jaccard is clamped to
+    [0, 1e6] ppm (greatest/least) because an up-weighted ĉ may overshoot
+    du+dw on hub-only pairs.
+
+    Scale: THIS is the variant that survives hubs — the sampled wedge
+    join generates at most S² wedges per center instead of deg², so the
+    worst center emits {_LP_SAMPLE * _LP_SAMPLE} rows instead of
+    millions; the neighbor-rank window partitions by center (bounded by
+    max degree, itself cappable by two_phase_rank if a center's
+    adjacency outgrows a task); everything downstream of the sample is
+    the exact pipeline's equi-join/rollup shape on strictly less data."""
+    pr, e, deg = _mod_graph(spark, sf_dir)
+    # exact leg: ranked over the shared write-once scored table
+    sc = _cn_scored_store(spark, sf_dir)
+    topk = sc.select(
         F.row_number()
         .over(W.orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("w")))
         .cast("long")
         .alias("rk"),
         "u",
         "w",
-        F.col("c").alias("common_neighbors"),
+        "c",
+        "du",
+        "dw",
         "jaccard_ppm",
+    ).where(F.col("rk") <= _LP_TOPK)
+    # sampled leg
+    h = (
+        ((F.col("s") * 8191 + F.col("d")) * 1103515245 + 12345) % 2147483647
     )
-    return ranked.where(F.col("rk") <= _LP_TOPK)
+    es = (
+        e.select(
+            "s",
+            "d",
+            F.row_number()
+            .over(W.partitionBy("s").orderBy(h.alias("h"), F.col("d")))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= _LP_SAMPLE)
+        .drop("rn")
+    )
+    scap = F.least(F.col("dg"), F.lit(_LP_SAMPLE))
+    cwgt = (
+        deg.where(F.col("dg") >= 2)
+        .select(
+            F.col("node").alias("s"),
+            F.round(
+                (F.col("dg") * (F.col("dg") - 1)).cast("double")
+                / (scap * (scap - 1)),
+                6,
+            ).alias("wgt"),
+        )
+    )
+    es2 = es.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    west = es.join(
+        es2, (F.col("s") == F.col("s2")) & (F.col("d") < F.col("d2"))
+    ).select(F.col("d").alias("u"), F.col("d2").alias("w"), "s")
+    est = (
+        west.join(cwgt, "s")
+        .groupBy("u", "w")
+        .agg(F.sum(F.col("wgt").cast("decimal(38,6)")).alias("c_est_dec"))
+    )
+    ce = F.coalesce(F.col("c_est_dec").cast("double"), F.lit(0.0))
+    ej = F.least(
+        F.floor(
+            F.lit(1000000.0)
+            * ce
+            / F.greatest(F.col("du") + F.col("dw") - ce, F.lit(1.0))
+        ),
+        F.lit(1000000.0),
+    ).cast("long")
+    return (
+        topk.join(est, ["u", "w"], "left")
+        .select(
+            "rk",
+            "u",
+            "w",
+            F.col("c").alias("common_neighbors"),
+            "jaccard_ppm",
+            F.round(ce, 6).alias("c_est"),
+            ej.alias("est_jaccard_ppm"),
+            F.abs(F.col("jaccard_ppm") - ej).cast("long").alias("abs_err_ppm"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2169,3 +2388,96 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> SDF:
             )
         )
     ).select("n_days", "n_pairs", "slope")
+
+
+# ---------------------------------------------------------------------------
+# OLS trend line of the daily event series (parametric Theil–Sen twin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_ols_trend",
+    f"""
+    WITH daily AS (SELECT CAST(datediff('day', DATE '{_TS_EPOCH}',
+                                CAST(ts AS DATE)) AS BIGINT) AS xd,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(xd) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(xd * y) AS BIGINT) AS sxy,
+                 CAST(sum(xd * xd) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM daily)
+    SELECT n AS n_days, sx, sy, sxy, sxx, syy,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             AS slope,
+           (sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * sx) / n AS intercept,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE))
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS r2
+    FROM m
+    """,
+)
+def stats_ols_trend(spark: SparkSession, sf_dir: str) -> SDF:
+    """ORDINARY-LEAST-SQUARES trend line of the daily event-count series
+    — the parametric twin of stats_theil_sen_trend (same question, "is
+    volume drifting and how fast", answered by moment sums instead of a
+    pairwise median, so the two disagree exactly when outlier days are
+    distorting the fit — running both IS the robustness audit).
+
+    Determinism: x is integer days since the corpus epoch and y an
+    exact count, so every moment (Σx, Σy, Σxy, Σx², Σy²) is an exact
+    BIGINT fold — no float accumulates across partitions at all.
+    slope/intercept/r² are emitted as UNROUNDED IEEE expressions over
+    those bit-identical ints (never a rounded quotient — the r5 sweep
+    lesson); the n·Σxy−ΣxΣy cross terms stay far inside BIGINT at the
+    calendar's scale, and r²'s SQUARED numerator is computed in double
+    (it would overflow int64).
+
+    Scale: one map-side-combined daily rollup, then a single 1-row
+    moment aggregate — the cheapest shape in the stats family; the
+    moments are also exactly the partials a streaming/incremental
+    refresh would maintain."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit(_TS_EPOCH).cast("date")
+        )
+        .cast("long")
+        .alias("xd")
+    ).agg(F.count("*").cast("long").alias("y"))
+    m = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xd").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("xd") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    deny = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    slope = num / denx
+    return m.select(
+        F.col("n").alias("n_days"),
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        (num * num / (denx * deny)).alias("r2"),
+    )

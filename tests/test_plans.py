@@ -468,3 +468,23 @@ def test_global_topk_plans_as_take_ordered(spark, qid):
     # rewritten away (Sort's second toString arg is the global flag)
     global_sorts = re.findall(r"Sort \[[^\]]*\], true, ", plan)
     assert not global_sorts, (global_sorts, plan)
+
+
+def test_write_once_stores_are_read_through(spark):
+    """The round-8 write-once stores must actually serve their consumers:
+    dedup_near_minhash's plan is a pure scan of the minhash pair store
+    (no shuffle, no window — the pipeline ran at build time, once), and
+    graph_common_neighbors scans the scored CN store instead of
+    re-running the Σdeg² wedge join (no Join in the plan at all)."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    qs = load_all()
+    pairs = qs["dedup_near_minhash"].fn(spark, SF_SMOKE)
+    plan = _formatted_plan(pairs)
+    assert "spark_graft_mhpairs_" in plan, plan
+    assert ") Exchange" not in plan and "Window" not in plan, plan
+
+    cn = qs["graph_common_neighbors"].fn(spark, SF_SMOKE)
+    plan = _formatted_plan(cn)
+    assert "spark_graft_cnsc_" in plan, plan
+    assert "Join" not in plan, plan

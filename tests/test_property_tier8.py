@@ -510,3 +510,104 @@ def test_xi_two_phase_rank_path_identical(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_common_neighbors_sampled_matches_bruteforce(spark):
+    """Operator builds the sample with a window rank and the estimate
+    with a DECIMAL wedge fold; reference recomputes the whole thing —
+    graph, exact top-20, LCG neighbor sample, Horvitz–Thompson weights,
+    clamped ppm — with Python dicts and floats."""
+    from dataframe_expressions_spark.operators.tier8 import (
+        _LP_SAMPLE,
+        _LP_TOPK,
+        graph_common_neighbors_sampled,
+    )
+
+    got = [tuple(r) for r in graph_common_neighbors_sampled(spark, SF_SMOKE).collect()]
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_custkey % 4096, o_orderkey % 4096 FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchall()
+    edges = {
+        (min(a, b), max(a, b)) for a, b in rows if a != b
+    }
+    adj = defaultdict(set)
+    for lo, hi in edges:
+        adj[lo].add(hi)
+        adj[hi].add(lo)
+    # exact common neighbors over non-edges
+    cn = Counter()
+    for s, ns in adj.items():
+        ns_sorted = sorted(ns)
+        for i, u in enumerate(ns_sorted):
+            for w in ns_sorted[i + 1 :]:
+                cn[(u, w)] += 1
+    sc = []
+    for (u, w), c in cn.items():
+        if (u, w) in edges:
+            continue
+        du, dw = len(adj[u]), len(adj[w])
+        jp = math.floor(1000000.0 * c / (du + dw - c))
+        sc.append((-jp, u, w, c, du, dw, jp))
+    sc.sort()
+    topk = sc[:_LP_TOPK]
+    # LCG neighbor sample per center + HT estimate
+    sample = {}
+    for s, ns in adj.items():
+        ranked = sorted(
+            ns, key=lambda d: (((s * 8191 + d) * 1103515245 + 12345) % 2147483647, d)
+        )
+        sample[s] = set(ranked[:_LP_SAMPLE])
+    # accumulate in exact 1e-6 units — the operator's DECIMAL(38,6) fold
+    # is exact, so the reference must be too (a float += chain can drift
+    # in the last ulp and flake the 6dp compare)
+    est = defaultdict(int)
+    for s, ns in adj.items():
+        dg = len(ns)
+        if dg < 2:
+            continue
+        ss = min(dg, _LP_SAMPLE)
+        wgt_u = int(round(round(dg * (dg - 1) / (ss * (ss - 1)), 6) * 1e6))
+        smp = sorted(sample[s])
+        for i, u in enumerate(smp):
+            for w in smp[i + 1 :]:
+                est[(u, w)] += wgt_u
+    want = []
+    for rk, (_, u, w, c, du, dw, jp) in enumerate(topk, start=1):
+        ce = round(est.get((u, w), 0) / 1e6, 6)
+        ej = int(
+            min(math.floor(1000000.0 * ce / max(du + dw - ce, 1.0)), 1000000.0)
+        )
+        want.append((rk, u, w, c, jp, ce, ej, abs(jp - ej)))
+    assert sorted(got) == sorted(want)
+
+
+def test_ols_trend_matches_bruteforce(spark):
+    """Operator folds BIGINT moments in one aggregate; reference
+    recomputes them row-by-row in Python and re-derives the fit."""
+    from dataframe_expressions_spark.operators.tier8 import stats_ols_trend
+
+    got = [tuple(r) for r in stats_ols_trend(spark, SF_SMOKE).collect()]
+    assert len(got) == 1
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT datediff('day', DATE '1995-01-01', CAST(ts AS DATE)), "
+        f"count(*) FROM '{SF_SMOKE}/events.parquet' GROUP BY 1"
+    ).fetchall()
+    n = len(rows)
+    sx = sum(x for x, _ in rows)
+    sy = sum(y for _, y in rows)
+    sxy = sum(x * y for x, y in rows)
+    sxx = sum(x * x for x, _ in rows)
+    syy = sum(y * y for _, y in rows)
+    num = float(n * sxy - sx * sy)
+    denx = float(n) * sxx - float(sx) * sx
+    deny = float(n) * syy - float(sy) * sy
+    slope = num / denx
+    want = (
+        n, sx, sy, sxy, sxx, syy,
+        slope, (sy - slope * sx) / n, num * num / (denx * deny),
+    )
+    assert got[0] == want
