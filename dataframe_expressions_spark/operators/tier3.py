@@ -409,24 +409,27 @@ def text_quality(spark: SparkSession, sf_dir: str) -> SDF:
     return out.where(F.col("n_tokens") > 0)
 
 
-@query(
-    "text_lang_id",
-    f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-         s AS (SELECT doc_id,
-                 len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS s_en,
-                 len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
-                 len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es
-               FROM t)
-    SELECT doc_id,
-           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
-                WHEN s_de >= s_es AND s_de > 0 THEN 'de'
-                WHEN s_es > 0 THEN 'es'
-                ELSE 'unknown' END AS pred_lang
-    FROM s
-    """,
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> SDF:
+# Shared lang-ID CTE chain: text_lang_id emits it verbatim and
+# dq_langid_confusion joins it against the labeled lang column — ONE
+# definition so the audited predictor IS the production predictor.
+_LANG_PRED_CTE = f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+            len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS s_en,
+            len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+            len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es
+          FROM t),
+    p AS (SELECT doc_id,
+                 CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+                      WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+                      WHEN s_es > 0 THEN 'es'
+                      ELSE 'unknown' END AS pred_lang
+          FROM s)"""
+
+
+def _lang_pred(spark: SparkSession, sf_dir: str) -> SDF:
+    """(doc_id, pred_lang) — the staged stopword-vote language id shared
+    by text_lang_id and dq_langid_confusion."""
     # stage tokens, then scores, then the argmax: the inline lang_pred
     # when-chain references each score up to 3× and each reference embeds
     # a full re-tokenization — 9 regex splits per row (2.97 s vs 0.53 s
@@ -451,6 +454,67 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> SDF:
         .otherwise("unknown")
     )
     return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+@query(
+    "text_lang_id",
+    f"WITH {_LANG_PRED_CTE}\n    SELECT doc_id, pred_lang FROM p",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> SDF:
+    return _lang_pred(spark, sf_dir)
+
+
+@query(
+    "dq_langid_confusion",
+    f"""
+    WITH {_LANG_PRED_CTE},
+    j AS (SELECT d.lang AS lang_true, p.pred_lang,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents d JOIN p ON p.doc_id = d.doc_id
+          GROUP BY 1, 2),
+    tt AS (SELECT lang_true, sum(n_docs) AS tot FROM j GROUP BY 1)
+    SELECT j.lang_true, j.pred_lang, j.n_docs,
+           CAST(floor(1000000.0 * j.n_docs / tt.tot) AS BIGINT) AS share_ppm
+    FROM j JOIN tt USING (lang_true)
+    """,
+)
+def dq_langid_confusion(spark: SparkSession, sf_dir: str) -> SDF:
+    """CONFUSION MATRIX of the heuristic language id against the labeled
+    ``lang`` column — the quality gate a lang-ID stage ships before
+    anyone filters a corpus on its output (round 8; the audit-family
+    pattern of rank_ndcg_audit / dedup_minhash_audit applied to the text
+    tier): per (true, predicted) cell, document count and the exact ppm
+    share within the true class (the diagonal cells are per-class
+    recall).  Audits the SAME predictor text_lang_id ships — one shared
+    construction on both engines, so a predictor edit cannot silently
+    diverge from its audit.
+
+    Determinism: counts are exact BIGINTs; share_ppm is floor(1e6·n/tot)
+    — one IEEE division of exact ints floored (never a rounded
+    quotient).
+
+    Scale: the predictor is one map-side pass (staged tokenize + three
+    stopword votes, no shuffle); the label join is doc_id-keyed; the
+    confusion rollup is ≤ |langs|² groups with map-side partials, and
+    the per-class total joins back against that aggregate-sized table."""
+    pred = _lang_pred(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_true")
+    )
+    j = (
+        lab.join(pred, "doc_id")
+        .groupBy("lang_true", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    tt = j.groupBy("lang_true").agg(F.sum("n_docs").alias("tot"))
+    return j.join(tt, "lang_true").select(
+        "lang_true",
+        "pred_lang",
+        "n_docs",
+        F.floor(F.lit(1000000.0) * F.col("n_docs") / F.col("tot"))
+        .cast("long")
+        .alias("share_ppm"),
+    )
 
 
 @query(

@@ -611,3 +611,48 @@ def test_ols_trend_matches_bruteforce(spark):
         slope, (sy - slope * sx) / n, num * num / (denx * deny),
     )
     assert got[0] == want
+
+
+def test_langid_confusion_matches_bruteforce(spark):
+    """Operator shares the staged stopword-vote predictor with
+    text_lang_id; reference recomputes the vote, the argmax chain and
+    the confusion rollup in plain Python over the raw parquet."""
+    from dataframe_expressions_spark.operators.tier3 import (
+        dq_langid_confusion,
+    )
+
+    got = {
+        (r["lang_true"], r["pred_lang"]): (r["n_docs"], r["share_ppm"])
+        for r in dq_langid_confusion(spark, SF_SMOKE).collect()
+    }
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT lang, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    votes = {
+        "en": {"the", "and", "of", "to", "a"},
+        "de": {"der", "die", "und", "das", "ist"},
+        "es": {"el", "la", "de", "que", "y"},
+    }
+    cells = Counter()
+    for lang, text in rows:
+        toks = text.split()
+        s = {k: sum(t in v for t in toks) for k, v in votes.items()}
+        if s["en"] >= s["de"] and s["en"] >= s["es"] and s["en"] > 0:
+            pred = "en"
+        elif s["de"] >= s["es"] and s["de"] > 0:
+            pred = "de"
+        elif s["es"] > 0:
+            pred = "es"
+        else:
+            pred = "unknown"
+        cells[(lang, pred)] += 1
+    tot = Counter()
+    for (lang, _), n in cells.items():
+        tot[lang] += n
+    want = {
+        k: (n, math.floor(1000000.0 * n / tot[k[0]]))
+        for k, n in cells.items()
+    }
+    assert got == want and len(got) > 0
