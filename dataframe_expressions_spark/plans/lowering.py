@@ -838,6 +838,100 @@ class Lowerer:
             "over them"
         )
 
+    # -- scalar string/date sugar (round 8, the last M4 breadth gap) -----------
+    #
+    # Captured method calls on VALUE nodes (``d.p_name.lower()``,
+    # ``d.o_orderdate.year()``, ``d.items.l_returnflag.substr(1, 1)``)
+    # lower through _lift_unary, so they apply at the event level AND
+    # per-element inside nested collections for free — all JVM-side
+    # Column expressions, never Python.
+
+    def _scalar_call(self, name, parent_node, args, kwargs, n_args, fn):
+        if kwargs or len(args) != n_args or any(
+            isinstance(a, Node) for a in args
+        ):
+            raise LoweringError(
+                f".{name}() takes exactly {n_args} literal argument(s)"
+            )
+        return self._lift_unary(fn, parent_node)
+
+    def _call_lower(self, parent_node, parent, args, kwargs):
+        return self._scalar_call("lower", parent_node, args, kwargs, 0, F.lower)
+
+    def _call_upper(self, parent_node, parent, args, kwargs):
+        return self._scalar_call("upper", parent_node, args, kwargs, 0, F.upper)
+
+    def _call_length(self, parent_node, parent, args, kwargs):
+        return self._scalar_call(
+            "length",
+            parent_node,
+            args,
+            kwargs,
+            0,
+            lambda c: F.length(c).cast(T.LongType()),
+        )
+
+    def _call_trim(self, parent_node, parent, args, kwargs):
+        return self._scalar_call("trim", parent_node, args, kwargs, 0, F.trim)
+
+    def _call_substr(self, parent_node, parent, args, kwargs):
+        return self._scalar_call(
+            "substr",
+            parent_node,
+            args,
+            kwargs,
+            2,
+            lambda c, a=args: c.substr(int(a[0]), int(a[1])),
+        )
+
+    def _call_like(self, parent_node, parent, args, kwargs):
+        return self._scalar_call(
+            "like", parent_node, args, kwargs, 1,
+            lambda c, a=args: c.like(str(a[0])),
+        )
+
+    def _call_contains(self, parent_node, parent, args, kwargs):
+        return self._scalar_call(
+            "contains", parent_node, args, kwargs, 1,
+            lambda c, a=args: c.contains(str(a[0])),
+        )
+
+    def _call_startswith(self, parent_node, parent, args, kwargs):
+        return self._scalar_call(
+            "startswith", parent_node, args, kwargs, 1,
+            lambda c, a=args: c.startswith(str(a[0])),
+        )
+
+    def _call_year(self, parent_node, parent, args, kwargs):
+        return self._scalar_call(
+            "year", parent_node, args, kwargs, 0,
+            lambda c: F.year(c).cast(T.LongType()),
+        )
+
+    def _call_month(self, parent_node, parent, args, kwargs):
+        return self._scalar_call(
+            "month", parent_node, args, kwargs, 0,
+            lambda c: F.month(c).cast(T.LongType()),
+        )
+
+    def _call_dayofmonth(self, parent_node, parent, args, kwargs):
+        return self._scalar_call(
+            "dayofmonth", parent_node, args, kwargs, 0,
+            lambda c: F.dayofmonth(c).cast(T.LongType()),
+        )
+
+    def _call_round(self, parent_node, parent, args, kwargs):
+        return self._scalar_call(
+            "round", parent_node, args, kwargs, 1,
+            lambda c, a=args: F.round(c, int(a[0])),
+        )
+
+    def _call_cast(self, parent_node, parent, args, kwargs):
+        return self._scalar_call(
+            "cast", parent_node, args, kwargs, 1,
+            lambda c, a=args: c.cast(str(a[0])),
+        )
+
     # -- user functions → pandas UDF --------------------------------------------
 
     def _lower_udf(self, node: Node) -> Any:

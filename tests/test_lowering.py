@@ -528,3 +528,68 @@ def test_window_and_set_op_capture_errors():
         orders = lt(spark, SF_SMOKE, "orders")
         bad = d.window(d.o_custkey, rn="row_number")  # no order_by
         select_from({d: orders}, bad)
+
+
+def test_scalar_string_date_sugar(spark):
+    """string_funcs/date_funcs shapes expressed through the DSL (round 8,
+    the last M4 breadth gap): scalar string/date methods capture and
+    lower to JVM Column expressions at the event level."""
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    part = lt(spark, SF_SMOKE, "part")
+    d = DataFrame()
+    out = select(
+        d,
+        part,
+        d[d.p_name.like("%a%")],
+        low=d.p_name.lower(),
+        ln=d.p_name.length(),
+        ty5=d.p_type.substr(1, 5),
+        has_air=d.p_type.contains("air"),
+    )
+    exp = (
+        part.where(F.col("p_name").like("%a%"))
+        .select(
+            F.lower("p_name").alias("low"),
+            F.length("p_name").cast("long").alias("ln"),
+            F.col("p_type").substr(1, 5).alias("ty5"),
+            F.col("p_type").contains("air").alias("has_air"),
+        )
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, exp.collect()))
+    assert got == want and len(got) > 0
+
+    orders = lt(spark, SF_SMOKE, "orders")
+    do = DataFrame()
+    ydsl = select(do, orders, do, y=do.o_orderdate.year(), m=do.o_orderdate.month())
+    yexp = orders.select(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    )
+    assert sorted(map(tuple, ydsl.collect())) == sorted(map(tuple, yexp.collect()))
+
+
+def test_scalar_sugar_applies_per_element(spark, nested):
+    """The same scalar methods range over NESTED collections through
+    _lift_unary — ``d.items.l_returnflag.lower()`` is a per-element
+    transform, JVM-side (no Python eval nodes in the plan)."""
+    d = DataFrame()
+    out = select(
+        d,
+        nested,
+        d,
+        okey=d.o_orderkey,
+        flags=d.items.l_returnflag.lower(),
+    )
+    exp = nested.select(
+        F.col("o_orderkey").alias("okey"),
+        F.transform("items", lambda it: F.lower(it["l_returnflag"])).alias(
+            "flags"
+        ),
+    )
+    got = {r["okey"]: r["flags"] for r in out.collect()}
+    want = {r["okey"]: r["flags"] for r in exp.collect()}
+    assert got == want and len(got) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
