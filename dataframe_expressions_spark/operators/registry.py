@@ -78,17 +78,18 @@ def query(qid: str, oracle: Optional[str] = None):
 # fronting test recomputes the same thing so this list can't silently
 # undercount).  CORRECTNESS_r07 came back 50/50, so the post-r7 vintage
 # distribution is r2:10 r3:48 r4:50 r5:50 r6:50 r7:50 and the r7
-# VERDICT's plan applies verbatim: slots 1-3 the round-8 additions
-# (graph_common_neighbors_sampled, stats_ols_trend, dq_langid_confusion
-# — zero evidence), slots 4-13 the 10 displaced r2-vintage ids
-# (sim_search_lsh … window_range_frame), slots 14-50 the alphabetical
-# head (37 of 48) of the r3 block (agg_freq_items … tfidf_top_terms).
+# VERDICT's plan applies verbatim: slots 1-4 the round-8 additions
+# (graph_common_neighbors_sampled, stats_ols_trend, dq_langid_confusion,
+# stream_dsl_filter — zero evidence), slots 5-14 the 10 displaced
+# r2-vintage ids (sim_search_lsh … window_range_frame), slots 15-50 the
+# alphabetical head (36 of 48) of the r3 block (agg_freq_items …
+# stream_watermark_late).
 #
 # ROUND-9 WINDOW (plan — DERIVE it programmatically like the fronting
 # test does; do not trust this comment's arithmetic).  If
 # CORRECTNESS_r08 comes back 50/50, the oldest remaining evidence is the
-# 11-id r3 tail (timeseries_gapfill … window_analytic, alphabetical
-# after tfidf_top_terms) — front any round-9 additions, then that tail,
+# 12-id r3 tail (tfidf_top_terms … window_analytic, alphabetical after
+# stream_watermark_late) — front any round-9 additions, then that tail,
 # then the alphabetical head of the r4 block.
 # Everything outside the window stays guarded by
 # tests/test_oracle_parity.py, which checks ALL entries against DuckDB
@@ -98,6 +99,7 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "graph_common_neighbors_sampled",
     "stats_ols_trend",
     "dq_langid_confusion",
+    "stream_dsl_filter",
     # -- the 10 displaced r2-vintage ids (last pre-r3 evidence)
     "sim_search_lsh",
     "sink_partitioned",
@@ -146,7 +148,6 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "stream_stream_left_outer",
     "stream_tumbling",
     "stream_watermark_late",
-    "tfidf_top_terms",
 )
 
 
