@@ -52,23 +52,31 @@ def two_phase_rank(
     n_buckets instead of |group|.  ``tie_col`` must be unique within a
     group (the usual deterministic tie-break discipline)."""
     gc = list(grp_cols)
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = df.groupBy(*gc).agg(
-        F.percentile_approx(key_col, qs, 10_000).alias("_cuts")
-    )
-    # strict `cut < key`: rows whose key EQUALS a cut all take the lower
-    # bucket, so equal keys can never straddle a bucket boundary and the
-    # (key, tie) tie-break stays entirely inside one local sort
-    b = (
-        df.join(F.broadcast(cuts), gc)
-        .withColumn(
-            "_bkt",
-            F.size(F.filter("_cuts", lambda c: c < F.col(key_col))).cast(
-                "int"
-            ),
+    if n_buckets < 2:
+        # degenerate single bucket: percentile_approx with an EMPTY
+        # percentage list returns NULL cuts, a NULL bucket, and an
+        # equi-join that silently drops every row (caught by the
+        # hypothesis property test, round 8) — bucket 0 directly instead
+        b = df.withColumn("_bkt", F.lit(0))
+    else:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = df.groupBy(*gc).agg(
+            F.percentile_approx(key_col, qs, 10_000).alias("_cuts")
         )
-        .drop("_cuts")
-    )
+        # strict `cut < key`: rows whose key EQUALS a cut all take the
+        # lower bucket, so equal keys can never straddle a bucket
+        # boundary and the (key, tie) tie-break stays entirely inside
+        # one local sort
+        b = (
+            df.join(F.broadcast(cuts), gc)
+            .withColumn(
+                "_bkt",
+                F.size(F.filter("_cuts", lambda c: c < F.col(key_col))).cast(
+                    "int"
+                ),
+            )
+            .drop("_cuts")
+        )
     counts = b.groupBy(*gc, "_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     woff = (
         W.partitionBy(*gc)

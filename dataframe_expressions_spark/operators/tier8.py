@@ -2015,6 +2015,15 @@ def graph_common_neighbors_sampled(spark: SparkSession, sf_dir: str) -> SDF:
     west = es.join(
         es2, (F.col("s") == F.col("s2")) & (F.col("d") < F.col("d2"))
     ).select(F.col("d").alias("u"), F.col("d2").alias("w"), "s")
+    # the estimate is only ever read left-joined onto the exact top-20,
+    # so prune the sampled wedges to those pairs BEFORE the weight
+    # rollup (broadcast semi-join on 20 rows) — identical output, and
+    # the estimate aggregation shrinks from all sampled pairs to ≤ 20
+    # groups (the oracle keeps the unpruned rollup: same rows survive
+    # its left join, so parity is unaffected)
+    west = west.join(
+        F.broadcast(topk.select("u", "w")), ["u", "w"], "left_semi"
+    )
     est = (
         west.join(cwgt, "s")
         .groupBy("u", "w")

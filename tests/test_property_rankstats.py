@@ -126,3 +126,54 @@ def test_rank_stats_match_reference(spark, tmp_path_factory, a_vals, b_vals):
     ref_u, ref_z = _ref_mw(a_vals, b_vals)
     assert mw["u_a"] == pytest.approx(ref_u, abs=1.5e-6)
     assert mw["z"] == pytest.approx(ref_z, abs=1.5e-6)
+
+
+# ---------------------------------------------------------------------------
+# two_phase_rank ≡ row_number, property-based (round 8)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=-3, max_value=3),  # key (heavy ties)
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    n_buckets=st.sampled_from([1, 3, 8]),
+)
+def test_two_phase_rank_equals_row_number(spark, rows, n_buckets):
+    """For ANY grouped, tie-heavy input and ANY bucket count, the
+    range-partitioned rank must equal the native window rank row for
+    row — cut placement (including every cut landing on one tied key,
+    or n_buckets=1 degenerating to the native shape) may only move work
+    between buckets, never ranks across them."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dataframe_expressions_spark.functions.ranks import two_phase_rank
+
+    df = spark.createDataFrame(
+        [(g, k, i) for i, (g, k) in enumerate(rows)], "g int, k int, t int"
+    )
+    want = df.select(
+        "g",
+        "t",
+        F.row_number().over(W.partitionBy("g").orderBy("k", "t")).alias("r"),
+    )
+    got = two_phase_rank(df, ["g"], "k", "t", "r", n_buckets=n_buckets).select(
+        "g", "t", "r"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
