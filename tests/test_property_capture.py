@@ -141,3 +141,67 @@ def test_bool_tree_filter_matches_pandas(spark, frames, tree):
     pmask = _const_to_series(_eval(tree, {"x": pdf["x"], "k": pdf["k"]}), pdf)
     want = sorted(pdf[pmask.astype(bool)]["rid"])
     assert got == want, tree
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # partition key
+            st.integers(min_value=-4, max_value=4),  # order key (ties)
+            st.integers(min_value=0, max_value=99),  # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    ascending=st.booleans(),
+)
+def test_window_sugar_matches_raw_windows(spark, rows, ascending):
+    """The round-8 .window() capture sugar vs raw pyspark window
+    expressions on arbitrary grouped, tie-heavy frames: row_number
+    (unique tie-break), rank/dense_rank (tie-stable), lag, and the
+    running DECIMAL-folded sum must agree row for row under either
+    ordering direction."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dataframe_expressions_spark import DataFrame, select_from
+
+    df = spark.createDataFrame(
+        [(g, k, v, i) for i, (g, k, v) in enumerate(rows)],
+        "g long, k long, v long, t long",
+    )
+    d = DataFrame()
+    w = d.window(
+        d.g,
+        order_by=(d.k, d.t),
+        ascending=[ascending, True],
+        rn="row_number",
+        rnk="rank",
+        prev=("lag", d.v),
+        run=("sum", d.v),
+    )
+    dsl = select_from(
+        {d: df}, w, g=d.g, t=d.t, rn=w.rn, rnk=w.rnk, prev=w.prev, run=w.run
+    )
+    kcol = F.col("k") if ascending else F.col("k").desc()
+    spec = W.partitionBy("g").orderBy(kcol, F.col("t"))
+    running = spec.rowsBetween(W.unboundedPreceding, W.currentRow)
+    raw = df.select(
+        "g",
+        "t",
+        F.row_number().over(spec).alias("rn"),
+        F.rank().over(spec).alias("rnk"),
+        F.lag("v").over(spec).alias("prev"),
+        F.sum(F.col("v").cast("decimal(38,6)"))
+        .over(running)
+        .cast("double")
+        .alias("run"),
+    )
+    assert sorted(map(tuple, dsl.collect())) == sorted(
+        map(tuple, raw.collect())
+    )
