@@ -1584,10 +1584,26 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> SDF:
     Scale: the wordcount and per-doc rollup shuffles are
     text_unigram_surprisal's plan; the ntile window is ordered over the
     doc-count-sized (doc_id, mean) frame — Spark runs it single-task
-    here; at 100 TB the documented flip is the two-phase range
-    partitioner (sample quantile cuts → rangepartition → local rank),
-    the same fallback stats_xi_correlation records.  The final rollup
-    is 10 groups."""
+    here; at 100 TB the flip is the two-phase range-partitioned rank
+    (functions/ranks.py), IMPLEMENTED as a switchable path like
+    stats_xi_correlation's (r7 VERDICT item 4): with
+    SPARK_GRAFT_TWO_PHASE_RANK=1 the global rank comes from
+    two_phase_rank and the bucket is derived by SQL-ntile sizing
+    arithmetic (first n % B buckets take ⌈n/B⌉ rows) — row-identical to
+    the native ntile, exact integer bucket assignment.  The final
+    rollup is 10 groups."""
+    import os
+
+    return _perplexity_bucket(
+        spark,
+        sf_dir,
+        two_phase=os.environ.get("SPARK_GRAFT_TWO_PHASE_RANK") == "1",
+    )
+
+
+def _perplexity_bucket(
+    spark: SparkSession, sf_dir: str, two_phase: bool = False
+) -> SDF:
     from ..functions import text as TX
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1613,18 +1629,46 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> SDF:
             F.sum(F.col("srp").cast("decimal(38,6)")).alias("s"),
         )
     )
-    b = doc.select(
-        "doc_id",
-        "n_tok",
-        "s",
-        F.ntile(_PPL_BUCKETS)
-        .over(
-            W.orderBy(
-                F.col("s").cast("double") / F.col("n_tok"), F.col("doc_id")
-            )
+    if two_phase:
+        from ..functions.ranks import two_phase_rank
+
+        scored = doc.select(
+            "doc_id",
+            "n_tok",
+            "s",
+            (F.col("s").cast("double") / F.col("n_tok")).alias("_mean"),
+            F.lit(1).alias("_g"),
         )
-        .alias("bucket"),
-    )
+        ranked = two_phase_rank(scored, ["_g"], "_mean", "doc_id", "_r")
+        nrows = ranked.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+        # SQL ntile sizing from the global rank, exact integer
+        # arithmetic: base = n div B, extra = n mod B; the first `extra`
+        # buckets hold base+1 rows.  ceil(a/b) = (a + b - 1) div b; the
+        # base = 0 case (n < B) always lands in the first branch since
+        # extra·(base+1) = n ≥ r.
+        r = F.col("_r")
+        base_i = F.floor(F.col("_n") / _PPL_BUCKETS).cast("long")
+        extra = (F.col("_n") % _PPL_BUCKETS).cast("long")
+        big = extra * (base_i + 1)
+        bucket = F.when(
+            r <= big, F.floor((r + base_i) / (base_i + 1))
+        ).otherwise(extra + F.floor((r - big + base_i - 1) / base_i))
+        b = ranked.join(F.broadcast(nrows), "_g").select(
+            "doc_id", "n_tok", "s", bucket.cast("int").alias("bucket")
+        )
+    else:
+        b = doc.select(
+            "doc_id",
+            "n_tok",
+            "s",
+            F.ntile(_PPL_BUCKETS)
+            .over(
+                W.orderBy(
+                    F.col("s").cast("double") / F.col("n_tok"), F.col("doc_id")
+                )
+            )
+            .alias("bucket"),
+        )
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),

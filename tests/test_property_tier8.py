@@ -656,3 +656,21 @@ def test_langid_confusion_matches_bruteforce(spark):
         for k, n in cells.items()
     }
     assert got == want and len(got) > 0
+
+
+def test_perplexity_two_phase_path_identical(spark):
+    """text_perplexity_bucket's range-partitioned fallback (two_phase_rank
+    + SQL-ntile sizing arithmetic) must be row-identical to the native
+    ntile window — the second consumer of the round-8 fallback pattern
+    (stats_xi_correlation is the first)."""
+    from dataframe_expressions_spark.operators.tier8 import (
+        _perplexity_bucket,
+    )
+
+    native = sorted(
+        tuple(r) for r in _perplexity_bucket(spark, SF_SMOKE, two_phase=False).collect()
+    )
+    fallback = sorted(
+        tuple(r) for r in _perplexity_bucket(spark, SF_SMOKE, two_phase=True).collect()
+    )
+    assert native == fallback and len(native) > 0
