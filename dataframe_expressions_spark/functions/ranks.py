@@ -25,6 +25,14 @@ The result is EXACT — identical to the native window for every row
 regardless of where the sampled cuts land (cut placement only moves
 work between buckets, never reorders keys across them), so an operator
 can switch paths without touching its oracle.
+
+NULL handling (round-9 ADVICE hardening): native windows keep NULL
+partitions and order NULL keys first (Spark ASC default), so this
+primitive must too.  The internal joins are null-SAFE on the group
+columns (a plain equi-join would silently drop NULL-group rows), and a
+NULL ``_cuts`` array (percentile_approx over an all-NULL key group) or a
+NULL key comparison buckets to 0 explicitly — matching NULLS FIRST —
+instead of leaning on ``legacy.sizeOfNull``'s ``size(NULL) = -1``.
 """
 
 from __future__ import annotations
@@ -36,6 +44,23 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = ["two_phase_rank"]
+
+
+def _nullsafe_broadcast_join(
+    left: DataFrame, right: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """Inner broadcast join on ``cols`` with ``eqNullSafe`` equality, so
+    NULL group values pair up exactly like a window PARTITION BY would
+    group them (one partition per distinct value, NULL included)."""
+    renamed = right
+    for c in cols:
+        renamed = renamed.withColumnRenamed(c, f"_r_{c}")
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+    return left.join(F.broadcast(renamed), cond).drop(
+        *[f"_r_{c}" for c in cols]
+    )
 
 
 def two_phase_rank(
@@ -66,14 +91,22 @@ def two_phase_rank(
         # strict `cut < key`: rows whose key EQUALS a cut all take the
         # lower bucket, so equal keys can never straddle a bucket
         # boundary and the (key, tie) tie-break stays entirely inside
-        # one local sort
+        # one local sort.  NULL cuts (all-NULL key group) and NULL keys
+        # (compare to cut -> NULL -> filtered out) both bucket to 0 —
+        # Spark ASC windows order NULLS FIRST, so bucket 0 is where a
+        # NULL key belongs.
         b = (
-            df.join(F.broadcast(cuts), gc)
+            _nullsafe_broadcast_join(df, cuts, gc)
             .withColumn(
                 "_bkt",
-                F.size(F.filter("_cuts", lambda c: c < F.col(key_col))).cast(
-                    "int"
-                ),
+                F.when(
+                    F.col("_cuts").isNull() | F.col(key_col).isNull(),
+                    F.lit(0),
+                )
+                .otherwise(
+                    F.size(F.filter("_cuts", lambda c: c < F.col(key_col)))
+                )
+                .cast("int"),
             )
             .drop("_cuts")
         )
@@ -94,7 +127,7 @@ def two_phase_rank(
         W.partitionBy(*gc, "_bkt").orderBy(key_col, tie_col)
     )
     return (
-        b.join(F.broadcast(offsets), gc + ["_bkt"])
+        _nullsafe_broadcast_join(b, offsets, gc + ["_bkt"])
         .withColumn(rank_name, (F.col("_off") + local).cast("long"))
         .drop("_bkt", "_off")
     )

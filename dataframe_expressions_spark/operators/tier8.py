@@ -1989,7 +1989,7 @@ def graph_common_neighbors_sampled(spark: SparkSession, sf_dir: str) -> SDF:
     audit — graph_common_neighbors' documented Σdeg² cap, executed (r7
     VERDICT item 7, the sketch-audit pattern of dedup_minhash_audit /
     sim_search_recall_audit): every wedge center keeps at most
-    {_LP_SAMPLE} neighbors (a deterministic portable-LCG rank over its
+    S = 24 (_LP_SAMPLE) neighbors (a deterministic portable-LCG rank over its
     adjacency, so both engines sample the SAME subset), wedges are
     counted on the sampled adjacency, and each observed wedge is
     up-weighted by the center's inverse inclusion ratio
@@ -2008,7 +2008,7 @@ def graph_common_neighbors_sampled(spark: SparkSession, sf_dir: str) -> SDF:
 
     Scale: THIS is the variant that survives hubs — the sampled wedge
     join generates at most S² wedges per center instead of deg², so the
-    worst center emits {_LP_SAMPLE * _LP_SAMPLE} rows instead of
+    worst center emits S² = 576 rows instead of
     millions; the neighbor-rank window partitions by center (bounded by
     max degree, itself cappable by two_phase_rank if a center's
     adjacency outgrows a task); everything downstream of the sample is
@@ -2461,20 +2461,19 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> SDF:
                  CAST(sum(xd * y) AS BIGINT) AS sxy,
                  CAST(sum(xd * xd) AS BIGINT) AS sxx,
                  CAST(sum(y * y) AS BIGINT) AS syy
-          FROM daily)
+          FROM daily),
+    d AS (SELECT n, sx, sy, sxy, sxx, syy,
+                 CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+                 CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS denx,
+                 CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS deny
+          FROM m)
     SELECT n AS n_days, sx, sy, sxy, sxx, syy,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-             AS slope,
-           (sy - CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                 * sx) / n AS intercept,
-           (CAST(n * sxy - sx * sy AS DOUBLE)
-            * CAST(n * sxy - sx * sy AS DOUBLE))
-             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
-             AS r2
-    FROM m
+           CASE WHEN denx <> 0 THEN num / denx END AS slope,
+           CASE WHEN denx <> 0
+                THEN (sy - num / denx * sx) / n END AS intercept,
+           CASE WHEN denx <> 0 AND deny <> 0
+                THEN num * num / (denx * deny) END AS r2
+    FROM d
     """,
 )
 def stats_ols_trend(spark: SparkSession, sf_dir: str) -> SDF:
@@ -2492,6 +2491,13 @@ def stats_ols_trend(spark: SparkSession, sf_dir: str) -> SDF:
     lesson); the n·Σxy−ΣxΣy cross terms stay far inside BIGINT at the
     calendar's scale, and r²'s SQUARED numerator is computed in double
     (it would overflow int64).
+
+    Degenerate corpora (round-9 ADVICE): a single-day or constant-count
+    series makes denx or deny zero, where Spark's Divide yields NULL but
+    DuckDB's IEEE default yields inf/nan — so BOTH engines now gate the
+    quotients identically (CASE WHEN denx <> 0 / F.when) and emit NULL
+    for the undefined fit, keeping cross-engine parity on the same
+    corpus class the sampled-CN query clamps with greatest(..., 1.0).
 
     Scale: one map-side-combined daily rollup, then a single 1-row
     moment aggregate — the cheapest shape in the stats family; the
@@ -2522,7 +2528,7 @@ def stats_ols_trend(spark: SparkSession, sf_dir: str) -> SDF:
     deny = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast(
         "double"
     ) * F.col("sy")
-    slope = num / denx
+    slope = F.when(denx != 0, num / denx)
     return m.select(
         F.col("n").alias("n_days"),
         "sx",
@@ -2531,6 +2537,10 @@ def stats_ols_trend(spark: SparkSession, sf_dir: str) -> SDF:
         "sxx",
         "syy",
         slope.alias("slope"),
-        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
-        (num * num / (denx * deny)).alias("r2"),
+        F.when(
+            denx != 0, (F.col("sy") - (num / denx) * F.col("sx")) / F.col("n")
+        ).alias("intercept"),
+        F.when((denx != 0) & (deny != 0), num * num / (denx * deny)).alias(
+            "r2"
+        ),
     )

@@ -765,6 +765,19 @@ class Lowerer:
         )
         if not kwargs:
             raise LoweringError(".window() requires at least one named spec")
+        # Collision guard (round-9 ADVICE): a spec named after an existing
+        # column would otherwise produce DUPLICATE column names via
+        # select('*', ...) and ambiguous downstream resolution — fail
+        # loudly at lowering time instead.  (Python kwargs already forbid
+        # two specs sharing a name within one call.)
+        existing = set(df.columns)
+        clashes = sorted(n for n in kwargs if n in existing)
+        if clashes:
+            raise LoweringError(
+                f".window() spec name(s) {clashes} already exist as "
+                f"column(s) of the frame — pick fresh names or .select() "
+                f"the old column away first"
+            )
         named = []
         for name, spec in kwargs.items():
             named.append(self._window_col(w, spec).alias(name))

@@ -94,6 +94,10 @@ _QIDS = (
     # day bucket (single-day groups yield zero pairs on both engines if
     # the series degenerates); integer day deltas keep slopes exact
     "stats_theil_sen_trend",
+    # round-9: OLS twin on the same collapsed-day series (2 distinct
+    # days here — the denx<>0 path; the single-day denx=0 path gets its
+    # own fixture below)
+    "stats_ols_trend",
 )
 
 
@@ -244,3 +248,52 @@ def test_rank_stats_degenerate_cohorts(spark, tmp_path_factory):
             if err:
                 failures[f"{name}/{qid}"] = err
     assert not failures, failures
+
+
+def test_ols_trend_single_day_null_fit(spark, tmp_path_factory):
+    """Zero-variance guard (round-9 ADVICE): a SINGLE-day corpus makes
+    denx = n·Σx² − (Σx)² = 0, where Spark's Divide yields NULL but
+    DuckDB's IEEE default yields inf/nan — the CASE WHEN denx <> 0 gate
+    must fire identically on both engines, and the fit columns must be
+    genuinely NULL (not 0, not nan) while the exact moment sums still
+    report."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    qs = load_all()
+    d = tmp_path_factory.mktemp("ols_single_day_sf")
+    t0 = dt.datetime(1995, 6, 1, 12, 0, 0)
+    rows = [
+        (i + 1, t0 + dt.timedelta(minutes=i), 1, "click", float(i), "{}")
+        for i in range(5)  # five events, ONE calendar day
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet')"
+    )
+    err = oc.run_one("stats_ols_trend", spark, con, str(d))
+    assert not err, err
+    row = qs["stats_ols_trend"].fn(spark, str(d)).collect()[0]
+    assert row["n_days"] == 1 and row["sy"] == 5
+    assert row["slope"] is None
+    assert row["intercept"] is None
+    assert row["r2"] is None

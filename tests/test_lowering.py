@@ -530,6 +530,28 @@ def test_window_and_set_op_capture_errors():
         select_from({d: orders}, bad)
 
 
+def test_window_spec_name_collision_raises(spark):
+    """A .window() spec named after an existing column must raise a clear
+    LoweringError instead of producing duplicate column names and
+    ambiguous downstream resolution (round-9 ADVICE)."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.plans.lowering import LoweringError
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    orders = lt(spark, SF_SMOKE, "orders")
+    d = DataFrame()
+    bad = d.window(
+        d.o_custkey, order_by=d.o_orderkey, o_totalprice="row_number"
+    )
+    with pytest.raises(LoweringError, match="o_totalprice.*already exist"):
+        select_from({d: orders}, bad)
+    # and a spec name minted by an EARLIER .window() call collides too
+    first = d.window(d.o_custkey, order_by=d.o_orderkey, rn="row_number")
+    second = first.window(d.o_custkey, order_by=d.o_orderkey, rn="rank")
+    with pytest.raises(LoweringError, match="rn.*already exist"):
+        select_from({d: orders}, second)
+
+
 def test_scalar_string_date_sugar(spark):
     """string_funcs/date_funcs shapes expressed through the DSL (round 8,
     the last M4 breadth gap): scalar string/date methods capture and

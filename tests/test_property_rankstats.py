@@ -144,8 +144,11 @@ from hypothesis import strategies as st
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=2),   # group
-            st.integers(min_value=-3, max_value=3),  # key (heavy ties)
+            # group, with NULLs: native windows keep a NULL partition,
+            # so the null-safe join path must too (round-9 ADVICE)
+            st.one_of(st.none(), st.integers(min_value=0, max_value=2)),
+            # key (heavy ties), with NULLs: NULLS FIRST under ASC
+            st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
         ),
         min_size=1,
         max_size=80,
@@ -153,11 +156,13 @@ from hypothesis import strategies as st
     n_buckets=st.sampled_from([1, 3, 8]),
 )
 def test_two_phase_rank_equals_row_number(spark, rows, n_buckets):
-    """For ANY grouped, tie-heavy input and ANY bucket count, the
-    range-partitioned rank must equal the native window rank row for
-    row — cut placement (including every cut landing on one tied key,
-    or n_buckets=1 degenerating to the native shape) may only move work
-    between buckets, never ranks across them."""
+    """For ANY grouped, tie-heavy input — including NULL group values
+    and NULL keys (all-NULL key groups exercise the NULL-_cuts branch)
+    — and ANY bucket count, the range-partitioned rank must equal the
+    native window rank row for row — cut placement (including every cut
+    landing on one tied key, or n_buckets=1 degenerating to the native
+    shape) may only move work between buckets, never ranks across
+    them."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -174,6 +179,9 @@ def test_two_phase_rank_equals_row_number(spark, rows, n_buckets):
     got = two_phase_rank(df, ["g"], "k", "t", "r", n_buckets=n_buckets).select(
         "g", "t", "r"
     )
-    assert sorted(map(tuple, got.collect())) == sorted(
-        map(tuple, want.collect())
+    def _nkey(t):  # None-safe sort key for the python-side comparison
+        return tuple((v is None, v) for v in t)
+
+    assert sorted(map(tuple, got.collect()), key=_nkey) == sorted(
+        map(tuple, want.collect()), key=_nkey
     )
