@@ -15,7 +15,7 @@ from .plans.nodes import Column, DataFrame
 from .plans.alias import clear_aliases, define_alias
 from .plans.lowering import (Lowerer, LoweringError, render,
                              render_callable, select, select_from,
-                             to_spark)
+                             to_spark, unpersist_points)
 from .functions.user import user_func
 
 __all__ = [
@@ -30,6 +30,7 @@ __all__ = [
     "select",
     "select_from",
     "to_spark",
+    "unpersist_points",
     "user_func",
 ]
 

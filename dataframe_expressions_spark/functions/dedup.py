@@ -282,11 +282,14 @@ def minhash_pairs_cached(
         sweep_stale_store_dirs,
     )
 
+    from ..sources.tables import store_root
+
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     tt = repr(threshold).replace(".", "p")
+    root = store_root()
     prefix = f"spark_graft_mhpairs_{key}_t{tt}_h{n_hashes}_v1_"
-    out = f"/tmp/{prefix}{source_fingerprint(sf_dir, tables=('documents',))}"
-    sweep_stale_store_dirs("/tmp", prefix, out)
+    out = f"{root}/{prefix}{source_fingerprint(sf_dir, tables=('documents',))}"
+    sweep_stale_store_dirs(root, prefix, out)
     if not os.path.exists(out):
         docs = load_table(spark, sf_dir, "documents")
         tmp = f"{out}.tmp{os.getpid()}"

@@ -1,11 +1,17 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata, with
 decode / feature-extraction as Arrow-batched ``mapInPandas`` stages.
 
-The image/audio codecs are NOT in this container, so the actual decode is
-stubbed (deterministic fake dimensions derived from the bytes, or
-``NotImplementedError`` when ``strict=True``) — but everything Spark-side
-is real and tested: the binary column, the metadata struct schema, the
-``mapInPandas`` signature, Arrow batching, and partition behavior.
+The image/audio codec LIBRARIES are not in this container, but as of
+round 9 ``strict=True`` decode is no longer a pure stub: BMP payloads
+(the one mainstream raster format parseable from public byte-layout
+knowledge with no library at all) decode REAL width/height from real
+header bytes — ``make_bmp`` builds deterministic fixtures, and
+``NotImplementedError`` remains only for formats that genuinely need
+PIL/libav (JPEG/PNG/video).  The default (non-strict) path keeps the
+deterministic fake dimensions so the oracle-checked queries are
+byte-stable.  Everything Spark-side is real and tested either way: the
+binary column, the metadata struct schema, the ``mapInPandas``
+signature, Arrow batching, and partition behavior.
 
 Scale notes: binary payloads ride in the same parquet row groups as their
 metadata; ``mapInPandas`` streams Arrow batches so a 100 TB decode job is
@@ -24,11 +30,55 @@ from pyspark.sql import types as T
 
 __all__ = [
     "attach_fake_image",
+    "bmp_dims",
     "decode_meta",
     "frame_sample",
+    "make_bmp",
     "DECODED_SCHEMA",
     "FRAME_SCHEMA",
 ]
+
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Build a minimal valid 24-bit BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + pixel array) — a deterministic fixture for the
+    strict decode path.  Layout is the public Windows BMP format: 14-byte
+    file header (``BM``, file size, reserved, pixel-data offset), 40-byte
+    info header (size, int32 LE width/height, planes, bpp, ...), rows
+    padded to 4 bytes."""
+    import struct
+
+    row = ((width * 3 + 3) // 4) * 4
+    pix = bytes((seed + i) % 256 for i in range(row * height))
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix),
+        2835, 2835, 0, 0,
+    )
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+    return hdr + dib + pix
+
+
+def bmp_dims(buf: bytes) -> "tuple[int, int]":
+    """Parse (width, height) from BMP header bytes — the real codec the
+    strict path runs.  Supports the 40-byte+ BITMAPINFOHEADER family
+    (int32 LE dims at offset 18/22; negative height = top-down row
+    order) and the legacy 12-byte BITMAPCOREHEADER (uint16 dims).
+    Raises ``NotImplementedError`` for anything that is not a BMP —
+    decoding JPEG/PNG/video genuinely needs PIL/libav."""
+    import struct
+
+    if len(buf) < 26 or buf[:2] != b"BM":
+        raise NotImplementedError(
+            "not a BMP payload; real image decode requires PIL/libav "
+            "(not in container)"
+        )
+    dib = struct.unpack_from("<I", buf, 14)[0]
+    if dib == 12:  # BITMAPCOREHEADER: uint16 dims
+        w, h = struct.unpack_from("<HH", buf, 18)
+        return int(w), int(h)
+    w, h = struct.unpack_from("<ii", buf, 18)
+    return int(w), abs(int(h))
 
 
 def attach_fake_image(docs: DataFrame) -> DataFrame:
@@ -56,23 +106,32 @@ DECODED_SCHEMA = T.StructType(
 
 
 def decode_meta(media: DataFrame, strict: bool = False) -> DataFrame:
-    """'Decode' each payload to (width, height) via mapInPandas.
+    """Decode each payload to (width, height) via mapInPandas.
 
-    ``strict=True`` takes the real-codec path, which raises
-    ``NotImplementedError`` here (no PIL/libav in this container); the
-    default path computes deterministic fake dimensions from the byte
-    length so the full Arrow plumbing is exercised and oracle-checkable.
-    """
+    ``strict=True`` runs the REAL codec: BMP headers decode actual
+    dimensions from actual bytes (``bmp_dims``); any non-BMP payload
+    raises ``NotImplementedError`` — the formats that genuinely need
+    PIL/libav, which this container lacks.  The default path computes
+    deterministic fake dimensions from the byte length so the full
+    Arrow plumbing is exercised and oracle-checkable on the synthetic
+    corpus (whose payloads are not BMPs)."""
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libav (not in container)"
-                )
             n = pdf["img_bytes"].map(len)
+            if strict:
+                dims = [bmp_dims(bytes(b)) for b in pdf["img_bytes"]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": n,
+                        "width": [d[0] for d in dims],
+                        "height": [d[1] for d in dims],
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -73,81 +73,74 @@ def query(qid: str, oracle: Optional[str] = None):
 # If CORRECTNESS_r06 comes back 50/50, every id has a driver-green row,
 # none older than r2.
 #
-# ROUND-8 WINDOW.  Derived programmatically from the committed
+# ROUND-9 WINDOW.  Derived programmatically from the committed
 # CORRECTNESS_r0*.json files (latest round each id has a row; the
-# fronting test recomputes the same thing so this list can't silently
-# undercount).  CORRECTNESS_r07 came back 50/50, so the post-r7 vintage
-# distribution is r2:10 r3:48 r4:50 r5:50 r6:50 r7:50 and the r7
-# VERDICT's plan applies verbatim: slots 1-4 the round-8 additions
-# (graph_common_neighbors_sampled, stats_ols_trend, dq_langid_confusion,
-# stream_dsl_filter — zero evidence), slots 5-14 the 10 displaced
-# r2-vintage ids (sim_search_lsh … window_range_frame), slots 15-50 the
-# alphabetical head (36 of 48) of the r3 block (agg_freq_items …
-# stream_watermark_late).
-#
-# ROUND-9 WINDOW (plan — DERIVE it programmatically like the fronting
-# test does; do not trust this comment's arithmetic).  If
-# CORRECTNESS_r08 comes back 50/50, the oldest remaining evidence is the
-# 12-id r3 tail (tfidf_top_terms … window_analytic, alphabetical after
-# stream_watermark_late) — front any round-9 additions, then that tail,
-# then the alphabetical head of the r4 block.
+# fronting test recomputes the same derivation, so this list can't
+# silently undercount).  CORRECTNESS_r08 came back 50/50, leaving the
+# post-r8 vintage distribution r3:12 r4:50 r5:50 r6:50 r7:50 r8:50 —
+# so, per the r8 VERDICT plan: slots 1-3 the round-9 additions
+# (stats_autocorr_lagged, stream_dsl_tumbling, text_zipf_audit — zero
+# evidence), slots 4-15 the full 12-id r3 tail (tfidf_top_terms ...
+# udtf_sentence_split), slots 16-50 the alphabetical head (35 of 50)
+# of the r4 block (agg_approx_topk ... text_rep_bigram).  If
+# CORRECTNESS_r09 comes back 50/50 the oldest remaining evidence is
+# the 15-id r4 tail (tpch_q10 ... window_rank) — front any round-10
+# additions, then that tail, then the alphabetical head of the r5
+# block.
 # Everything outside the window stays guarded by
 # tests/test_oracle_parity.py, which checks ALL entries against DuckDB
 # (value-exact + driver-identical CSV hash) on every pytest run.
 DRIVER_WINDOW_PRIORITY: tuple = (
-    # -- round-8 additions: zero driver evidence
-    "graph_common_neighbors_sampled",
-    "stats_ols_trend",
-    "dq_langid_confusion",
-    "stream_dsl_filter",
-    # -- the 10 displaced r2-vintage ids (last pre-r3 evidence)
-    "sim_search_lsh",
-    "sink_partitioned",
-    "sql_interface",
-    "text_lang_id",
-    "text_ngram_freq",
-    "text_quality",
-    "text_token_bpe",
-    "unpivot_long",
-    "window_ntile_pct",
-    "window_range_frame",
-    # -- alphabetical head of the 48-id r3 block
-    "agg_freq_items",
-    "agg_hll_rollup",
-    "agg_skew_twophase",
-    "anomaly_zscore",
-    "array_map_json_funcs",
-    "cdc_upsert_compact",
-    "cogrouped_asof_pandas",
-    "cohort_retention",
-    "compact_small_files",
-    "dedup_components",
-    "dedup_incremental",
-    "ewma_smooth",
-    "funnel_conversion",
-    "grouped_map_pandas",
-    "join_asof",
-    "join_range_theta",
-    "join_salted",
-    "json_variant_extract",
-    "kmeans_lloyd",
-    "map_funcs",
-    "mapinarrow_token_stats",
-    "scan_parquet",
-    "seq_pack_fill",
-    "session_window",
-    "sessionize_batch",
-    "sink_zorder",
-    "stream_dedup",
-    "stream_dedup_watermarked",
-    "stream_foreach_batch_sink",
-    "stream_sliding_session",
-    "stream_stateful_count",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stream_left_outer",
-    "stream_tumbling",
-    "stream_watermark_late",
+    "stats_autocorr_lagged",
+    "stream_dsl_tumbling",
+    "text_zipf_audit",
+    "tfidf_top_terms",
+    "timeseries_gapfill",
+    "tpch_q13_cust_order_dist",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q21_late_supplier",
+    "tpch_q22_idle_customers",
+    "tpch_q4_late_exists",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "udtf_sentence_split",
+    "agg_approx_topk",
+    "agg_filter_clause",
+    "agg_grouping_sets",
+    "decontam_ngram",
+    "dedup_containment",
+    "dedup_cross_source",
+    "dedup_fuzzy_edit",
+    "dedup_semantic",
+    "dedup_substring_spans",
+    "dq_constraints",
+    "emb_norm_quantize",
+    "emb_pq_codebook",
+    "graph_pagerank",
+    "hist_totalprice",
+    "join_lateral",
+    "join_null_safe",
+    "mixture_sample",
+    "observe_metrics",
+    "pipeline_pretrain_corpus",
+    "profile_columns",
+    "reshape_transpose",
+    "sample_stratified",
+    "scan_xml",
+    "schema_evolution_merge",
+    "sink_sorted_skipping",
+    "sql_group_by_all",
+    "sql_pipe_syntax",
+    "sql_recursive_cte",
+    "stats_ab_welch",
+    "stats_corr_matrix",
+    "stats_ols_regression",
+    "stats_winsorize",
+    "string_collation",
+    "text_chunk_windows",
+    "text_pii_scrub",
 )
 
 

@@ -320,8 +320,10 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    from ..sources.tables import store_root
+
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return f"/tmp/spark_graft_{fmt}_{key}"
+    return f"{store_root()}/spark_graft_{fmt}_{key}"
 
 
 @query(
@@ -419,7 +421,9 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> SDF:
         + "_"
         + source_fingerprint(sf_dir)
     )
-    loc = f"/tmp/spark_graft_bucketed_{key}"
+    from ..sources.tables import store_root
+
+    loc = f"{store_root()}/spark_graft_bucketed_{key}"
     for name, src, col in (
         ("lineitem_b", "lineitem", "l_orderkey"),
         ("orders_b", "orders", "o_orderkey"),

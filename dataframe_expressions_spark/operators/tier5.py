@@ -1049,12 +1049,13 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 def _maint_dir(sf_dir: str, name: str) -> str:
-    from ..sources.tables import TABLE_NAMES, source_fingerprint
+    from ..sources.tables import TABLE_NAMES, source_fingerprint, store_root
 
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     # keyed on the full source footprint: regenerated testdata must never
     # be served a maintenance copy built from the previous generation
-    return f"/tmp/spark_graft_{name}_{key}_{source_fingerprint(sf_dir, TABLE_NAMES)}"
+    return (f"{store_root()}/spark_graft_{name}_{key}_"
+            f"{source_fingerprint(sf_dir, TABLE_NAMES)}")
 
 
 @query(

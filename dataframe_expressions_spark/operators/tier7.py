@@ -623,14 +623,15 @@ def _restart_src_files(spark: SparkSession, sf_dir: str) -> list:
     restart test has real file-source offsets to checkpoint across."""
     import os
 
-    from ..sources.tables import sweep_stale_store_dirs
+    from ..sources.tables import store_root, sweep_stale_store_dirs
 
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = store_root()
     out = (
-        f"/tmp/spark_graft_restart_stage_{key}_"
+        f"{root}/spark_graft_restart_stage_{key}_"
         f"{source_fingerprint(sf_dir, ('events',))}"
     )
-    sweep_stale_store_dirs("/tmp", f"spark_graft_restart_stage_{key}_", out)
+    sweep_stale_store_dirs(root, f"spark_graft_restart_stage_{key}_", out)
     if not os.path.exists(out):
         tmp = f"{out}.tmp{os.getpid()}"
         load_table(spark, sf_dir, "events").select(
@@ -763,14 +764,15 @@ def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     probed, not assumed)."""
     import os
 
-    from ..sources.tables import sweep_stale_store_dirs
+    from ..sources.tables import store_root, sweep_stale_store_dirs
 
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = store_root()
     out = (
-        f"/tmp/spark_graft_dpp_orders_v2_{key}_"
+        f"{root}/spark_graft_dpp_orders_v2_{key}_"
         f"{source_fingerprint(sf_dir, ('orders',))}"
     )
-    sweep_stale_store_dirs("/tmp", f"spark_graft_dpp_orders_v2_{key}_", out)
+    sweep_stale_store_dirs(root, f"spark_graft_dpp_orders_v2_{key}_", out)
     if not os.path.exists(out):
         tmp = f"{out}.tmp{os.getpid()}"
         fact = load_table(spark, sf_dir, "orders").withColumn(
@@ -2934,16 +2936,17 @@ def _incremental_sig_store(spark: SparkSession, sf_dir: str) -> str:
     later batch probe reads only these two compact tables."""
     import os
 
-    from ..sources.tables import sweep_stale_store_dirs
+    from ..sources.tables import store_root, sweep_stale_store_dirs
 
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = store_root()
     # path tail = fingerprint + banding params: changing the band shape
     # invalidates the store exactly like a testdata regeneration does
     out = (
-        f"/tmp/spark_graft_incsig_{key}_"
+        f"{root}/spark_graft_incsig_{key}_"
         f"{source_fingerprint(sf_dir, ('documents',))}b32r1"
     )
-    sweep_stale_store_dirs("/tmp", f"spark_graft_incsig_{key}_", out)
+    sweep_stale_store_dirs(root, f"spark_graft_incsig_{key}_", out)
     if not os.path.exists(out):
         tmp = f"{out}.tmp{os.getpid()}"
         sh = D.hashed_shingle_sets(

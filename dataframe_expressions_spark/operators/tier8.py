@@ -1864,12 +1864,14 @@ def _cn_scored_store(spark: SparkSession, sf_dir: str) -> SDF:
     import os
     import shutil
 
-    from ..sources.tables import source_fingerprint, sweep_stale_store_dirs
+    from ..sources.tables import (source_fingerprint, store_root,
+                                  sweep_stale_store_dirs)
 
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = store_root()
     prefix = f"spark_graft_cnsc_{key}_v1_"
-    out = f"/tmp/{prefix}{source_fingerprint(sf_dir, tables=('orders',))}"
-    sweep_stale_store_dirs("/tmp", prefix, out)
+    out = f"{root}/{prefix}{source_fingerprint(sf_dir, tables=('orders',))}"
+    sweep_stale_store_dirs(root, prefix, out)
     if not os.path.exists(out):
         pr, e, deg = _mod_graph(spark, sf_dir)
         e2 = e.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
@@ -2543,4 +2545,245 @@ def stats_ols_trend(spark: SparkSession, sf_dir: str) -> SDF:
         F.when((denx != 0) & (deny != 0), num * num / (denx * deny)).alias(
             "r2"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag-k autocorrelation of the daily event series (round 9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_autocorr_lagged",
+    f"""
+    WITH daily AS (SELECT CAST(datediff('day', DATE '{_TS_EPOCH}',
+                                CAST(ts AS DATE)) AS BIGINT) AS xd,
+                          CAST(count(*) AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+         lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag),
+         p AS (SELECT l.lag, a.y AS ya, b.y AS yb
+               FROM daily a JOIN lags l ON true
+               JOIN daily b ON b.xd = a.xd + l.lag),
+         m AS (SELECT lag,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(ya) AS BIGINT) AS s1,
+                      CAST(sum(yb) AS BIGINT) AS s2,
+                      CAST(sum(ya * yb) AS BIGINT) AS s12,
+                      CAST(sum(ya * ya) AS BIGINT) AS s11,
+                      CAST(sum(yb * yb) AS BIGINT) AS s22
+               FROM p GROUP BY lag)
+    SELECT lag, n AS n_pairs,
+           CASE WHEN n >= 2 AND (n * s11 - s1 * s1) > 0
+                     AND (n * s22 - s2 * s2) > 0
+                THEN CAST(n * s12 - s1 * s2 AS DOUBLE)
+                     / sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE)
+                            * CAST(n * s22 - s2 * s2 AS DOUBLE))
+           END AS acf
+    FROM m
+    """,
+)
+def stats_autocorr_lagged(spark: SparkSession, sf_dir: str) -> SDF:
+    """LAG-k AUTOCORRELATION (k = 1..7) of the daily event-count series
+    — the periodicity audit that completes the trend family: OLS /
+    Theil–Sen answer "is volume drifting", CUSUM answers "did it jump",
+    seasonal decomposition assumes a weekly period — this MEASURES the
+    period (a weekly cycle shows as an acf peak at lag 7; a corpus whose
+    events were synthesized i.i.d. shows all lags ≈ 0).
+
+    Determinism: acf_k is the Pearson correlation of (y_d, y_{{d+k}})
+    over matched day pairs, computed from six exact BIGINT moment sums
+    per lag (n, Σya, Σyb, Σya·yb, Σya², Σyb² — the stats_ols_trend
+    discipline: no float ever crosses a partition boundary) and emitted
+    as ONE unrounded IEEE expression over those ints; sqrt is
+    correctly-rounded per IEEE-754 on both engines.  Degenerate series
+    (constant counts → zero variance, or < 2 pairs) emit NULL through
+    the same strict guard on both engines — the stats_ols_trend
+    zero-denominator convention.
+
+    Scale: events roll up to the DAILY aggregate first (one map-side-
+    combined shuffle — the raw stream is never self-joined); the pair
+    join and the per-lag moment rollup run on the days×7 aggregate
+    frame, broadcast-sized at any corpus scale."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit(_TS_EPOCH).cast("date"))
+        .cast("long")
+        .alias("xd")
+    ).agg(F.count("*").cast("long").alias("y"))
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
+    a = daily.select(F.col("xd").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("xd").alias("xb"), F.col("y").alias("yb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("xb") == F.col("xa") + F.col("lag"),
+        )
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ya").cast("long").alias("s1"),
+        F.sum("yb").cast("long").alias("s2"),
+        F.sum(F.col("ya") * F.col("yb")).cast("long").alias("s12"),
+        F.sum(F.col("ya") * F.col("ya")).cast("long").alias("s11"),
+        F.sum(F.col("yb") * F.col("yb")).cast("long").alias("s22"),
+    )
+    vx = F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")
+    vy = F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")
+    num = (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).cast(
+        "double"
+    )
+    return m.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+            num / F.sqrt(vx.cast("double") * vy.cast("double")),
+        ).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law audit of the token frequency distribution (round 9)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 256  # fit over the head of the rank/frequency curve
+
+
+@query(
+    "text_zipf_audit",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS8}) AS term FROM documents),
+         tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f
+                FROM tok GROUP BY term),
+         r AS (SELECT term, f,
+                      CAST(row_number() OVER (ORDER BY f DESC, term)
+                           AS BIGINT) AS rk
+               FROM tf),
+         h AS (SELECT term, f, rk,
+                      CAST(round(ln(CAST(rk AS DOUBLE)), 6)
+                           AS DECIMAL(38,6)) AS lr,
+                      CAST(round(ln(CAST(f AS DOUBLE)), 6)
+                           AS DECIMAL(38,6)) AS lf
+               FROM r WHERE rk <= {_ZIPF_TOP}),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(lr) AS DECIMAL(38,6)) AS sx,
+                      CAST(sum(lf) AS DECIMAL(38,6)) AS sy,
+                      CAST(sum(CAST(round(CAST(lr AS DOUBLE)
+                                          * CAST(lf AS DOUBLE), 6)
+                                    AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                        AS sxy,
+                      CAST(sum(CAST(round(CAST(lr AS DOUBLE)
+                                          * CAST(lr AS DOUBLE), 6)
+                                    AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                        AS sxx,
+                      max(CASE WHEN rk = 1 THEN term END) AS top_term,
+                      max(CASE WHEN rk = 1 THEN f END) AS top_freq
+               FROM h)
+    SELECT n AS n_terms, top_term, top_freq,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           END AS zipf_slope,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                THEN (CAST(sy AS DOUBLE)
+                      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+           END AS zipf_intercept
+    FROM m
+    """,
+)
+def text_zipf_audit(spark: SparkSession, sf_dir: str) -> SDF:
+    """ZIPF-LAW AUDIT of the corpus token distribution: OLS slope of
+    ln(freq) on ln(rank) over the top-256 tokens — natural language sits
+    near slope −1 (Zipf 1949); a corpus whose head is too flat (heavy
+    boilerplate / template text) or too steep (degenerate or synthetic
+    repetition) flags BEFORE training on it.  The corpus-health twin of
+    text_rep_bigram at the vocabulary level, fit with the
+    stats_ols_trend moment machinery.
+
+    Determinism: term frequencies and ranks are exact BIGINTs with the
+    unique (freq DESC, term) tie-break; ln(rank)/ln(freq) are single
+    IEEE calls on identical ints ROUNDED to 6dp per term, products
+    re-rounded to 6dp, then DECIMAL(38,6)-folded — the tier-8 header
+    discipline, so every moment sum is partition-order independent and
+    bit-identical across engines; slope/intercept are unrounded IEEE
+    expressions over those exact decimal sums, NULL-gated on a zero
+    denominator (the stats_ols_trend convention; unreachable here with
+    256 distinct ranks, but the guard keeps degenerate single-token
+    corpora parity-safe).
+
+    Scale: one map-side-combined (term → count) shuffle over the token
+    explosion; the rank window is unpartitioned row_number ≤ K, which
+    Catalyst executes as the WindowGroupLimit / top-K shape the plan
+    tests pin for the global-top-k family — no task ever sorts the full
+    vocabulary; the fit runs on a 256-row frame."""
+    from ..functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    head = (
+        tf.select(
+            "term",
+            "f",
+            F.row_number()
+            .over(W.orderBy(F.desc("f"), F.asc("term")))
+            .cast("long")
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= _ZIPF_TOP)
+    )
+    dec = "decimal(38,6)"
+    h = head.select(
+        "term",
+        "f",
+        "rk",
+        F.round(F.log(F.col("rk").cast("double")), 6).cast(dec).alias("lr"),
+        F.round(F.log(F.col("f").cast("double")), 6).cast(dec).alias("lf"),
+    )
+    m = h.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lr").cast(dec).alias("sx"),
+        F.sum("lf").cast(dec).alias("sy"),
+        F.sum(
+            F.round(
+                F.col("lr").cast("double") * F.col("lf").cast("double"), 6
+            ).cast(dec)
+        )
+        .cast(dec)
+        .alias("sxy"),
+        F.sum(
+            F.round(
+                F.col("lr").cast("double") * F.col("lr").cast("double"), 6
+            ).cast(dec)
+        )
+        .cast(dec)
+        .alias("sxx"),
+        F.max(F.when(F.col("rk") == 1, F.col("term"))).alias("top_term"),
+        F.max(F.when(F.col("rk") == 1, F.col("f"))).alias("top_freq"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    den = nd * sxx - sx * sx
+    slope = (nd * sxy - sx * sy) / den
+    return m.select(
+        F.col("n").alias("n_terms"),
+        "top_term",
+        "top_freq",
+        F.when(den != 0, slope).alias("zipf_slope"),
+        F.when(den != 0, (sy - slope * sx) / nd).alias("zipf_intercept"),
     )

@@ -40,7 +40,35 @@ from pyspark.sql import types as T
 
 from .nodes import Column, DataFrame, Node
 
-__all__ = ["Lowerer", "to_spark", "select", "select_from"]
+__all__ = [
+    "Lowerer",
+    "to_spark",
+    "select",
+    "select_from",
+    "unpersist_points",
+]
+
+# Frames materialized by ``.persist_point()`` (module-wide: the whole
+# point is reuse ACROSS lowering contexts, so the lifecycle can't live
+# on any one Lowerer).  Released by ``unpersist_points()``.
+_PERSIST_REGISTRY: list = []
+
+
+def unpersist_points(blocking: bool = False) -> int:
+    """Release every materialization point created by
+    ``DataFrame.persist_point()`` lowering; returns how many were
+    released.  Safe to call with a stopped session (failures to
+    unpersist a dead frame are swallowed — the cache died with the
+    session)."""
+    n = 0
+    while _PERSIST_REGISTRY:
+        df = _PERSIST_REGISTRY.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    return n
 
 
 # ---------------------------------------------------------------------------
@@ -72,6 +100,22 @@ class LGrouped:
 
     df: SDF
     keys: list  # of pyspark Columns
+
+
+@dataclass
+class LPivoted:
+    """A grouped-and-pivoted event set (``.groupby(...).pivot(...)``):
+    ``.agg(...)`` is the only legal next step.  ``values`` is the
+    EXPLICIT pivot value list — required, so the plan never runs the
+    distinct-values discovery job and the output schema is static (the
+    cluster discipline of the tier-4 pivot_wide operator)."""
+
+    df: SDF
+    keys: list  # of pyspark Columns
+    pivot_col: str
+    values: list
+    names: Optional[list] = None  # output aliases, parallel to values
+    default: Any = None  # fill for absent (group, value) combinations
 
 
 @dataclass
@@ -580,6 +624,50 @@ class Lowerer:
             raise LoweringError(".groupby() requires at least one key")
         return LGrouped(parent.df, keys)
 
+    def _call_pivot(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``frame.groupby(keys...).pivot("col", values=[...], names=[...],
+        default=0)`` — long→wide reshape (round 9, the DSL reshape gap).
+
+        ``values`` is REQUIRED: an explicit pivot value list means Spark
+        skips the distinct-values discovery job and the output schema is
+        static — the tier-4 pivot_wide cluster discipline.  Optional
+        ``names`` aliases the value columns (pivot values are rarely
+        valid identifiers) and ``default`` fills absent (group, value)
+        cells, lowering to the same coalesce/alias projection the
+        hand-written operator emits."""
+        if not isinstance(parent, LGrouped):
+            raise LoweringError(".pivot() applies to a .groupby() result")
+        if len(args) != 1 or not isinstance(args[0], str):
+            raise LoweringError(".pivot() takes the pivot column name")
+        values = kwargs.pop("values", None)
+        if not isinstance(values, (list, tuple)) or not values:
+            raise LoweringError(
+                ".pivot() requires values=[...] — an explicit value list "
+                "keeps the output schema static (no distinct-values job)"
+            )
+        names = kwargs.pop("names", None)
+        if names is not None and (
+            not isinstance(names, (list, tuple)) or len(names) != len(values)
+        ):
+            raise LoweringError(
+                ".pivot() names= must parallel the values list"
+            )
+        default = kwargs.pop("default", None)
+        if kwargs:
+            raise LoweringError(
+                f".pivot() got unexpected kwargs: {sorted(kwargs)}"
+            )
+        return LPivoted(
+            parent.df,
+            parent.keys,
+            args[0],
+            list(values),
+            list(names) if names is not None else None,
+            default,
+        )
+
     def _call_agg(
         self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
     ) -> Any:
@@ -588,15 +676,109 @@ class Lowerer:
         cast back to double (exact, partition-order independent — the
         same discipline as the nested Sum and agg_groupby's _dsum);
         Count is COUNT(*) on the frame or COUNT(col) on a column;
-        arithmetic over aggregate calls composes (avg = Sum / Count)."""
-        if not isinstance(parent, LGrouped):
+        arithmetic over aggregate calls composes (avg = Sum / Count).
+        On a ``.pivot()`` result, the single named aggregate fans out
+        over the explicit value list."""
+        if not isinstance(parent, (LGrouped, LPivoted)):
             raise LoweringError(".agg() applies to a .groupby() result")
         if args or not kwargs:
             raise LoweringError(".agg() takes named aggregate expressions")
+        if isinstance(parent, LPivoted):
+            if len(kwargs) != 1:
+                raise LoweringError(
+                    ".agg() after .pivot() takes exactly one named "
+                    "aggregate (the pivot fans it out per value)"
+                )
+            ((_, node),) = kwargs.items()
+            wide = (
+                parent.df.groupBy(*parent.keys)
+                .pivot(parent.pivot_col, parent.values)
+                .agg(self._agg_value(node))
+            )
+            if parent.names is None and parent.default is None:
+                return LFrame(wide)
+            names = parent.names or [str(v) for v in parent.values]
+            key_names = wide.columns[: len(parent.keys)]
+            out = []
+            for v, nm in zip(parent.values, names):
+                c = wide[str(v)]
+                if parent.default is not None:
+                    c = F.coalesce(c, F.lit(parent.default))
+                out.append(c.alias(nm))
+            return LFrame(wide.select(*key_names, *out))
         cols = [
             self._agg_value(node).alias(name) for name, node in kwargs.items()
         ]
         return LFrame(parent.df.groupBy(*parent.keys).agg(*cols))
+
+    def _call_explode(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``frame.explode("kept_col", ..., item=d.items)`` — flatten a
+        nested collection into rows: one output row per element, carrying
+        the named positional columns (all columns when none are named)
+        plus the element under the kwarg name.  The natural exit from the
+        nested-collection world into flat relational form — lowers to the
+        tier-4 explode_unnest projection (narrow, no shuffle)."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".explode() applies to event frames")
+        if len(kwargs) != 1:
+            raise LoweringError(
+                ".explode() takes exactly one name=collection kwarg"
+            )
+        ((name, coll),) = kwargs.items()
+        cols = []
+        for a in args:
+            if not isinstance(a, str):
+                raise LoweringError(
+                    ".explode() positional args must be column-name strings"
+                )
+            if a == name:
+                raise LoweringError(
+                    f".explode() element name {name!r} collides with a "
+                    "kept column"
+                )
+            cols.append(parent.df[a])
+        low = self.lower(coll)
+        if not (isinstance(low, LCol) and low.is_collection):
+            raise LoweringError(".explode() value must be a collection")
+        if not args:
+            if name in parent.df.columns:
+                raise LoweringError(
+                    f".explode() element name {name!r} collides with an "
+                    "existing column"
+                )
+            return LFrame(parent.df.select("*", F.explode(low.col).alias(name)))
+        return LFrame(parent.df.select(*cols, F.explode(low.col).alias(name)))
+
+    def _call_unpivot(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``frame.unpivot(["id", ...], ["v1", "v2", ...], "var", "val")``
+        — wide→long melt, lowering to ``DataFrame.unpivot`` (the tier-4
+        unpivot_long plan: a narrow, no-shuffle Expand)."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".unpivot() applies to event frames")
+        if kwargs or len(args) != 4:
+            raise LoweringError(
+                ".unpivot() takes (ids, values, var_name, value_name)"
+            )
+        ids, vals, var_name, value_name = args
+        if not (
+            isinstance(ids, (list, tuple))
+            and isinstance(vals, (list, tuple))
+            and vals
+            and all(isinstance(c, str) for c in list(ids) + list(vals))
+            and isinstance(var_name, str)
+            and isinstance(value_name, str)
+        ):
+            raise LoweringError(
+                ".unpivot() ids/values must be column-name string lists, "
+                "var/value output names strings"
+            )
+        return LFrame(
+            parent.df.unpivot(list(ids), list(vals), var_name, value_name)
+        )
 
     def _call_orderby(
         self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
@@ -715,6 +897,80 @@ class Lowerer:
 
     _call_except_ = _call_subtract
 
+    def _call_with_watermark(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``frame.with_watermark("ts", "10 minutes")`` → late-data bound
+        for captured STREAMING aggregations (round 9 — the first stateful
+        op the DSL can express; stream_dsl_filter proved the stateless
+        path).  Lowers to ``df.withWatermark``; on a batch-bound frame
+        Catalyst's EliminateEventTimeWatermark removes the node, so the
+        same captured expression lowers onto either source — the
+        source-agnostic discipline."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".with_watermark() applies to event frames")
+        if kwargs or len(args) != 2 or not all(
+            isinstance(a, str) for a in args
+        ):
+            raise LoweringError(
+                ".with_watermark() takes (event_time_column, delay) strings"
+            )
+        return LFrame(parent.df.withWatermark(args[0], args[1]))
+
+    def _call_time_window(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``d.ts.time_window("1 hour"[, "15 minutes"])`` → the tumbling
+        (or sliding, with a slide) time-window STRUCT ``F.window(col,
+        ...)`` — usable as a ``.groupby()`` key; ``.start``/``.end``
+        attr access descends into the struct after aggregation."""
+        if kwargs or not 1 <= len(args) <= 2 or any(
+            isinstance(a, Node) for a in args
+        ):
+            raise LoweringError(
+                ".time_window() takes duration[, slide] literal strings"
+            )
+        dur = str(args[0])
+        if len(args) == 2:
+            slide = str(args[1])
+            return self._lift_unary(lambda c: F.window(c, dur, slide),
+                                    parent_node)
+        return self._lift_unary(lambda c: F.window(c, dur), parent_node)
+
+    def _call_persist_point(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``frame.persist_point()`` — the cross-ACTION materialization
+        point (SURVEY §4.1 row 2, executable as of round 9).
+
+        Capture-time memoization already gives shared sub-DAGs object
+        identity (nodes.py attr cache), and Catalyst eliminates common
+        subexpressions *within* one action — but a user who consumes the
+        same captured sub-DAG in TWO actions otherwise scans parquet
+        twice (the reference's render-time CSE identity
+        [R: render.py:~90-200] has the same per-render boundary).  This
+        op lowers to ``df.persist(MEMORY_AND_DISK)``: Spark's
+        CacheManager registers the CANONICALIZED plan, so every later
+        action whose plan contains this subplan — even one lowered
+        through a *different* Lowerer from the same captured nodes —
+        swaps in an InMemoryTableScan instead of re-reading the source.
+
+        Lifecycle: persistence is lazy (the first action fills the
+        cache); every persisted frame is tracked module-wide and
+        released by ``unpersist_points()``.  MEMORY_AND_DISK (not
+        MEMORY_ONLY) so an executor under memory pressure spills the
+        cached partitions instead of silently recomputing the subplan —
+        the 100 TB-safe default."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".persist_point() applies to event frames")
+        if args or kwargs:
+            raise LoweringError(".persist_point() takes no arguments")
+        from pyspark import StorageLevel
+
+        parent.df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSIST_REGISTRY.append(parent.df)
+        return LFrame(parent.df)
+
     def _call_window(
         self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
     ) -> Any:
@@ -815,10 +1071,41 @@ class Lowerer:
                 )
         raise LoweringError(f"Bad window spec: {spec!r}")
 
+    def _peel_agg_filters(self, p_node: Any):
+        """Split an aggregate operand into (base_node, [mask Columns]):
+        event-FRAME-level filters in the operand chain
+        (``d[d.x == 'A'].Count()``) peel off as boolean masks so the
+        aggregate can evaluate them CONDITIONALLY within the group —
+        SQL's ``count(*) FILTER (WHERE ...)`` — instead of silently
+        aggregating the whole group (the round-9 DSL-unpivot review
+        caught exactly that: a filtered-frame Count inside .agg()
+        counted every row).  Element-level filters (masks over nested
+        collections) are left intact — they lower to F.filter inside
+        the array as before."""
+        if isinstance(p_node, Node) and p_node.op == "filter":
+            parent_node, mask_node = p_node.args
+            base, masks = self._peel_agg_filters(parent_node)
+            low_mask = self.lower(mask_node)
+            if isinstance(low_mask, LCol) and not low_mask.is_collection:
+                return base, masks + [low_mask.col]
+            return p_node, []  # element-level mask: not a frame filter
+        if isinstance(p_node, Node) and p_node.op == "attr":
+            parent_node, name = p_node.args
+            base, masks = self._peel_agg_filters(parent_node)
+            if masks:
+                # re-root the attribute on the UNfiltered base (attr
+                # nodes are memoized per parent, so this is the shared
+                # capture node, not a fresh one)
+                return getattr(base, name), masks
+            return p_node, []
+        return p_node, []
+
     def _agg_value(self, node: Any) -> SCol:
         """Lower an aggregate-context expression: Count/Sum/Min/Max/Mean
         calls become SQL aggregates over their (event-level) operand;
-        bin arithmetic composes aggregates; literals pass through."""
+        frame-level filters in the operand become conditional aggregates
+        (``count(*) FILTER`` semantics); bin arithmetic composes
+        aggregates; literals pass through."""
         if not isinstance(node, Node):
             return self._lit(node)
         if node.op == "bin":
@@ -832,18 +1119,32 @@ class Lowerer:
                     f"Aggregate {mname!r} not supported in .agg() "
                     "(Count/Sum/Min/Max/Mean)"
                 )
-            plow = self.lower(p_node)
+            base_node, masks = self._peel_agg_filters(p_node)
+            mask: Optional[SCol] = None
+            for mc in masks:
+                mask = mc if mask is None else (mask & mc)
+            plow = self.lower(base_node)
             if m == "count":
                 if isinstance(plow, LFrame):
+                    if mask is not None:
+                        return F.count(F.when(mask, F.lit(1)))
                     return F.count(F.lit(1))  # frame.Count() → COUNT(*)
-                return F.count(self._materialize(plow).col)
+                c = self._materialize(plow).col
+                return F.count(F.when(mask, c) if mask is not None else c)
             c = self._materialize(plow).col
+            if mask is not None:
+                c = F.when(mask, c)
             if m == "sum":
                 return F.sum(c.cast(self._SUM_DECIMAL)).cast(T.DoubleType())
             if m == "mean":
+                denom = (
+                    F.count(F.when(mask, F.lit(1)))
+                    if mask is not None
+                    else F.count(F.lit(1))
+                )
                 return F.sum(c.cast(self._SUM_DECIMAL)).cast(
                     T.DoubleType()
-                ) / F.count(F.lit(1))
+                ) / denom
             return (F.min if m == "min" else F.max)(c)
         raise LoweringError(
             f"Cannot lower {node.op!r} inside .agg() — aggregate "

@@ -152,6 +152,28 @@ _ITEM_FIELDS = (
 )
 
 
+def store_root() -> str:
+    """Root path for the write-once derived stores (nested views,
+    bucketed tables, minhash pair tables, scored CN tables, scan-format
+    copies) — ``$SPARK_GRAFT_STORE_ROOT``, default ``/tmp``.
+
+    Single machine (this sandbox): any local dir works; stores are
+    fingerprint-keyed and self-sweeping.  Real cluster: point this at a
+    shared object-store prefix every executor and driver can read —
+    ``s3a://bucket/spark_graft_stores`` or
+    ``abfss://container@account.dfs.core.windows.net/stores`` — so one
+    build serves the fleet.  Atomic-rename caveat: the local
+    implementation publishes a finished store by ``os.rename`` of a
+    pid-suffixed temp dir (atomic on POSIX); object stores have NO
+    atomic directory rename, so there the publish step must become
+    write-to-final-path + commit-marker (treat ``_SUCCESS`` as the
+    existence test) or a manifest-commit (Delta/Iceberg) — the keying,
+    fingerprinting, and sweep logic transfer unchanged."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_STORE_ROOT", "/tmp")
+
+
 def source_fingerprint(sf_dir: str, tables=("orders", "lineitem")) -> str:
     """Identity of the source tables feeding a derived /tmp artifact
     (nested views, bucketed tables, maintenance copies).  The driver
@@ -195,7 +217,7 @@ def _materialize(
 
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     out = (
-        f"/tmp/spark_graft_view_{name}_v1_{key}_"
+        f"{store_root()}/spark_graft_view_{name}_v1_{key}_"
         f"{source_fingerprint(sf_dir, tables)}"
     )
     if not os.path.exists(out):

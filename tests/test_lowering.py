@@ -615,3 +615,223 @@ def test_scalar_sugar_applies_per_element(spark, nested):
     assert got == want and len(got) > 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_persist_point_cross_action_reuse(spark):
+    """SURVEY §4.1 row 2, executable (round 9): a captured sub-DAG marked
+    .persist_point() and consumed by TWO separate actions must read
+    parquet once — the second action's physical plan swaps in an
+    InMemoryTableScan over the CacheManager-matched subplan, even though
+    each select_from() builds a fresh Lowerer (plan-canonicalization
+    reuse, not object reuse)."""
+    from dataframe_expressions_spark import select_from, unpersist_points
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    orders = lt(spark, SF_SMOKE, "orders")
+    d = DataFrame()
+    shared = d[d.o_totalprice > 1000.0].persist_point()
+    try:
+        a1 = select_from({d: orders}, shared, k=d.o_orderkey)
+        n1 = a1.count()  # action 1 materializes the cache
+        a2 = select_from(
+            {d: orders}, shared, k=d.o_orderkey, p=d.o_totalprice
+        )
+        plan2 = a2._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "InMemoryTableScan" in plan2, plan2
+        # the only Scan parquet left in the dump is the cacheBuilder's
+        # child INSIDE InMemoryRelation (shown for provenance, not
+        # re-executed): the executed tree must route through the cache
+        tree = plan2.split("\n\n")[0]
+        assert "InMemoryRelation" in tree, tree
+        assert tree.index("InMemoryTableScan") < tree.index("Scan parquet")
+        # values identical to the uncached twin
+        twin = orders.where(F.col("o_totalprice") > 1000.0).select(
+            F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+        )
+        assert sorted(map(tuple, a2.collect())) == sorted(
+            map(tuple, twin.collect())
+        )
+        assert n1 == twin.count()
+    finally:
+        assert unpersist_points() > 0
+
+
+def test_persist_point_capture_errors(spark):
+    """.persist_point() is frame-only and argument-free — both misuses
+    must fail at lowering with a clear message."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.plans.lowering import LoweringError
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    orders = lt(spark, SF_SMOKE, "orders")
+    d = DataFrame()
+    with pytest.raises(LoweringError, match="event frames"):
+        bad = d.o_totalprice.persist_point()
+        select_from({d: orders}, d, x=bad)
+    with pytest.raises(LoweringError, match="no arguments"):
+        select_from({d: orders}, d.persist_point(True), k=d.o_orderkey)
+
+
+def test_captured_stream_tumbling_plan_identity(spark):
+    """stream_dsl_tumbling's captured chain (with_watermark → groupby
+    (time_window) → agg → select), bound to the BATCH events table, must
+    lower to the exact analyzed plan of the hand-written PySpark twin —
+    proving the DSL adds nothing (no extra projection, no Python) around
+    the native watermarked-aggregation plan that runs on the stream."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    ev = lt(spark, SF_SMOKE, "events")
+    d = DataFrame()
+    wm = d.with_watermark("ts", "10 minutes")
+    g = wm.groupby(win=wm.ts.time_window("1 hour")).agg(
+        n=wm.Count(), sum_value=wm.value.Sum()
+    )
+    out = g.select(window_start=g.win.start, n=g.n, sum_value=g.sum_value)
+    dsl = select_from({d: ev}, out)
+
+    from pyspark.sql import types as T
+
+    twin = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window(ev["ts"], "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(T.DecimalType(38, 6)))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win")["start"].alias("window_start"),
+            F.col("n").alias("n"),  # DSL .select kwargs always alias
+            F.col("sum_value").alias("sum_value"),
+        )
+    )
+    p_dsl = dsl._jdf.queryExecution().analyzed().toString()
+    p_twin = twin._jdf.queryExecution().analyzed().toString()
+    import re
+
+    strip = lambda s: re.sub(r"#\d+", "#", s)  # noqa: E731 — expr ids differ
+    assert strip(p_dsl) == strip(p_twin), f"{p_dsl}\nvs\n{p_twin}"
+    assert "BatchEvalPython" not in p_dsl and "ArrowEvalPython" not in p_dsl
+    # and the values agree with the batch twin on real data
+    assert sorted(map(tuple, dsl.collect())) == sorted(
+        map(tuple, twin.collect())
+    )
+
+
+def test_captured_explode_through_dsl(spark):
+    """explode_unnest re-expressed through the capture DSL (round 9, the
+    DSL reshape gap): plan-IDENTICAL to the hand-written tier-4 operator
+    and asserted Python-free — the natural exit from the nested-
+    collection world into flat relational form."""
+    import re
+
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.operators.tier4 import explode_unnest
+    from dataframe_expressions_spark.sources.tables import orders_nested
+
+    nested = orders_nested(spark, SF_SMOKE)
+    d = DataFrame()
+    ex = d.explode("o_orderkey", "o_totalprice", item=d.items)
+    out = ex.select(
+        "o_orderkey",
+        "o_totalprice",
+        l_linenumber=ex.item.l_linenumber,
+        l_quantity=ex.item.l_quantity,
+    )
+    dsl = select_from({d: nested}, out)
+    twin = explode_unnest(spark, SF_SMOKE)
+    strip = lambda s: re.sub(r"#\d+", "#", s)  # noqa: E731
+    p_dsl = strip(dsl._jdf.queryExecution().analyzed().toString())
+    p_twin = strip(twin._jdf.queryExecution().analyzed().toString())
+    assert p_dsl == p_twin, f"{p_dsl}\nvs\n{p_twin}"
+    assert "BatchEvalPython" not in p_dsl and "ArrowEvalPython" not in p_dsl
+    got = sorted(map(tuple, dsl.collect()))
+    want = sorted(map(tuple, twin.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_captured_pivot_through_dsl(spark):
+    """pivot_wide re-expressed through the DSL: explicit value list (no
+    distinct-values job), names= aliases and default=0 fill lower to the
+    tier-4 coalesce/alias projection — values row-for-row identical."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.operators.tier4 import (
+        _PRIO_ALIAS,
+        _PRIORITIES,
+        pivot_wide,
+    )
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    orders = lt(spark, SF_SMOKE, "orders")
+    d = DataFrame()
+    g = d.groupby("o_orderstatus").pivot(
+        "o_orderpriority",
+        values=_PRIORITIES,
+        names=_PRIO_ALIAS,
+        default=0,
+    ).agg(n=d.Count())
+    dsl = select_from({d: orders}, g)
+    twin = pivot_wide(spark, SF_SMOKE)
+    assert dsl.columns == twin.columns
+    got = sorted(map(tuple, dsl.collect()))
+    want = sorted(map(tuple, twin.collect()))
+    assert got == want and len(got) > 0
+    plan = dsl._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_captured_unpivot_through_dsl(spark):
+    """unpivot_long re-expressed through the DSL: groupby/agg then the
+    wide→long melt — values row-for-row identical to the tier-4
+    operator."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.operators.tier4 import unpivot_long
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    orders = lt(spark, SF_SMOKE, "orders")
+    d = DataFrame()
+    wide = d.groupby("o_orderstatus").agg(
+        p1_urgent=d[d.o_orderpriority == "1-URGENT"].Count(),
+        p5_low=d[d.o_orderpriority == "5-LOW"].Count(),
+    )
+    long = wide.unpivot(
+        ["o_orderstatus"], ["p1_urgent", "p5_low"], "priority", "n"
+    )
+    dsl = select_from({d: orders}, long)
+    twin = unpivot_long(spark, SF_SMOKE)
+    got = sorted(map(tuple, dsl.collect()))
+    want = sorted(map(tuple, twin.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_reshape_capture_errors(spark):
+    """Reshape misuse fails at lowering with clear messages: pivot
+    without values=, explode with a non-collection, explode name
+    collision, unpivot bad signature."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.plans.lowering import LoweringError
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+    from dataframe_expressions_spark.sources.tables import orders_nested
+
+    orders = lt(spark, SF_SMOKE, "orders")
+    nested = orders_nested(spark, SF_SMOKE)
+    d = DataFrame()
+    with pytest.raises(LoweringError, match="values="):
+        select_from(
+            {d: orders},
+            d.groupby("o_orderstatus")
+            .pivot("o_orderpriority")
+            .agg(n=d.Count()),
+        )
+    with pytest.raises(LoweringError, match="collection"):
+        select_from({d: orders}, d.explode(x=d.o_totalprice))
+    with pytest.raises(LoweringError, match="collides"):
+        select_from({d: nested}, d.explode(o_orderkey=d.items))
+    with pytest.raises(LoweringError, match="unpivot"):
+        select_from({d: orders}, d.unpivot("o_orderstatus"))

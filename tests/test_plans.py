@@ -437,7 +437,14 @@ import pytest
 
 
 @pytest.mark.parametrize(
-    "qid", ["rank_bm25", "sample_weighted", "rank_mmr", "graph_common_neighbors"]
+    "qid",
+    [
+        "rank_bm25",
+        "sample_weighted",
+        "rank_mmr",
+        "graph_common_neighbors",
+        "text_zipf_audit",  # round 9: vocab head rank, rk <= 256
+    ],
 )
 def test_global_topk_plans_as_take_ordered(spark, qid):
     """The global-top-k family's scale story hangs on Catalyst's

@@ -674,3 +674,86 @@ def test_perplexity_two_phase_path_identical(spark):
         tuple(r) for r in _perplexity_bucket(spark, SF_SMOKE, two_phase=True).collect()
     )
     assert native == fallback and len(native) > 0
+
+
+def test_autocorr_lagged_matches_bruteforce(spark):
+    """Operator computes Pearson acf_k from six BIGINT moment sums per
+    lag; reference recomputes each lag's correlation in plain Python
+    floats over the (y_d, y_{d+k}) pair lists — a shared moment-algebra
+    bug would pass the DuckDB parity but not this."""
+    import datetime as _dt
+
+    from dataframe_expressions_spark.operators.tier8 import (
+        _TS_EPOCH,
+        stats_autocorr_lagged,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(ts AS DATE) AS d, count(*) FROM "
+        f"'{SF_SMOKE}/events.parquet' GROUP BY 1"
+    ).fetchall()
+    epoch = _dt.date.fromisoformat(_TS_EPOCH)
+    y = {(d - epoch).days: n for d, n in rows}
+
+    def ref_acf(k):
+        pairs = [(y[d], y[d + k]) for d in y if d + k in y]
+        n = len(pairs)
+        if n < 2:
+            return None
+        ma = sum(a for a, _ in pairs) / n
+        mb = sum(b for _, b in pairs) / n
+        va = sum((a - ma) ** 2 for a, _ in pairs)
+        vb = sum((b - mb) ** 2 for _, b in pairs)
+        if va <= 0 or vb <= 0:
+            return None
+        cov = sum((a - ma) * (b - mb) for a, b in pairs)
+        return cov / math.sqrt(va * vb)
+
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in stats_autocorr_lagged(spark, SF_SMOKE).collect()
+    }
+    assert sorted(got) == list(range(1, 8))
+    for k in range(1, 8):
+        n_pairs, acf = got[k]
+        ref = ref_acf(k)
+        assert n_pairs == sum(1 for d in y if d + k in y)
+        if ref is None:
+            assert acf is None, k
+        else:
+            assert acf is not None and abs(acf - ref) < 1e-9, (k, acf, ref)
+
+
+def test_zipf_audit_matches_bruteforce(spark):
+    """Operator fits ln f ~ ln rk through rounded DECIMAL-folded moments;
+    reference tokenizes in Python, ranks with the same (freq DESC, term)
+    tie-break, and fits with plain unrounded least squares — slopes must
+    agree to well inside the 6dp rounding envelope."""
+    from dataframe_expressions_spark.operators.tier8 import (
+        _ZIPF_TOP,
+        text_zipf_audit,
+    )
+
+    freq = Counter()
+    for _, text, _ in _docs():
+        freq.update(t for t in text.split() if t != "")
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOP]
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(f) for _, f in ranked]
+    n = len(ranked)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    den = n * sxx - sx * sx
+    ref_slope = (n * sxy - sx * sy) / den
+    ref_icpt = (sy - ref_slope * sx) / n
+
+    row = text_zipf_audit(spark, SF_SMOKE).collect()[0]
+    assert row["n_terms"] == n
+    assert row["top_term"] == ranked[0][0]
+    assert row["top_freq"] == ranked[0][1]
+    # per-term 6dp rounding perturbs each moment by <= 5e-7; propagated
+    # through the fit that stays far under 1e-4 on a 31-term head
+    assert abs(row["zipf_slope"] - ref_slope) < 1e-4
+    assert abs(row["zipf_intercept"] - ref_icpt) < 1e-4
