@@ -602,6 +602,97 @@ class Lowerer:
             )
         return LFrame(parent.df.join(right, on_arg, how))
 
+    def _call_asof_join(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``left.asof_join(right, on="key" | [keys...], left_ts="ts",
+        right_ts="rts")`` — point-in-time join: each left row picks up
+        the LATEST right row with the same key(s) whose ``right_ts`` is
+        at or before the left row's ``left_ts`` (ASOF LEFT JOIN; left
+        rows with no prior right row carry NULLs).
+
+        Round 9 — the last registry-only relational family a DSL user
+        couldn't reach.  Lowers to the tier-4 join_asof union+window
+        rewrite, NOT a range join: both sides are tagged and unioned,
+        one shuffle on the key sorts (ts, tag) per key, and
+        ``last(_, ignorenulls)`` carries every right column forward —
+        O(n log n) per key with one row of carry state, where the naive
+        range join is O(left × right) per key.  Ties (equal timestamps)
+        resolve right-before-left, matching ASOF's ``>=``.
+
+        Contract: ``on``/``left_ts``/``right_ts`` are column-NAME
+        strings (both frames are already lowered, so names are
+        unambiguous); non-key column names must not overlap between the
+        two frames — ``.select()``-rename first (a silent suffix would
+        hide which side a column came from)."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".asof_join() applies to event frames")
+        if not args:
+            raise LoweringError(".asof_join() requires the other frame")
+        other = self.lower(args[0])
+        if not isinstance(other, LFrame):
+            raise LoweringError(".asof_join() right side must be an event frame")
+        on = kwargs.pop("on", None)
+        keys = [on] if isinstance(on, str) else list(on or [])
+        lts = kwargs.pop("left_ts", None)
+        rts = kwargs.pop("right_ts", None)
+        if kwargs:
+            raise LoweringError(
+                f".asof_join() got unexpected kwargs: {sorted(kwargs)}"
+            )
+        if not keys or not all(isinstance(k, str) for k in keys):
+            raise LoweringError(".asof_join() on= must be column name(s)")
+        if not isinstance(lts, str) or not isinstance(rts, str):
+            raise LoweringError(
+                ".asof_join() left_ts=/right_ts= must be column names"
+            )
+        ldf, rdf = parent.df, other.df
+        lcols = [c for c in ldf.columns if c not in keys]
+        rcols = [c for c in rdf.columns if c not in keys]
+        if lts not in lcols or rts not in rcols:
+            raise LoweringError(
+                f".asof_join() time columns {lts!r}/{rts!r} must exist in "
+                "their frames (and not be join keys)"
+            )
+        clash = sorted(set(lcols) & set(rcols))
+        if clash:
+            raise LoweringError(
+                f".asof_join() column name(s) {clash} exist on both sides "
+                "— .select()-rename one side first"
+            )
+        ltypes = {f.name: f.dataType for f in ldf.schema.fields}
+        rtypes = {f.name: f.dataType for f in rdf.schema.fields}
+        tagged_r = rdf.select(
+            *keys,
+            rdf[rts].alias("_asof_ts"),
+            F.lit(0).alias("_asof_tag"),
+            *[rdf[c] for c in rcols],
+            *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        )
+        tagged_l = ldf.select(
+            *keys,
+            ldf[lts].alias("_asof_ts"),
+            F.lit(1).alias("_asof_tag"),
+            *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols],
+            *[ldf[c] for c in lcols],
+        )
+        from pyspark.sql import Window as W
+
+        w = (
+            W.partitionBy(*keys)
+            .orderBy("_asof_ts", "_asof_tag")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        merged = tagged_r.unionByName(tagged_l).select(
+            *keys,
+            "_asof_tag",
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+            *lcols,
+        )
+        return LFrame(
+            merged.where(F.col("_asof_tag") == 1).select(*keys, *lcols, *rcols)
+        )
+
     def _call_groupby(
         self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
     ) -> Any:

@@ -835,3 +835,75 @@ def test_reshape_capture_errors(spark):
         select_from({d: nested}, d.explode(o_orderkey=d.items))
     with pytest.raises(LoweringError, match="unpivot"):
         select_from({d: orders}, d.unpivot("o_orderstatus"))
+
+
+def test_captured_asof_join_through_dsl(spark):
+    """join_asof re-expressed through the capture DSL (round 9 — the last
+    registry-only relational family): .asof_join() lowers to the tier-4
+    union+window rewrite — values row-for-row identical to the
+    hand-written operator, ONE key shuffle, no Python nodes, no range
+    join."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.operators.tier4 import join_asof
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    ev = lt(spark, SF_SMOKE, "events")
+    d = DataFrame()
+    p = d[d.event_type == "purchase"].select(
+        "user_id", "ts", "event_id", value=d.value.round(4)
+    )
+    c = d[d.event_type == "click"].select(
+        "user_id", click_id=d.event_id, click_ts=d.ts
+    )
+    j = p.asof_join(c, on="user_id", left_ts="ts", right_ts="click_ts")
+    dsl = select_from({d: ev}, j)
+    twin = join_asof(spark, SF_SMOKE)
+    cols = sorted(twin.columns)
+    assert sorted(dsl.columns) == cols
+
+    def key(r):  # None-safe: purchases before any click carry NULLs
+        return tuple((r[c] is None, r[c]) for c in cols)
+
+    got = sorted(map(key, dsl.collect()))
+    want = sorted(map(key, twin.collect()))
+    assert got == want and len(got) > 0
+    dsl.collect()
+    plan = (
+        dsl._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
+
+
+def test_asof_join_capture_errors(spark):
+    """Misuse fails at lowering: overlapping non-key names, missing time
+    column, bad on=."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.plans.lowering import LoweringError
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    ev = lt(spark, SF_SMOKE, "events")
+    d = DataFrame()
+    p = d[d.event_type == "purchase"]
+    c = d[d.event_type == "click"]
+    with pytest.raises(LoweringError, match="both sides"):
+        select_from(
+            {d: ev},
+            p.asof_join(c, on="user_id", left_ts="ts", right_ts="ts"),
+        )
+    c2 = c.select("user_id", click_ts=d.ts)
+    with pytest.raises(LoweringError, match="time columns"):
+        select_from(
+            {d: ev},
+            p.asof_join(c2, on="user_id", left_ts="nope", right_ts="click_ts"),
+        )
+    with pytest.raises(LoweringError, match="column name"):
+        select_from(
+            {d: ev},
+            p.asof_join(c2, on=None, left_ts="ts", right_ts="click_ts"),
+        )
