@@ -1028,6 +1028,24 @@ class Lowerer:
                                     parent_node)
         return self._lift_unary(lambda c: F.window(c, dur), parent_node)
 
+    def _call_session_window(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``d.ts.session_window("30 minutes")`` → the gap-based session
+        STRUCT ``F.session_window(col, gap)`` — the third time-window
+        family a ``.groupby()`` key can be (tumbling/sliding via
+        ``.time_window``, sessions here); ``.start``/``.end`` descend
+        into the struct after aggregation.  On a watermarked stream this
+        is the state-store-backed sessionization; on batch the same
+        captured chain is the session_window operator's plan."""
+        if kwargs or len(args) != 1 or isinstance(args[0], Node):
+            raise LoweringError(
+                ".session_window() takes one gap literal string"
+            )
+        gap = str(args[0])
+        return self._lift_unary(lambda c: F.session_window(c, gap),
+                                parent_node)
+
     def _call_persist_point(
         self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
     ) -> Any:
@@ -1205,16 +1223,26 @@ class Lowerer:
         if node.op == "call":
             p_node, mname, cargs, ckw = node.args
             m = mname.lower()
-            if m not in ("count", "sum", "min", "max", "mean"):
+            if m not in ("count", "countdistinct", "sum", "min", "max",
+                         "mean"):
                 raise LoweringError(
                     f"Aggregate {mname!r} not supported in .agg() "
-                    "(Count/Sum/Min/Max/Mean)"
+                    "(Count/CountDistinct/Sum/Min/Max/Mean)"
                 )
             base_node, masks = self._peel_agg_filters(p_node)
             mask: Optional[SCol] = None
             for mc in masks:
                 mask = mc if mask is None else (mask & mc)
             plow = self.lower(base_node)
+            if m == "countdistinct":
+                if isinstance(plow, LFrame):
+                    raise LoweringError(
+                        ".CountDistinct() needs a column operand"
+                    )
+                c = self._materialize(plow).col
+                return F.count_distinct(
+                    F.when(mask, c) if mask is not None else c
+                )
             if m == "count":
                 if isinstance(plow, LFrame):
                     if mask is not None:

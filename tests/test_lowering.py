@@ -907,3 +907,76 @@ def test_asof_join_capture_errors(spark):
             {d: ev},
             p.asof_join(c2, on=None, left_ts="ts", right_ts="click_ts"),
         )
+
+
+def test_captured_session_window_through_dsl(spark):
+    """session_window re-expressed through the DSL: the gap-based session
+    struct as a .groupby() key, values row-for-row identical to the
+    hand-written tier-3 operator (30-minute gap, <= merge boundary)."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.operators.tier3 import session_window
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    ev = lt(spark, SF_SMOKE, "events")
+    d = DataFrame()
+    g = d.groupby("user_id", sw=d.ts.session_window("30 minutes")).agg(
+        n=d.Count()
+    )
+    out = g.select(
+        "user_id", session_start=g.sw.start, n=g.n
+    )
+    dsl = select_from({d: ev}, out)
+    twin = session_window(spark, SF_SMOKE)
+    cols = sorted(twin.columns)
+    assert sorted(dsl.columns) == cols
+    key = lambda r: tuple(r[c] for c in cols)  # noqa: E731
+    got = sorted(map(key, dsl.collect()))
+    want = sorted(map(key, twin.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_count_distinct_and_conditional_aggs_through_dsl(spark):
+    """CountDistinct (plain and FILTER-gated) through .agg(), checked
+    against the hand-written twin — plus the conditional Sum/Mean path
+    the round-9 peel introduced."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    ev = lt(spark, SF_SMOKE, "events")
+    d = DataFrame()
+    g = d.groupby("event_type").agg(
+        users=d.user_id.CountDistinct(),
+        big_users=d[d.value > 50].user_id.CountDistinct(),
+        big_sum=d[d.value > 50].value.Sum(),
+        big_mean=d[d.value > 50].value.Mean(),
+    )
+    dsl = select_from({d: ev}, g)
+    twin = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("users"),
+        F.count_distinct(
+            F.when(F.col("value") > 50, F.col("user_id"))
+        ).alias("big_users"),
+        F.sum(
+            F.when(F.col("value") > 50, F.col("value")).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("big_sum"),
+        (
+            F.sum(
+                F.when(F.col("value") > 50, F.col("value")).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double")
+            / F.count(F.when(F.col("value") > 50, F.lit(1)))
+        ).alias("big_mean"),
+    )
+    cols = sorted(twin.columns)
+
+    def key(r):  # None-safe (types with no >50 values)
+        return tuple((r[c] is None, r[c]) for c in cols)
+
+    got = sorted(map(key, dsl.collect()))
+    want = sorted(map(key, twin.collect()))
+    assert got == want and len(got) > 0
