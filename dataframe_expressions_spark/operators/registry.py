@@ -79,19 +79,19 @@ def query(qid: str, oracle: Optional[str] = None):
 # silently undercount).  CORRECTNESS_r08 came back 50/50, leaving the
 # post-r8 vintage distribution r3:12 r4:50 r5:50 r6:50 r7:50 r8:50 —
 # so, per the r8 VERDICT plan: slots 1-3 the round-9 additions
-# (stats_autocorr_lagged, stream_dsl_tumbling, text_zipf_audit — zero
+# (stream_dsl_session, stream_dsl_tumbling, text_zipf_audit — zero
 # evidence), slots 4-15 the full 12-id r3 tail (tfidf_top_terms ...
 # udtf_sentence_split), slots 16-50 the alphabetical head (35 of 50)
-# of the r4 block (agg_approx_topk ... text_rep_bigram).  If
+# of the r4 block (agg_approx_topk ... text_chunk_windows).  If
 # CORRECTNESS_r09 comes back 50/50 the oldest remaining evidence is
-# the 15-id r4 tail (tpch_q10 ... window_rank) — front any round-10
-# additions, then that tail, then the alphabetical head of the r5
-# block.
+# the 15-id r4 tail (text_pii_scrub ... window_rank) — front any
+# round-10 additions, then that tail, then the alphabetical head of
+# the r5 block.
 # Everything outside the window stays guarded by
 # tests/test_oracle_parity.py, which checks ALL entries against DuckDB
 # (value-exact + driver-identical CSV hash) on every pytest run.
 DRIVER_WINDOW_PRIORITY: tuple = (
-    "stats_autocorr_lagged",
+    "stream_dsl_session",
     "stream_dsl_tumbling",
     "text_zipf_audit",
     "tfidf_top_terms",

@@ -736,6 +736,69 @@ def stream_dsl_tumbling(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "stream_dsl_session",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         m AS (SELECT max(ts) - INTERVAL '10 minutes' AS wm FROM e),
+         flags AS (
+           SELECT user_id, ts,
+                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            <= INTERVAL '30 minutes'
+                       THEN 0 ELSE 1 END AS new_sess
+           FROM e),
+         sess AS (
+           SELECT user_id, ts,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flags)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n
+    FROM sess GROUP BY user_id, sid
+    HAVING max(ts) + INTERVAL '30 minutes' <= (SELECT wm FROM m)
+    """,
+)
+def stream_dsl_session(spark: SparkSession, sf_dir: str) -> SDF:
+    """SESSIONIZATION through the capture DSL on a watermarked STREAM —
+    the third and last streaming-DSL leg (filter = stateless,
+    tumbling = fixed-window state, session = the MERGING window state
+    only streaming engines make hard): a captured
+    ``with_watermark → groupby(user, session_window) → agg → select``
+    chain lowered onto ``readStream``, append mode, AvailableNow.
+
+    Emitted-set semantics, pinned empirically before writing the oracle
+    (the session_window/test_session_boundary discipline): a session
+    window's end is last_event_ts + gap, and append mode emits exactly
+    the sessions whose end <= final watermark (one staged file →
+    watermark = max(ts) − 10 min; at sf0.001 the corpus's last session
+    is held back, so the HAVING clause is load-bearing, not decorative).
+    The oracle is session_window's gaps-and-islands rewrite (same
+    '<=' merge boundary) plus that finalization filter.
+
+    Scale: partial session assembly per micro-batch, one shuffle on
+    user_id into the session-merging state store, state evicted at the
+    watermark — numFlushedRows stays bounded by open sessions per key,
+    never corpus size; the captured plan is byte-identical to the
+    hand-written streaming twin."""
+    from ..plans.lowering import select_from
+    from ..plans.nodes import DataFrame as CaptureFrame
+
+    ev = stream_events(spark, sf_dir)
+    d = CaptureFrame()
+    wm = d.with_watermark("ts", "10 minutes")
+    g = wm.groupby("user_id", sw=wm.ts.session_window("30 minutes")).agg(
+        n=wm.Count()
+    )
+    out = g.select(
+        "user_id",
+        session_start=g.sw.start,
+        session_end=g.sw.end,
+        n=g.n,
+    )
+    return run_to_memory(select_from({d: ev}, out), "append")
+
+
+@query(
     "stream_dedup",
     "SELECT DISTINCT user_id, event_type FROM events",
 )
@@ -1162,9 +1225,12 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> SDF:
     zero-fill.  Scale: the grid is tiny (one row per hour), so the fill
     join broadcasts; the only real shuffle is the rollup's."""
     ev = load_table(spark, sf_dir, "events")
+    # lineage cut (round 9): the hourly rollup feeds both the bounds
+    # aggregate and the fill join — without it Catalyst re-scans the
+    # corpus per leg
     b = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint()
     bounds = b.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     grid = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")

@@ -2608,9 +2608,11 @@ def stats_autocorr_lag(spark: SparkSession, sf_dir: str) -> SDF:
     lag-literal cross join.  nullif guards a constant series (ACF
     undefined → NULL, not a divide-by-zero abort)."""
     ev = load_table(spark, sf_dir, "events")
+    # lineage cut (round 9): daily feeds BOTH lag-join legs — without it
+    # Catalyst re-scans the corpus per leg
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).cast("double").alias("x")
-    )
+    ).localCheckpoint()
     lags = spark.range(1).select(
         F.explode(F.array(F.lit(1), F.lit(7))).alias("lag")
     )
@@ -3224,9 +3226,11 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> SDF:
     running sum and argmax act on the DAYS-sized frame (the unpartitioned
     window is calendar-bounded, documented safe)."""
     ev = load_table(spark, sf_dir, "events")
+    # lineage cut (round 9): daily feeds the totals broadcast AND the
+    # cumulative leg — without it Catalyst re-scans the corpus per leg
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("x")
-    )
+    ).localCheckpoint()
     tot = F.broadcast(
         daily.agg(
             F.count(F.lit(1)).cast("long").alias("n"),

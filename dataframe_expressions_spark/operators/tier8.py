@@ -270,9 +270,11 @@ def stats_seasonal_decompose(spark: SparkSession, sf_dir: str) -> SDF:
     ORDER BY day window is safe because its input is the daily
     aggregate (365 rows/year), never the event stream."""
     e = load_table(spark, sf_dir, "events")
+    # lineage cut (round 9): daily feeds two downstream legs — without
+    # it Catalyst re-scans the corpus per leg
     daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count("*").cast("long").alias("x")
-    )
+    ).localCheckpoint()
     w7 = W.orderBy("day").rowsBetween(-3, 3)
     tr = daily.select(
         "day",
@@ -2414,7 +2416,9 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> SDF:
         )
         .cast("long")
         .alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("x")).localCheckpoint()
+    # lineage cut (round 9): daily feeds BOTH pair-join legs and the
+    # n_days aggregate — without it Catalyst re-scans the corpus 3x
     b = daily.select(F.col("d").alias("dj"), F.col("x").alias("xj"))
     pr = daily.join(b, F.col("d") < F.col("dj")).select(
         F.col("d").alias("di"),
@@ -2545,101 +2549,6 @@ def stats_ols_trend(spark: SparkSession, sf_dir: str) -> SDF:
         F.when((denx != 0) & (deny != 0), num * num / (denx * deny)).alias(
             "r2"
         ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# lag-k autocorrelation of the daily event series (round 9)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "stats_autocorr_lagged",
-    f"""
-    WITH daily AS (SELECT CAST(datediff('day', DATE '{_TS_EPOCH}',
-                                CAST(ts AS DATE)) AS BIGINT) AS xd,
-                          CAST(count(*) AS BIGINT) AS y
-                   FROM events GROUP BY 1),
-         lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag),
-         p AS (SELECT l.lag, a.y AS ya, b.y AS yb
-               FROM daily a JOIN lags l ON true
-               JOIN daily b ON b.xd = a.xd + l.lag),
-         m AS (SELECT lag,
-                      CAST(count(*) AS BIGINT) AS n,
-                      CAST(sum(ya) AS BIGINT) AS s1,
-                      CAST(sum(yb) AS BIGINT) AS s2,
-                      CAST(sum(ya * yb) AS BIGINT) AS s12,
-                      CAST(sum(ya * ya) AS BIGINT) AS s11,
-                      CAST(sum(yb * yb) AS BIGINT) AS s22
-               FROM p GROUP BY lag)
-    SELECT lag, n AS n_pairs,
-           CASE WHEN n >= 2 AND (n * s11 - s1 * s1) > 0
-                     AND (n * s22 - s2 * s2) > 0
-                THEN CAST(n * s12 - s1 * s2 AS DOUBLE)
-                     / sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE)
-                            * CAST(n * s22 - s2 * s2 AS DOUBLE))
-           END AS acf
-    FROM m
-    """,
-)
-def stats_autocorr_lagged(spark: SparkSession, sf_dir: str) -> SDF:
-    """LAG-k AUTOCORRELATION (k = 1..7) of the daily event-count series
-    — the periodicity audit that completes the trend family: OLS /
-    Theil–Sen answer "is volume drifting", CUSUM answers "did it jump",
-    seasonal decomposition assumes a weekly period — this MEASURES the
-    period (a weekly cycle shows as an acf peak at lag 7; a corpus whose
-    events were synthesized i.i.d. shows all lags ≈ 0).
-
-    Determinism: acf_k is the Pearson correlation of (y_d, y_{{d+k}})
-    over matched day pairs, computed from six exact BIGINT moment sums
-    per lag (n, Σya, Σyb, Σya·yb, Σya², Σyb² — the stats_ols_trend
-    discipline: no float ever crosses a partition boundary) and emitted
-    as ONE unrounded IEEE expression over those ints; sqrt is
-    correctly-rounded per IEEE-754 on both engines.  Degenerate series
-    (constant counts → zero variance, or < 2 pairs) emit NULL through
-    the same strict guard on both engines — the stats_ols_trend
-    zero-denominator convention.
-
-    Scale: events roll up to the DAILY aggregate first (one map-side-
-    combined shuffle — the raw stream is never self-joined); the pair
-    join and the per-lag moment rollup run on the days×7 aggregate
-    frame, broadcast-sized at any corpus scale."""
-    e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        F.datediff(F.col("ts").cast("date"), F.lit(_TS_EPOCH).cast("date"))
-        .cast("long")
-        .alias("xd")
-    ).agg(F.count("*").cast("long").alias("y"))
-    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
-    a = daily.select(F.col("xd").alias("xa"), F.col("y").alias("ya"))
-    b = daily.select(F.col("xd").alias("xb"), F.col("y").alias("yb"))
-    pairs = (
-        a.crossJoin(F.broadcast(lags))
-        .join(
-            F.broadcast(b),
-            F.col("xb") == F.col("xa") + F.col("lag"),
-        )
-    )
-    m = pairs.groupBy("lag").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("ya").cast("long").alias("s1"),
-        F.sum("yb").cast("long").alias("s2"),
-        F.sum(F.col("ya") * F.col("yb")).cast("long").alias("s12"),
-        F.sum(F.col("ya") * F.col("ya")).cast("long").alias("s11"),
-        F.sum(F.col("yb") * F.col("yb")).cast("long").alias("s22"),
-    )
-    vx = F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")
-    vy = F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")
-    num = (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).cast(
-        "double"
-    )
-    return m.select(
-        "lag",
-        F.col("n").alias("n_pairs"),
-        F.when(
-            (F.col("n") >= 2) & (vx > 0) & (vy > 0),
-            num / F.sqrt(vx.cast("double") * vy.cast("double")),
-        ).alias("acf"),
     )
 
 
