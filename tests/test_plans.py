@@ -495,3 +495,29 @@ def test_write_once_stores_are_read_through(spark):
     plan = _formatted_plan(cn)
     assert "spark_graft_cnsc_" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_daily_rollup_queries_scan_corpus_once(spark):
+    """Round-9 scan audit, pinned: Catalyst does not deduplicate a shared
+    subplan across self-join/broadcast legs, so a daily/hourly rollup
+    consumed by 2-3 legs re-scanned the FULL events corpus once per leg
+    (theil_sen 3x) until the rollups got localCheckpoint lineage cuts.
+    The returned plan must show ZERO parquet scans (the one real scan
+    happens once, at checkpoint materialization) — a refactor that drops
+    the cut reintroduces a full extra corpus pass per leg at 100 TB."""
+    import re
+
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    qs = load_all()
+    for qid in (
+        "stats_theil_sen_trend",
+        "stats_cusum_changepoint",
+        "stats_seasonal_decompose",
+        "timeseries_gapfill",
+        "stats_autocorr_lag",
+    ):
+        plan = qs[qid].fn(spark, SF_SMOKE)._jdf.queryExecution(
+        ).executedPlan().toString()
+        n = len(re.findall(r"FileScan parquet", plan))
+        assert n == 0, (qid, n, plan[:1500])

@@ -205,3 +205,69 @@ def test_window_sugar_matches_raw_windows(spark, rows, ascending):
     assert sorted(map(tuple, dsl.collect())) == sorted(
         map(tuple, raw.collect())
     )
+
+
+# --- conditional aggregates (round-9 _peel_agg_filters) ---------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group g
+            st.integers(min_value=-5, max_value=5),  # value v
+            st.integers(min_value=0, max_value=3),   # flag f
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cut=st.integers(min_value=-4, max_value=4),
+    chain=st.booleans(),  # single mask vs chained d[m1][m2]
+)
+def test_conditional_agg_matches_pandas(spark, rows, cut, chain):
+    """A filtered frame inside .agg() must aggregate ONLY the rows the
+    mask admits — count(*) FILTER semantics — for Count, CountDistinct,
+    Sum, Mean, Min and Max, including chained masks (d[m1][m2]) and the
+    all-rows-excluded group (NULL for Sum/Mean/Min/Max, 0 for counts).
+    The round-9 review caught the pre-peel behavior silently counting
+    EVERY row; this fuzzes the fix."""
+    import math
+
+    from dataframe_expressions_spark import select_from
+
+    pdf = pd.DataFrame(rows, columns=["g", "v", "f"])
+    df = spark.createDataFrame(pdf)
+    d = DataFrame()
+    filt = d[d.v > cut][d.f != 2] if chain else d[d.v > cut]
+    got = {
+        r["g"]: (r["n"], r["nd"], r["s"], r["m"], r["lo"], r["hi"])
+        for r in select_from(
+            {d: df},
+            d.groupby("g").agg(
+                n=filt.Count(),
+                nd=filt.f.CountDistinct(),
+                s=filt.v.Sum(),
+                m=filt.v.Mean(),
+                lo=filt.v.Min(),
+                hi=filt.v.Max(),
+            ),
+        ).collect()
+    }
+    for g, grp in pdf.groupby("g"):
+        sub = grp[(grp.v > cut) & (grp.f != 2)] if chain else grp[grp.v > cut]
+        n, nd = len(sub), sub.f.nunique()
+        s = float(sub.v.sum()) if n else None
+        m = s / n if n else None
+        lo = int(sub.v.min()) if n else None
+        hi = int(sub.v.max()) if n else None
+        gn, gnd, gs, gm, glo, ghi = got[g]
+        assert (gn, gnd, glo, ghi) == (n, nd, lo, hi), (g, got[g])
+        if s is None:
+            assert gs is None and gm is None, (g, got[g])
+        else:
+            assert gs is not None and math.isclose(gs, s, abs_tol=1e-9)
+            assert gm is not None and math.isclose(gm, m, abs_tol=1e-9)
