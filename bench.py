@@ -246,8 +246,18 @@ def main() -> None:
                 continue
             a = anchor_newest.get(qid)
             # no anchor (new operator) or best-so-far still >1.5x the
-            # committed warm number -> buy another sample
-            if a is None or a <= 0 or min(s) > outlier_factor * a:
+            # committed warm number -> buy another sample.  Pool-crossing
+            # ids additionally always get a SECOND sample (r8 lesson:
+            # this family's documented failure mode is a one-off
+            # worker-pool stall, and with n=1 a stall IS the official
+            # number — n>=2 lets the lower-middle estimator discard one;
+            # their anchors sum to ~25 s, well inside the budget)
+            if (
+                a is None
+                or a <= 0
+                or min(s) > outlier_factor * a
+                or (qid in _PY_POOL_IDS and len(s) < 2)
+            ):
                 out.append(qid)
         return sorted(out)
 
