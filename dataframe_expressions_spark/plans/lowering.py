@@ -620,11 +620,23 @@ class Lowerer:
         range join is O(left × right) per key.  Ties (equal timestamps)
         resolve right-before-left, matching ASOF's ``>=``.
 
+        The matched right row is carried as ONE STRUCT (not per-column
+        ``last``): a right column that is legitimately NULL in the
+        matched row stays NULL in the output instead of leaking a stale
+        value from an older right row (round-9 review finding — the
+        per-column carry mixed columns from different right rows).
+
         Contract: ``on``/``left_ts``/``right_ts`` are column-NAME
         strings (both frames are already lowered, so names are
         unambiguous); non-key column names must not overlap between the
         two frames — ``.select()``-rename first (a silent suffix would
-        hide which side a column came from)."""
+        hide which side a column came from); the internal names
+        ``_asof_ts``/``_asof_tag``/``_asof_r`` are reserved.  When the
+        right frame can hold several rows per (key, right_ts), pass
+        ``tie_break="col"`` (a right column, greatest value wins) —
+        without it the carried row among exact-timestamp ties is
+        engine-arbitrary, the same unspecified behavior SQL ASOF JOIN
+        has."""
         if not isinstance(parent, LFrame):
             raise LoweringError(".asof_join() applies to event frames")
         if not args:
@@ -636,6 +648,7 @@ class Lowerer:
         keys = [on] if isinstance(on, str) else list(on or [])
         lts = kwargs.pop("left_ts", None)
         rts = kwargs.pop("right_ts", None)
+        tie = kwargs.pop("tie_break", None)
         if kwargs:
             raise LoweringError(
                 f".asof_join() got unexpected kwargs: {sorted(kwargs)}"
@@ -647,12 +660,23 @@ class Lowerer:
                 ".asof_join() left_ts=/right_ts= must be column names"
             )
         ldf, rdf = parent.df, other.df
+        reserved = {"_asof_ts", "_asof_tag", "_asof_r"}
+        taken = sorted(reserved & (set(ldf.columns) | set(rdf.columns)))
+        if taken:
+            raise LoweringError(
+                f".asof_join() reserved internal name(s) {taken} exist as "
+                "frame column(s) — .select()-rename them first"
+            )
         lcols = [c for c in ldf.columns if c not in keys]
         rcols = [c for c in rdf.columns if c not in keys]
         if lts not in lcols or rts not in rcols:
             raise LoweringError(
                 f".asof_join() time columns {lts!r}/{rts!r} must exist in "
                 "their frames (and not be join keys)"
+            )
+        if tie is not None and (not isinstance(tie, str) or tie not in rcols):
+            raise LoweringError(
+                ".asof_join() tie_break= must be a right-frame column name"
             )
         clash = sorted(set(lcols) & set(rcols))
         if clash:
@@ -661,36 +685,46 @@ class Lowerer:
                 "— .select()-rename one side first"
             )
         ltypes = {f.name: f.dataType for f in ldf.schema.fields}
-        rtypes = {f.name: f.dataType for f in rdf.schema.fields}
+        rstruct = T.StructType([rdf.schema[c] for c in rcols])
         tagged_r = rdf.select(
             *keys,
             rdf[rts].alias("_asof_ts"),
             F.lit(0).alias("_asof_tag"),
-            *[rdf[c] for c in rcols],
+            F.struct(*[rdf[c] for c in rcols]).alias("_asof_r"),
             *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
         )
         tagged_l = ldf.select(
             *keys,
             ldf[lts].alias("_asof_ts"),
             F.lit(1).alias("_asof_tag"),
-            *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols],
+            F.lit(None).cast(rstruct).alias("_asof_r"),
             *[ldf[c] for c in lcols],
         )
         from pyspark.sql import Window as W
 
+        order = [F.col("_asof_ts"), F.col("_asof_tag")]
+        if tie is not None:
+            # among right rows sharing (key, ts): greatest tie value wins
+            # (sorts last, so last() picks it); left rows carry a NULL
+            # struct, so their relative order never affects the carry
+            order.append(F.col("_asof_r").getItem(tie))
         w = (
             W.partitionBy(*keys)
-            .orderBy("_asof_ts", "_asof_tag")
+            .orderBy(*order)
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         merged = tagged_r.unionByName(tagged_l).select(
             *keys,
             "_asof_tag",
-            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
             *lcols,
+            F.last("_asof_r", ignorenulls=True).over(w).alias("_asof_r"),
         )
         return LFrame(
-            merged.where(F.col("_asof_tag") == 1).select(*keys, *lcols, *rcols)
+            merged.where(F.col("_asof_tag") == 1).select(
+                *keys,
+                *lcols,
+                *[F.col("_asof_r").getItem(c).alias(c) for c in rcols],
+            )
         )
 
     def _call_groupby(
@@ -737,6 +771,11 @@ class Lowerer:
             raise LoweringError(
                 ".pivot() requires values=[...] — an explicit value list "
                 "keeps the output schema static (no distinct-values job)"
+            )
+        if any(v is None for v in values):
+            raise LoweringError(
+                ".pivot() values= must not contain None (Spark names that "
+                "column 'null'; emit it explicitly upstream instead)"
             )
         names = kwargs.pop("names", None)
         if names is not None and (
@@ -792,7 +831,11 @@ class Lowerer:
             key_names = wide.columns[: len(parent.keys)]
             out = []
             for v, nm in zip(parent.values, names):
-                c = wide[str(v)]
+                # backtick-quote: a dotted value column name ('1.5',
+                # 'a.b') would otherwise be resolved as struct access
+                # (round-9 review — float pivot values raised
+                # UNRESOLVED_COLUMN for `1`.`5`)
+                c = F.col("`" + str(v).replace("`", "``") + "`")
                 if parent.default is not None:
                     c = F.coalesce(c, F.lit(parent.default))
                 out.append(c.alias(nm))
@@ -1180,25 +1223,39 @@ class Lowerer:
                 )
         raise LoweringError(f"Bad window spec: {spec!r}")
 
+    # aggregate call names — a nested aggregate is a boundary the peel
+    # must not cross (its own _agg_value invocation peels its operand)
+    _AGG_CALL_NAMES = frozenset(
+        {"count", "countdistinct", "sum", "min", "max", "mean"}
+    )
+
     def _peel_agg_filters(self, p_node: Any):
         """Split an aggregate operand into (base_node, [mask Columns]):
-        event-FRAME-level filters in the operand chain
-        (``d[d.x == 'A'].Count()``) peel off as boolean masks so the
+        event-FRAME-level filters ANYWHERE in the operand tree
+        (``d[d.x == 'A'].Count()``, ``(d[m].v * 2).Sum()``,
+        ``d[m].v.round(2).Sum()``) peel off as boolean masks so the
         aggregate can evaluate them CONDITIONALLY within the group —
         SQL's ``count(*) FILTER (WHERE ...)`` — instead of silently
         aggregating the whole group (the round-9 DSL-unpivot review
-        caught exactly that: a filtered-frame Count inside .agg()
-        counted every row).  Element-level filters (masks over nested
-        collections) are left intact — they lower to F.filter inside
-        the array as before."""
-        if isinstance(p_node, Node) and p_node.op == "filter":
+        caught the attr case; the round-9 self-review caught the same
+        silent drop under bin/scalar-call/ufunc nodes, so the peel now
+        recurses through those and REBUILDS the operand on the
+        unfiltered base; masks from different branches conjoin — a row
+        contributes only where every branch admits it).  Element-level
+        filters (masks over nested collections) are left intact — they
+        lower to F.filter inside the array as before."""
+        CNode, DNode = Column, DataFrame
+
+        if not isinstance(p_node, Node):
+            return p_node, []
+        if p_node.op == "filter":
             parent_node, mask_node = p_node.args
             base, masks = self._peel_agg_filters(parent_node)
             low_mask = self.lower(mask_node)
             if isinstance(low_mask, LCol) and not low_mask.is_collection:
                 return base, masks + [low_mask.col]
             return p_node, []  # element-level mask: not a frame filter
-        if isinstance(p_node, Node) and p_node.op == "attr":
+        if p_node.op == "attr":
             parent_node, name = p_node.args
             base, masks = self._peel_agg_filters(parent_node)
             if masks:
@@ -1206,6 +1263,40 @@ class Lowerer:
                 # nodes are memoized per parent, so this is the shared
                 # capture node, not a fresh one)
                 return getattr(base, name), masks
+            return p_node, []
+        if p_node.op in ("bin", "cmp"):
+            opname, left, right = p_node.args
+            lb, lm = self._peel_agg_filters(left)
+            rb, rm = self._peel_agg_filters(right)
+            if lm or rm:
+                cls = DNode if p_node.op == "bin" else CNode
+                return cls(p_node.op, opname, lb, rb), lm + rm
+            return p_node, []
+        if p_node.op in ("and", "or"):
+            lb, lm = self._peel_agg_filters(p_node.args[0])
+            rb, rm = self._peel_agg_filters(p_node.args[1])
+            if lm or rm:
+                return CNode(p_node.op, lb, rb), lm + rm
+            return p_node, []
+        if p_node.op == "not":
+            b, m = self._peel_agg_filters(p_node.args[0])
+            if m:
+                return CNode("not", b), m
+            return p_node, []
+        if p_node.op == "ufunc":
+            name, *ops = p_node.args
+            peeled = [self._peel_agg_filters(o) for o in ops]
+            masks = [mc for _, ms in peeled for mc in ms]
+            if masks:
+                return DNode("ufunc", name, *[b for b, _ in peeled]), masks
+            return p_node, []
+        if p_node.op == "call":
+            parent_node, name, cargs, ckw = p_node.args
+            if name.lower() in self._AGG_CALL_NAMES:
+                return p_node, []  # nested aggregate: its own peel applies
+            base, masks = self._peel_agg_filters(parent_node)
+            if masks:
+                return DNode("call", base, name, cargs, ckw), masks
             return p_node, []
         return p_node, []
 

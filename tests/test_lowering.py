@@ -980,3 +980,112 @@ def test_count_distinct_and_conditional_aggs_through_dsl(spark):
     got = sorted(map(key, dsl.collect()))
     want = sorted(map(key, twin.collect()))
     assert got == want and len(got) > 0
+
+
+def test_asof_join_null_in_matched_right_row(spark):
+    """Round-9 review repro: the matched right row's legitimately-NULL
+    column must stay NULL — a per-column last(ignorenulls) carry leaked
+    a stale value from an OLDER right row (output mixed columns from
+    different right rows); the struct carry keeps the matched row
+    atomic."""
+    from dataframe_expressions_spark import select_from
+
+    left = spark.createDataFrame([(1, 3)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, None)], "k long, rts long, price double"
+    )
+    d, r = DataFrame(), DataFrame()
+    j = d.asof_join(r, on="k", left_ts="ts", right_ts="rts")
+    row = select_from({d: left, r: right}, j).collect()[0]
+    assert row["rts"] == 2 and row["price"] is None, row
+    # and a left row BEFORE any right row carries a fully-NULL right side
+    left2 = spark.createDataFrame([(1, 0)], "k long, ts long")
+    d2, r2 = DataFrame(), DataFrame()
+    j2 = d2.asof_join(r2, on="k", left_ts="ts", right_ts="rts")
+    row2 = select_from({d2: left2, r2: right}, j2).collect()[0]
+    assert row2["rts"] is None and row2["price"] is None, row2
+
+
+def test_asof_join_tie_break_deterministic(spark):
+    """Duplicate (key, right_ts) right rows: tie_break= picks the
+    greatest value deterministically; the reserved internal names are
+    guarded."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.plans.lowering import LoweringError
+
+    left = spark.createDataFrame([(1, 3)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 2, 5.0), (1, 2, 7.0)], "k long, rts long, price double"
+    )
+    d, r = DataFrame(), DataFrame()
+    j = d.asof_join(
+        r, on="k", left_ts="ts", right_ts="rts", tie_break="price"
+    )
+    for _ in range(3):
+        row = select_from({d: left, r: right}, j).collect()[0]
+        assert row["price"] == 7.0, row
+    bad_left = spark.createDataFrame([(1, 3, 0)], "k long, ts long, _asof_tag int")
+    d3, r3 = DataFrame(), DataFrame()
+    with pytest.raises(LoweringError, match="reserved"):
+        select_from(
+            {d3: bad_left, r3: right},
+            d3.asof_join(r3, on="k", left_ts="ts", right_ts="rts"),
+        )
+
+
+def test_conditional_agg_peels_through_arith_and_scalar_calls(spark):
+    """Round-9 review repro: a frame filter beneath bin arithmetic or a
+    scalar call inside .agg() was silently dropped (the filtered
+    column's exprId resolves against the unfiltered groupBy input) —
+    the peel now recurses through bin/call/ufunc and conditions the
+    aggregate."""
+    import numpy as np
+
+    from dataframe_expressions_spark import select_from
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 0, 100.0)], "g string, flag long, v double"
+    )
+    d = DataFrame()
+    filt = d[d.flag == 1]
+    got = select_from(
+        {d: df},
+        d.groupby("g").agg(
+            s_mul=(filt.v * 2).Sum(),
+            s_round=filt.v.round(2).Sum(),
+            s_abs=np.abs(filt.v).Sum(),
+            s_mix=(filt.v + d.flag * 0).Sum(),
+        ),
+    ).collect()[0]
+    assert got["s_mul"] == 20.0, got
+    assert got["s_round"] == 10.0, got
+    assert got["s_abs"] == 10.0, got
+    # mixed branches conjoin masks: the unfiltered branch contributes
+    # only where the filtered branch's mask admits the row
+    assert got["s_mix"] == 10.0, got
+
+
+def test_pivot_dotted_and_numeric_values(spark):
+    """Round-9 review repro: float/dotted pivot values with names= or
+    default= raised UNRESOLVED_COLUMN (`1`.`5`) — value columns are now
+    backtick-quoted; None values are rejected loudly."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.plans.lowering import LoweringError
+
+    df = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5), ("b", 1.5)], "g string, p double"
+    )
+    d = DataFrame()
+    out = select_from(
+        {d: df},
+        d.groupby("g").pivot(
+            "p", values=[1.5, 2.5], names=["lo", "hi"], default=0
+        ).agg(n=d.Count()),
+    )
+    got = {r["g"]: (r["lo"], r["hi"]) for r in out.collect()}
+    assert got == {"a": (1, 1), "b": (1, 0)}, got
+    with pytest.raises(LoweringError, match="None"):
+        select_from(
+            {d: df},
+            d.groupby("g").pivot("p", values=[1.5, None]).agg(n=d.Count()),
+        )
