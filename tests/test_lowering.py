@@ -1089,3 +1089,31 @@ def test_pivot_dotted_and_numeric_values(spark):
             {d: df},
             d.groupby("g").pivot("p", values=[1.5, None]).agg(n=d.Count()),
         )
+
+
+def test_captured_sliding_window_through_dsl(spark):
+    """The two-arg .time_window(duration, slide) variant (untested until
+    round 9): the captured sliding aggregation must equal the
+    hand-written stream_sliding_session shape computed on batch — every
+    event lands in 4 overlapping 1h/15m windows."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    ev = lt(spark, SF_SMOKE, "events")
+    d = DataFrame()
+    g = d.groupby(win=d.ts.time_window("1 hour", "15 minutes")).agg(
+        n=d.Count()
+    )
+    dsl = select_from(
+        {d: ev}, g.select(window_start=g.win.start, n=g.n)
+    )
+    twin = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    got = sorted(map(tuple, dsl.collect()))
+    want = sorted(map(tuple, twin.collect()))
+    assert got == want and len(got) > 0
+    # each event expands into exactly 4 overlapping windows
+    assert sum(n for _, n in got) == 4 * ev.count()
