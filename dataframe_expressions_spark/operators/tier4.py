@@ -229,20 +229,29 @@ def explode_unnest(spark: SparkSession, sf_dir: str) -> SDF:
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> SDF:
     """As-of join via the union+window rewrite: tag both streams, sort
-    within user by (ts, tag), carry the last click forward with
-    last_value(ignorenulls) — ONE shuffle on user_id, no range-join row
-    explosion.  This is the scalable formulation: a naive range join is
-    O(clicks × purchases) per user; this is O(n log n) per user and the
-    state is one row.  (ts values are unique per user in the testdata, so
-    tag ordering only breaks exact-equality ties, where the click wins —
-    matching ASOF's >= semantics.)"""
+    within user by (ts, tag), carry the last click forward with ONE
+    last_value(ignorenulls) over a STRUCT of the click columns — one
+    shuffle on user_id, no range-join row explosion.  This is the
+    scalable formulation: a naive range join is O(clicks × purchases)
+    per user; this is O(n log n) per user and the state is one row.
+    (ts values are unique per user in the testdata, so tag ordering only
+    breaks exact-equality ties, where the click wins — matching ASOF's
+    >= semantics.)
+
+    The struct carry (round 9, matching the DSL .asof_join lowering) is
+    what keeps the matched click row ATOMIC: per-column last() would
+    silently leak a stale value from an OLDER click wherever a carried
+    column is legitimately NULL — safe on this data only because
+    click_id/click_ts are never NULL, but not a pattern to copy."""
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id",
         "ts",
         F.lit(0).alias("tag"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
+        F.struct(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        ).alias("click"),
         F.lit(None).cast("long").alias("event_id"),
         F.lit(None).cast("double").alias("value"),
     )
@@ -250,8 +259,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> SDF:
         "user_id",
         "ts",
         F.lit(1).alias("tag"),
-        F.lit(None).cast("long").alias("click_id"),
-        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        F.lit(None).cast("struct<click_id:bigint,click_ts:timestamp_ntz>")
+        .alias("click"),
         "event_id",
         "value",
     )
@@ -266,16 +275,15 @@ def join_asof(spark: SparkSession, sf_dir: str) -> SDF:
         "ts",
         "value",
         "tag",
-        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
-        F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"),
+        F.last("click", ignorenulls=True).over(w).alias("click"),
     )
     return merged.where(F.col("tag") == 1).select(
         "event_id",
         "user_id",
         "ts",
         F.round(F.col("value"), 4).alias("value"),
-        "click_id",
-        "click_ts",
+        F.col("click.click_id").alias("click_id"),
+        F.col("click.click_ts").alias("click_ts"),
     )
 
 
