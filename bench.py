@@ -199,23 +199,22 @@ def main() -> None:
     passes = 0
     import gc
 
-    # Ids whose plan crosses the Python/Arrow worker boundary (the
-    # declared allow-list of tests/test_plans.py plus the pipeline and
-    # Python-DataSource users).  BASELINE.md documents a 55 s cold-pool
-    # stall class, and the r8 driver bench recorded exactly one such
-    # stall (multimodal_framesample 154 s vs 1.42 s anchor) as THE
+    # Ids whose plan crosses the Python/Arrow worker boundary — derived
+    # from the single source in registry.py (round-10 ADVICE: the old
+    # hand-maintained copy here would silently miss the pre-warm for a
+    # future Arrow-crossing operator).  BASELINE.md documents a 55 s
+    # cold-pool stall class, and the r8 driver bench recorded exactly one
+    # such stall (multimodal_framesample 154 s vs 1.42 s anchor) as THE
     # official number — so the pool is re-warmed UNTIMED immediately
     # before each of these ids: a ~0.1 s no-op when the pool is alive,
     # and it absorbs the multi-second worker-spawn burst when the pool
     # was reaped between queries.
-    _PY_POOL_IDS = frozenset({
-        "multimodal_meta", "multimodal_framesample", "multimodal_resize",
-        "multimodal_chunk_dedup", "pipeline_multimodal_corpus",
-        "grouped_map_pandas", "cogrouped_asof_pandas", "rank_mmr",
-        "udaf_pandas", "udtf_sentence_split", "mapinarrow_token_stats",
-        "text_quality_model", "user_func_udf", "user_func_arrow",
-        "dedup_simhash", "dedup_components", "scan_python_datasource",
-    })
+    from dataframe_expressions_spark.operators.registry import (
+        PANDAS_PLAN_IDS,
+        PY_POOL_EXTRA_IDS,
+    )
+
+    _PY_POOL_IDS = PANDAS_PLAN_IDS | PY_POOL_EXTRA_IDS
 
     def _warm_py_pool() -> None:
         # one task per core so the FULL worker pool is (re)spawned, not

@@ -48,6 +48,45 @@ def query(qid: str, oracle: Optional[str] = None):
     return deco
 
 
+# Queries whose EXECUTED batch plan crosses the Python/Arrow worker
+# boundary (ArrowEvalPython / FlatMapGroupsInPandas /
+# FlatMapCoGroupsInPandas / MapInArrow).  Single source of truth
+# (round-10 ADVICE): tests/test_plans.py's plan-audit allow-list AND
+# bench.py's worker-pool pre-warm list both derive from here, so a new
+# Arrow-crossing operator that updates one but not the other fails the
+# plan audit instead of silently missing the pre-warm and reintroducing
+# the r8 cold-pool-stall-as-official-number failure mode.
+PANDAS_PLAN_IDS: frozenset = frozenset({
+    "user_func_arrow",   # Arrow-optimized row UDF — ArrowEvalPython by design
+    "udaf_pandas",
+    "dedup_simhash",
+    "dedup_components",
+    "multimodal_meta",
+    "multimodal_framesample",
+    "multimodal_resize",
+    "grouped_map_pandas",
+    "cogrouped_asof_pandas",
+    "user_func_udf",
+    "udtf_sentence_split",
+    "mapinarrow_token_stats",
+    "text_quality_model",  # broadcast-weight Arrow scorer — MapInArrow by design
+    "rank_mmr",  # greedy MMR over the 20-row pre-rounded pool — one
+    # FlatMapGroupsInPandas group by design (the sequential argmax chain
+    # is inherently iterative; all heavy work is JVM-side)
+})
+
+# Pool-crossing ids whose Python boundary is NOT visible in the audited
+# batch plan: the Python-DataSource scan (its own worker pool, a
+# PythonScan node) and the two corpus pipelines whose Arrow stage runs
+# inside a write-once store build / earlier action.  They still need the
+# bench's untimed pool re-warm, but must NOT appear in the plan-audit
+# allow-list (their checked plans are Arrow-free).
+PY_POOL_EXTRA_IDS: frozenset = frozenset({
+    "multimodal_chunk_dedup",
+    "pipeline_multimodal_corpus",
+    "scan_python_datasource",
+})
+
 # The external driver verifies only the FIRST 50 entries of ``queries()``
 # (confirmed round 1: CORRECTNESS_r01.json = exactly the first 50 in
 # registration order).  We rotate which queries occupy that window each

@@ -382,11 +382,38 @@ class Lowerer:
                 anc = anc.args[0]
             else:
                 break
-        if id(mask_source) not in seen:
-            raise LoweringError(
-                "Per-element mask ranges over a different collection than "
-                "the one being filtered"
-            )
+        # Identity failed — fall back to the filter-stripped attr SPINE
+        # (round-10 peel: rebuilding an element filter on the unfiltered
+        # base makes the mask's source chain differ from the collection's
+        # by a frame filter buried BENEATH an attr, which the pure-filter
+        # ancestor walk above cannot see; attr memoization is per parent,
+        # so the stripped nodes are distinct objects but the same family).
+        sp_m, sp_c = self._attr_spine(mask_source), self._attr_spine(collection)
+        if sp_m is not None and sp_m == sp_c:
+            return
+        raise LoweringError(
+            "Per-element mask ranges over a different collection than "
+            "the one being filtered"
+        )
+
+    @staticmethod
+    def _attr_spine(node: Any):
+        """``(id(root), (attr names, outermost last))`` with filter nodes
+        transparent at every level; ``None`` when the chain contains any
+        other op (no structural identity to compare)."""
+        names: list = []
+        cur = node
+        while isinstance(cur, Node):
+            if cur.op == "filter":
+                cur = cur.args[0]
+            elif cur.op == "attr":
+                names.append(cur.args[1])
+                cur = cur.args[0]
+            elif cur.op == "root":
+                return (id(cur), tuple(reversed(names)))
+            else:
+                return None
+        return None
 
     # -- operator lifting (scalar / element level polymorphism) ---------------
 
@@ -827,15 +854,23 @@ class Lowerer:
             )
             if parent.names is None and parent.default is None:
                 return LFrame(wide)
-            names = parent.names or [str(v) for v in parent.values]
             key_names = wide.columns[: len(parent.keys)]
+            # Resolve value columns from the ACTUAL post-pivot schema, not
+            # str(v): Spark's pivot naming diverges from Python str() for
+            # bool ('true', not 'True') / datetime / Decimal values, so a
+            # str(v) lookup raised UNRESOLVED_COLUMN on valid input
+            # (round-10 ADVICE).  With exactly one unaliased aggregate the
+            # value columns are wide.columns after the keys, in values=
+            # order — Spark preserves the explicit value list's order.
+            actual = wide.columns[len(parent.keys):]
+            names = parent.names or actual
             out = []
-            for v, nm in zip(parent.values, names):
+            for vc, nm in zip(actual, names):
                 # backtick-quote: a dotted value column name ('1.5',
                 # 'a.b') would otherwise be resolved as struct access
                 # (round-9 review — float pivot values raised
                 # UNRESOLVED_COLUMN for `1`.`5`)
-                c = F.col("`" + str(v).replace("`", "``") + "`")
+                c = F.col("`" + vc.replace("`", "``") + "`")
                 if parent.default is not None:
                     c = F.coalesce(c, F.lit(parent.default))
                 out.append(c.alias(nm))
@@ -1254,7 +1289,16 @@ class Lowerer:
             low_mask = self.lower(mask_node)
             if isinstance(low_mask, LCol) and not low_mask.is_collection:
                 return base, masks + [low_mask.col]
-            return p_node, []  # element-level mask: not a frame filter
+            if masks:
+                # element-level mask ABOVE already-peeled frame masks
+                # (d[frame_mask].items[elem_mask].v.Sum()): rebuild the
+                # element filter on the UNfiltered base and keep the
+                # frame masks — returning (p_node, []) here silently
+                # dropped frame_mask and aggregated the whole group
+                # (round-10 ADVICE; the same silent-drop class the
+                # attr/bin/call recursion was added to fix).
+                return DataFrame("filter", base, mask_node), masks
+            return p_node, []  # element-level mask only: not a frame filter
         if p_node.op == "attr":
             parent_node, name = p_node.args
             base, masks = self._peel_agg_filters(parent_node)
@@ -1330,7 +1374,13 @@ class Lowerer:
                     raise LoweringError(
                         ".CountDistinct() needs a column operand"
                     )
-                c = self._materialize(plow).col
+                mat = self._materialize(plow)
+                if mat.is_collection:
+                    raise LoweringError(
+                        ".CountDistinct() over a nested collection inside "
+                        ".agg() is not supported — .explode() first"
+                    )
+                c = mat.col
                 return F.count_distinct(
                     F.when(mask, c) if mask is not None else c
                 )
@@ -1339,9 +1389,47 @@ class Lowerer:
                     if mask is not None:
                         return F.count(F.when(mask, F.lit(1)))
                     return F.count(F.lit(1))  # frame.Count() → COUNT(*)
-                c = self._materialize(plow).col
+                mat = self._materialize(plow)
+                if mat.is_collection:
+                    # collection.Count() in a GROUP aggregate = total
+                    # elements across the group's rows (per-row nested
+                    # size, then SUM — round 10: previously F.count over
+                    # the raw array column counted ROWS, and Sum/Mean
+                    # over collections failed with an array-cast
+                    # analysis error; per-row collapse then group
+                    # aggregate is the composition the non-agg nested
+                    # path already implements)
+                    per = F.size(mat.col).cast(T.LongType())
+                    if mask is not None:
+                        per = F.when(mask, per)
+                    return F.coalesce(F.sum(per), F.lit(0)).cast(
+                        T.LongType()
+                    )
+                c = mat.col
                 return F.count(F.when(mask, c) if mask is not None else c)
-            c = self._materialize(plow).col
+            mat = self._materialize(plow)
+            if mat.is_collection:
+                arr = mat.col
+                if m in ("sum", "mean"):
+                    per_s = self._decimal_fold(arr)
+                    if mask is not None:
+                        per_s = F.when(mask, per_s)
+                    total = F.sum(per_s.cast(self._SUM_DECIMAL)).cast(
+                        T.DoubleType()
+                    )
+                    if m == "sum":
+                        return total
+                    per_n = F.size(arr).cast(T.LongType())
+                    if mask is not None:
+                        per_n = F.when(mask, per_n)
+                    # mean over ALL elements in the group: Σfold / Σsize
+                    # (try_divide: null when every collection is empty)
+                    return F.try_divide(total, F.sum(per_n))
+                per = (F.array_min if m == "min" else F.array_max)(arr)
+                if mask is not None:
+                    per = F.when(mask, per)
+                return (F.min if m == "min" else F.max)(per)
+            c = mat.col
             if mask is not None:
                 c = F.when(mask, c)
             if m == "sum":

@@ -132,12 +132,14 @@ def test_multimodal_strict_raises(spark, docs):
     with pytest.raises(Exception) as exc_info:
         MM.decode_meta(media, strict=True).collect()
     assert "NotImplementedError" in str(exc_info.value)
-    assert "real image decode requires PIL" in str(exc_info.value)
+    # fake payloads are neither BMP nor RIFF/WAVE: the magic dispatch
+    # exhausts both real codecs and names the missing library
+    assert "requires libav" in str(exc_info.value)
 
     with pytest.raises(Exception) as exc_info:
         MM.frame_sample(media, strict=True).collect()
     assert "NotImplementedError" in str(exc_info.value)
-    assert "real frame extraction requires libav" in str(exc_info.value)
+    assert "real video demuxing requires libav" in str(exc_info.value)
 
     # strict=False on the identical multi-partition frame still decodes —
     # the gate is the flag, not partitioning luck
@@ -261,12 +263,112 @@ def test_multimodal_strict_bmp_decodes_real_dims(spark):
     )
     assert MM.bmp_dims(core) == (320, 200)
 
-    # non-BMP payloads still raise through the Arrow boundary
+    # non-BMP/non-WAV payloads still raise through the Arrow boundary
     bad = spark.createDataFrame(
         [(9, b"not an image")], "doc_id long, img_bytes binary"
     )
-    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+    with pytest.raises(Exception, match="NotImplementedError|libav"):
         MM.decode_meta(bad, strict=True).collect()
+
+    # corrupt headers reject loudly instead of emitting a negative-width
+    # row (round-10 ADVICE: negative int32 width passed through abs-free)
+    neg_w = bytearray(MM.make_bmp(8, 4))
+    struct.pack_into("<i", neg_w, 18, -8)
+    with pytest.raises(ValueError, match="malformed BMP"):
+        MM.bmp_dims(bytes(neg_w))
+    zero_h = bytearray(MM.make_bmp(8, 4))
+    struct.pack_into("<i", zero_h, 22, 0)
+    with pytest.raises(ValueError, match="malformed BMP"):
+        MM.bmp_dims(bytes(zero_h))
+
+
+def test_multimodal_strict_wav_decodes_real_audio_meta(spark):
+    """Round-10: the strict decoder's second real codec — RIFF/WAVE
+    headers decode REAL sample rate / channels / duration from real
+    bytes, dispatched by magic alongside BMP in ONE mapInPandas pass
+    (mixed image+audio batch), with per-kind fields NULLed."""
+    import struct
+
+    rows = [
+        (1, MM.make_wav(sample_rate=16000, channels=2, n_samples=8000)),
+        (2, MM.make_wav(sample_rate=8000, channels=1, n_samples=12000)),
+        (3, MM.make_bmp(32, 8)),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, img_bytes binary"
+    ).repartition(3)
+    got = {r.doc_id: r for r in MM.decode_meta(media, strict=True).collect()}
+    assert got[1].kind == "audio" and got[1].width is None
+    assert (got[1].sample_rate, got[1].channels) == (16000, 2)
+    assert got[1].duration_ms == 500  # 8000 frames / 16 kHz
+    assert (got[2].sample_rate, got[2].channels, got[2].duration_ms) == (
+        8000, 1, 1500,
+    )
+    assert got[3].kind == "image" and got[3].sample_rate is None
+    assert (got[3].width, got[3].height) == (32, 8)
+
+    # header-level unit coverage: chunk walking skips unknown chunks
+    # (word-aligned), malformed WAVs reject loudly
+    wav = MM.make_wav(sample_rate=44100, channels=2, n_samples=441)
+    # splice an odd-sized junk chunk between WAVE and fmt
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    spliced = wav[:12] + junk + wav[12:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8
+    ) + spliced[8:]
+    assert MM.wav_meta(spliced) == (44100, 2, 441, 10)
+    with pytest.raises(NotImplementedError, match="libav"):
+        MM.wav_meta(b"ID3\x03mp3-ish payload")
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        MM.wav_meta(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    broken = bytearray(MM.make_wav())
+    struct.pack_into("<H", broken, 22, 0)  # zero channels
+    with pytest.raises(ValueError, match="malformed WAV"):
+        MM.wav_meta(bytes(broken))
+
+
+def test_multimodal_strict_frame_sample_real_container(spark):
+    """Round-10: the strict frame sampler demuxes a REAL multi-frame
+    container (concatenated self-sized BMP frames — the public-format
+    analogue of a video container) and emits every Nth WHOLE frame,
+    each independently decodable; corrupt containers reject loudly."""
+    frames = [MM.make_bmp(4 + i, 2 + i, seed=i) for i in range(5)]
+    container = MM.make_bmp_container(frames)
+    media = spark.createDataFrame(
+        [(7, container)], "doc_id long, img_bytes binary"
+    )
+    out = sorted(
+        MM.frame_sample(media, every=2, strict=True).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in out] == [0, 2, 4]
+    # offsets are the true byte boundaries and each sampled frame is a
+    # complete, decodable BMP with the right dimensions
+    sizes = [len(f) for f in frames]
+    assert [r.frame_off for r in out] == [0, sizes[0] + sizes[1],
+                                          sum(sizes[:4])]
+    for r in out:
+        assert MM.bmp_dims(bytes(r.frame_bytes)) == (
+            4 + r.frame_idx, 2 + r.frame_idx,
+        )
+    # non-container payloads raise through the Arrow boundary...
+    bad = spark.createDataFrame(
+        [(9, b"mpeg-ish payload")], "doc_id long, img_bytes binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|libav"):
+        MM.frame_sample(bad, strict=True).collect()
+    # ...and a truncated final frame is a loud ValueError, not a short read
+    with pytest.raises(Exception, match="corrupt container"):
+        MM.frame_sample(
+            spark.createDataFrame(
+                [(8, container[:-10])], "doc_id long, img_bytes binary"
+            ),
+            strict=True,
+        ).collect()
+    # the oracle-checked default path is byte-stable: stride slicing
+    deflt = MM.frame_sample(media, every=256).collect()
+    assert all(len(r.frame_bytes) <= 16 for r in deflt)
+    assert len(deflt) == (len(container) + 255) // 256
 
 
 def test_store_root_configurable(spark, tmp_path, monkeypatch):

@@ -1065,6 +1065,69 @@ def test_conditional_agg_peels_through_arith_and_scalar_calls(spark):
     assert got["s_mix"] == 10.0, got
 
 
+def test_agg_frame_mask_under_element_filter_not_dropped(spark):
+    """Round-10 ADVICE repro: an ELEMENT-level filter sitting above an
+    already-peeled frame mask (d[frame_mask].items[elem_mask].v.Sum()
+    inside .agg()) silently dropped the frame mask — the aggregate ran
+    over the whole group.  The peel now rebuilds the element filter on
+    the unfiltered base and keeps the frame mask (count FILTER
+    semantics); collection operands inside .agg() now collapse per-row
+    first (nested fold/size/min) then aggregate across the group."""
+    from dataframe_expressions_spark import select_from
+
+    df = spark.createDataFrame(
+        [
+            ("g", 1, [{"v": 1.0}, {"v": 5.0}, {"v": 7.0}]),
+            ("g", 0, [{"v": 100.0}, {"v": 200.0}]),
+        ],
+        "g string, flag long, items array<struct<v double>>",
+    )
+    d = DataFrame()
+    filt = d[d.flag == 1]
+    big = filt.items[filt.items.v > 2.0]
+    got = select_from(
+        {d: df},
+        d.groupby("g").agg(
+            s=big.v.Sum(),
+            n=big.Count(),
+            mn=big.v.Mean(),
+            lo=big.v.Min(),
+            all_n=d.items[d.items.v > 2.0].Count(),  # no frame mask
+            all_s=d.items.v.Sum(),  # plain collection sum across group
+        ),
+    ).collect()[0]
+    # flag=0 row excluded by the frame mask; elements <= 2 excluded by
+    # the element mask — only {5.0, 7.0} of the flag=1 row remain
+    assert got["s"] == 12.0, got
+    assert got["n"] == 2, got
+    assert got["mn"] == 6.0, got
+    assert got["lo"] == 5.0, got
+    # without the frame mask the flag=0 elements count too
+    assert got["all_n"] == 4, got
+    assert got["all_s"] == 313.0, got
+
+
+def test_pivot_bool_values_resolve(spark):
+    """Round-10 ADVICE repro: values=[True] with names=/default= raised
+    UNRESOLVED_COLUMN (Spark names the pivot column 'true', the lookup
+    used str(True) = 'True') — value columns are now resolved from the
+    actual post-pivot schema, in values= order."""
+    from dataframe_expressions_spark import select_from
+
+    df = spark.createDataFrame(
+        [("a", True), ("a", False), ("b", True)], "g string, p boolean"
+    )
+    d = DataFrame()
+    out = select_from(
+        {d: df},
+        d.groupby("g").pivot(
+            "p", values=[True, False], names=["yes", "no"], default=0
+        ).agg(n=d.Count()),
+    )
+    got = {r["g"]: (r["yes"], r["no"]) for r in out.collect()}
+    assert got == {"a": (1, 1), "b": (1, 0)}, got
+
+
 def test_pivot_dotted_and_numeric_values(spark):
     """Round-9 review repro: float/dotted pivot values with names= or
     default= raised UNRESOLVED_COLUMN (`1`.`5`) — value columns are now

@@ -101,24 +101,13 @@ def test_no_row_at_a_time_python_anywhere(spark):
     declare it."""
     from dataframe_expressions_spark.operators.registry import load_all
 
-    declared_pandas = {
-        "user_func_arrow",  # Arrow-optimized row UDF — ArrowEvalPython by design
-        "udaf_pandas",
-        "dedup_simhash",
-        "dedup_components",
-        "multimodal_meta",
-        "multimodal_framesample",
-        "multimodal_resize",
-        "grouped_map_pandas",
-        "cogrouped_asof_pandas",
-        "user_func_udf",
-        "udtf_sentence_split",
-        "mapinarrow_token_stats",
-        "text_quality_model",  # broadcast-weight Arrow scorer — MapInArrow by design
-        "rank_mmr",  # greedy MMR over the 20-row pre-rounded pool — one
-        # FlatMapGroupsInPandas group by design (the sequential argmax
-        # chain is inherently iterative; all heavy work is JVM-side)
-    }
+    # Single-sourced from registry.py (round-10 ADVICE): the same set
+    # drives bench.py's worker-pool pre-warm, so an Arrow-crossing
+    # operator missing from it fails THIS audit loudly instead of
+    # silently missing the pre-warm.
+    from dataframe_expressions_spark.operators.registry import (
+        PANDAS_PLAN_IDS as declared_pandas,
+    )
     for qid, q in load_all().items():
         if "stream" in qid or qid in ("sink_partitioned", "scan_orc",
                                       "cdc_upsert_compact", "join_bucketed"):

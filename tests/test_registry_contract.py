@@ -121,3 +121,26 @@ def test_readme_operator_count_matches_registry():
         f"README says {m.group(1)} operators, registry has "
         f"{len(load_all())} — update README.md"
     )
+
+
+def test_python_boundary_sets_registered_and_disjoint():
+    """Round-10 ADVICE: bench.py's worker-pool pre-warm list and
+    test_plans.py's Arrow plan-audit allow-list are both derived from
+    registry.PANDAS_PLAN_IDS / PY_POOL_EXTRA_IDS — assert every listed id
+    actually exists (a renamed/deleted operator must not leave a stale
+    pre-warm entry) and the two sets stay disjoint (an id in both would
+    mean the 'not visible in the audited plan' claim is false)."""
+    from dataframe_expressions_spark.operators.registry import (
+        PANDAS_PLAN_IDS,
+        PY_POOL_EXTRA_IDS,
+        load_all,
+    )
+
+    registered = set(load_all())
+    assert PANDAS_PLAN_IDS <= registered, sorted(
+        PANDAS_PLAN_IDS - registered
+    )
+    assert PY_POOL_EXTRA_IDS <= registered, sorted(
+        PY_POOL_EXTRA_IDS - registered
+    )
+    assert not (PANDAS_PLAN_IDS & PY_POOL_EXTRA_IDS)
