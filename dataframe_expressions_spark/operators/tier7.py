@@ -2172,10 +2172,13 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> SDF:
 
     Scale: per-customer revenue is one map-side-combined rollup; the
     rank i comes from a SINGLE global window over CUSTOMER-count rows —
-    here the two-phase bucket-offset pattern (stats_ks_test) is the
-    drop-in if even the aggregate is too large for one task, at this
-    operator's fixture the aggregate is already 4 orders below the fact
-    table.  DECIMAL revenue + integer ranks make the weighted sum
+    and because customer count still grows with the corpus, the exact
+    two-phase range-partitioned rank SELF-ARMS above the
+    functions/ranks.py ``auto_two_phase`` threshold (round 10; was
+    documented as "the drop-in"), with n from an aggregate+broadcast
+    instead of the single-partition COUNT window.  At this operator's
+    fixture the aggregate is 4 orders below the fact table, so the
+    native window holds locally.  DECIMAL revenue + integer ranks make the weighted sum
     exact; ONE final division is rounded (quotient tie risk accepted:
     the numerator/denominator are data-scale integers×decimals where a
     1e-6 half-tie cannot arise from .00-quantized prices)."""
@@ -2183,12 +2186,30 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> SDF:
     c = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
     )
-    wr = W.orderBy("rev", "o_custkey")
-    r = c.select(
-        "rev",
-        F.row_number().over(wr).alias("i"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-    )
+    from ..functions.ranks import auto_two_phase, two_phase_rank
+
+    # gate on the SOURCE scan (footer-backed; customers <= order rows, a
+    # conservative upper bound that can only arm EARLY — harmless, the
+    # paths are row-identical): aggregate plan stats are unreliable
+    # without CBO
+    if auto_two_phase(orders, n_groups=1):
+        # customer-count frame outgrew one task's sort: exact global
+        # rank from the range-partitioned two-phase shape (round 10 —
+        # previously documented as "the drop-in", now self-arming), and
+        # n from an aggregate + broadcast instead of the single-
+        # partition COUNT window
+        ranked = two_phase_rank(
+            c.withColumn("_g", F.lit(1)), ["_g"], "rev", "o_custkey", "i"
+        )
+        n_t = c.agg(F.count(F.lit(1)).alias("n"))
+        r = ranked.crossJoin(F.broadcast(n_t)).select("rev", "i", "n")
+    else:
+        wr = W.orderBy("rev", "o_custkey")
+        r = c.select(
+            "rev",
+            F.row_number().over(wr).alias("i"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        )
     g = r.groupBy("n").agg(
         (
             F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("rev")).cast(

