@@ -2704,3 +2704,229 @@ def text_zipf_audit(spark: SparkSession, sf_dir: str) -> SDF:
         F.when(den != 0, slope).alias("zipf_slope"),
         F.when(den != 0, (sy - slope * sx) / nd).alias("zipf_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSL pipeline verbs (round 10): the north star's own operations composed
+# entirely in the capture layer
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dsl_pipeline_clean_dedup",
+    """
+    WITH c AS (SELECT doc_id, text FROM documents
+               WHERE length(text) >= 20 AND lang = 'en'),
+    f AS (SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(text) + 1),
+                         i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+                     (a, x) -> (a * 31 + x) % 1000000007) AS fp
+          FROM c)
+    SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM f GROUP BY fp
+    """,
+)
+def dsl_pipeline_clean_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """A clean-then-dedup pipeline composed ENTIRELY in the capture DSL
+    (round 10, r9 VERDICT item 4): ``d[clean_mask].dedup_exact(on=d.text,
+    key="doc_id")`` — quality gate (length + language) then exact dedup —
+    without leaving the capture layer.  The ``dedup_exact`` verb lowers
+    to the tier-3 plan (operators/tier3.py dedup_exact: fingerprint-keyed
+    groupBy, 8-byte keys in the shuffle, never document bytes), so the
+    DSL surface inherits the 100 TB discipline; row identity vs the
+    registry twin's plan shape is asserted in tests/test_lowering.py.
+
+    Scale: the clean mask is a pushable scan filter (length/lang reach
+    the parquet scan); the dedup shuffle carries (fp, doc_id) only."""
+    from ..plans.lowering import select_from
+    from ..plans.nodes import DataFrame as CaptureFrame
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = CaptureFrame()
+    clean = d[(d.text.length() >= 20) & (d.lang == "en")]
+    return select_from({d: docs}, clean.dedup_exact(on=d.text, key="doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join evidence (round 10, r9 VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_skew_aqe",
+    """
+    WITH f AS (SELECT l_orderkey,
+                      CASE WHEN l_orderkey % 10 < 9 THEN CAST(1 AS BIGINT)
+                           ELSE l_orderkey END AS skew_k,
+                      l_extendedprice
+               FROM lineitem)
+    SELECT f.l_orderkey, f.skew_k, o.o_orderpriority,
+           round(CAST(f.l_extendedprice AS DOUBLE), 2) AS price
+    FROM f JOIN orders o ON o.o_orderkey = f.skew_k
+    """,
+)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> SDF:
+    """Deliberately skewed sort-merge join left to AQE's runtime skew
+    split — the complement of join_salted's MANUAL salting (SURVEY §4.2
+    claims skew handling "free from AQE"; until round 10 nothing in the
+    repo proved the claim fires).  90% of lineitem rows collapse onto
+    ONE join key, so the native shuffle puts ~90% of the fact table in
+    a single reducer; with AQE skew-join enabled the oversized
+    partition is split by MAP-OUTPUT ranges at runtime and the matching
+    dim rows are duplicated per split — no salting column, no plan
+    rewrite.  tests/test_window_audit.py scopes the skew thresholds
+    down to fixture scale and asserts the executed plan carries
+    ``SortMergeJoin(skew=true)``.
+
+    Plan-shape constraints this query deliberately satisfies (the rule
+    is pattern-strict): BOTH join inputs are plain projections over
+    their shuffles (an aggregate between Sort and shuffle stage
+    defeats ``OptimizeSkewedJoin``), and the fact side is ``spread()``
+    so the hot partition spans many map outputs — a single-map-task
+    input (the one-row-group testdata scan) is UNSPLITTABLE because
+    skew splits are map-range subsets.  The merge hint pins SMJ: at
+    fixture scale Spark would broadcast the dim (which has no skew
+    problem at all — also a correct answer); the hinted plan is the
+    shape a 100 TB dim actually produces.  Results are join-exact
+    either way, so the driver's oracle is config-independent."""
+    from ..functions.dedup import spread
+
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    f = li.select(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(1).cast("long"))
+        .otherwise(F.col("l_orderkey"))
+        .alias("skew_k"),
+        "l_extendedprice",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        f.hint("merge")
+        .join(o.hint("merge"), F.col("o_orderkey") == F.col("skew_k"))
+        .select(
+            "l_orderkey",
+            "skew_k",
+            "o_orderpriority",
+            F.round(F.col("l_extendedprice").cast("double"), 2).alias(
+                "price"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# copy-on-write table format: MERGE INTO + snapshot read-back (round 10)
+# ---------------------------------------------------------------------------
+
+
+def _merge_table_root(sf_dir: str) -> str:
+    from ..sources.tables import (
+        source_fingerprint,
+        store_root,
+        sweep_stale_store_dirs,
+    )
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    prefix = f"spark_graft_table_custmerge_v1_{key}_"
+    root = (
+        f"{store_root()}/{prefix}"
+        f"{source_fingerprint(sf_dir, ('customer', 'orders'))}"
+    )
+    sweep_stale_store_dirs(store_root(), prefix, root)
+    return root
+
+
+@query(
+    "table_merge_upsert",
+    """
+    WITH chg AS (SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+                             ELSE o_custkey END AS k,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                             AS DOUBLE) AS rev,
+                        CAST(count(*) AS BIGINT) AS n_o
+                 FROM orders GROUP BY 1)
+    SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
+             AS c_name,
+           CASE WHEN c.c_custkey IS NULL THEN g.rev
+                WHEN g.k IS NULL THEN c.c_acctbal
+                ELSE c.c_acctbal + g.rev END AS acctbal,
+           coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders
+    FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k
+    """,
+)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> SDF:
+    """MERGE INTO + snapshot READ-BACK on the minimal copy-on-write
+    table format (sources/mergetable.py — commit-log over plain parquet,
+    no Delta/Iceberg dependency; r9 VERDICT item 8, the last storage
+    capability class).  v0 = the customer dim as a committed snapshot;
+    the change set is per-customer order revenue with ~1/7 of the keys
+    shifted out of the dim's key space (the NOT MATCHED inserts);
+    MERGE: WHEN MATCHED UPDATE acctbal += rev, n_orders += n_o; WHEN
+    NOT MATCHED INSERT ('NEW', rev, n_o).  The returned frame is the
+    READ-BACK of committed v1 — the oracle checks the full write → 
+    commit → read round trip, not just the merge arithmetic.
+
+    The merge kernel is mergetable.merge_into: ONE null-safe full-outer
+    shuffle join (cdc_upsert_compact's shape with three-way clause
+    resolution).  Commit protocol, crash behavior, object-store caveat
+    and the 100 TB partition-scoped-COW refinement: module docstring.
+    Build is write-once per testdata fingerprint; steady state (and the
+    bench sample) is the snapshot read.  Doubles are emitted UNROUNDED:
+    both engines add the identical IEEE operands (the join_salted
+    half-way-rounding lesson).  Time travel (v0 readable after the v1
+    commit) and crash invisibility are asserted in
+    tests/test_mergetable.py."""
+    from ..sources.mergetable import (
+        commit_snapshot,
+        latest_version,
+        merge_into,
+        read_version,
+    )
+
+    root = _merge_table_root(sf_dir)
+    if latest_version(root) != 1:
+        cust = load_table(spark, sf_dir, "customer")
+        v0 = cust.select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.lit(0).cast("long").alias("n_orders"),
+        )
+        commit_snapshot(v0, root, 0, meta={"op": "create"})
+        orders = load_table(spark, sf_dir, "orders")
+        chg = (
+            orders.groupBy(
+                F.when(
+                    F.col("o_custkey") % 7 == 0,
+                    F.col("o_custkey") + 1000000,
+                )
+                .otherwise(F.col("o_custkey"))
+                .alias("c_custkey")
+            )
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("rev"),
+                F.count(F.lit(1)).cast("long").alias("n_o"),
+            )
+        )
+        merged = merge_into(
+            read_version(spark, root, 0),
+            chg,
+            on="c_custkey",
+            matched_update={
+                "acctbal": "t.acctbal + s.rev",
+                "n_orders": "t.n_orders + s.n_o",
+            },
+            not_matched_insert={
+                "c_name": "'NEW'",
+                "acctbal": "s.rev",
+                "n_orders": "s.n_o",
+            },
+        )
+        commit_snapshot(merged, root, 1, meta={"op": "merge"})
+    return read_version(spark, root, 1)

@@ -53,13 +53,27 @@ __all__ = [
 # on any one Lowerer).  Released by ``unpersist_points()``.
 _PERSIST_REGISTRY: list = []
 
+# Cross-ACTION reuse tracker for the cost-gated AUTO-persist (round 10,
+# r9 VERDICT item 7): node id → (node keepalive, set of Lowerer ids that
+# lowered it).  Within one Lowerer the memo table already dedups, so a
+# second entry here means a second lowering SESSION — the per-action
+# boundary capture-time memoization and Catalyst CSE both stop at.  The
+# node keepalive makes id() reuse detectable (`is` check) instead of a
+# silent false positive; sessions are identified by a monotonic counter,
+# NOT id(Lowerer) — CPython reuses a freed Lowerer's address immediately,
+# which made the second session look like the first (round-10 debug).
+_CROSS_ACTION_FRAMES: dict = {}
+_SESSION_COUNTER = iter(range(1, 1 << 62))
+
 
 def unpersist_points(blocking: bool = False) -> int:
     """Release every materialization point created by
-    ``DataFrame.persist_point()`` lowering; returns how many were
-    released.  Safe to call with a stopped session (failures to
-    unpersist a dead frame are swallowed — the cache died with the
-    session)."""
+    ``DataFrame.persist_point()`` lowering OR the cost-gated auto
+    persist; returns how many were released.  Also resets the
+    cross-action reuse tracker.  Safe to call with a stopped session
+    (failures to unpersist a dead frame are swallowed — the cache died
+    with the session)."""
+    _CROSS_ACTION_FRAMES.clear()
     n = 0
     while _PERSIST_REGISTRY:
         df = _PERSIST_REGISTRY.pop()
@@ -200,6 +214,7 @@ class Lowerer:
             self._bindings[id(r)] = df
         self._memo: Dict[int, Any] = {}
         self._keepalive = [root, *list((others or {}))]  # id() reuse guard
+        self._session_seq = next(_SESSION_COUNTER)  # cross-action identity
 
     # -- public entry points ------------------------------------------------
 
@@ -224,9 +239,84 @@ class Lowerer:
         if key in self._memo:
             return self._memo[key]
         result = self._lower_uncached(node)
+        if isinstance(result, LFrame):
+            self._maybe_auto_persist(node, result)
         self._memo[key] = result
         self._keepalive.append(node)
         return result
+
+    def _maybe_auto_persist(self, node: Node, low: LFrame) -> None:
+        """Cost-gated AUTO-persist (round 10 — the automatic variant of
+        ``.persist_point()``): when the SAME captured frame node lowers
+        in a SECOND Lowerer session (= it feeds a second action — memo
+        identity covers reuse within one action, Catalyst CSE within one
+        plan, but nothing covered the cross-action boundary without the
+        user remembering to call persist_point), persist it so the
+        second and later actions swap in an InMemoryTableScan instead of
+        recomputing the subplan.
+
+        The gate (all driver-side, plan-stats only — no job):
+        * compute-carrying plans only (Join/Aggregate/Window/Expand/
+          Generate in the optimized plan): a bare filtered scan re-reads
+          CHEAPER than it caches — pushdown + pruning make the rescan
+          narrow, while the cache stores materialized rows;
+        * estimated size within [SPARK_GRAFT_AUTO_PERSIST_MIN_BYTES,
+          SPARK_GRAFT_AUTO_PERSIST_MAX_BYTES] (default 1 MiB … 64 GiB):
+          below, the recompute is cheaper than cache bookkeeping; above,
+          MEMORY_AND_DISK would spill the whole frame to executor disk —
+          at 100 TB that write amplification loses to re-scanning a
+          columnar source (a user who knows better says
+          ``.persist_point()`` explicitly);
+        * kill switch SPARK_GRAFT_AUTO_PERSIST=0.
+
+        Lifecycle matches persist_point: tracked module-wide, released
+        by ``unpersist_points()``."""
+        import os
+
+        if os.environ.get("SPARK_GRAFT_AUTO_PERSIST") == "0":
+            return
+        rec = _CROSS_ACTION_FRAMES.get(id(node))
+        if rec is None or rec[0] is not node:  # new node (or id() reuse)
+            _CROSS_ACTION_FRAMES[id(node)] = (node, {self._session_seq})
+            return
+        sessions = rec[1]
+        if self._session_seq in sessions:
+            return
+        sessions.add(self._session_seq)
+        df = low.df
+        try:
+            if df.storageLevel.useMemory or df.storageLevel.useDisk:
+                return  # already persisted (explicit persist_point)
+            # Gate on the ANALYZED plan, never optimizedPlan: forcing the
+            # dataset's own optimizedPlan lazy val here would freeze a
+            # cache-FREE plan into this QueryExecution before persist()
+            # registers the cache entry — the very action we persist for
+            # would then never read the cache (round-10 debug).  Cache
+            # substitution applies post-analysis, so analyzed() is safe
+            # to force.
+            plan = df._jdf.queryExecution().analyzed()
+            plan_str = plan.toString()
+            if not any(
+                tag in plan_str
+                for tag in ("Join", "Aggregate", "Window", "Expand",
+                            "Generate")
+            ):
+                return  # pushdown-friendly scan: rescan beats caching
+            size = int(plan.stats().sizeInBytes())
+        except Exception:  # noqa: BLE001 — streaming/unresolvable: skip
+            return
+        lo = int(os.environ.get(
+            "SPARK_GRAFT_AUTO_PERSIST_MIN_BYTES", str(1 << 20)
+        ))
+        hi = int(os.environ.get(
+            "SPARK_GRAFT_AUTO_PERSIST_MAX_BYTES", str(64 << 30)
+        ))
+        if not (lo <= size <= hi):
+            return
+        from pyspark import StorageLevel
+
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSIST_REGISTRY.append(df)
 
     def _lower_uncached(self, node: Node) -> Any:
         op = node.op
@@ -1157,6 +1247,98 @@ class Lowerer:
         parent.df.persist(StorageLevel.MEMORY_AND_DISK)
         _PERSIST_REGISTRY.append(parent.df)
         return LFrame(parent.df)
+
+    # -- pipeline verbs: the north star's own operations as capture-layer
+    # macros (round 10, r9 VERDICT item 4).  The DSL spanned relational +
+    # streaming but none of the LLM-pipeline verbs — a pipeline author
+    # fell out of the capture layer at their first dedup.  Same design
+    # rule as join/groupby/agg: no new node types, and the lowering
+    # DELEGATES to the proven tier-3 kernels so a DSL-expressed pipeline
+    # is plan-identical to its registry twin (asserted in
+    # tests/test_lowering.py).
+
+    def _call_dedup_exact(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``frame.dedup_exact(on=d.text, key="doc_id")`` → the tier-3
+        exact-dedup plan (operators/tier3.py dedup_exact): group by the
+        portable rolling FINGERPRINT of the content — the shuffle
+        carries 8-byte keys, never document bytes (the only exact-dedup
+        shape that survives 100 TB) — keeping ``min(key)`` per group,
+        with the group's copy count.  Output columns: ``keep_<key>``,
+        ``n_copies``."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".dedup_exact() applies to event frames")
+        on = kwargs.pop("on", args[0] if args else None)
+        key = kwargs.pop("key", None)
+        if kwargs or len(args) > 1:
+            raise LoweringError(
+                ".dedup_exact() takes (on=<content expression>, "
+                "key=<id column name>)"
+            )
+        if not isinstance(on, Node):
+            raise LoweringError(
+                ".dedup_exact() on= must be a capture expression "
+                "(the content column to fingerprint)"
+            )
+        if not isinstance(key, str) or key not in parent.df.columns:
+            raise LoweringError(
+                f".dedup_exact() key= must name a column of the frame "
+                f"(got {key!r})"
+            )
+        from ..functions.text import char_fingerprint
+
+        content = self._materialize(self.lower(on)).col
+        df = parent.df
+        return LFrame(
+            df.groupBy(char_fingerprint(content).alias("fp"))
+            .agg(
+                F.min(df[key]).alias(f"keep_{key}"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+            .select(f"keep_{key}", "n_copies")
+        )
+
+    def _call_similar_topk(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``frame.similar_topk(query=[ids...], k=10, id="vec_id",
+        vec="embedding")`` → the tier-3 exact cosine top-k plan
+        (functions/similarity.py cosine_topk, the sim_search_topk
+        twin): queries broadcast against the corpus (no corpus
+        shuffle), one codegen'd scoring stage, per-query rank as a
+        partitioned WindowGroupLimit.  Output: (qid, vid, sim, rk)."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".similar_topk() applies to event frames")
+        query = kwargs.pop("query", None)
+        k = kwargs.pop("k", 10)
+        id_col = kwargs.pop("id", "vec_id")
+        vec_col = kwargs.pop("vec", "embedding")
+        if args or kwargs:
+            raise LoweringError(
+                ".similar_topk() takes (query=[ids...], k=, id=, vec=)"
+            )
+        if (
+            not isinstance(query, (list, tuple))
+            or not query
+            or any(isinstance(q, Node) for q in query)
+        ):
+            raise LoweringError(
+                ".similar_topk() query= must be a non-empty literal id list"
+            )
+        if isinstance(k, Node) or int(k) < 1:
+            raise LoweringError(".similar_topk() k= must be a positive int")
+        for c in (id_col, vec_col):
+            if not isinstance(c, str) or c not in parent.df.columns:
+                raise LoweringError(
+                    f".similar_topk() id=/vec= must name frame columns "
+                    f"(got {c!r})"
+                )
+        from ..functions.similarity import cosine_topk
+
+        return LFrame(
+            cosine_topk(parent.df, list(query), int(k), id_col, vec_col)
+        )
 
     def _call_window(
         self, parent_node: Node, parent: Any, args: tuple, kwargs: dict

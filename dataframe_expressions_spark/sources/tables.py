@@ -168,7 +168,11 @@ def store_root() -> str:
     atomic directory rename, so there the publish step must become
     write-to-final-path + commit-marker (treat ``_SUCCESS`` as the
     existence test) or a manifest-commit (Delta/Iceberg) — the keying,
-    fingerprinting, and sweep logic transfer unchanged."""
+    fingerprinting, and sweep logic transfer unchanged.  The
+    copy-on-write table format (sources/mergetable.py, round 10) is the
+    marker-commit variant made first-class: versioned snapshots under
+    this root, marker = commit, reader resolves max committed version —
+    see its module docstring for the multi-writer object-store caveat."""
     import os
 
     return os.environ.get("SPARK_GRAFT_STORE_ROOT", "/tmp")

@@ -1,0 +1,100 @@
+"""Copy-on-write table format (sources/mergetable.py, round 10): commit
+protocol, time travel, crash invisibility, and MERGE INTO clause
+semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from conftest import SF_SMOKE
+
+from dataframe_expressions_spark.sources.mergetable import (
+    commit_snapshot,
+    latest_version,
+    merge_into,
+    read_version,
+)
+
+
+def test_commit_read_time_travel_and_crash_invisibility(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    assert latest_version(root) is None
+    v0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    commit_snapshot(v0, root, 0)
+    assert latest_version(root) == 0
+
+    v1 = spark.createDataFrame([(1, "a2"), (3, "c")], "k long, v string")
+    commit_snapshot(v1, root, 1)
+    assert latest_version(root) == 1
+    got1 = {r.k: r.v for r in read_version(spark, root).collect()}
+    assert got1 == {1: "a2", 3: "c"}
+    # TIME TRAVEL: v0 is immutable and still readable after the v1 commit
+    got0 = {r.k: r.v for r in read_version(spark, root, 0).collect()}
+    assert got0 == {1: "a", 2: "b"}
+
+    # CRASH INVISIBILITY: a snapshot dir without its marker never
+    # resolves (simulates a writer that died between steps 1 and 2)...
+    v2 = spark.createDataFrame([(9, "x")], "k long, v string")
+    v2.write.parquet(os.path.join(root, "v2"))
+    assert latest_version(root) == 1
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        read_version(spark, root, 2)
+    # ...and a marker whose snapshot vanished doesn't either
+    open(os.path.join(root, "_commits", "5"), "w").write("{}")
+    assert latest_version(root) == 1
+
+    # re-commit of an existing version is a no-op (idempotent retry)
+    commit_snapshot(v0, root, 1)
+    assert {r.k: r.v for r in read_version(spark, root, 1).collect()} == got1
+
+
+def test_merge_into_clause_semantics(spark):
+    """The three MERGE paths — matched update, target-only passthrough,
+    source-only insert — plus: unlisted matched columns keep the target
+    value, unlisted insert columns are NULL, and NULL keys pair
+    null-safely (a window PARTITION BY would group them; so must the
+    merge join)."""
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (None, "n", 5.0)],
+        "k long, name string, bal double",
+    )
+    src = spark.createDataFrame(
+        [(1, 100.0), (7, 700.0), (None, 50.0)], "k long, delta double"
+    )
+    out = merge_into(
+        tgt,
+        src,
+        on="k",
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"bal": "s.delta"},
+    )
+    assert out.columns == tgt.columns
+    got = {r.k: (r.name, r.bal) for r in out.collect()}
+    assert got[1] == ("a", 110.0)      # matched: bal updated, name kept
+    assert got[2] == ("b", 20.0)       # target-only: untouched
+    assert got[7] == (None, 700.0)     # insert: unlisted name -> NULL
+    assert got[None] == ("n", 55.0)    # NULL key matches null-safely
+    assert len(got) == 4
+
+
+def test_table_merge_upsert_is_write_once_and_plan_shape(spark):
+    """The registered query: second call serves the committed snapshot
+    (no re-merge — its plan is a bare parquet scan of v1), and the
+    first-build merge plan is ONE full-outer join, no cartesian."""
+    from dataframe_expressions_spark.operators.registry import load_all
+    from dataframe_expressions_spark.operators.tier8 import _merge_table_root
+
+    q = load_all()["table_merge_upsert"]
+    df1 = q.fn(spark, SF_SMOKE)
+    n1 = df1.count()
+    assert n1 > 0
+    root = _merge_table_root(SF_SMOKE)
+    assert latest_version(root) == 1
+    mtime = os.path.getmtime(os.path.join(root, "_commits", "1"))
+    df2 = q.fn(spark, SF_SMOKE)
+    assert df2.count() == n1
+    assert os.path.getmtime(os.path.join(root, "_commits", "1")) == mtime
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+    assert "Join" not in plan  # read-back is a scan, not a re-merge

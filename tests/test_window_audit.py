@@ -304,3 +304,46 @@ def test_two_phase_self_arms_with_identical_rows(spark, monkeypatch, qid):
     assert "percentile_approx" in armed_plan, armed_plan
     got = sorted(tuple(r[c] for c in cols) for r in armed.collect())
     assert got == want and len(got) > 0
+
+
+def test_join_skew_aqe_split_fires(spark):
+    """Round-10 (r9 VERDICT item 6): prove the AQE skew-join split
+    actually fires — SURVEY §4.2 claims skew handling comes free from
+    AQE, and join_skew_aqe is built so the claim is testable.  The skew
+    thresholds are scoped down to fixture scale (the defaults are sized
+    for 256 MB partitions) and restored afterwards; the assertion is
+    the in-plan ``SortMergeJoin(skew=true)`` marker on the EXECUTED
+    plan plus the skewed AQEShuffleRead."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    scoped = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "10KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in scoped.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = load_all()["join_skew_aqe"].fn(spark, SF_SMOKE)
+        rows = df.collect()
+        assert len(rows) > 0
+        plan = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "SortMergeJoin(skew=true)" in plan, plan
+    assert "skewed" in plan, plan  # the AQEShuffleRead split marker
