@@ -112,74 +112,70 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # If CORRECTNESS_r06 comes back 50/50, every id has a driver-green row,
 # none older than r2.
 #
-# ROUND-9 WINDOW.  Derived programmatically from the committed
+# ROUND-10 WINDOW.  Derived programmatically from the committed
 # CORRECTNESS_r0*.json files (latest round each id has a row; the
-# fronting test recomputes the same derivation, so this list can't
-# silently undercount).  CORRECTNESS_r08 came back 50/50, leaving the
-# post-r8 vintage distribution r3:12 r4:50 r5:50 r6:50 r7:50 r8:50 —
-# so, per the r8 VERDICT plan: slots 1-3 the round-9 additions
-# (stream_dsl_session, stream_dsl_tumbling, text_zipf_audit — zero
-# evidence), slots 4-15 the full 12-id r3 tail (tfidf_top_terms ...
-# udtf_sentence_split), slots 16-50 the alphabetical head (35 of 50)
-# of the r4 block (agg_approx_topk ... text_chunk_windows).  If
-# CORRECTNESS_r09 comes back 50/50 the oldest remaining evidence is
-# the 15-id r4 tail (text_pii_scrub ... window_rank) — front any
-# round-10 additions, then that tail, then the alphabetical head of
-# the r5 block.
-# Everything outside the window stays guarded by
-# tests/test_oracle_parity.py, which checks ALL entries against DuckDB
-# (value-exact + driver-identical CSV hash) on every pytest run.
+# fronting test recomputes the same derivation).  CORRECTNESS_r09 came
+# back 50/50, leaving the post-r9 vintage distribution r4:15 r5:50
+# r6:50 r7:50 r8:50 r9:50 — so, per the r9 VERDICT plan: slots 1-3 the
+# round-10 additions (dsl_pipeline_clean_dedup, join_skew_aqe,
+# table_merge_upsert — zero evidence), slots 4-18 the full 15-id r4
+# tail (text_rep_bigram ... window_rolling_median), slots 19-50 the
+# alphabetical head (32 of 50) of the r5 block (agg_bitmap_distinct ...
+# stats_mutual_info).  If CORRECTNESS_r10 comes back 50/50 the oldest
+# remaining evidence is the 18-id r5 tail (stats_welford_stream ...
+# window_range_frame area) — front any round-11 additions, then that
+# tail, then the alphabetical head of the r6 block.
 DRIVER_WINDOW_PRIORITY: tuple = (
-    "stream_dsl_session",
-    "stream_dsl_tumbling",
-    "text_zipf_audit",
-    "tfidf_top_terms",
-    "timeseries_gapfill",
-    "tpch_q13_cust_order_dist",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    "tpch_q21_late_supplier",
-    "tpch_q22_idle_customers",
-    "tpch_q4_late_exists",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "udtf_sentence_split",
-    "agg_approx_topk",
-    "agg_filter_clause",
-    "agg_grouping_sets",
-    "decontam_ngram",
-    "dedup_containment",
-    "dedup_cross_source",
-    "dedup_fuzzy_edit",
-    "dedup_semantic",
-    "dedup_substring_spans",
-    "dq_constraints",
-    "emb_norm_quantize",
-    "emb_pq_codebook",
-    "graph_pagerank",
-    "hist_totalprice",
-    "join_lateral",
-    "join_null_safe",
-    "mixture_sample",
-    "observe_metrics",
-    "pipeline_pretrain_corpus",
-    "profile_columns",
-    "reshape_transpose",
-    "sample_stratified",
-    "scan_xml",
-    "schema_evolution_merge",
-    "sink_sorted_skipping",
-    "sql_group_by_all",
-    "sql_pipe_syntax",
-    "sql_recursive_cte",
-    "stats_ab_welch",
-    "stats_corr_matrix",
-    "stats_ols_regression",
-    "stats_winsorize",
-    "string_collation",
-    "text_chunk_windows",
-    "text_pii_scrub",
+    "dsl_pipeline_clean_dedup",
+    "join_skew_aqe",
+    "table_merge_upsert",
+    "text_rep_bigram",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_class",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_relation",
+    "tpch_q18_large_volume",
+    "tpch_q20_promotion_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
+    "user_func_arrow",
+    "vocab_topk",
+    "window_pattern_match",
+    "window_rolling_median",
+    "agg_bitmap_distinct",
+    "agg_countmin_heavyhit",
+    "agg_mode",
+    "array_hof_funcs",
+    "cond_null_funcs",
+    "date_funcs",
+    "decontam_bloom",
+    "dedup_near_embedding",
+    "dedup_ngram_jaccard",
+    "emb_dim_slice",
+    "emb_outlier_centroid",
+    "emb_random_projection",
+    "join_broadcast",
+    "join_inner_hash",
+    "join_interval_bucketed",
+    "join_pit_nearest",
+    "mixture_temperature",
+    "rank_bm25",
+    "rollup_time_hierarchy",
+    "sample_reservoir",
+    "sample_weighted",
+    "scan_partition_pruned",
+    "scan_python_datasource",
+    "scan_text",
+    "scd2_dimension",
+    "set_ops",
+    "sim_search_topk",
+    "sort_limit_topk",
+    "stats_chi2",
+    "stats_ks_test",
+    "stats_mann_whitney",
+    "stats_mutual_info",
 )
 
 
