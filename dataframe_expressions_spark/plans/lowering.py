@@ -64,6 +64,12 @@ _PERSIST_REGISTRY: list = []
 # which made the second session look like the first (round-10 debug).
 _CROSS_ACTION_FRAMES: dict = {}
 _SESSION_COUNTER = iter(range(1, 1 << 62))
+# Bound the tracker (round-10 review): each entry keeps its node graph
+# alive, and a long-lived driver lowering thousands of one-shot queries
+# (bench.py builds a fresh capture graph per query per pass) would
+# otherwise grow it forever.  Insertion-ordered eviction: forgetting an
+# old node only forfeits a future persist opportunity — conservative.
+_CROSS_ACTION_CAP = 4096
 
 
 def unpersist_points(blocking: bool = False) -> int:
@@ -215,6 +221,7 @@ class Lowerer:
         self._memo: Dict[int, Any] = {}
         self._keepalive = [root, *list((others or {}))]  # id() reuse guard
         self._session_seq = next(_SESSION_COUNTER)  # cross-action identity
+        self._auto_persisted = False  # at most one auto-persist per session
 
     # -- public entry points ------------------------------------------------
 
@@ -277,12 +284,24 @@ class Lowerer:
             return
         rec = _CROSS_ACTION_FRAMES.get(id(node))
         if rec is None or rec[0] is not node:  # new node (or id() reuse)
+            while len(_CROSS_ACTION_FRAMES) >= _CROSS_ACTION_CAP:
+                _CROSS_ACTION_FRAMES.pop(
+                    next(iter(_CROSS_ACTION_FRAMES))
+                )
             _CROSS_ACTION_FRAMES[id(node)] = (node, {self._session_seq})
             return
         sessions = rec[1]
         if self._session_seq in sessions:
             return
         sessions.add(self._session_seq)
+        if self._auto_persisted:
+            # one persist per session, at the DEEPEST reused frame
+            # (lowering is bottom-up, so the first qualifying frame IS
+            # the shared subplan both actions recompute) — persisting
+            # every ancestor above it too would stack overlapping
+            # MEMORY_AND_DISK caches of near-identical data (round-10
+            # review)
+            return
         df = low.df
         try:
             if df.storageLevel.useMemory or df.storageLevel.useDisk:
@@ -296,13 +315,21 @@ class Lowerer:
             # to force.
             plan = df._jdf.queryExecution().analyzed()
             plan_str = plan.toString()
-            if not any(
-                tag in plan_str
-                for tag in ("Join", "Aggregate", "Window", "Expand",
-                            "Generate")
+            # match NODE names at tree position (start of line after the
+            # tree-drawing prefix), not raw substrings — a column alias
+            # containing "Join"/"Window" must not make a bare scan look
+            # compute-carrying (round-10 review)
+            import re
+
+            if not re.search(
+                r"(?m)^[\s:+\-*()\d]*(Join\b|Aggregate\b|Window\b|"
+                r"Expand\b|Generate\b)",
+                plan_str,
             ):
                 return  # pushdown-friendly scan: rescan beats caching
             size = int(plan.stats().sizeInBytes())
+            if size >= 2**62:  # unknown propagates as ~Long.MaxValue
+                return
         except Exception:  # noqa: BLE001 — streaming/unresolvable: skip
             return
         lo = int(os.environ.get(
@@ -317,6 +344,7 @@ class Lowerer:
 
         df.persist(StorageLevel.MEMORY_AND_DISK)
         _PERSIST_REGISTRY.append(df)
+        self._auto_persisted = True
 
     def _lower_uncached(self, node: Node) -> Any:
         op = node.op
@@ -1574,14 +1602,16 @@ class Lowerer:
                 mat = self._materialize(plow)
                 if mat.is_collection:
                     # collection.Count() in a GROUP aggregate = total
-                    # elements across the group's rows (per-row nested
-                    # size, then SUM — round 10: previously F.count over
-                    # the raw array column counted ROWS, and Sum/Mean
-                    # over collections failed with an array-cast
-                    # analysis error; per-row collapse then group
-                    # aggregate is the composition the non-agg nested
-                    # path already implements)
-                    per = F.size(mat.col).cast(T.LongType())
+                    # NON-NULL elements across the group's rows (per-row
+                    # nested size, then SUM — round 10: previously
+                    # F.count over the raw array column counted ROWS,
+                    # and Sum/Mean over collections failed with an
+                    # array-cast analysis error).  NULL elements are
+                    # ignored like COUNT(col), consistent with the
+                    # Sum/Mean branch below.
+                    per = F.size(
+                        F.filter(mat.col, lambda x: x.isNotNull())
+                    ).cast(T.LongType())
                     if mask is not None:
                         per = F.when(mask, per)
                     return F.coalesce(F.sum(per), F.lit(0)).cast(
@@ -1591,7 +1621,16 @@ class Lowerer:
                 return F.count(F.when(mask, c) if mask is not None else c)
             mat = self._materialize(plow)
             if mat.is_collection:
-                arr = mat.col
+                # SQL aggregate semantics: NULL elements are IGNORED, not
+                # poisoning — the raw decimal fold turns a whole row's sum
+                # NULL on one NULL element, which F.sum then silently
+                # EXCLUDES while the size-based Mean denominator still
+                # counts that row's elements (round-10 review repro: Sum
+                # lost a row's non-null values, Mean was inconsistent
+                # under any definition).  Filter NULLs once; Sum/Mean/
+                # Count then agree on exactly the non-null element set
+                # (COUNT(col) semantics), like their scalar-column twins.
+                arr = F.filter(mat.col, lambda x: x.isNotNull())
                 if m in ("sum", "mean"):
                     per_s = self._decimal_fold(arr)
                     if mask is not None:
@@ -1604,8 +1643,8 @@ class Lowerer:
                     per_n = F.size(arr).cast(T.LongType())
                     if mask is not None:
                         per_n = F.when(mask, per_n)
-                    # mean over ALL elements in the group: Σfold / Σsize
-                    # (try_divide: null when every collection is empty)
+                    # mean over all non-null elements in the group:
+                    # Σfold / Σsize (try_divide: null when empty)
                     return F.try_divide(total, F.sum(per_n))
                 per = (F.array_min if m == "min" else F.array_max)(arr)
                 if mask is not None:

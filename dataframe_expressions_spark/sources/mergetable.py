@@ -115,6 +115,12 @@ def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
             os.rename(tmp, snap)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(snap):
+                # NOT a lost race — a real rename failure (EACCES, EXDEV
+                # across mounts...).  Writing the marker anyway would
+                # violate the "a marker never points at a missing
+                # snapshot" invariant (round-10 review), so surface it.
+                raise
     mtmp = f"{marker}.tmp{os.getpid()}"
     with open(mtmp, "w") as fh:
         json.dump({"version": n, **(meta or {})}, fh)

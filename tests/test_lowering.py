@@ -1283,3 +1283,85 @@ def test_auto_persist_fires_on_second_action(spark, monkeypatch):
         ).optimizedPlan().toString()
     finally:
         unpersist_points()
+
+
+def test_agg_collection_null_elements_ignored(spark):
+    """Round-10 review repro: a NULL element poisoned the row's DECIMAL
+    fold to NULL — F.sum then silently EXCLUDED that row's non-null
+    values while Mean's size denominator still counted them.  NULL
+    elements are now filtered once, so Sum/Mean/Count agree on the
+    non-null element set (COUNT(col) semantics)."""
+    from dataframe_expressions_spark import select_from
+
+    df = spark.createDataFrame(
+        [("g", [1.0, None]), ("g", [3.0])],
+        "g string, vs array<double>",
+    )
+    d = DataFrame()
+    got = select_from(
+        {d: df},
+        d.groupby("g").agg(
+            s=d.vs.Sum(), m=d.vs.Mean(), n=d.vs.Count(), lo=d.vs.Min()
+        ),
+    ).collect()[0]
+    assert got["s"] == 4.0, got
+    assert got["m"] == 2.0, got
+    assert got["n"] == 2, got
+    assert got["lo"] == 1.0, got
+
+
+def test_auto_persist_once_per_session_and_no_alias_false_positive(
+    spark, monkeypatch
+):
+    """Round-10 review: (a) a join→agg chain reused across actions
+    persists exactly ONE frame (the deepest reused one), not every
+    ancestor — overlapping MEMORY_AND_DISK caches of near-identical
+    data; (b) a bare scan whose column alias contains 'Joined' must not
+    match the compute-carrying node check."""
+    from dataframe_expressions_spark import select_from, unpersist_points
+    from dataframe_expressions_spark.plans import lowering as L
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    monkeypatch.setenv("SPARK_GRAFT_AUTO_PERSIST_MIN_BYTES", "1")
+    ev = lt(spark, SF_SMOKE, "events")
+    cust = lt(spark, SF_SMOKE, "customer")
+    try:
+        d, c = DataFrame(), DataFrame()
+        joined = d.join(c, on=d.user_id == c.c_custkey, how="inner")
+        agged = joined.groupby("event_type").agg(n=d.Count())
+        chain = agged.select("event_type", n2=agged.n)
+        select_from({d: ev, c: cust}, chain).collect()
+        before = len(L._PERSIST_REGISTRY)
+        select_from({d: ev, c: cust}, chain).collect()
+        assert len(L._PERSIST_REGISTRY) == before + 1, (
+            before, len(L._PERSIST_REGISTRY),
+        )
+
+        d4 = DataFrame()
+        aliased = d4.select("event_id", Joined=d4.value)
+        select_from({d4: ev}, aliased).collect()
+        n_persists = len(L._PERSIST_REGISTRY)
+        select_from({d4: ev}, aliased).collect()
+        assert len(L._PERSIST_REGISTRY) == n_persists  # scan: never cached
+    finally:
+        unpersist_points()
+
+
+def test_cross_action_tracker_bounded(spark, monkeypatch):
+    """Round-10 review: the cross-action tracker keeps node graphs
+    alive; it must evict (insertion order) at the cap instead of
+    growing for the driver's lifetime."""
+    from dataframe_expressions_spark import select_from, unpersist_points
+    from dataframe_expressions_spark.plans import lowering as L
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    ev = lt(spark, SF_SMOKE, "events")
+    monkeypatch.setattr(L, "_CROSS_ACTION_CAP", 3)
+    L._CROSS_ACTION_FRAMES.clear()
+    try:
+        for _ in range(7):
+            d = DataFrame()
+            select_from({d: ev}, d[d.value > 50])
+        assert len(L._CROSS_ACTION_FRAMES) <= 3
+    finally:
+        unpersist_points()

@@ -98,3 +98,28 @@ def test_table_merge_upsert_is_write_once_and_plan_shape(spark):
     plan = df2._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" in plan
     assert "Join" not in plan  # read-back is a scan, not a re-merge
+
+
+def test_failed_snapshot_rename_never_commits(spark, tmp_path, monkeypatch):
+    """Round-10 review: a REAL rename failure (not a lost race) must
+    surface and must NOT write the marker — a marker may never point at
+    a missing snapshot."""
+    import os as _os
+
+    root = str(tmp_path / "tbl")
+    v0 = spark.createDataFrame([(1, "a")], "k long, v string")
+    commit_snapshot(v0, root, 0)
+
+    real_rename = _os.rename
+
+    def failing_rename(src, dst):
+        if "/v1" in dst.replace("\\", "/"):
+            raise OSError("simulated EXDEV")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", failing_rename)
+    with pytest.raises(OSError, match="EXDEV"):
+        commit_snapshot(v0, root, 1)
+    monkeypatch.setattr(_os, "rename", real_rename)
+    assert latest_version(root) == 0
+    assert not os.path.exists(os.path.join(root, "_commits", "1"))
