@@ -2880,6 +2880,17 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> SDF:
     half-way-rounding lesson).  Time travel (v0 readable after the v1
     commit) and crash invisibility are asserted in
     tests/test_mergetable.py."""
+    from ..sources.mergetable import read_version
+
+    root = _ensure_merge_table(spark, sf_dir)
+    return read_version(spark, root, 1)
+
+
+def _ensure_merge_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once build of the customer merge table: commit v0 (the dim
+    snapshot) and v1 (the merged snapshot); no-op when v1 is already
+    committed for this testdata fingerprint.  Shared by
+    table_merge_upsert (reads v1) and table_time_travel (reads v0)."""
     from ..sources.mergetable import (
         commit_snapshot,
         latest_version,
@@ -2929,4 +2940,31 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> SDF:
             },
         )
         commit_snapshot(merged, root, 1, meta={"op": "merge"})
-    return read_version(spark, root, 1)
+    return root
+
+
+@query(
+    "table_time_travel",
+    """
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal,
+           CAST(0 AS BIGINT) AS n_orders
+    FROM customer
+    """,
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> SDF:
+    """TIME TRAVEL on the copy-on-write table: read committed snapshot
+    v0 AFTER the v1 MERGE commit exists (the build helper guarantees
+    both) — the driver-checked evidence that versions are immutable and
+    stay addressable, the second half of the lakehouse contract
+    table_merge_upsert's read-back proves for the latest version.  The
+    oracle is the v0 definition itself (the raw customer dim with the
+    zeroed n_orders ledger column), so any leakage of v1's merged rows
+    into a v0 read — the commit-isolation bug class — hash-mismatches.
+
+    Scale: the read is a plain parquet scan of the versioned snapshot
+    directory (column pruning / predicate pushdown intact); version
+    resolution is one marker-directory listing on the driver."""
+    from ..sources.mergetable import read_version
+
+    root = _ensure_merge_table(spark, sf_dir)
+    return read_version(spark, root, 0)

@@ -1331,20 +1331,29 @@ class Lowerer:
         self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
     ) -> Any:
         """``frame.similar_topk(query=[ids...], k=10, id="vec_id",
-        vec="embedding")`` → the tier-3 exact cosine top-k plan
-        (functions/similarity.py cosine_topk, the sim_search_topk
-        twin): queries broadcast against the corpus (no corpus
-        shuffle), one codegen'd scoring stage, per-query rank as a
-        partitioned WindowGroupLimit.  Output: (qid, vid, sim, rk)."""
+        vec="embedding", method="exact"|"lsh")`` → the tier-3 cosine
+        top-k plans (functions/similarity.py, the sim_search_topk /
+        sim_search_lsh twins): queries broadcast against the corpus (no
+        corpus shuffle), one codegen'd scoring stage, per-query rank as
+        a partitioned WindowGroupLimit.  ``method="lsh"`` scores only
+        the query's hyperplane-sketch bucket (equi-join on bucket id) —
+        the shuffle-light scale path when n_queries × corpus is too
+        large to score exactly.  Output: (qid, vid, sim, rk)."""
         if not isinstance(parent, LFrame):
             raise LoweringError(".similar_topk() applies to event frames")
         query = kwargs.pop("query", None)
         k = kwargs.pop("k", 10)
         id_col = kwargs.pop("id", "vec_id")
         vec_col = kwargs.pop("vec", "embedding")
+        method = kwargs.pop("method", "exact")
         if args or kwargs:
             raise LoweringError(
-                ".similar_topk() takes (query=[ids...], k=, id=, vec=)"
+                ".similar_topk() takes (query=[ids...], k=, id=, vec=, "
+                "method=)"
+            )
+        if method not in ("exact", "lsh"):
+            raise LoweringError(
+                ".similar_topk() method= must be 'exact' or 'lsh'"
             )
         if (
             not isinstance(query, (list, tuple))
@@ -1362,10 +1371,12 @@ class Lowerer:
                     f".similar_topk() id=/vec= must name frame columns "
                     f"(got {c!r})"
                 )
-        from ..functions.similarity import cosine_topk
+        from ..functions.similarity import cosine_topk, cosine_topk_lsh
 
+        fn = cosine_topk_lsh if method == "lsh" else cosine_topk
         return LFrame(
-            cosine_topk(parent.df, list(query), int(k), id_col, vec_col)
+            fn(parent.df, list(query), int(k), id_col=id_col,
+               vec_col=vec_col)
         )
 
     def _call_window(

@@ -1365,3 +1365,26 @@ def test_cross_action_tracker_bounded(spark, monkeypatch):
         assert len(L._CROSS_ACTION_FRAMES) <= 3
     finally:
         unpersist_points()
+
+
+def test_dsl_similar_topk_lsh_matches_registry_twin(spark):
+    """Round-10: the verb's scale path — method='lsh' must produce the
+    registry sim_search_lsh's exact rows (bucket equi-join pruning)."""
+    from dataframe_expressions_spark import select_from
+    from dataframe_expressions_spark.operators.registry import load_all
+    from dataframe_expressions_spark.plans.lowering import LoweringError
+    from dataframe_expressions_spark.sources.tables import load_table as lt
+
+    emb = lt(spark, SF_SMOKE, "embeddings")
+    d = DataFrame()
+    dsl = select_from(
+        {d: emb},
+        d.similar_topk(query=[0, 1, 2, 3, 4], k=10, method="lsh"),
+    )
+    twin = load_all()["sim_search_lsh"].fn(spark, SF_SMOKE)
+    key = lambda r: tuple(r[c] for c in ("qid", "vid", "sim", "rk"))  # noqa: E731
+    got = sorted(map(key, dsl.collect()))
+    want = sorted(map(key, twin.collect()))
+    assert got == want and len(got) > 0
+    with pytest.raises(LoweringError, match="method="):
+        select_from({d: emb}, d.similar_topk(query=[0], method="ivf"))

@@ -123,3 +123,62 @@ def test_failed_snapshot_rename_never_commits(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(_os, "rename", real_rename)
     assert latest_version(root) == 0
     assert not os.path.exists(os.path.join(root, "_commits", "1"))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_keys = st.lists(
+    st.one_of(st.integers(min_value=0, max_value=6), st.none()),
+    min_size=0, max_size=6, unique=True,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_keys, _keys)
+def test_merge_into_matches_python_reference(spark, t_keys, s_keys):
+    """Brute-force reference (per-op ritual): merge_into over arbitrary
+    overlapping / disjoint / NULL-containing key sets must equal the
+    dict-based MERGE a Python loop computes — matched update, target
+    passthrough, insert, null-safe key pairing, exact row count."""
+    import pandas as pd
+
+    tgt_rows = [(k, f"n{k}", float(10 * (i + 1))) for i, k in enumerate(t_keys)]
+    src_rows = [(k, float(100 * (i + 1))) for i, k in enumerate(s_keys)]
+    tgt = spark.createDataFrame(
+        pd.DataFrame(tgt_rows, columns=["k", "name", "bal"]).astype(
+            {"k": "Int64"}
+        ),
+        "k long, name string, bal double",
+    )
+    src = spark.createDataFrame(
+        pd.DataFrame(src_rows, columns=["k", "delta"]).astype(
+            {"k": "Int64"}
+        ),
+        "k long, delta double",
+    )
+    out = merge_into(
+        tgt, src, on="k",
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"bal": "s.delta"},
+    )
+    got = sorted(
+        ((r.k, r.name, r.bal) for r in out.collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    ref = {k: [f"n{k}", float(10 * (i + 1))] for i, k in enumerate(t_keys)}
+    for i, k in enumerate(s_keys):
+        if k in ref:
+            ref[k][1] += float(100 * (i + 1))
+        else:
+            ref[k] = [None, float(100 * (i + 1))]
+    want = sorted(
+        ((k, v[0], v[1]) for k, v in ref.items()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got == want
