@@ -142,12 +142,14 @@ def main() -> None:
 
     minhash_pairs_cached(spark, sf_dir, threshold=0.5)
     _cn_scored_store(spark, sf_dir)
-    # round-10 store: the copy-on-write merge table (v0 + merge + v1
-    # commits land here untimed; the timed sample is the steady-state
-    # snapshot read-back, i.e. what every later run pays)
-    queries["table_merge_upsert"].fn(spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # round-10 stores: the copy-on-write merge table (v0 + merge + v1
+    # commits) and the streaming-upsert table (stage + per-batch merge
+    # commits + vacuum) land here untimed; the timed samples are the
+    # steady-state snapshot reads, i.e. what every later run pays
+    for warm_tbl in ("table_merge_upsert", "stream_table_upsert"):
+        queries[warm_tbl].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     # BASELINE.md protocol, round-5 revision.  The r4 failure: one FULL
     # pass of 195 queries under driver load took 620.9 s, the 540 s

@@ -116,9 +116,10 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # CORRECTNESS_r0*.json files (latest round each id has a row; the
 # fronting test recomputes the same derivation).  CORRECTNESS_r09 came
 # back 50/50, leaving the post-r9 vintage distribution r4:15 r5:50
-# r6:50 r7:50 r8:50 r9:50 — so, per the r9 VERDICT plan: slots 1-4 the
+# r6:50 r7:50 r8:50 r9:50 — so, per the r9 VERDICT plan: slots 1-5 the
 # round-10 additions (dsl_pipeline_clean_dedup, join_skew_aqe,
-# table_merge_upsert, table_time_travel — zero evidence), slots 5-19
+# table_merge_upsert, table_time_travel, stream_table_upsert — zero
+# evidence), slots 6-20
 # the full 15-id r4 tail (text_rep_bigram ... window_rolling_median),
 # slots 20-50 the alphabetical head (31 of 50) of the r5 block
 # (agg_bitmap_distinct ... stats_chi2... stats_mann_whitney).  If CORRECTNESS_r10 comes back 50/50 the oldest
@@ -130,6 +131,7 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "join_skew_aqe",
     "table_merge_upsert",
     "table_time_travel",
+    "stream_table_upsert",
     "text_rep_bigram",
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
@@ -175,7 +177,6 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "sort_limit_topk",
     "stats_chi2",
     "stats_ks_test",
-    "stats_mann_whitney",
 )
 
 

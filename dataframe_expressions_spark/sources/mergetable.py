@@ -34,8 +34,10 @@ LogStore/commit-coordinator solves; single-writer pipelines (this repo's
 shape) don't hit it.
 
 Time travel: every committed version stays readable (``read_version``);
-snapshots are immutable.  Vacuum = drop versions below a horizon — not
-implemented here (nothing exercises it), the layout supports it.
+snapshots are immutable.  ``vacuum(root, keep)`` drops versions below
+the retention horizon — marker FIRST, then the snapshot dir, so a crash
+mid-vacuum leaves an orphaned dir (invisible, swept next vacuum) and
+never a marker pointing at deleted data.
 
 100 TB note: table-granularity COW (rewriting the whole snapshot per
 MERGE) is correct but write-amplified; at scale the snapshot is
@@ -62,6 +64,7 @@ __all__ = [
     "latest_version",
     "merge_into",
     "read_version",
+    "vacuum",
 ]
 
 
@@ -128,6 +131,46 @@ def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
         os.rename(mtmp, marker)
     except OSError:
         os.unlink(mtmp)
+
+
+def vacuum(root: str, keep: int = 1) -> "list[int]":
+    """Drop committed versions below the retention horizon, keeping the
+    newest ``keep`` (the latest is always kept).  Deletion order per
+    version: marker FIRST, snapshot dir second — a crash between the two
+    leaves an orphaned dir that no reader resolves and the next vacuum
+    sweeps, never a marker pointing at deleted data (the same
+    one-directional-visibility rule commit_snapshot follows in reverse).
+    Also sweeps marker-less orphan ``v<n>``/temp dirs left by crashed
+    writers OR prior crashed vacuums.  Returns the dropped version
+    numbers.  Time travel to a vacuumed version then fails loudly
+    (``not committed``), matching lakehouse retention semantics."""
+    if keep < 1:
+        raise ValueError("vacuum keep= must be >= 1")
+    commits_dir = os.path.join(root, "_commits")
+    if not os.path.isdir(commits_dir):
+        return []
+    committed = sorted(
+        int(n) for n in os.listdir(commits_dir)
+        if n.isdigit() and os.path.isdir(os.path.join(root, f"v{int(n)}"))
+    )
+    drop = committed[:-keep] if len(committed) > keep else []
+    for n in drop:
+        os.unlink(os.path.join(commits_dir, str(n)))
+        shutil.rmtree(os.path.join(root, f"v{n}"), ignore_errors=True)
+    kept = {f"v{n}" for n in committed if n not in drop}
+    for name in os.listdir(root):
+        # pure `v<n>` orphans only — a `.tmp<pid>` dir may belong to a
+        # LIVE concurrent commit_snapshot (its own except-path cleans up
+        # on failure; the rename loser removes it on success)
+        if (
+            name.startswith("v")
+            and name[1:].isdigit()
+            and name not in kept
+            and os.path.isdir(os.path.join(root, name))
+            and not os.path.exists(os.path.join(commits_dir, name[1:]))
+        ):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return drop
 
 
 def merge_into(

@@ -182,3 +182,75 @@ def test_merge_into_matches_python_reference(spark, t_keys, s_keys):
         key=lambda t: (t[0] is None, t[0]),
     )
     assert got == want
+
+
+def test_vacuum_retention_and_orphan_sweep(spark, tmp_path):
+    """vacuum keeps the newest `keep` committed versions, deletes marker
+    BEFORE snapshot (crash mid-vacuum leaves only invisible orphans),
+    sweeps crashed-writer orphan dirs, and a time travel to a vacuumed
+    version fails loudly."""
+    from dataframe_expressions_spark.sources.mergetable import vacuum
+
+    root = str(tmp_path / "tbl")
+    for n in range(4):
+        commit_snapshot(
+            spark.createDataFrame([(n,)], "k long"), root, n
+        )
+    # crashed-writer orphan: dir without marker
+    os.makedirs(os.path.join(root, "v9"))
+    dropped = vacuum(root, keep=2)
+    assert dropped == [0, 1]
+    assert latest_version(root) == 3
+    assert {r.k for r in read_version(spark, root, 2).collect()} == {2}
+    assert not os.path.isdir(os.path.join(root, "v0"))
+    assert not os.path.exists(os.path.join(root, "_commits", "1"))
+    assert not os.path.isdir(os.path.join(root, "v9"))  # orphan swept
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        read_version(spark, root, 0)
+    # keep >= committed count: no-op
+    assert vacuum(root, keep=5) == []
+    with pytest.raises(ValueError, match="keep"):
+        vacuum(root, keep=0)
+
+
+def test_stream_table_upsert_versions_and_replay_idempotent(spark):
+    """The streaming CDC upsert: (a) the drained table keeps exactly the
+    vacuum retention (2 committed versions) plus the done sentinel;
+    (b) losing the done sentinel AND the checkpoint replays every batch
+    with fresh ids — the marker-logged batch_id guard must skip them
+    all, leaving values byte-identical (the at-least-once double-apply
+    hole closed the Delta txn-version way)."""
+    import glob
+
+    from dataframe_expressions_spark.operators.registry import load_all
+    from dataframe_expressions_spark.sources.tables import store_root
+
+    q = load_all()["stream_table_upsert"]
+    df1 = q.fn(spark, SF_SMOKE)
+    want = sorted(tuple(r) for r in df1.collect())
+    assert len(want) > 0
+    roots = glob.glob(
+        f"{store_root()}/spark_graft_table_streamupsert_v2_"
+        f"{SF_SMOKE.rstrip('/').rsplit('/', 1)[-1]}_*"
+    )
+    assert len(roots) == 1, roots
+    root = roots[0]
+    committed = sorted(
+        int(n) for n in os.listdir(os.path.join(root, "_commits"))
+        if n.isdigit()
+    )
+    assert len(committed) == 2, committed  # vacuum keep=2
+    assert latest_version(root) == committed[-1] >= 1
+    assert os.path.exists(os.path.join(root, "_stream_done"))
+
+    # replay: drop the sentinel (checkpoint already removed after drain)
+    os.unlink(os.path.join(root, "_stream_done"))
+    df2 = q.fn(spark, SF_SMOKE)
+    got = sorted(tuple(r) for r in df2.collect())
+    assert got == want
+    # no new versions were committed by the replayed batches
+    committed2 = sorted(
+        int(n) for n in os.listdir(os.path.join(root, "_commits"))
+        if n.isdigit()
+    )
+    assert committed2 == committed, (committed, committed2)
