@@ -119,13 +119,14 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # r6:50 r7:50 r8:50 r9:50 — so, per the r9 VERDICT plan: slots 1-5 the
 # round-10 additions (dsl_pipeline_clean_dedup, join_skew_aqe,
 # table_merge_upsert, table_time_travel, stream_table_upsert — zero
-# evidence), slots 6-20
-# the full 15-id r4 tail (text_rep_bigram ... window_rolling_median),
-# slots 20-50 the alphabetical head (31 of 50) of the r5 block
-# (agg_bitmap_distinct ... stats_chi2... stats_mann_whitney).  If CORRECTNESS_r10 comes back 50/50 the oldest
-# remaining evidence is the 18-id r5 tail (stats_welford_stream ...
-# window_range_frame area) — front any round-11 additions, then that
-# tail, then the alphabetical head of the r6 block.
+# evidence), slots 6-20 the full 15-id r4 tail (text_rep_bigram ...
+# window_rolling_median), slots 21-50 the alphabetical head (30 of 50)
+# of the r5 block (agg_bitmap_distinct ... stats_ks_test).  If
+# CORRECTNESS_r10 comes back 50/50 the oldest remaining evidence is the
+# 20-id r5 tail (stats_mann_whitney ... window_rank area) — front any
+# round-11 additions, then that tail, then the alphabetical head of the
+# r6 block (derive programmatically from the committed CORRECTNESS
+# files, as always).
 DRIVER_WINDOW_PRIORITY: tuple = (
     "dsl_pipeline_clean_dedup",
     "join_skew_aqe",

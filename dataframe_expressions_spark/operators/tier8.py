@@ -3007,11 +3007,11 @@ def stream_table_upsert(spark: SparkSession, sf_dir: str) -> SDF:
     groupBy) plus one key-join against the current snapshot; the state
     lives in the TABLE, not a state store, so a restart needs no state
     rebuild — the standard CDC-into-lakehouse shape."""
-    import json as _json
     import os
     import shutil
 
     from ..sources.mergetable import (
+        commit_meta,
         commit_snapshot,
         latest_version,
         merge_into,
@@ -3063,8 +3063,7 @@ def stream_table_upsert(spark: SparkSession, sf_dir: str) -> SDF:
 
         def upsert(batch_df: SDF, batch_id: int) -> None:
             cur = latest_version(root)
-            with open(os.path.join(root, "_commits", str(cur))) as fh:
-                applied = _json.load(fh).get("batch_id", -1)
+            applied = commit_meta(root, cur).get("batch_id", -1)
             if applied >= batch_id:
                 return  # replayed at-least-once batch: already committed
             chg = (

@@ -60,6 +60,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "commit_meta",
     "commit_snapshot",
     "latest_version",
     "merge_into",
@@ -98,6 +99,23 @@ def read_version(spark: SparkSession, root: str, n: Optional[int] = None) -> SDF
     if not os.path.exists(marker):
         raise FileNotFoundError(f"version {n} is not committed in {root}")
     return spark.read.parquet(os.path.join(root, f"v{n}"))
+
+
+def commit_meta(root: str, n: Optional[int] = None) -> dict:
+    """The metadata JSON recorded with version ``n``'s commit marker
+    (latest committed version when ``n`` is omitted) — the public way to
+    read commit provenance (e.g. the streaming upsert's ``batch_id``
+    exactly-once guard) without coupling callers to the marker file
+    layout."""
+    if n is None:
+        n = latest_version(root)
+    if n is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    marker = os.path.join(root, "_commits", str(n))
+    if not os.path.exists(marker):
+        raise FileNotFoundError(f"version {n} is not committed in {root}")
+    with open(marker) as fh:
+        return json.load(fh)
 
 
 def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
@@ -140,8 +158,10 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
     leaves an orphaned dir that no reader resolves and the next vacuum
     sweeps, never a marker pointing at deleted data (the same
     one-directional-visibility rule commit_snapshot follows in reverse).
-    Also sweeps marker-less orphan ``v<n>``/temp dirs left by crashed
-    writers OR prior crashed vacuums.  Returns the dropped version
+    Also sweeps marker-less orphan ``v<n>`` dirs left by crashed writers
+    or prior crashed vacuums — but only those older than an hour: a
+    YOUNG marker-less dir may be a concurrent commit between its
+    snapshot rename and its marker write.  Returns the dropped version
     numbers.  Time travel to a vacuumed version then fails loudly
     (``not committed``), matching lakehouse retention semantics."""
     if keep < 1:
@@ -157,19 +177,32 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
     for n in drop:
         os.unlink(os.path.join(commits_dir, str(n)))
         shutil.rmtree(os.path.join(root, f"v{n}"), ignore_errors=True)
+    import time
+
     kept = {f"v{n}" for n in committed if n not in drop}
     for name in os.listdir(root):
         # pure `v<n>` orphans only — a `.tmp<pid>` dir may belong to a
         # LIVE concurrent commit_snapshot (its own except-path cleans up
-        # on failure; the rename loser removes it on success)
+        # on failure; the rename loser removes it on success) — and only
+        # when OLD: a marker-less v<n> younger than the horizon may be a
+        # concurrent commit caught between its snapshot rename and its
+        # marker write — sweeping it would manufacture exactly the
+        # marker-points-at-deleted-data state this module rules out
+        # (round-10 review).
+        path = os.path.join(root, name)
         if (
             name.startswith("v")
             and name[1:].isdigit()
             and name not in kept
-            and os.path.isdir(os.path.join(root, name))
+            and os.path.isdir(path)
             and not os.path.exists(os.path.join(commits_dir, name[1:]))
         ):
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue  # raced with its own writer/cleaner
+            if age > 3600:
+                shutil.rmtree(path, ignore_errors=True)
     return drop
 
 

@@ -196,15 +196,20 @@ def test_vacuum_retention_and_orphan_sweep(spark, tmp_path):
         commit_snapshot(
             spark.createDataFrame([(n,)], "k long"), root, n
         )
-    # crashed-writer orphan: dir without marker
+    # crashed-writer orphan (OLD, > the 1h horizon): dir without marker
     os.makedirs(os.path.join(root, "v9"))
+    os.utime(os.path.join(root, "v9"), (0, 0))
+    # a YOUNG marker-less dir may be a concurrent commit between its
+    # snapshot rename and marker write — must survive the sweep
+    os.makedirs(os.path.join(root, "v8"))
     dropped = vacuum(root, keep=2)
     assert dropped == [0, 1]
     assert latest_version(root) == 3
     assert {r.k for r in read_version(spark, root, 2).collect()} == {2}
     assert not os.path.isdir(os.path.join(root, "v0"))
     assert not os.path.exists(os.path.join(root, "_commits", "1"))
-    assert not os.path.isdir(os.path.join(root, "v9"))  # orphan swept
+    assert not os.path.isdir(os.path.join(root, "v9"))  # old orphan swept
+    assert os.path.isdir(os.path.join(root, "v8"))  # in-flight commit kept
     with pytest.raises(FileNotFoundError, match="not committed"):
         read_version(spark, root, 0)
     # keep >= committed count: no-op
