@@ -2737,8 +2737,10 @@ def dsl_pipeline_clean_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     DSL surface inherits the 100 TB discipline; row identity vs the
     registry twin's plan shape is asserted in tests/test_lowering.py.
 
-    Scale: the clean mask is a pushable scan filter (length/lang reach
-    the parquet scan); the dedup shuffle carries (fp, doc_id) only."""
+    Scale: the lang equality (and text/lang IsNotNull) push to the
+    parquet scan as PushedFilters; the length predicate is a function
+    filter, evaluated in the same scan stage before the fingerprint —
+    so the dedup shuffle still carries (fp, doc_id) only."""
     from ..plans.lowering import select_from
     from ..plans.nodes import DataFrame as CaptureFrame
 
