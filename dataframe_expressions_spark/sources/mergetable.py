@@ -212,6 +212,7 @@ def merge_into(
     on: Union[str, Sequence[str]],
     matched_update: Dict[str, str],
     not_matched_insert: Dict[str, str],
+    evolve: bool = False,
 ) -> SDF:
     """SQL MERGE INTO semantics over plain DataFrames:
 
@@ -225,6 +226,17 @@ def merge_into(
     ``s.`` (source) — the WHEN MATCHED / WHEN NOT MATCHED clause bodies,
     verbatim.  Output schema = target schema (names and order).
 
+    ``evolve=True`` is MERGE WITH SCHEMA EVOLUTION (the Delta
+    ``mergeSchema`` behavior, round 10): clause expressions may target
+    columns that do not exist on the target yet — each such column is
+    APPENDED to the output schema, NULL wherever a clause does not set
+    it (pre-evolution rows included).  Committing the result as the
+    next snapshot is the copy-on-write ALTER TABLE ADD COLUMN: old
+    snapshots keep the old schema, time travel across the boundary
+    works because each version carries its own parquet schema.  Without
+    ``evolve``, an expression keyed on an unknown column raises — the
+    strict-schema default.
+
     Plan: ONE null-safe full-outer shuffle join on the key — the exact
     kernel a lakehouse MERGE runs (cdc_upsert_compact is the latest-wins
     variant of the same shape); at 100 TB both sides shuffle on the key
@@ -232,6 +244,18 @@ def merge_into(
     proves that fires), and the source side is broadcast when small.
     """
     keys: List[str] = [on] if isinstance(on, str) else list(on)
+    extra = [
+        c for c in list(matched_update) + list(not_matched_insert)
+        if c not in target.columns
+    ]
+    if extra and not evolve:
+        raise ValueError(
+            f"MERGE clause targets column(s) {sorted(set(extra))} not on "
+            "the target — pass evolve=True for schema evolution"
+        )
+    out_cols = target.columns + sorted(
+        set(extra), key=(list(matched_update) + list(not_matched_insert)).index
+    )
     t = target.withColumn("_t_present", F.lit(1)).alias("t")
     s = source.withColumn("_s_present", F.lit(1)).alias("s")
     cond = reduce(
@@ -242,7 +266,19 @@ def merge_into(
     both = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
     t_only = F.col("s._s_present").isNull()
     out = []
-    for c in target.columns:
+    for c in out_cols:
+        if c not in target.columns:
+            # evolved column: NULL unless a clause sets it
+            upd, ins = matched_update.get(c), not_matched_insert.get(c)
+            col = (
+                F.when(both, F.expr(upd) if upd is not None else F.lit(None))
+                .when(t_only, F.lit(None))
+                .otherwise(
+                    F.expr(ins) if ins is not None else F.lit(None)
+                )
+            )
+            out.append(col.alias(c))
+            continue
         if c in keys:
             out.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
             continue

@@ -259,3 +259,41 @@ def test_stream_table_upsert_versions_and_replay_idempotent(spark):
         if n.isdigit()
     )
     assert committed2 == committed, (committed, committed2)
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """evolve=True appends clause-target columns missing from the target
+    (NULL where no clause sets them — pre-evolution rows included);
+    strict mode raises; committing the evolved result is the
+    copy-on-write ADD COLUMN — time travel across the schema boundary
+    reads each version with its own schema."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_snapshot,
+        read_version,
+    )
+
+    tgt = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, bal double")
+    src = spark.createDataFrame(
+        [(1, 5.0, "eu"), (3, 7.0, "us")], "k long, delta double, region string"
+    )
+    with pytest.raises(ValueError, match="evolve=True"):
+        merge_into(
+            tgt, src, on="k",
+            matched_update={"bal": "t.bal + s.delta", "region": "s.region"},
+            not_matched_insert={"bal": "s.delta", "region": "s.region"},
+        )
+    out = merge_into(
+        tgt, src, on="k",
+        matched_update={"bal": "t.bal + s.delta", "region": "s.region"},
+        not_matched_insert={"bal": "s.delta", "region": "s.region"},
+        evolve=True,
+    )
+    assert out.columns == ["k", "bal", "region"]
+    got = {r.k: (r.bal, r.region) for r in out.collect()}
+    assert got == {1: (15.0, "eu"), 2: (20.0, None), 3: (7.0, "us")}
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(tgt, root, 0)
+    commit_snapshot(out, root, 1)
+    assert read_version(spark, root, 0).columns == ["k", "bal"]
+    assert read_version(spark, root, 1).columns == ["k", "bal", "region"]
