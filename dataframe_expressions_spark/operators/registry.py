@@ -116,14 +116,15 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # CORRECTNESS_r0*.json files (latest round each id has a row; the
 # fronting test recomputes the same derivation).  CORRECTNESS_r09 came
 # back 50/50, leaving the post-r9 vintage distribution r4:15 r5:50
-# r6:50 r7:50 r8:50 r9:50 — so, per the r9 VERDICT plan: slots 1-5 the
+# r6:50 r7:50 r8:50 r9:50 — so, per the r9 VERDICT plan: slots 1-6 the
 # round-10 additions (dsl_pipeline_clean_dedup, join_skew_aqe,
-# table_merge_upsert, table_time_travel, stream_table_upsert — zero
-# evidence), slots 6-20 the full 15-id r4 tail (text_rep_bigram ...
-# window_rolling_median), slots 21-50 the alphabetical head (30 of 50)
-# of the r5 block (agg_bitmap_distinct ... stats_ks_test).  If
-# CORRECTNESS_r10 comes back 50/50 the oldest remaining evidence is the
-# 20-id r5 tail (stats_mann_whitney ... window_rank area) — front any
+# table_merge_upsert, table_time_travel, stream_table_upsert,
+# table_merge_evolve — zero evidence), slots 7-21 the full 15-id r4
+# tail (text_rep_bigram ... window_rolling_median), slots 22-50 the
+# alphabetical head (29 of 50) of the r5 block (agg_bitmap_distinct ...
+# stats_chi2).  If CORRECTNESS_r10 comes back 50/50 the oldest
+# remaining evidence is the 21-id r5 tail (stats_ks_test ...
+# window_rank area) — front any
 # round-11 additions, then that tail, then the alphabetical head of the
 # r6 block (derive programmatically from the committed CORRECTNESS
 # files, as always).
@@ -133,6 +134,7 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "table_merge_upsert",
     "table_time_travel",
     "stream_table_upsert",
+    "table_merge_evolve",
     "text_rep_bigram",
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
@@ -177,7 +179,6 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "sim_search_topk",
     "sort_limit_topk",
     "stats_chi2",
-    "stats_ks_test",
 )
 
 

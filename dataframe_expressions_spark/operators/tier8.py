@@ -3123,3 +3123,62 @@ def stream_table_upsert(spark: SparkSession, sf_dir: str) -> SDF:
         F.col("sum_value").cast("double").alias("sum_value"),
         "last_event",
     )
+
+
+@query(
+    "table_merge_evolve",
+    """
+    WITH chg AS (SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+                             ELSE o_custkey END AS k,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                             AS DOUBLE) AS rev,
+                        CAST(count(*) AS BIGINT) AS n_o
+                 FROM orders GROUP BY 1)
+    SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
+             AS c_name,
+           CASE WHEN c.c_custkey IS NULL THEN g.rev
+                WHEN g.k IS NULL THEN c.c_acctbal
+                ELSE c.c_acctbal + g.rev END AS acctbal,
+           coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders,
+           c.c_mktsegment AS segment
+    FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k
+    """,
+)
+def table_merge_evolve(spark: SparkSession, sf_dir: str) -> SDF:
+    """MERGE WITH SCHEMA EVOLUTION, driver-checked (round 10): commit v2
+    of the customer merge table by merging a source that carries a
+    column the table never had (`c_mktsegment` → `segment`,
+    ``evolve=True``) — the copy-on-write ALTER TABLE ADD COLUMN.  Rows
+    whose key is absent from the enrichment source (the v1-inserted
+    'NEW' ledger keys) carry NULL in the evolved column; every
+    pre-existing column is byte-identical to v1 (the merge lists no
+    update for them).  v0/v1 keep their old schema — table_time_travel
+    still reads v0 unchanged — so the oracle doubles as the
+    cross-version schema-isolation check.
+
+    Scale: one null-safe key join against the snapshot (the merge
+    kernel); the returned frame is the READ-BACK of committed v2, a
+    plain pruned parquet scan."""
+    from ..sources.mergetable import (
+        commit_snapshot,
+        latest_version,
+        merge_into,
+        read_version,
+    )
+
+    root = _ensure_merge_table(spark, sf_dir)
+    if (latest_version(root) or 0) < 2:
+        seg = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        evolved = merge_into(
+            read_version(spark, root, 1),
+            seg,
+            on="c_custkey",
+            matched_update={"segment": "s.c_mktsegment"},
+            not_matched_insert={"segment": "s.c_mktsegment"},
+            evolve=True,
+        )
+        commit_snapshot(evolved, root, 2, meta={"op": "merge-evolve"})
+    return read_version(spark, root, 2)

@@ -90,7 +90,9 @@ def test_table_merge_upsert_is_write_once_and_plan_shape(spark):
     n1 = df1.count()
     assert n1 > 0
     root = _merge_table_root(SF_SMOKE)
-    assert latest_version(root) == 1
+    # >= 1: table_merge_evolve may have committed v2 on the shared root
+    # (the upsert query reads version 1 EXPLICITLY either way)
+    assert latest_version(root) >= 1
     mtime = os.path.getmtime(os.path.join(root, "_commits", "1"))
     df2 = q.fn(spark, SF_SMOKE)
     assert df2.count() == n1
