@@ -152,7 +152,18 @@ def wav_meta(buf: bytes) -> "tuple[int, int, int, int]":
                 struct.unpack_from("<HHIIHH", buf, off + 8)
             )
         elif cid == b"data":
-            data_size = min(size, len(buf) - off - 8)
+            if size > len(buf) - off - 8:
+                # Declared data chunk overruns the buffer: a truncated
+                # payload.  Raise rather than clamp — silently computing
+                # a duration over whatever bytes remain breaks the
+                # module's loud-rejection discipline (bmp_dims and the
+                # container walker both raise on truncation; round-10
+                # ADVICE).
+                raise ValueError(
+                    f"malformed WAV: data chunk declares {size} bytes "
+                    f"but only {len(buf) - off - 8} remain"
+                )
+            data_size = size
         off += 8 + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or data_size is None:
         raise ValueError("malformed WAV: missing fmt/data chunk")

@@ -2901,7 +2901,12 @@ def _ensure_merge_table(spark: SparkSession, sf_dir: str) -> str:
     )
 
     root = _merge_table_root(sf_dir)
-    if latest_version(root) != 1:
+    # `< 1`, not `!= 1`: table_merge_evolve commits v2 on the SAME root,
+    # after which `!= 1` is permanently true and every later call would
+    # re-enter the build branch and rebuild the lazy merge plan
+    # (commit_snapshot no-ops, so wasted driver work, not corruption —
+    # round-10 ADVICE).
+    if (latest_version(root) or -1) < 1:
         cust = load_table(spark, sf_dir, "customer")
         v0 = cust.select(
             "c_custkey",

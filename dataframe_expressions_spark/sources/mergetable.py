@@ -149,6 +149,15 @@ def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
         os.rename(mtmp, marker)
     except OSError:
         os.unlink(mtmp)
+        # POSIX rename over an existing file does NOT fail on a lost
+        # race, so any OSError here is a REAL failure (EACCES, EXDEV,
+        # ENOSPC on the metadata write...).  Returning as-if-committed
+        # would silently drop the commit — and worse, the orphaned v<n>
+        # dir would make the NEXT commit_snapshot(n) skip its own
+        # snapshot write and attach ITS marker to THIS batch's data
+        # (round-10 ADVICE: silent data loss in stream_table_upsert).
+        # Same invariant the snapshot-rename path enforces above.
+        raise
 
 
 def vacuum(root: str, keep: int = 1) -> "list[int]":
@@ -175,7 +184,15 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
     )
     drop = committed[:-keep] if len(committed) > keep else []
     for n in drop:
-        os.unlink(os.path.join(commits_dir, str(n)))
+        # Tolerate a concurrent vacuum having unlinked the marker first:
+        # single-writer is the documented discipline, but every other
+        # path in this module stays idempotent under races, and a bare
+        # unlink would abort THIS vacuum partway through (round-10
+        # ADVICE).  The marker-first ORDER is unchanged.
+        try:
+            os.unlink(os.path.join(commits_dir, str(n)))
+        except FileNotFoundError:
+            pass
         shutil.rmtree(os.path.join(root, f"v{n}"), ignore_errors=True)
     import time
 
@@ -213,6 +230,7 @@ def merge_into(
     matched_update: Dict[str, str],
     not_matched_insert: Dict[str, str],
     evolve: bool = False,
+    strict_source_keys: bool = False,
 ) -> SDF:
     """SQL MERGE INTO semantics over plain DataFrames:
 
@@ -242,8 +260,27 @@ def merge_into(
     variant of the same shape); at 100 TB both sides shuffle on the key
     once, skew on hot keys is AQE's skew-split problem (join_skew_aqe
     proves that fires), and the source side is broadcast when small.
+
+    PRECONDITION: the source must be unique on the join key.  A
+    duplicate source key fans out the matched target row — SQL MERGE
+    and Delta raise "multiple source rows matched" for exactly this.
+    Callers that fold a change stream first (every query in this repo;
+    groupBy(key) guarantees uniqueness by construction) don't pay a
+    check; ``strict_source_keys=True`` adds the runtime guard — one
+    aggregate over the SOURCE only (cheap: the source is the small,
+    already-folded side) that raises before the merge join runs.
     """
     keys: List[str] = [on] if isinstance(on, str) else list(on)
+    if strict_source_keys:
+        ndup = (
+            source.groupBy(*keys).count().where(F.col("count") > 1).count()
+        )
+        if ndup:
+            raise ValueError(
+                f"MERGE source has {ndup} duplicate join key(s) on "
+                f"{keys} — multiple source rows would match one target "
+                "row; fold the source (groupBy the key) first"
+            )
     extra = [
         c for c in list(matched_update) + list(not_matched_insert)
         if c not in target.columns
@@ -256,15 +293,23 @@ def merge_into(
     out_cols = target.columns + sorted(
         set(extra), key=(list(matched_update) + list(not_matched_insert)).index
     )
-    t = target.withColumn("_t_present", F.lit(1)).alias("t")
-    s = source.withColumn("_s_present", F.lit(1)).alias("s")
+    # Presence-flag helper columns must not collide with user columns
+    # on EITHER frame (round-10 ADVICE): derive a name no input carries.
+    taken = set(target.columns) | set(source.columns)
+    tflag, sflag = "_mt_t_present", "_mt_s_present"
+    while tflag in taken or sflag in taken:
+        tflag, sflag = tflag + "_", sflag + "_"
+    t = target.withColumn(tflag, F.lit(1)).alias("t")
+    s = source.withColumn(sflag, F.lit(1)).alias("s")
     cond = reduce(
         lambda a, b: a & b,
         [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
     )
     j = t.join(s, cond, "full_outer")
-    both = F.col("t._t_present").isNotNull() & F.col("s._s_present").isNotNull()
-    t_only = F.col("s._s_present").isNull()
+    both = (
+        F.col(f"t.{tflag}").isNotNull() & F.col(f"s.{sflag}").isNotNull()
+    )
+    t_only = F.col(f"s.{sflag}").isNull()
     out = []
     for c in out_cols:
         if c not in target.columns:

@@ -325,6 +325,12 @@ def test_multimodal_strict_wav_decodes_real_audio_meta(spark):
     struct.pack_into("<H", broken, 22, 0)  # zero channels
     with pytest.raises(ValueError, match="malformed WAV"):
         MM.wav_meta(bytes(broken))
+    # round-10 ADVICE: a data chunk whose declared size overruns the
+    # buffer is a TRUNCATED payload — loud rejection, not a silent
+    # clamp-and-compute (consistent with bmp_dims / the container walker)
+    whole = MM.make_wav(n_samples=64)
+    with pytest.raises(ValueError, match="truncat|remain"):
+        MM.wav_meta(whole[:-10])
 
 
 def test_multimodal_strict_frame_sample_real_container(spark):

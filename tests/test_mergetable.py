@@ -299,3 +299,153 @@ def test_merge_schema_evolution(spark, tmp_path):
     commit_snapshot(out, root, 1)
     assert read_version(spark, root, 0).columns == ["k", "bal"]
     assert read_version(spark, root, 1).columns == ["k", "bal", "region"]
+
+
+def test_failed_marker_rename_raises_and_retry_commits(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10 ADVICE: the MARKER rename path must re-raise like the
+    snapshot path — returning as-if-committed silently drops the commit,
+    and the orphaned v<n> dir would make the NEXT commit_snapshot(n)
+    skip its snapshot write and attach ITS marker (and batch_id) to THIS
+    call's data.  A retry after the failure succeeds normally (the
+    orphaned dir holds the same version's data)."""
+    import os as _os
+
+    root = str(tmp_path / "tbl")
+    v0 = spark.createDataFrame([(1, "a")], "k long, v string")
+    commit_snapshot(v0, root, 0)
+
+    real_rename = _os.rename
+
+    def failing_marker_rename(src, dst):
+        if "_commits" in dst.replace("\\", "/") and dst.endswith("1"):
+            raise OSError("simulated ENOSPC")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", failing_marker_rename)
+    v1 = spark.createDataFrame([(1, "a2")], "k long, v string")
+    with pytest.raises(OSError, match="ENOSPC"):
+        commit_snapshot(v1, root, 1, meta={"batch_id": 7})
+    monkeypatch.setattr(_os, "rename", real_rename)
+    # not committed: no marker, no visible version, no marker temp litter
+    assert latest_version(root) == 0
+    assert not os.path.exists(os.path.join(root, "_commits", "1"))
+    assert not any(
+        n.startswith("1.tmp")
+        for n in os.listdir(os.path.join(root, "_commits"))
+    )
+    # retry commits the SAME data with the retry's metadata
+    commit_snapshot(v1, root, 1, meta={"batch_id": 7})
+    from dataframe_expressions_spark.sources.mergetable import commit_meta
+
+    assert latest_version(root) == 1
+    assert commit_meta(root, 1)["batch_id"] == 7
+    assert {r.v for r in read_version(spark, root, 1).collect()} == {"a2"}
+
+
+def test_merge_into_strict_source_keys_guard(spark):
+    """Round-10 ADVICE: duplicate source join keys fan out matched
+    target rows (SQL MERGE raises 'multiple source rows matched').
+    strict_source_keys=True surfaces that before the merge join runs;
+    unique sources pass the guard unchanged."""
+    tgt = spark.createDataFrame([(1, 10.0)], "k long, bal double")
+    dup = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 3.0)], "k long, delta double"
+    )
+    with pytest.raises(ValueError, match="duplicate join key"):
+        merge_into(
+            tgt, dup, on="k",
+            matched_update={"bal": "t.bal + s.delta"},
+            not_matched_insert={"bal": "s.delta"},
+            strict_source_keys=True,
+        )
+    uniq = dup.groupBy("k").agg({"delta": "sum"}).withColumnRenamed(
+        "sum(delta)", "delta"
+    )
+    out = merge_into(
+        tgt, uniq, on="k",
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"bal": "s.delta"},
+        strict_source_keys=True,
+    )
+    assert {r.k: r.bal for r in out.collect()} == {1: 13.0, 2: 3.0}
+
+
+def test_merge_into_helper_columns_never_collide(spark):
+    """Round-10 ADVICE: the presence-flag helper columns must survive
+    inputs that already carry columns with the default helper names."""
+    tgt = spark.createDataFrame(
+        [(1, 10.0, "x")], "k long, bal double, _mt_t_present string"
+    )
+    src = spark.createDataFrame(
+        [(1, 5.0, "y"), (2, 7.0, "z")],
+        "k long, delta double, _mt_s_present string",
+    )
+    out = merge_into(
+        tgt, src, on="k",
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"bal": "s.delta"},
+    )
+    assert out.columns == tgt.columns
+    got = {r.k: (r.bal, r["_mt_t_present"]) for r in out.collect()}
+    # matched row updated once (no fan-out), user column passes through
+    assert got == {1: (15.0, "x"), 2: (7.0, None)}
+
+
+def test_vacuum_idempotent_under_concurrent_marker_unlink(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10 ADVICE: two concurrent vacuums racing on the same root —
+    the loser's marker unlink hits FileNotFoundError and must continue,
+    not abort partway (single-writer is documented; idempotence under
+    races is the module-wide discipline)."""
+    import os as _os
+
+    from dataframe_expressions_spark.sources.mergetable import vacuum
+
+    root = str(tmp_path / "tbl")
+    for n in range(4):
+        commit_snapshot(spark.createDataFrame([(n,)], "k long"), root, n)
+
+    real_unlink = _os.unlink
+
+    def racing_unlink(path, *a, **kw):
+        p = str(path).replace("\\", "/")
+        if "/_commits/" in p and os.path.exists(path):
+            real_unlink(path)  # the concurrent vacuum won the race...
+        return real_unlink(path, *a, **kw)  # ...raises FileNotFoundError
+
+    monkeypatch.setattr(_os, "unlink", racing_unlink)
+    dropped = vacuum(root, keep=2)
+    monkeypatch.setattr(_os, "unlink", real_unlink)
+    assert dropped == [0, 1]
+    assert latest_version(root) == 3
+    assert not os.path.isdir(os.path.join(root, "v0"))
+    assert not os.path.isdir(os.path.join(root, "v1"))
+    assert not os.path.exists(os.path.join(root, "_commits", "0"))
+
+
+def test_ensure_merge_table_gate_survives_v2(spark, monkeypatch):
+    """Round-10 ADVICE: once table_merge_evolve commits v2 on the shared
+    root, `latest_version != 1` is permanently true — the gate must be
+    `< 1` so later upsert/time-travel calls do NOT re-enter the build
+    branch (wasted driver-side merge-plan construction every call)."""
+    from dataframe_expressions_spark.operators.registry import load_all
+    from dataframe_expressions_spark.operators.tier8 import (
+        _ensure_merge_table,
+        _merge_table_root,
+    )
+    from dataframe_expressions_spark.sources import mergetable as MT
+
+    qs = load_all()
+    qs["table_merge_evolve"].fn(spark, SF_SMOKE).count()  # commits v2
+    assert latest_version(_merge_table_root(SF_SMOKE)) >= 2
+
+    def boom(*a, **kw):  # the build branch calls merge_into
+        raise AssertionError("build branch re-entered after v2")
+
+    monkeypatch.setattr(MT, "merge_into", boom)
+    root = _ensure_merge_table(spark, SF_SMOKE)
+    assert latest_version(root) >= 2
+    assert qs["table_merge_upsert"].fn(spark, SF_SMOKE).count() > 0
