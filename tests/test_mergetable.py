@@ -189,28 +189,43 @@ def test_merge_into_matches_python_reference(spark, t_keys, s_keys):
 def test_vacuum_retention_and_orphan_sweep(spark, tmp_path):
     """vacuum keeps the newest `keep` committed versions, deletes marker
     BEFORE snapshot (crash mid-vacuum leaves only invisible orphans),
-    sweeps crashed-writer orphan dirs, and a time travel to a vacuumed
-    version fails loudly."""
+    sweeps crashed-writer orphan dirs on the MARKER-RELATIVE horizon
+    (round 11: an orphan claiming version k is swept only once a LATER
+    committed version has been on the books for > 1 h — no directory
+    mtimes, so the rule carries to object stores), and a time travel to
+    a vacuumed version fails loudly."""
+    import json as _json
+    import time as _time
+
     from dataframe_expressions_spark.sources.mergetable import vacuum
 
     root = str(tmp_path / "tbl")
-    for n in range(4):
+    for n in (0, 1, 3, 4):
         commit_snapshot(
             spark.createDataFrame([(n,)], "k long"), root, n
         )
-    # crashed-writer orphan (OLD, > the 1h horizon): dir without marker
-    os.makedirs(os.path.join(root, "v9"))
-    os.utime(os.path.join(root, "v9"), (0, 0))
-    # a YOUNG marker-less dir may be a concurrent commit between its
-    # snapshot rename and marker write — must survive the sweep
+    # crashed-writer orphan SUPERSEDED long ago: dir without marker at a
+    # version number below v3, whose marker is > 1 h old (forge the
+    # committed_at the writer recorded — that is the only clock vacuum
+    # consults)
+    os.makedirs(os.path.join(root, "v2"))
+    for m in (3, 4):
+        mk = os.path.join(root, "_commits", str(m))
+        meta = _json.load(open(mk))
+        meta["committed_at"] = _time.time() - 7200
+        _json.dump(meta, open(mk, "w"))
+    # a marker-less dir at a NOT-YET-SUPERSEDED version number may be a
+    # concurrent commit between its snapshot rename and marker write —
+    # must survive the sweep no matter how old it looks
     os.makedirs(os.path.join(root, "v8"))
+    os.utime(os.path.join(root, "v8"), (0, 0))
     dropped = vacuum(root, keep=2)
     assert dropped == [0, 1]
-    assert latest_version(root) == 3
-    assert {r.k for r in read_version(spark, root, 2).collect()} == {2}
+    assert latest_version(root) == 4
+    assert {r.k for r in read_version(spark, root, 3).collect()} == {3}
     assert not os.path.isdir(os.path.join(root, "v0"))
     assert not os.path.exists(os.path.join(root, "_commits", "1"))
-    assert not os.path.isdir(os.path.join(root, "v9"))  # old orphan swept
+    assert not os.path.isdir(os.path.join(root, "v2"))  # superseded orphan
     assert os.path.isdir(os.path.join(root, "v8"))  # in-flight commit kept
     with pytest.raises(FileNotFoundError, match="not committed"):
         read_version(spark, root, 0)
@@ -449,3 +464,210 @@ def test_ensure_merge_table_gate_survives_v2(spark, monkeypatch):
     root = _ensure_merge_table(spark, SF_SMOKE)
     assert latest_version(root) >= 2
     assert qs["table_merge_upsert"].fn(spark, SF_SMOKE).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# bucket-scoped copy-on-write MERGE (round 11, r10 VERDICT item 1)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_files(root, man, bucket):
+    """Sorted (relpath, inode) pairs for one bucket's parquet files."""
+    d = os.path.join(root, man[str(bucket)])
+    return sorted(
+        (os.path.join(man[str(bucket)], f), os.stat(os.path.join(d, f)).st_ino)
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """THE bucket-COW contract: after a merge whose source keys all land
+    in buckets {0,1,2} (modulo bucketing makes that constructible), the
+    new version's manifest references the OLD version's physical files
+    for every untouched bucket — same paths, same inodes, zero bytes
+    rewritten — while touched buckets get fresh files under the new
+    version dir.  Content equals the table-granularity merge_into over
+    the same inputs, and time travel across the boundary still reads
+    v0 exactly."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_bucketed,
+        commit_meta,
+        merge_into_bucketed,
+        read_bucketed,
+    )
+
+    root = str(tmp_path / "tbl")
+    n_b = 8
+    tgt = spark.createDataFrame(
+        [(k, f"n{k}", float(10 * k)) for k in range(40)],
+        "k long, name string, bal double",
+    )
+    commit_bucketed(tgt, root, 0, on="k", n_buckets=n_b, hashed=False)
+    man0 = commit_meta(root, 0)["manifest"]
+    assert set(man0) == {str(b) for b in range(n_b)}
+    v0_files = {b: _bucket_files(root, man0, b) for b in range(n_b)}
+
+    # source keys: bucket(k) = k % 8 in {0, 1, 2} only — including one
+    # insert key (80 -> bucket 0) outside the target key space
+    src = spark.createDataFrame(
+        [(0, 1.0), (9, 2.0), (18, 3.0), (80, 4.0)], "k long, delta double"
+    )
+    n1 = merge_into_bucketed(
+        spark, root, src,
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"bal": "s.delta"},
+        meta={"op": "merge"},
+    )
+    assert n1 == 1
+    meta1 = commit_meta(root, 1)
+    man1 = meta1["manifest"]
+    assert meta1["touched_buckets"] == ["0", "1", "2"]
+    for b in range(3):  # touched: fresh files under v1
+        assert man1[str(b)] == f"v1/_mt_bucket={b}"
+    for b in range(3, n_b):  # untouched: BY REFERENCE — v0's own files
+        assert man1[str(b)] == man0[str(b)] == f"v0/_mt_bucket={b}"
+        assert _bucket_files(root, man1, b) == v0_files[b]
+
+    # content identical to the table-granularity merge over same inputs
+    from dataframe_expressions_spark.sources.mergetable import merge_into
+
+    want = sorted(
+        tuple(r)
+        for r in merge_into(
+            tgt, src, on="k",
+            matched_update={"bal": "t.bal + s.delta"},
+            not_matched_insert={"bal": "s.delta"},
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in read_bucketed(spark, root, 1).collect())
+    assert got == want
+    # time travel across the bucket boundary: v0 unchanged
+    got0 = sorted(tuple(r) for r in read_bucketed(spark, root, 0).collect())
+    assert got0 == sorted(tuple(r) for r in tgt.collect())
+
+
+def test_bucketed_merge_chain_and_vacuum_keeps_referenced_buckets(
+    spark, tmp_path
+):
+    """Chained bucket merges accumulate by-reference manifests across
+    SEVERAL physical version dirs; manifest-aware vacuum of the base
+    version must delete only the bucket dirs no kept manifest references
+    (v0's rewritten buckets) while the still-referenced v0 buckets
+    survive in place and the latest version stays fully readable."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_bucketed,
+        commit_meta,
+        merge_into_bucketed,
+        read_bucketed,
+        vacuum,
+    )
+
+    root = str(tmp_path / "tbl")
+    tgt = spark.createDataFrame(
+        [(k, float(k)) for k in range(24)], "k long, bal double"
+    )
+    commit_bucketed(tgt, root, 0, on="k", n_buckets=6, hashed=False)
+    # merge 1 touches buckets {0}; merge 2 touches {1, 2}
+    merge_into_bucketed(
+        spark, root, spark.createDataFrame([(6, 1.0)], "k long, delta double"),
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"bal": "s.delta"},
+    )
+    merge_into_bucketed(
+        spark, root,
+        spark.createDataFrame([(7, 2.0), (14, 3.0)], "k long, delta double"),
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"bal": "s.delta"},
+    )
+    man2 = commit_meta(root, 2)["manifest"]
+    assert man2["0"].startswith("v1/") and man2["1"].startswith("v2/")
+    assert all(man2[str(b)].startswith("v0/") for b in (3, 4, 5))
+    want = sorted(tuple(r) for r in read_bucketed(spark, root, 2).collect())
+
+    # keep only v2 — v2 still references v0/{3,4,5} and v1/{0}
+    dropped = vacuum(root, keep=1)
+    assert dropped == [0, 1]
+    # v0 buckets v2 superseded (0 via v1, 1-2 via v2) are gone; the
+    # still-referenced ones survive IN PLACE
+    for b in (0, 1, 2):
+        assert not os.path.isdir(os.path.join(root, f"v0/_mt_bucket={b}"))
+    for b in (3, 4, 5):
+        assert os.path.isdir(os.path.join(root, f"v0/_mt_bucket={b}"))
+    # dropped v1's bucket 0 is referenced by v2: dir survives, marker gone
+    assert os.path.isdir(os.path.join(root, "v1/_mt_bucket=0"))
+    assert not os.path.exists(os.path.join(root, "_commits", "1"))
+    # the latest version reads back identically after the vacuum
+    got = sorted(tuple(r) for r in read_bucketed(spark, root, 2).collect())
+    assert got == want
+    # and the vacuumed versions themselves are gone as versions
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        read_bucketed(spark, root, 0)
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        read_bucketed(spark, root, 1)
+
+
+def test_bucketed_guards(spark, tmp_path):
+    """Non-bucketed versions reject bucketed reads/merges loudly; the
+    bucket spec comes from table metadata (callers cannot supply a
+    mismatched key); hashed bucketing handles multi-key and the modulo
+    mode rejects multi-key."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        bucket_expr,
+        commit_bucketed,
+        merge_into_bucketed,
+        read_bucketed,
+    )
+
+    assert bucket_expr(["a", "b"], 4) == "pmod(hash(a, b), 4)"
+    assert bucket_expr("k", 16, hashed=False) == "pmod(k, 16)"
+    with pytest.raises(ValueError, match="exactly one key"):
+        bucket_expr(["a", "b"], 4, hashed=False)
+    with pytest.raises(ValueError, match="n_buckets"):
+        bucket_expr("k", 0)
+
+    root = str(tmp_path / "plain")
+    commit_snapshot(spark.createDataFrame([(1,)], "k long"), root, 0)
+    with pytest.raises(ValueError, match="not bucketed"):
+        read_bucketed(spark, root, 0)
+    with pytest.raises(ValueError, match="not bucketed"):
+        merge_into_bucketed(
+            spark, root,
+            spark.createDataFrame([(1, 1.0)], "k long, d double"),
+            matched_update={}, not_matched_insert={},
+        )
+
+
+def test_table_merge_bucketed_query_by_reference_and_write_once(spark):
+    """The registered query at fixture scale: v1's manifest references
+    v0's physical files for all 13 untouched buckets (same path — zero
+    rewrite), touched buckets are exactly {0,1,2} (the source filter is
+    the bucket function), the second call serves the committed manifest
+    without re-merging, and the read-back plan is a pure parquet scan."""
+    from dataframe_expressions_spark.operators.registry import load_all
+    from dataframe_expressions_spark.operators.tier8 import (
+        _bucketed_table_root,
+    )
+    from dataframe_expressions_spark.sources.mergetable import commit_meta
+
+    q = load_all()["table_merge_bucketed"]
+    df1 = q.fn(spark, SF_SMOKE)
+    n1 = df1.count()
+    assert n1 > 0
+    root = _bucketed_table_root(SF_SMOKE)
+    meta1 = commit_meta(root, 1)
+    assert meta1["touched_buckets"] == ["0", "1", "2"]
+    man0, man1 = commit_meta(root, 0)["manifest"], meta1["manifest"]
+    for b in range(3):
+        assert man1[str(b)] == f"v1/_mt_bucket={b}"
+    for b in range(3, 16):
+        assert man1[str(b)] == man0[str(b)] == f"v0/_mt_bucket={b}"
+        assert _bucket_files(root, man1, b) == _bucket_files(root, man0, b)
+    # write-once: second call does not recommit
+    mtime = os.path.getmtime(os.path.join(root, "_commits", "1"))
+    df2 = q.fn(spark, SF_SMOKE)
+    assert df2.count() == n1
+    assert os.path.getmtime(os.path.join(root, "_commits", "1")) == mtime
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+    assert "Join" not in plan  # manifest-resolved read is a scan
