@@ -100,9 +100,25 @@ def latest_version(root: str) -> Optional[int]:
     return best
 
 
-def read_version(spark: SparkSession, root: str, n: Optional[int] = None) -> SDF:
+def read_version(
+    spark: SparkSession,
+    root: str,
+    n: Optional[int] = None,
+    key_range: Optional["tuple"] = None,
+) -> SDF:
     """Snapshot read-back: version ``n``, or the latest committed one.
-    Time travel = pass an older committed ``n``."""
+    Time travel = pass an older committed ``n``.
+
+    ``key_range=(lo, hi)`` (inclusive) enables DATA SKIPPING (round 11,
+    r10 VERDICT item 3): when the version was committed with
+    ``stats_key`` file statistics, the per-file min/max recorded in the
+    commit marker prune non-overlapping files BEFORE Spark ever lists
+    them — the scan's file set is decided from one driver-side JSON
+    read, the metadata-level skipping Delta/Iceberg do with their stats.
+    The key predicate is ALSO applied as a normal filter (and pushed to
+    the parquet row groups of the surviving files), so results are exact
+    whether or not stats exist; files with NULL-only or missing stats
+    are conservatively kept."""
     if n is None:
         n = latest_version(root)
     if n is None:
@@ -110,7 +126,28 @@ def read_version(spark: SparkSession, root: str, n: Optional[int] = None) -> SDF
     marker = os.path.join(root, "_commits", str(n))
     if not os.path.exists(marker):
         raise FileNotFoundError(f"version {n} is not committed in {root}")
-    return spark.read.parquet(os.path.join(root, f"v{n}"))
+    snap = os.path.join(root, f"v{n}")
+    if key_range is None:
+        return spark.read.parquet(snap)
+    stats = commit_meta(root, n).get("file_stats")
+    if not stats:
+        raise ValueError(
+            f"version {n} of {root} has no file statistics — commit with "
+            "stats_key= to enable key_range reads"
+        )
+    key = stats["key"]
+    lo, hi = key_range
+    keep = [
+        os.path.join(root, rel)
+        for rel, mm in stats["files"].items()
+        if mm is None or not (mm[1] < lo or mm[0] > hi)
+    ]
+    if not keep:
+        # no file can match: exact empty answer, footer-only planning
+        return spark.read.parquet(snap).limit(0)
+    return spark.read.parquet(*keep).where(
+        F.col(key).between(F.lit(lo), F.lit(hi))
+    )
 
 
 def commit_meta(root: str, n: Optional[int] = None) -> dict:
@@ -157,12 +194,67 @@ def _write_marker(root: str, n: int, payload: Optional[dict]) -> None:
         raise
 
 
+def _jsonable(v):
+    """Footer statistic → JSON-storable value.  Dates/timestamps become
+    ISO strings (their lexicographic order matches their natural order,
+    so the pruning comparison stays valid)."""
+    return v if isinstance(v, (int, float, str, bool)) else str(v)
+
+
+def _collect_file_stats(root: str, n: int, key: str) -> Dict[str, list]:
+    """Per-file ``[min, max]`` of ``key`` for version ``n``'s parquet
+    files, read from the parquet FOOTERS (no data pages touched) — the
+    ``sink_sorted_skipping`` discipline applied at commit time so the
+    stats ride in the commit marker and readers prune files from one
+    driver-side JSON read.  A file whose footer lacks usable min/max for
+    the key maps to ``None`` (readers keep it conservatively)."""
+    import pyarrow.parquet as pq
+
+    snap = os.path.join(root, f"v{n}")
+    out: Dict[str, list] = {}
+    for fname in sorted(os.listdir(snap)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(snap, fname)).metadata
+        mins, maxs = [], []
+        ok = True
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            st = None
+            for ci in range(grp.num_columns):
+                col = grp.column(ci)
+                if col.path_in_schema == key:
+                    st = col.statistics
+                    break
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        out[f"v{n}/{fname}"] = (
+            [_jsonable(min(mins)), _jsonable(max(maxs))]
+            if ok and mins
+            else None
+        )
+    return out
+
+
 def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
-                    n_files: int = 8) -> None:
+                    n_files: int = 8,
+                    stats_key: Optional[str] = None) -> None:
     """Publish ``df`` as version ``n``: temp-write + rename the snapshot,
     THEN temp-write + rename the marker (the ordering is the crash
     safety: a marker never points at a missing snapshot).  Loser of a
-    concurrent rename race discards its temp and trusts the winner."""
+    concurrent rename race discards its temp and trusts the winner.
+
+    ``stats_key=<col>`` (round 11, r10 VERDICT item 3) range-partitions
+    and sorts the snapshot on that column — so per-file key ranges are
+    disjoint, the layout that makes min/max stats selective — and
+    records each file's footer min/max in the commit marker.
+    ``read_version(key_range=...)`` then prunes files before the scan.
+    At 100 TB this is the difference between listing/scanning the whole
+    snapshot and touching only the k files a key predicate can match;
+    the stats collection itself reads footers only."""
     os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
     snap = os.path.join(root, f"v{n}")
     marker = os.path.join(root, "_commits", str(n))
@@ -170,7 +262,13 @@ def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
         return  # already committed
     if not os.path.isdir(snap):
         tmp = f"{snap}.tmp{os.getpid()}"
-        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        shaped = (
+            df.repartitionByRange(n_files, F.col(stats_key))
+            .sortWithinPartitions(stats_key)
+            if stats_key
+            else df.repartition(n_files)
+        )
+        shaped.write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, snap)
         except OSError:
@@ -181,7 +279,13 @@ def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
                 # violate the "a marker never points at a missing
                 # snapshot" invariant (round-10 review), so surface it.
                 raise
-    _write_marker(root, n, meta)
+    payload = dict(meta or {})
+    if stats_key:
+        payload["file_stats"] = {
+            "key": stats_key,
+            "files": _collect_file_stats(root, n, stats_key),
+        }
+    _write_marker(root, n, payload)
 
 
 def _kept_manifest_refs(root: str, versions: Sequence[int]) -> "set[str]":
