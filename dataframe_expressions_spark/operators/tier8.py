@@ -403,9 +403,14 @@ def _xi_correlation(
     if two_phase is None:
         from ..functions.ranks import auto_two_phase
 
-        # o_orderpriority has 5 distinct values — a fixed-cardinality
-        # enum key, the exact "few huge groups" shape the gate prices
-        two_phase = auto_two_phase(o, n_groups=5)
+        # group key = o_orderpriority (a fixed-cardinality enum — the
+        # exact "few huge groups" shape the gate prices).  Cardinality
+        # is DERIVED from footer stats, not hand-hinted (round 11):
+        # string footers cannot bound a distinct count, so the gate
+        # falls back to the conservative 1 and arms EARLIER than the
+        # old n_groups=5 hint ever did — a wrong hint can no longer
+        # under-arm it.
+        two_phase = auto_two_phase(o, group_cols=["o_orderpriority"])
     if two_phase:
         from ..functions.ranks import two_phase_rank
 

@@ -347,3 +347,61 @@ def test_join_skew_aqe_split_fires(spark):
                 spark.conf.set(k, v)
     assert "SortMergeJoin(skew=true)" in plan, plan
     assert "skewed" in plan, plan  # the AQEShuffleRead split marker
+
+
+def test_estimated_groups_derivation_and_hint_free_arming(
+    spark, tmp_path, monkeypatch
+):
+    """Round 11 (r10 VERDICT item 5): group cardinality is DERIVED from
+    footer stats, not hand-hinted.  Integer keys bound by value span —
+    a HIGH-cardinality key divides the row estimate down and keeps the
+    gate un-armed where a low-cardinality key arms it, with no hint at
+    either call; string keys are unboundable and fall back to the
+    documented conservative 1 (arming earlier, never later)."""
+    from dataframe_expressions_spark.functions.ranks import (
+        auto_two_phase,
+        estimated_groups,
+        estimated_rows,
+    )
+    from dataframe_expressions_spark.sources.tables import load_table
+
+    monkeypatch.delenv("SPARK_GRAFT_TWO_PHASE_RANK", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_TWO_PHASE_TASK_ROWS", raising=False)
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 20000).selectExpr(
+        "id AS rowid",
+        "CAST(id % 1000 AS INT) AS hi_card",
+        "CAST(id % 3 AS INT) AS lo_card",
+        "CAST(id % 2 = 0 AS BOOLEAN) AS flag",
+        "CONCAT('g', id % 7) AS s",
+    ).coalesce(2).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    assert estimated_groups(df, ["hi_card"]) == 1000  # span bound exact here
+    assert estimated_groups(df, ["lo_card"]) == 3
+    assert estimated_groups(df, ["flag"]) == 2
+    assert estimated_groups(df, ["lo_card", "flag"]) == 6  # product
+    assert estimated_groups(df, ["s"]) is None  # strings unboundable
+    assert estimated_groups(df, ["nope"]) is None  # absent column
+
+    est = estimated_rows(df)
+    assert est is not None
+    # pick a budget between est/1000 and est: the high-cardinality key
+    # keeps the gate DOWN, the low-cardinality key arms it — purely from
+    # derived bounds, no hint at the call site
+    budget = max(est // 50, 1)
+    assert auto_two_phase(df, group_cols=["hi_card"], task_rows=budget) is False
+    assert auto_two_phase(df, group_cols=["lo_card"], task_rows=budget) is True
+    # unboundable key: conservative 1 → arms exactly like a global window
+    assert auto_two_phase(df, group_cols=["s"], task_rows=budget) is True
+    assert auto_two_phase(df, task_rows=budget) is True  # no cols: global
+
+    # the xi call site's shape: string enum key on a real table —
+    # derivation returns None, gate prices at n_groups=1 (never
+    # under-armed by a wrong hint again)
+    orders = load_table(spark, SF_SMOKE, "orders")
+    assert estimated_groups(orders, ["o_orderpriority"]) is None
+    assert auto_two_phase(
+        orders, group_cols=["o_orderpriority"], task_rows=1
+    ) is True
