@@ -3373,3 +3373,53 @@ def table_read_skipping(spark: SparkSession, sf_dir: str) -> SDF:
 
     root = _ensure_merge_table(spark, sf_dir)
     return read_version(spark, root, 1, key_range=(100, 1100))
+
+
+@query(
+    "dsl_pipeline_near_dedup",
+    f"""
+    WITH c AS (SELECT doc_id, text FROM documents
+               WHERE length(text) >= 20 AND lang = 'en'),
+    t AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   AS sh
+          FROM (SELECT doc_id, {_TOKS8} AS toks FROM c)),
+    p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   AS j
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+    SELECT a, b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5
+    """,
+)
+def dsl_pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> SDF:
+    """A clean-then-NEAR-dedup pipeline composed ENTIRELY in the capture
+    DSL (round 11, r10 VERDICT item 6): ``d[clean_mask].dedup_near(
+    on=d.text, key="doc_id", threshold=0.5)`` — quality gate (length +
+    language) then MinHash+LSH near-duplicate pairs — without leaving
+    the capture layer.  The ``dedup_near`` verb lowers by DELEGATION to
+    the proven tier-3 kernel (functions/dedup.py minhash_near_dup_pairs,
+    the dedup_near_minhash plan): shingle → signature →
+    threshold-derived banding → band-bucket candidate self-join → exact
+    Jaccard verify; row identity of verb vs registry twin is asserted
+    in tests/test_lowering.py.
+
+    Scale: the clean mask's lang equality (+ IsNotNulls) push to the
+    parquet scan, so the shingle/minhash pipeline only ever sees
+    surviving documents; the banded candidate shuffle carries (id,
+    band, bucket) triples, signatures are checkpointed once, and the
+    emitted set is defined by the exact verify (LSH is a pruner with
+    derived <1e-6 miss at the threshold) — the oracle is exact
+    all-pairs Jaccard over the SAME cleaned subset, no sketch model."""
+    from ..plans.lowering import select_from
+    from ..plans.nodes import DataFrame as CaptureFrame
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = CaptureFrame()
+    clean = d[(d.text.length() >= 20) & (d.lang == "en")]
+    return select_from(
+        {d: docs},
+        clean.dedup_near(on=d.text, key="doc_id", threshold=0.5),
+    )
