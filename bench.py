@@ -159,7 +159,7 @@ def main() -> None:
     # budget at this query count, so passes 2-3 are now ADAPTIVE:
     #   pass 1  — every query (the full coverage sample);
     #   pass 2+ — ONLY ids whose best sample so far exceeds
-    #             1.5x their committed per-query anchor (or that have
+    #             1.3x their committed per-query anchor (or that have
     #             no anchor entry, i.e. brand-new operators).
     # At the observed noise rate that is <=40 ids/pass (seconds, not
     # minutes), so every outlier gets a multi-sample lower-middle
@@ -200,7 +200,13 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
-    outlier_factor = float(os.environ.get("SPARK_GRAFT_BENCH_OUTLIER_X", "1.5"))
+    # 1.3, not 1.5 (round 11, r10 VERDICT item 7): an id whose ONLY
+    # sample lands in [1.3x, 1.5x) of anchor previously never re-ran and
+    # shipped as a 1-sample outlier (dedup_near_minhash 1.50x,
+    # agg_countmin_heavyhit 1.45x in r10).  The budget headroom exists —
+    # r10 used 246 s of the 540 s budget — and the anchor-priced cost
+    # fit below still bounds the spend.
+    outlier_factor = float(os.environ.get("SPARK_GRAFT_BENCH_OUTLIER_X", "1.3"))
     t_start = time.perf_counter()
     runs: dict[str, list[float]] = {qid: [] for qid in queries}
     loads: dict[str, list[float]] = {qid: [] for qid in queries}
@@ -261,7 +267,7 @@ def main() -> None:
                 out.append(qid)
                 continue
             a = anchor_newest.get(qid)
-            # no anchor (new operator) or best-so-far still >1.5x the
+            # no anchor (new operator) or best-so-far still >1.3x the
             # committed warm number -> buy another sample.  Pool-crossing
             # ids additionally always get a SECOND sample (r8 lesson:
             # this family's documented failure mode is a one-off
