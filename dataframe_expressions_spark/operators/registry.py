@@ -112,73 +112,70 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # If CORRECTNESS_r06 comes back 50/50, every id has a driver-green row,
 # none older than r2.
 #
-# ROUND-10 WINDOW.  Derived programmatically from the committed
+# ROUND-11 WINDOW.  Derived programmatically from the committed
 # CORRECTNESS_r0*.json files (latest round each id has a row; the
-# fronting test recomputes the same derivation).  CORRECTNESS_r09 came
-# back 50/50, leaving the post-r9 vintage distribution r4:15 r5:50
-# r6:50 r7:50 r8:50 r9:50 — so, per the r9 VERDICT plan: slots 1-6 the
-# round-10 additions (dsl_pipeline_clean_dedup, join_skew_aqe,
-# table_merge_upsert, table_time_travel, stream_table_upsert,
-# table_merge_evolve — zero evidence), slots 7-21 the full 15-id r4
-# tail (text_rep_bigram ... window_rolling_median), slots 22-50 the
-# alphabetical head (29 of 50) of the r5 block (agg_bitmap_distinct ...
-# stats_chi2).  If CORRECTNESS_r10 comes back 50/50 the oldest
-# remaining evidence is the 21-id r5 tail (stats_ks_test ...
-# window_rank area) — front any
-# round-11 additions, then that tail, then the alphabetical head of the
-# r6 block (derive programmatically from the committed CORRECTNESS
-# files, as always).
+# fronting test recomputes the same derivation).  CORRECTNESS_r10 came
+# back 50/50, leaving the post-r10 vintage distribution r5:21 r6:50
+# r7:50 r8:50 r9:50 r10:50 — so, per the r10 VERDICT plan (item 2):
+# slots 1-3 the round-11 additions (dsl_pipeline_near_dedup,
+# table_merge_bucketed, table_read_skipping — zero evidence), slots
+# 4-24 the FULL 21-id r5 tail (stats_ks_test ... window_rank), slots
+# 25-50 the alphabetical head (26 of 50) of the r6 block (agg_distinct
+# ... join_runtime_bloom).  If CORRECTNESS_r11 comes back 50/50 the
+# oldest remaining evidence is the 24-id r6 tail — front any round-12
+# additions, then that tail, then the r7 block head (derive
+# programmatically from the committed CORRECTNESS files, as always).
 DRIVER_WINDOW_PRIORITY: tuple = (
-    "dsl_pipeline_clean_dedup",
-    "join_skew_aqe",
-    "table_merge_upsert",
-    "table_time_travel",
-    "stream_table_upsert",
-    "table_merge_evolve",
-    "text_rep_bigram",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_class",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_relation",
-    "tpch_q18_large_volume",
-    "tpch_q20_promotion_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q9_product_profit",
-    "user_func_arrow",
-    "vocab_topk",
-    "window_pattern_match",
-    "window_rolling_median",
-    "agg_bitmap_distinct",
-    "agg_countmin_heavyhit",
-    "agg_mode",
-    "array_hof_funcs",
-    "cond_null_funcs",
-    "date_funcs",
-    "decontam_bloom",
-    "dedup_near_embedding",
-    "dedup_ngram_jaccard",
-    "emb_dim_slice",
-    "emb_outlier_centroid",
-    "emb_random_projection",
-    "join_broadcast",
-    "join_inner_hash",
-    "join_interval_bucketed",
-    "join_pit_nearest",
-    "mixture_temperature",
-    "rank_bm25",
-    "rollup_time_hierarchy",
-    "sample_reservoir",
-    "sample_weighted",
-    "scan_partition_pruned",
-    "scan_python_datasource",
-    "scan_text",
-    "scd2_dimension",
-    "set_ops",
-    "sim_search_topk",
-    "sort_limit_topk",
-    "stats_chi2",
+    "dsl_pipeline_near_dedup",
+    "table_merge_bucketed",
+    "table_read_skipping",
+    "stats_ks_test",
+    "stats_mann_whitney",
+    "stats_mutual_info",
+    "stream_python_datasource",
+    "stream_restart_recovery",
+    "stream_transform_with_state",
+    "string_funcs",
+    "text_bigram_surprisal",
+    "text_boilerplate_ngram",
+    "text_char_entropy",
+    "text_gopher_filter",
+    "text_readability",
+    "text_stats",
+    "text_unigram_surprisal",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "udaf_pandas",
+    "window_analytic",
+    "window_first_last",
+    "window_gaps_islands",
+    "window_rank",
+    "agg_distinct",
+    "agg_groupby",
+    "agg_hll_audit",
+    "agg_rollup_cube",
+    "alias_expand",
+    "callable_capture",
+    "cmp_ops",
+    "data_curriculum_order",
+    "data_kfold_assign",
+    "data_mixture_token_budget",
+    "data_shard_manifest",
+    "dedup_incremental_minhash",
+    "dedup_minhash_audit",
+    "dq_referential_integrity",
+    "dq_split_leakage",
+    "emb_knn_graph",
+    "emb_matryoshka_audit",
+    "feature_hashing",
+    "feature_target_encode",
+    "filter_lambda",
+    "filter_mask",
+    "graph_triangle_count",
+    "join_full_outer",
+    "join_left_semi_anti",
+    "join_outer",
+    "join_runtime_bloom",
 )
 
 
