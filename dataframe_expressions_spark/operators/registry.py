@@ -117,11 +117,11 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # fronting test recomputes the same derivation).  CORRECTNESS_r10 came
 # back 50/50, leaving the post-r10 vintage distribution r5:21 r6:50
 # r7:50 r8:50 r9:50 r10:50 — so, per the r10 VERDICT plan (item 2):
-# slots 1-3 the round-11 additions (dsl_pipeline_near_dedup,
-# table_merge_bucketed, table_read_skipping — zero evidence), slots
-# 4-24 the FULL 21-id r5 tail (stats_ks_test ... window_rank), slots
-# 25-50 the alphabetical head (26 of 50) of the r6 block (agg_distinct
-# ... join_runtime_bloom).  If CORRECTNESS_r11 comes back 50/50 the
+# slots 1-4 the round-11 additions (dsl_pipeline_near_dedup,
+# table_merge_bucketed, table_read_skipping, table_bucket_pruned_read
+# — zero evidence), slots 5-25 the FULL 21-id r5 tail (stats_ks_test
+# ... window_rank), slots 26-50 the alphabetical head (25 of 50) of
+# the r6 block (agg_distinct ... join_outer).  If CORRECTNESS_r11 comes back 50/50 the
 # oldest remaining evidence is the 24-id r6 tail — front any round-12
 # additions, then that tail, then the r7 block head (derive
 # programmatically from the committed CORRECTNESS files, as always).
@@ -129,6 +129,7 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "dsl_pipeline_near_dedup",
     "table_merge_bucketed",
     "table_read_skipping",
+    "table_bucket_pruned_read",
     "stats_ks_test",
     "stats_mann_whitney",
     "stats_mutual_info",
@@ -175,7 +176,6 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "join_full_outer",
     "join_left_semi_anti",
     "join_outer",
-    "join_runtime_bloom",
 )
 
 

@@ -3423,3 +3423,60 @@ def dsl_pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> SDF:
         {d: docs},
         clean.dedup_near(on=d.text, key="doc_id", threshold=0.5),
     )
+
+
+@query(
+    "table_bucket_pruned_read",
+    """
+    WITH chg AS (SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+                             ELSE o_custkey END AS k,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                             AS DOUBLE) AS rev,
+                        CAST(count(*) AS BIGINT) AS n_o
+                 FROM orders WHERE o_custkey % 16 < 3 GROUP BY 1),
+    merged AS (
+    SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
+             AS c_name,
+           CASE WHEN c.c_custkey IS NULL THEN g.rev
+                WHEN g.k IS NULL THEN c.c_acctbal
+                ELSE c.c_acctbal + g.rev END AS acctbal,
+           coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders
+    FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k)
+    SELECT * FROM merged WHERE c_custkey IN (42, 33, 1000112)
+    """,
+)
+def table_bucket_pruned_read(spark: SparkSession, sf_dir: str) -> SDF:
+    """BUCKET-PRUNED point lookups on the bucketed copy-on-write table
+    (round 11 — the read-path complement of table_merge_bucketed's
+    write path and table_read_skipping's range path): three
+    ``read_bucketed(key_equals=...)`` lookups, union'd — key 42 (bucket
+    10, UNTOUCHED by the merge: the lookup resolves through the
+    manifest to v0's physical directory), key 33 (bucket 1, rewritten:
+    a matched-update row served from v1), and key 1000112 (the
+    %7-shifted INSERT of source key 112, bucket 0, also v1) — so one
+    query exercises bucket pruning across both physical version dirs of
+    the by-reference manifest.
+
+    Each lookup evaluates the bucket function over the literal key
+    driver-side (typed to the table schema) and scans exactly ONE
+    bucket directory — 1/16 of the table per probe regardless of table
+    size, with the key equality pushed into that directory's parquet
+    scan.  tests/test_mergetable.py asserts the per-probe inputFiles()
+    stay inside the single expected bucket dir.
+
+    Scale: bucket pruning is O(1) in table size where the min/max
+    skipping path is O(files) in marker metadata — the two compose (a
+    bucketed table can carry per-file stats per bucket), and this is
+    exactly Delta/Iceberg bucket-partition pruning reduced to the
+    manifest essence."""
+    from functools import reduce as _reduce
+
+    from ..sources.mergetable import read_bucketed
+
+    root = _ensure_bucketed_table(spark, sf_dir)
+    probes = [
+        read_bucketed(spark, root, 1, key_equals={"c_custkey": k})
+        for k in (42, 33, 1000112)
+    ]
+    return _reduce(lambda a, b: a.unionByName(b), probes)

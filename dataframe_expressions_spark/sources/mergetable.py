@@ -663,13 +663,31 @@ def commit_bucketed(
     )
 
 
-def read_bucketed(spark: SparkSession, root: str, n: Optional[int] = None) -> SDF:
+def read_bucketed(
+    spark: SparkSession,
+    root: str,
+    n: Optional[int] = None,
+    key_equals: Optional[dict] = None,
+) -> SDF:
     """Read a bucketed table at version ``n`` (latest committed when
     omitted) by resolving its manifest and scanning the union of the
     referenced bucket directories — which may physically live under
     SEVERAL older version dirs (that is the by-reference part).  Plain
     parquet scan semantics: column pruning and predicate pushdown reach
-    every referenced file."""
+    every referenced file.
+
+    ``key_equals={col: value, ...}`` (round 11) is the POINT-LOOKUP
+    path: the bucket function is evaluated over the literal key
+    driver-side (typed to the table's own schema — Spark's murmur3 is
+    physical-type-sensitive, so an int literal against a bigint column
+    would silently probe the wrong bucket), and ONLY that bucket's
+    directory is scanned, with the equality applied as a residual
+    pushed filter.  This is bucket pruning for the table format: a key
+    lookup on a B-bucket table reads 1/B of it no matter which physical
+    version dirs the manifest references — the complement of
+    ``read_version``'s min/max file skipping for range predicates.
+    The key set must be exactly the table's bucket key (a subset cannot
+    determine the bucket)."""
     meta = commit_meta(root, n)
     man = meta.get("manifest")
     if man is None:
@@ -679,10 +697,37 @@ def read_bucketed(spark: SparkSession, root: str, n: Optional[int] = None) -> SD
         )
     if not man:
         raise ValueError(f"bucketed version in {root} has an empty manifest")
-    paths = [
-        os.path.join(root, man[b]) for b in sorted(man, key=lambda x: int(x))
+    if key_equals is None:
+        paths = [
+            os.path.join(root, man[b])
+            for b in sorted(man, key=lambda x: int(x))
+        ]
+        return spark.read.parquet(*paths)
+    spec = meta.get("bucket") or {}
+    if sorted(key_equals) != sorted(spec.get("on", [])):
+        raise ValueError(
+            f"key_equals must supply exactly the bucket key "
+            f"{spec.get('on')} (got {sorted(key_equals)})"
+        )
+    sample = spark.read.parquet(os.path.join(root, next(iter(man.values()))))
+    dtypes = {f.name: f.dataType for f in sample.schema.fields}
+    lits = [
+        F.lit(v).cast(dtypes[c]).alias(c) for c, v in key_equals.items()
     ]
-    return spark.read.parquet(*paths)
+    b = (
+        spark.range(1)
+        .select(*lits)
+        .select(F.expr(spec["expr"]).alias("b"))
+        .first()
+        .b
+    )
+    rel = man.get(str(b))
+    if rel is None:
+        return sample.limit(0)  # bucket holds no data: exact empty answer
+    df = spark.read.parquet(os.path.join(root, rel))
+    for c, v in key_equals.items():
+        df = df.where(F.col(c).eqNullSafe(F.lit(v).cast(dtypes[c])))
+    return df
 
 
 def merge_into_bucketed(

@@ -820,3 +820,43 @@ def test_exclusive_commit_skips_orphans_and_supports_stats(spark, tmp_path):
     pruned = read_version(spark, root, 2, key_range=(10, 20))
     assert pruned.count() == 11
     assert len(pruned.inputFiles()) < 4
+
+
+def test_bucket_pruned_point_lookup(spark, tmp_path):
+    """key_equals reads scan exactly ONE bucket directory (inputFiles
+    confined to it), resolve through the by-reference manifest to
+    whichever physical version dir owns the bucket, answer exactly,
+    type the literal to the table schema (murmur3 is physical-type
+    sensitive), return empty for a bucket with no data, and reject a
+    partial bucket key."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_bucketed,
+        merge_into_bucketed,
+        read_bucketed,
+    )
+
+    root = str(tmp_path / "tbl")
+    tgt = spark.createDataFrame(
+        [(k, float(10 * k)) for k in range(40)], "k long, bal double"
+    )
+    commit_bucketed(tgt, root, 0, on="k", n_buckets=8, hashed=True)
+    merge_into_bucketed(
+        spark, root, spark.createDataFrame([(3, 1.0)], "k long, delta double"),
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"bal": "s.delta"},
+    )
+    # int literal against a bigint column: must probe the RIGHT bucket
+    hit = read_bucketed(spark, root, 1, key_equals={"k": 17})
+    rows = hit.collect()
+    assert [(r.k, r.bal) for r in rows] == [(17, 170.0)]
+    files = hit.inputFiles()
+    assert files and len({f.rsplit("/", 2)[1] for f in files}) == 1
+    assert all("_mt_bucket=" in f for f in files)
+    # the merged key probes v1's rewritten bucket and sees the update
+    assert read_bucketed(
+        spark, root, 1, key_equals={"k": 3}
+    ).collect()[0].bal == 31.0
+    # absent key in an existing bucket: empty, still one-bucket scan
+    assert read_bucketed(spark, root, 1, key_equals={"k": 999}).count() == 0
+    with pytest.raises(ValueError, match="exactly the bucket key"):
+        read_bucketed(spark, root, 1, key_equals={"nope": 1})
