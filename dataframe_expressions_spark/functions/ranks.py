@@ -85,6 +85,12 @@ def estimated_rows(df: DataFrame) -> Optional[int]:
     return max(size // width, 1)
 
 
+# Above this, a footer value span stops being evidence of cardinality
+# (see estimated_groups: sparse id spaces) — enum/dimension keys, the
+# case the gate actually needs, sit far below it.
+_SPAN_TRUST_CAP = 65536
+
+
 def estimated_groups(df: DataFrame, cols: Sequence[str]) -> Optional[int]:
     """DRIVER-SIDE upper bound on the distinct-group count of ``cols``
     over ``df``'s source files — parquet FOOTER stats only, no job
@@ -100,7 +106,18 @@ def estimated_groups(df: DataFrame, cols: Sequence[str]) -> Optional[int]:
     the two-phase path arms EARLIER, never later — a wrong derivation
     can only err toward the scale-safe plan).  Footer reads are capped;
     past the cap the partial span can only under-state the true span,
-    which again errs conservative."""
+    which again errs conservative.
+
+    SPAN TRUST CAP (round-11 review): a span only bounds a count
+    usefully when the key is enum-like.  A wide span (a sparse id
+    space: footer range 1..150M but 1 000 actual groups) cannot
+    distinguish dense high-cardinality keys (native window fine) from
+    sparse few-group keys (the exact shape that needs arming) — and
+    trusting it would under-arm the gate, the failure class this
+    derivation exists to remove.  Spans above ``_SPAN_TRUST_CAP``
+    therefore return ``None`` → conservative 1 → the scale-safe path
+    arms; the cost of a false arm is the two-phase overhead on a plan
+    that still answers identically."""
     import pyarrow.parquet as pq
 
     files = [
@@ -109,22 +126,20 @@ def estimated_groups(df: DataFrame, cols: Sequence[str]) -> Optional[int]:
     files = [f for f in files if f.endswith(".parquet")]
     if not files:
         return None
-    bound = 1
-    for c in cols:
-        lo = hi = None
-        for path in files[:64]:
-            try:
-                md = pq.ParquetFile(path).metadata
-            except Exception:  # noqa: BLE001 — unreadable footer: no bound
-                return None
-            for rg in range(md.num_row_groups):
-                grp = md.row_group(rg)
-                st = None
-                for ci in range(grp.num_columns):
-                    col = grp.column(ci)
-                    if col.path_in_schema == c:
-                        st = col.statistics
-                        break
+    spans: dict = {c: None for c in cols}
+    for path in files[:64]:
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:  # noqa: BLE001 — unreadable footer: no bound
+            return None
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            by_name = {
+                grp.column(ci).path_in_schema: grp.column(ci).statistics
+                for ci in range(grp.num_columns)
+            }
+            for c in cols:
+                st = by_name.get(c)
                 if st is None or not st.has_min_max:
                     return None
                 mn, mx = st.min, st.max
@@ -133,13 +148,21 @@ def estimated_groups(df: DataFrame, cols: Sequence[str]) -> Optional[int]:
                 elif hasattr(mn, "toordinal"):  # datetime.date
                     mn, mx = mn.toordinal(), mx.toordinal()
                 if not isinstance(mn, int) or not isinstance(mx, int):
-                    return None  # strings/floats: span is not a count bound
-                lo = mn if lo is None else min(lo, mn)
-                hi = mx if hi is None else max(hi, mx)
-        if lo is None:
+                    return None  # strings/floats: span not a count bound
+                cur = spans[c]
+                spans[c] = (
+                    (mn, mx)
+                    if cur is None
+                    else (min(cur[0], mn), max(cur[1], mx))
+                )
+    bound = 1
+    for c in cols:
+        if spans[c] is None:
             return None
+        lo, hi = spans[c]
         bound *= max(hi - lo + 1, 1)
-    return max(bound, 1)
+    bound = max(bound, 1)
+    return None if bound > _SPAN_TRUST_CAP else bound
 
 
 def auto_two_phase(

@@ -1297,6 +1297,11 @@ class Lowerer:
         ``n_copies``."""
         if not isinstance(parent, LFrame):
             raise LoweringError(".dedup_exact() applies to event frames")
+        if args and "on" in kwargs:
+            raise LoweringError(
+                ".dedup_exact() got both a positional content argument "
+                "and on= — pass one"
+            )
         on = kwargs.pop("on", args[0] if args else None)
         key = kwargs.pop("key", None)
         if kwargs or len(args) > 1:
@@ -1349,6 +1354,11 @@ class Lowerer:
         express."""
         if not isinstance(parent, LFrame):
             raise LoweringError(".dedup_near() applies to event frames")
+        if args and "on" in kwargs:
+            raise LoweringError(
+                ".dedup_near() got both a positional content argument "
+                "and on= — pass one"
+            )
         on = kwargs.pop("on", args[0] if args else None)
         key = kwargs.pop("key", None)
         threshold = kwargs.pop("threshold", 0.5)

@@ -142,6 +142,20 @@ def read_version(
         )
     key = stats["key"]
     lo, hi = key_range
+    first = next(
+        (mm for mm in stats["files"].values() if mm is not None), None
+    )
+    if first is not None and (
+        isinstance(first[0], str) != isinstance(lo, str)
+        or isinstance(first[0], str) != isinstance(hi, str)
+    ):
+        # a str-vs-numeric comparison would either raise mid-prune or,
+        # worse, order lexicographically — refuse loudly (round-11
+        # review)
+        raise ValueError(
+            f"key_range bounds {key_range!r} do not match the recorded "
+            f"stats type for {key!r} (e.g. {first!r})"
+        )
     keep = [
         os.path.join(root, rel)
         for rel, mm in stats["files"].items()
@@ -183,15 +197,10 @@ def _write_marker(root: str, n: int, payload: Optional[dict]) -> None:
     orphaned ``v<n>`` dir would make the NEXT commit for ``n`` skip its
     own snapshot write and attach ITS marker to THIS call's data
     (round-10 ADVICE: silent data loss in stream_table_upsert)."""
-    import time
-
     marker = os.path.join(root, "_commits", str(n))
     mtmp = f"{marker}.tmp{os.getpid()}"
     with open(mtmp, "w") as fh:
-        json.dump(
-            {"version": n, "committed_at": time.time(), **(payload or {})},
-            fh,
-        )
+        fh.write(_marker_json(n, payload))
     try:
         os.rename(mtmp, marker)
     except OSError:
@@ -199,11 +208,60 @@ def _write_marker(root: str, n: int, payload: Optional[dict]) -> None:
         raise
 
 
+def _marker_json(n: int, payload: Optional[dict]) -> str:
+    """The marker document — single source for BOTH publish primitives
+    (rename in ``_write_marker``, if-absent link in
+    ``commit_snapshot_exclusive``), so a schema addition like
+    ``committed_at`` can never again land in one path only."""
+    import time
+
+    return json.dumps(
+        {"version": n, "committed_at": time.time(), **(payload or {})}
+    )
+
+
+def _shape_for_write(df: SDF, n_files: int, stats_key: Optional[str]) -> SDF:
+    """Snapshot write layout, shared by both commit paths: range
+    partition + sort on the stats key (disjoint per-file ranges — what
+    makes min/max skipping selective), plain repartition otherwise."""
+    if stats_key:
+        return df.repartitionByRange(
+            n_files, F.col(stats_key)
+        ).sortWithinPartitions(stats_key)
+    return df.repartition(n_files)
+
+
+def _stats_payload(
+    root: str, n: int, stats_key: Optional[str], meta: Optional[dict]
+) -> dict:
+    """Marker payload = caller metadata plus (when requested) the
+    per-file footer statistics — shared by both commit paths."""
+    payload = dict(meta or {})
+    if stats_key:
+        payload["file_stats"] = {
+            "key": stats_key,
+            "files": _collect_file_stats(root, n, stats_key),
+        }
+    return payload
+
+
 def _jsonable(v):
-    """Footer statistic → JSON-storable value.  Dates/timestamps become
-    ISO strings (their lexicographic order matches their natural order,
-    so the pruning comparison stays valid)."""
-    return v if isinstance(v, (int, float, str, bool)) else str(v)
+    """Footer statistic → JSON-storable value whose stored ORDER matches
+    the column's natural order, or ``None`` when no such form exists —
+    the pruning comparison is only valid under that invariant.
+    Dates/timestamps become ISO strings (lexicographic == natural
+    order); ints/floats/strings store as themselves; Decimal, bytes and
+    anything else return ``None`` so the file is kept conservatively
+    (round-11 review: ``str(Decimal)`` compared lexicographically and
+    could silently PRUNE a file containing matching rows — '900.00' >
+    '1050.00' as strings)."""
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float, str)):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return None
 
 
 def _collect_file_stats(root: str, n: int, key: str) -> Dict[str, list]:
@@ -234,13 +292,21 @@ def _collect_file_stats(root: str, n: int, key: str) -> Dict[str, list]:
             if st is None or not st.has_min_max:
                 ok = False
                 break
-            mins.append(st.min)
-            maxs.append(st.max)
-        out[f"v{n}/{fname}"] = (
-            [_jsonable(min(mins)), _jsonable(max(maxs))]
-            if ok and mins
-            else None
-        )
+            try:
+                mins.append(st.min)
+                maxs.append(st.max)
+            except Exception:  # noqa: BLE001 — pyarrow cannot extract
+                # statistics for some logical types (e.g. Decimal
+                # raises ArrowNotImplementedError): unusable → file
+                # kept conservatively
+                ok = False
+                break
+        mm = None
+        if ok and mins:
+            lo, hi = _jsonable(min(mins)), _jsonable(max(maxs))
+            if lo is not None and hi is not None:
+                mm = [lo, hi]  # else: no order-preserving JSON form
+        out[f"v{n}/{fname}"] = mm
     return out
 
 
@@ -267,13 +333,9 @@ def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
         return  # already committed
     if not os.path.isdir(snap):
         tmp = f"{snap}.tmp{os.getpid()}"
-        shaped = (
-            df.repartitionByRange(n_files, F.col(stats_key))
-            .sortWithinPartitions(stats_key)
-            if stats_key
-            else df.repartition(n_files)
-        )
-        shaped.write.mode("overwrite").parquet(tmp)
+        _shape_for_write(df, n_files, stats_key).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         try:
             os.rename(tmp, snap)
         except OSError:
@@ -284,13 +346,7 @@ def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
                 # violate the "a marker never points at a missing
                 # snapshot" invariant (round-10 review), so surface it.
                 raise
-    payload = dict(meta or {})
-    if stats_key:
-        payload["file_stats"] = {
-            "key": stats_key,
-            "files": _collect_file_stats(root, n, stats_key),
-        }
-    _write_marker(root, n, payload)
+    _write_marker(root, n, _stats_payload(root, n, stats_key, meta))
 
 
 def _kept_manifest_refs(root: str, versions: Sequence[int]) -> "set[str]":
@@ -489,9 +545,30 @@ def merge_into(
     already-folded side) that raises before the merge join runs.
     """
     keys: List[str] = [on] if isinstance(on, str) else list(on)
+    bad_key_sets = sorted(
+        c for c in keys if c in matched_update or c in not_matched_insert
+    )
+    if bad_key_sets:
+        # The output key is ALWAYS coalesce(t.key, s.key) — evaluating a
+        # user SET expression for it would both break the join identity
+        # and (in the bucketed layer) move rows out of their bucket.
+        # Silently ignoring the entry hid that contract (round-11
+        # review); SQL MERGE likewise forbids updating ON columns.
+        raise ValueError(
+            f"MERGE clauses may not assign join key column(s) "
+            f"{bad_key_sets} — the key is fixed by the ON condition"
+        )
     if strict_source_keys:
+        # count alias must not collide with a join key named "count"
+        # (groupBy().count() would make the reference ambiguous)
+        cnt = "_mt_dupcount"
+        while cnt in keys:
+            cnt += "_"
         ndup = (
-            source.groupBy(*keys).count().where(F.col("count") > 1).count()
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias(cnt))
+            .where(F.col(cnt) > 1)
+            .count()
         )
         if ndup:
             raise ValueError(
@@ -627,6 +704,14 @@ def commit_bucketed(
     the rest.  Commit protocol (tmp-write + rename, then marker) and
     crash behavior are identical to ``commit_snapshot``.
 
+    NULL bucket keys are rejected loudly: ``pmod(NULL, n)`` routes the
+    row to Hive's default partition, which would commit a manifest
+    entry no reader can resolve (round-11 review) — the check runs
+    AFTER the snapshot write from the directory listing (no extra job)
+    and fails BEFORE the marker, so the bad snapshot stays invisible.
+    Hashed mode tolerates NULLs (murmur3 of NULL is a constant seed,
+    an ordinary bucket).
+
     Scale: the write shuffles once on the bucket id so each bucket's
     files are produced by co-located tasks; at 100 TB add a secondary
     repartition dimension inside hot buckets (file count per bucket is
@@ -647,11 +732,19 @@ def commit_bucketed(
             .parquet(tmp)
         )
         _rename_snapshot(tmp, snap)
+    man = _manifest_from_snapshot(root, n)
+    bad = sorted(b for b in man if not b.lstrip("-").isdigit())
+    if bad:
+        raise ValueError(
+            f"bucket key {on!r} produced non-numeric bucket(s) {bad} — "
+            "a NULL key under hashed=False bucketing; coalesce the key "
+            "or use hashed=True (snapshot left uncommitted: no marker)"
+        )
     _write_marker(
         root,
         n,
         {
-            "manifest": _manifest_from_snapshot(root, n),
+            "manifest": man,
             "bucket": {
                 "on": [on] if isinstance(on, str) else list(on),
                 "n_buckets": n_buckets,
@@ -771,10 +864,32 @@ def merge_into_bucketed(
             "commit_snapshot"
         )
     keys, expr = list(spec["on"]), spec["expr"]
+    # The whole layout invariant rests on "bucket(source key) ==
+    # bucket(table key)" — but Spark's murmur3 is PHYSICAL-type
+    # sensitive (hash(42 INT) != hash(42 BIGINT)), so a source whose
+    # key arrived as a narrower type would compute the wrong touched
+    # set and then route merged rows into buckets the manifest still
+    # references by-path, silently losing them (round-11 review).
+    # Cast the source key columns to the table's own schema first.
+    sample = spark.read.parquet(os.path.join(root, next(iter(man.values()))))
+    tdtypes = {f.name: f.dataType for f in sample.schema.fields}
+    for k in keys:
+        source = source.withColumn(k, F.col(k).cast(tdtypes[k]))
     touched = sorted(
-        r.b
-        for r in source.select(F.expr(expr).alias("b")).distinct().collect()
+        (
+            r.b
+            for r in source.select(F.expr(expr).alias("b"))
+            .distinct()
+            .collect()
+        ),
+        key=lambda b: (b is None, b),
     )
+    if any(b is None for b in touched):
+        raise ValueError(
+            f"MERGE source key {keys} contains NULLs that bucket to NULL "
+            "under this table's bucket function — coalesce the key or "
+            "rebuild the table with hashed bucketing"
+        )
     touched_set = {str(b) for b in touched}
     n_new = base + 1
     snap = os.path.join(root, f"v{n_new}")
@@ -786,8 +901,7 @@ def merge_into_bucketed(
     else:
         # no touched bucket has target data: all-insert merge against an
         # empty target with the table's schema (footer-only read)
-        any_path = os.path.join(root, next(iter(man.values())))
-        tgt = spark.read.parquet(any_path).limit(0)
+        tgt = sample.limit(0)
     if touched:
         merged = merge_into(
             tgt,
@@ -809,8 +923,20 @@ def merge_into_bucketed(
             _rename_snapshot(tmp, snap)
     else:
         os.makedirs(snap, exist_ok=True)  # empty change set: no-op version
+    written = _manifest_from_snapshot(root, n_new)
+    stray = sorted(set(written) - touched_set)
+    if stray:
+        # belt-and-braces for the invariant above: a merged row landing
+        # outside the touched set would shadow a by-reference bucket
+        # with a partial rewrite — refuse to commit (marker unwritten,
+        # snapshot invisible) rather than lose data silently
+        raise ValueError(
+            f"bucketed MERGE produced rows in untouched bucket(s) "
+            f"{stray} — bucket function/type drift; commit aborted "
+            "before the marker"
+        )
     new_man = {b: rel for b, rel in man.items() if b not in touched_set}
-    new_man.update(_manifest_from_snapshot(root, n_new))
+    new_man.update(written)
     _write_marker(
         root,
         n_new,
@@ -864,13 +990,9 @@ def commit_snapshot_exclusive(
     Returns the committed version number."""
     os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
     tmp = os.path.join(root, f".tmpx{os.getpid()}-{id(df)}")
-    shaped = (
-        df.repartitionByRange(n_files, F.col(stats_key))
-        .sortWithinPartitions(stats_key)
-        if stats_key
-        else df.repartition(n_files)
+    _shape_for_write(df, n_files, stats_key).write.mode("overwrite").parquet(
+        tmp
     )
-    shaped.write.mode("overwrite").parquet(tmp)
     commits_dir = os.path.join(root, "_commits")
     taken = {int(x) for x in os.listdir(commits_dir) if x.isdigit()}
     taken |= {
@@ -894,20 +1016,10 @@ def commit_snapshot_exclusive(
                 continue
             shutil.rmtree(tmp, ignore_errors=True)
             raise  # real failure (EACCES, EXDEV...), not a lost race
-    payload = dict(meta or {})
-    if stats_key:
-        payload["file_stats"] = {
-            "key": stats_key,
-            "files": _collect_file_stats(root, n, stats_key),
-        }
-    import time
-
     marker = os.path.join(commits_dir, str(n))
     mtmp = f"{marker}.tmpx{os.getpid()}-{id(df)}"
     with open(mtmp, "w") as fh:
-        json.dump(
-            {"version": n, "committed_at": time.time(), **payload}, fh
-        )
+        fh.write(_marker_json(n, _stats_payload(root, n, stats_key, meta)))
     try:
         os.link(mtmp, marker)  # atomic if-absent publish
     except FileExistsError:

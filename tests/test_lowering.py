@@ -1425,3 +1425,27 @@ def test_dsl_dedup_near_matches_registry_twin(spark):
         select_from(
             {d: docs}, d.dedup_near(on=d.text, key="doc_id", threshold=0.0)
         )
+
+
+def test_dedup_verbs_reject_positional_plus_on(spark):
+    """Round-11 review: a positional content arg AND on= together must
+    raise, not silently discard the positional one."""
+    from dataframe_expressions_spark.plans.lowering import (
+        LoweringError,
+        select_from,
+    )
+    from dataframe_expressions_spark.plans.nodes import (
+        DataFrame as CaptureFrame,
+    )
+    from dataframe_expressions_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    d = CaptureFrame()
+    with pytest.raises(LoweringError, match="both a positional"):
+        select_from(
+            {d: docs}, d.dedup_exact(d.title, on=d.text, key="doc_id")
+        )
+    with pytest.raises(LoweringError, match="both a positional"):
+        select_from(
+            {d: docs}, d.dedup_near(d.title, on=d.text, key="doc_id")
+        )

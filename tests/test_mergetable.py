@@ -860,3 +860,166 @@ def test_bucket_pruned_point_lookup(spark, tmp_path):
     assert read_bucketed(spark, root, 1, key_equals={"k": 999}).count() == 0
     with pytest.raises(ValueError, match="exactly the bucket key"):
         read_bucketed(spark, root, 1, key_equals={"nope": 1})
+
+
+# ---------------------------------------------------------------------------
+# round-11 review fixes (pre-close code-review pass)
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_merge_casts_source_key_to_table_type(spark, tmp_path):
+    """Murmur3 is physical-type sensitive: a source whose key arrives as
+    INT against a BIGINT table must NOT compute a wrong touched set or
+    route merged rows into by-reference buckets (which would shadow
+    them with partial rewrites).  The key is cast to the table schema
+    first; result equals the wide-typed merge exactly."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_bucketed,
+        commit_meta,
+        merge_into_bucketed,
+        read_bucketed,
+    )
+
+    root = str(tmp_path / "tbl")
+    tgt = spark.createDataFrame(
+        [(k, float(k)) for k in range(30)], "k long, bal double"
+    )
+    commit_bucketed(tgt, root, 0, on="k", n_buckets=8, hashed=True)
+    narrow = spark.createDataFrame(
+        [(3, 1.0), (7, 2.0)], "k int, delta double"  # INT, table is BIGINT
+    )
+    merge_into_bucketed(
+        spark, root, narrow,
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"bal": "s.delta"},
+    )
+    got = {r.k: r.bal for r in read_bucketed(spark, root, 1).collect()}
+    assert got[3] == 4.0 and got[7] == 9.0 and len(got) == 30
+    # touched set is the BIGINT hash buckets of {3, 7}
+    exp = {
+        str(r.b)
+        for r in spark.range(1)
+        .selectExpr("pmod(hash(CAST(3 AS BIGINT)), 8) AS b")
+        .union(spark.range(1).selectExpr("pmod(hash(CAST(7 AS BIGINT)), 8)"))
+        .collect()
+    }
+    assert set(commit_meta(root, 1)["touched_buckets"]) == exp
+
+
+def test_bucketed_null_keys_reject_loudly(spark, tmp_path):
+    """A NULL key under modulo bucketing buckets to NULL (Hive default
+    partition) — commit must refuse BEFORE the marker (snapshot stays
+    invisible), and a NULL source key must refuse before the merge;
+    hashed mode tolerates NULLs (murmur3 of NULL is an ordinary
+    bucket)."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_bucketed,
+        merge_into_bucketed,
+        read_bucketed,
+    )
+
+    root = str(tmp_path / "tbl")
+    with_null = spark.createDataFrame(
+        [(1, 1.0), (None, 2.0)], "k long, bal double"
+    )
+    with pytest.raises(ValueError, match="NULL key"):
+        commit_bucketed(
+            with_null, root, 0, on="k", n_buckets=4, hashed=False
+        )
+    assert latest_version(root) is None  # no marker: commit refused
+
+    root2 = str(tmp_path / "tbl2")
+    commit_bucketed(with_null, root2, 0, on="k", n_buckets=4, hashed=True)
+    assert read_bucketed(spark, root2, 0).count() == 2
+    with pytest.raises(ValueError, match="contains NULLs"):
+        # modulo table + NULL source key
+        root3 = str(tmp_path / "tbl3")
+        commit_bucketed(
+            spark.createDataFrame([(1, 1.0)], "k long, bal double"),
+            root3, 0, on="k", n_buckets=4, hashed=False,
+        )
+        merge_into_bucketed(
+            spark, root3,
+            spark.createDataFrame([(None, 5.0)], "k long, delta double"),
+            matched_update={"bal": "s.delta"},
+            not_matched_insert={"bal": "s.delta"},
+        )
+
+
+def test_stats_unorderable_types_kept_conservatively(spark, tmp_path):
+    """Decimal footer stats have no order-preserving JSON form —
+    str(Decimal) compares lexicographically and could PRUNE a matching
+    file — so such files record None stats and every key_range read
+    keeps them; mismatched key_range types reject loudly instead of
+    comparing str against numbers."""
+    from decimal import Decimal
+
+    from dataframe_expressions_spark.sources.mergetable import commit_meta
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(Decimal(f"{k}.50"),) for k in range(100, 1200, 10)],
+        "price decimal(10,2)",
+    )
+    commit_snapshot(df, root, 0, n_files=4, stats_key="price")
+    files = commit_meta(root, 0)["file_stats"]["files"]
+    assert len(files) == 4 and all(mm is None for mm in files.values())
+    # conservative: all files read, result exact anyway
+    got = read_version(spark, root, 0, key_range=(Decimal("900"), Decimal("1050")))
+    assert got.count() == 15  # 900.50 .. 1040.50 by 10
+    assert len(got.inputFiles()) == 4  # nothing pruned — nothing LOST
+
+    # string-typed stats vs numeric range: loud mismatch
+    sdf = spark.createDataFrame(
+        [(f"k{k:04d}",) for k in range(100)], "name string"
+    )
+    commit_snapshot(sdf, root, 1, n_files=2, stats_key="name")
+    assert read_version(
+        spark, root, 1, key_range=("k0010", "k0020")
+    ).count() == 11  # str stats prune validly (lexicographic == natural)
+    with pytest.raises(ValueError, match="do not match the recorded"):
+        read_version(spark, root, 1, key_range=(10, 20))
+
+
+def test_merge_clause_key_assignment_rejected(spark):
+    """SQL MERGE forbids updating ON columns; ours previously IGNORED
+    such entries silently (and the bucketed layout invariant quietly
+    depended on that) — now a loud ValueError."""
+    tgt = spark.createDataFrame([(1, 10.0)], "k long, bal double")
+    src = spark.createDataFrame([(1, 5.0)], "k long, delta double")
+    with pytest.raises(ValueError, match="may not assign join key"):
+        merge_into(
+            tgt, src, on="k",
+            matched_update={"k": "s.k + 1", "bal": "s.delta"},
+            not_matched_insert={"bal": "s.delta"},
+        )
+    with pytest.raises(ValueError, match="may not assign join key"):
+        merge_into(
+            tgt, src, on="k",
+            matched_update={"bal": "s.delta"},
+            not_matched_insert={"k": "s.k"},
+        )
+
+
+def test_strict_source_keys_survives_count_named_key(spark):
+    """A join key literally named 'count' must not trip an ambiguous
+    reference inside the duplicate guard."""
+    tgt = spark.createDataFrame([(1, 10.0)], "count long, bal double")
+    src = spark.createDataFrame([(1, 5.0), (2, 7.0)], "count long, delta double")
+    out = merge_into(
+        tgt, src, on="count",
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"bal": "s.delta"},
+        strict_source_keys=True,
+    )
+    assert {r["count"]: r.bal for r in out.collect()} == {1: 15.0, 2: 7.0}
+    dup = spark.createDataFrame(
+        [(1, 5.0), (1, 7.0)], "count long, delta double"
+    )
+    with pytest.raises(ValueError, match="duplicate join key"):
+        merge_into(
+            tgt, dup, on="count",
+            matched_update={"bal": "s.delta"},
+            not_matched_insert={"bal": "s.delta"},
+            strict_source_keys=True,
+        )

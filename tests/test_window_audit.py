@@ -405,3 +405,29 @@ def test_estimated_groups_derivation_and_hint_free_arming(
     assert auto_two_phase(
         orders, group_cols=["o_orderpriority"], task_rows=1
     ) is True
+
+
+def test_estimated_groups_span_trust_cap(spark, tmp_path):
+    """Round-11 review: a WIDE footer span is not evidence of
+    cardinality (sparse id space: span 1e9, 2 actual groups) — trusting
+    it would divide the row estimate to ~0 and under-arm the gate, the
+    exact failure class the derivation exists to remove.  Spans above
+    the trust cap return None → conservative 1 → the gate arms."""
+    from dataframe_expressions_spark.functions.ranks import (
+        _SPAN_TRUST_CAP,
+        auto_two_phase,
+        estimated_groups,
+    )
+
+    p = str(tmp_path / "sparse.parquet")
+    spark.range(0, 20000).selectExpr(
+        "id AS rowid",
+        "CAST(CASE WHEN id % 2 = 0 THEN 0 ELSE 1000000000 END AS LONG) "
+        "AS sparse_k",
+    ).coalesce(2).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert estimated_groups(df, ["sparse_k"]) is None  # span >> cap
+    assert _SPAN_TRUST_CAP >= 4096  # enum keys stay derivable
+    # conservative fallback arms (rows > budget at n_groups=1) even
+    # though span-trusting would have priced rows/1e9 ≈ 0
+    assert auto_two_phase(df, group_cols=["sparse_k"], task_rows=1) is True
