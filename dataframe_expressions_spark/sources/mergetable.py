@@ -75,13 +75,17 @@ __all__ = [
     "bucket_expr",
     "commit_bucketed",
     "commit_meta",
+    "commit_mor_delete",
     "commit_snapshot",
     "commit_snapshot_exclusive",
+    "compact_buckets",
+    "compact_mor",
     "latest_version",
     "merge_into",
     "merge_into_bucketed",
     "read_bucketed",
     "read_version",
+    "table_changes",
     "vacuum",
 ]
 
@@ -132,9 +136,22 @@ def read_version(
     if not os.path.exists(marker):
         raise FileNotFoundError(f"version {n} is not committed in {root}")
     snap = os.path.join(root, f"v{n}")
+    meta = commit_meta(root, n)
+    if "mor_base" in meta:
+        # MERGE-ON-READ delete version (round 11): v<n> holds only the
+        # equality-delete key file; the data is the BASE version with
+        # the deleted keys anti-joined away.  Chains resolve recursively
+        # (each delete commit stacks one more broadcast anti-join); a
+        # key_range read prunes the base's files first, then applies the
+        # same anti-join — both pushdowns compose.
+        base = read_version(spark, root, meta["mor_base"], key_range)
+        dels = spark.read.parquet(os.path.join(root, meta["delete_rel"]))
+        return base.join(
+            F.broadcast(dels), on=list(meta["delete_key"]), how="left_anti"
+        )
     if key_range is None:
         return spark.read.parquet(snap)
-    stats = commit_meta(root, n).get("file_stats")
+    stats = meta.get("file_stats")
     if not stats:
         raise ValueError(
             f"version {n} of {root} has no file statistics — commit with "
@@ -434,6 +451,24 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
     )
     drop = committed[:-keep] if len(committed) > keep else []
     kept_versions = [n for n in committed if n not in drop]
+    # MoR chain closure (round 11): a kept merge-on-read delete version
+    # resolves through its BASE chain — data files AND markers (the
+    # resolver reads each ancestor's metadata) — so ancestors of kept
+    # versions are promoted to kept, not dropped.  Retention counts
+    # versions the user addresses; the chain is an implementation
+    # dependency, exactly like manifest-referenced bucket dirs.
+    kept_set = set(kept_versions)
+    frontier = list(kept_versions)
+    while frontier:
+        try:
+            b = commit_meta(root, frontier.pop()).get("mor_base")
+        except (FileNotFoundError, json.JSONDecodeError):
+            continue
+        if isinstance(b, int) and b not in kept_set:
+            kept_set.add(b)
+            frontier.append(b)
+    drop = [n for n in drop if n not in kept_set]
+    kept_versions = sorted(kept_set & set(committed))
     referenced = _kept_manifest_refs(root, kept_versions)
     for n in drop:
         # Tolerate a concurrent vacuum having unlinked the marker first:
@@ -530,6 +565,8 @@ def merge_into(
     not_matched_insert: Dict[str, str],
     evolve: bool = False,
     strict_source_keys: bool = False,
+    matched_delete: Optional[str] = None,
+    not_matched_by_source_delete: Optional[str] = None,
 ) -> SDF:
     """SQL MERGE INTO semantics over plain DataFrames:
 
@@ -538,6 +575,23 @@ def merge_into(
     * target-only → row passes through unchanged;
     * source-only → INSERT from ``not_matched_insert`` (key columns
       default to the source key; unlisted non-key columns are NULL).
+
+    DELETE clauses (round 11 — the remaining two of SQL:2003 / Delta
+    MERGE's five clause kinds):
+
+    * ``matched_delete="<bool expr over t./s.>"`` is WHEN MATCHED AND
+      <cond> THEN DELETE — a matched row satisfying it is DROPPED.
+      Evaluated BEFORE the update clause, matching the
+      conditional-delete-first clause order Delta users write (a row
+      can't be both updated and deleted);
+    * ``not_matched_by_source_delete="<bool expr over t.>"`` is WHEN NOT
+      MATCHED BY SOURCE AND <cond> THEN DELETE — a target-only row
+      satisfying it is dropped instead of passing through (``s.``
+      columns are NULL on these rows by construction).
+
+    Both lower to ONE extra filter on the same full-outer join — no
+    second shuffle, no second pass; at 100 TB a MERGE with deletes
+    costs exactly what a MERGE without them costs.
 
     Expressions are SQL strings over the aliases ``t.`` (target) and
     ``s.`` (source) — the WHEN MATCHED / WHEN NOT MATCHED clause bodies,
@@ -630,6 +684,22 @@ def merge_into(
         F.col(f"t.{tflag}").isNotNull() & F.col(f"s.{sflag}").isNotNull()
     )
     t_only = F.col(f"s.{sflag}").isNull()
+    if matched_delete is not None or not_matched_by_source_delete is not None:
+        drop = F.lit(False)
+        if matched_delete is not None:
+            # coalesce(cond, false): a NULL-valued delete condition keeps
+            # the row (SQL WHEN ... AND semantics — NULL is not true)
+            drop = drop | (
+                both & F.coalesce(F.expr(matched_delete), F.lit(False))
+            )
+        if not_matched_by_source_delete is not None:
+            drop = drop | (
+                t_only
+                & F.coalesce(
+                    F.expr(not_matched_by_source_delete), F.lit(False)
+                )
+            )
+        j = j.where(~drop)
     out = []
     for c in out_cols:
         if c not in target.columns:
@@ -1012,12 +1082,17 @@ def merge_into_bucketed(
         )
         if not os.path.isdir(snap):
             tmp = f"{snap}.tmp{os.getpid()}"
-            (
-                merged.withColumn(_BUCKET_COL, F.expr(expr))
-                .repartition(F.col(_BUCKET_COL))
-                .write.mode("overwrite")
-                .partitionBy(_BUCKET_COL)
-                .parquet(tmp)
+            shaped = merged.withColumn(_BUCKET_COL, F.expr(expr)).repartition(
+                F.col(_BUCKET_COL)
+            )
+            if spec.get("stats_key"):
+                # keep rewritten buckets sorted on the stats key so their
+                # refreshed min/max stay as tight as the original commit's
+                shaped = shaped.sortWithinPartitions(
+                    _BUCKET_COL, spec["stats_key"]
+                )
+            shaped.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(
+                tmp
             )
             _rename_snapshot(tmp, snap)
     else:
@@ -1036,18 +1111,368 @@ def merge_into_bucketed(
         )
     new_man = {b: rel for b, rel in man.items() if b not in touched_set}
     new_man.update(written)
+    payload = {
+        "manifest": new_man,
+        "bucket": spec,
+        "base_version": base,
+        "touched_buckets": sorted(touched_set),
+        **(meta or {}),
+    }
+    if spec.get("stats_key"):
+        # carry the stats spec forward (round 11): fresh footer min/max
+        # for rewritten buckets, recorded entries for by-reference ones —
+        # so read_bucketed(key_range=...) keeps working across merges,
+        # as the commit_bucketed docstring promises
+        payload["file_stats"] = _carried_bucket_stats(
+            root, bmeta, new_man, sorted(written.values()), spec["stats_key"]
+        )
+    _write_marker(root, n_new, payload)
+    return n_new
+
+
+def commit_mor_delete(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    on: Union[str, Sequence[str]],
+    meta: Optional[dict] = None,
+    n_files: int = 1,
+) -> int:
+    """MERGE-ON-READ equality delete (round 11): DELETE WHERE
+    ``predicate`` without rewriting ANY data file — the Iceberg
+    equality-delete / Delta deletion-vector idea reduced to its
+    commit-log essence.  The new version's directory holds only a
+    parquet file of the DELETED KEYS; its marker records the base
+    version and the key columns, and ``read_version`` resolves the
+    chain by stacking broadcast anti-joins over the base's files.
+
+    Scale: a delete matching k keys in a 100 TB table writes O(k)
+    bytes (vs copy-on-write's full-partition rewrite) and reads
+    nothing but the predicate scan; every read afterwards pays one
+    broadcast anti-join per uncompacted delete commit — which is why
+    ``compact_mor`` exists: it folds the chain back into a plain
+    snapshot when the read tax outweighs the write savings (the
+    Iceberg minor-compaction trade, stated as code).
+
+    The predicate is evaluated against the RESOLVED current state, so
+    chained deletes compose (a key deleted twice is deleted once).
+    Plain tables only — a bucketed base raises (bucket manifests and
+    delete chains are orthogonal layers; composing them is a format
+    version, not a flag).  Returns the committed version number."""
+    base = latest_version(root)
+    if base is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    if commit_meta(root, base).get("manifest") is not None:
+        raise ValueError(
+            "merge-on-read deletes are not supported on bucketed tables"
+        )
+    keys: List[str] = [on] if isinstance(on, str) else list(on)
+    cur = read_version(spark, root, base)
+    missing = [k for k in keys if k not in cur.columns]
+    if missing:
+        raise ValueError(f"delete key column(s) {missing} not on the table")
+    dels = (
+        cur.where(F.expr(predicate)).select(*keys).distinct()
+        .coalesce(n_files)
+    )
+    n = base + 1
+    snap = os.path.join(root, f"v{n}")
+    if not os.path.isdir(snap):
+        tmp = f"{snap}.tmp{os.getpid()}"
+        dels.write.mode("overwrite").parquet(os.path.join(tmp, "_deletes"))
+        _rename_snapshot(tmp, snap)
     _write_marker(
         root,
-        n_new,
+        n,
         {
-            "manifest": new_man,
-            "bucket": spec,
-            "base_version": base,
-            "touched_buckets": sorted(touched_set),
+            "mor_base": base,
+            "delete_rel": f"v{n}/_deletes",
+            "delete_key": keys,
+            "predicate": predicate,
             **(meta or {}),
         },
     )
-    return n_new
+    return n
+
+
+def compact_mor(
+    spark: SparkSession,
+    root: str,
+    meta: Optional[dict] = None,
+    n_files: int = 8,
+    stats_key: Optional[str] = None,
+) -> int:
+    """Materialize the latest merge-on-read state as a plain snapshot —
+    the minor compaction that retires a delete chain's read-time
+    anti-joins.  The new version is an ordinary copy-on-write snapshot
+    (optionally with ``stats_key`` file statistics, restoring range
+    skipping, which MoR versions cannot offer over their base's files
+    without stats-aware anti-join accounting).  Old chain versions
+    remain time-travelable until vacuumed; vacuum's MoR chain closure
+    keeps a kept delete version's ancestors alive.  Returns the
+    committed version number."""
+    base = latest_version(root)
+    if base is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    n = base + 1
+    commit_snapshot(
+        read_version(spark, root, base),
+        root,
+        n,
+        meta={"op": "compact_mor", "compacted_from": base, **(meta or {})},
+        n_files=n_files,
+        stats_key=stats_key,
+    )
+    return n
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    from_v: int,
+    to_v: int,
+    on: Optional[Union[str, Sequence[str]]] = None,
+) -> SDF:
+    """CHANGE DATA FEED between two committed versions (round 11): the
+    key-level diff of ``to_v`` against ``from_v``, one row per change —
+    ``change_type`` ∈ {'insert', 'delete', 'update_preimage',
+    'update_postimage'} (updates emit BOTH images, the Delta CDF
+    contract, which is what makes downstream incremental aggregation
+    possible: subtract preimages, add postimages).  Unchanged keys emit
+    nothing.  Columns are ``to_v``'s schema; rows deleted or pre-imaged
+    from a narrower ``from_v`` schema carry NULL in evolved columns.
+
+    Key columns come from the table's own bucket spec when it has one;
+    plain tables pass ``on=``.
+
+    Plan: ONE null-safe full-outer join on the key, classification and
+    image construction in a single projection (an array of change
+    structs, exploded — no second pass, no second shuffle).
+
+    BUCKETED FAST PATH: when both versions carry manifests under the
+    same bucket function, only buckets whose manifest entries DIFFER
+    can contain changes (files are immutable; identical path ⇒
+    identical bytes), so the diff join reads ONLY those buckets from
+    each side.  At 100 TB a MERGE that touched k of B buckets yields a
+    change feed that reads 2k/B of the table instead of 2 full scans —
+    the same amplification bound as the bucketed MERGE itself."""
+    fmeta, tmeta = commit_meta(root, from_v), commit_meta(root, to_v)
+    fspec, tspec = fmeta.get("bucket"), tmeta.get("bucket")
+    keys: Optional[List[str]]
+    keys = [on] if isinstance(on, str) else (list(on) if on else None)
+    if keys is None:
+        spec = tspec or fspec
+        if not spec:
+            raise ValueError(
+                "table_changes needs on= for non-bucketed tables"
+            )
+        keys = list(spec["on"])
+    fman, tman = fmeta.get("manifest"), tmeta.get("manifest")
+    if (
+        fman is not None
+        and tman is not None
+        and fspec
+        and tspec
+        and fspec["expr"] == tspec["expr"]
+    ):
+        diff_b = {b for b in set(fman) ^ set(tman)} | {
+            b for b in set(fman) & set(tman) if fman[b] != tman[b]
+        }
+        f = _read_manifest_subset(spark, root, fman, diff_b)
+        t = _read_manifest_subset(spark, root, tman, diff_b)
+    else:
+        f = (
+            read_bucketed(spark, root, from_v)
+            if fman is not None
+            else read_version(spark, root, from_v)
+        )
+        t = (
+            read_bucketed(spark, root, to_v)
+            if tman is not None
+            else read_version(spark, root, to_v)
+        )
+    return _diff_changes(f, t, keys)
+
+
+def _read_manifest_subset(
+    spark: SparkSession, root: str, man: Dict[str, str], buckets: "set[str]"
+) -> SDF:
+    """The union of the given buckets' directories (empty frame with the
+    table's schema when the subset is empty on this side)."""
+    paths = [
+        os.path.join(root, man[b]) for b in sorted(buckets) if b in man
+    ]
+    if paths:
+        return spark.read.parquet(*paths)
+    sample = spark.read.parquet(os.path.join(root, next(iter(man.values()))))
+    return sample.limit(0)
+
+
+def _diff_changes(f: SDF, t: SDF, keys: List[str]) -> SDF:
+    """The CDF kernel: full-outer join ``f`` (pre) vs ``t`` (post) on the
+    key, classify each key in one projection, explode the change
+    structs.  Output columns = ``t``'s schema + ``change_type``."""
+    tcols = list(t.columns)
+    missing_k = [k for k in keys if k not in tcols]
+    if missing_k:
+        raise ValueError(f"change-feed key column(s) {missing_k} absent")
+    tdtypes = {fld.name: fld.dataType for fld in t.schema.fields}
+    for c in tcols:
+        if c not in f.columns:
+            # schema evolution: the column did not exist at from_v
+            f = f.withColumn(c, F.lit(None).cast(tdtypes[c]))
+    taken = set(tcols)
+    fflag, tflag = "_cf_f_present", "_cf_t_present"
+    while fflag in taken or tflag in taken:
+        fflag, tflag = fflag + "_", tflag + "_"
+    fa = f.select(*tcols).withColumn(fflag, F.lit(1)).alias("f")
+    ta = t.select(*tcols).withColumn(tflag, F.lit(1)).alias("t")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"f.{k}").eqNullSafe(F.col(f"t.{k}")) for k in keys],
+    )
+    j = fa.join(ta, cond, "full_outer")
+    ins = F.col(f"f.{fflag}").isNull()
+    dele = F.col(f"t.{tflag}").isNull()
+    nonkey = [c for c in tcols if c not in keys]
+    same = reduce(
+        lambda a, b: a & b,
+        [F.col(f"f.{c}").eqNullSafe(F.col(f"t.{c}")) for c in nonkey],
+        F.lit(True),
+    )
+    pre = F.struct(*[F.col(f"f.{c}").alias(c) for c in tcols])
+    post = F.struct(*[F.col(f"t.{c}").alias(c) for c in tcols])
+
+    def ch(img, kind):
+        return F.struct(img.alias("row"), F.lit(kind).alias("change_type"))
+
+    changes = (
+        F.when(ins, F.array(ch(post, "insert")))
+        .when(dele, F.array(ch(pre, "delete")))
+        .when(
+            ~same,
+            F.array(
+                ch(pre, "update_preimage"), ch(post, "update_postimage")
+            ),
+        )
+        # unchanged: NULL array — explode() emits no rows for it
+    )
+    return j.select(F.explode(changes).alias("_c")).select(
+        "_c.row.*", "_c.change_type"
+    )
+
+
+def compact_buckets(
+    spark: SparkSession,
+    root: str,
+    max_files: int = 1,
+    meta: Optional[dict] = None,
+) -> int:
+    """Manifest-aware small-file compaction for bucketed tables (round
+    11 — the OPTIMIZE job): rewrite every bucket whose directory holds
+    more than ``max_files`` parquet files down to one file per bucket
+    (sorted on the table's ``stats_key`` when it has one, so range
+    skipping stays selective), and carry every already-compact bucket
+    into the new version BY REFERENCE — zero bytes read or written for
+    cold data.  File statistics are refreshed for rewritten buckets and
+    carried forward for referenced ones.
+
+    At 100 TB this is the maintenance pass that bounds read-side file
+    counts after many small merges WITHOUT the full-table rewrite a
+    naive OPTIMIZE performs; its cost is proportional to the fragmented
+    fraction of the table, not the table.
+
+    Returns the new committed version, or the CURRENT version untouched
+    when no bucket exceeds the threshold (compaction is advisory; a
+    no-op must not burn a version number)."""
+    if max_files < 1:
+        raise ValueError("compact_buckets max_files must be >= 1")
+    base = latest_version(root)
+    if base is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    bmeta = commit_meta(root, base)
+    man, spec = bmeta.get("manifest"), bmeta.get("bucket")
+    if not man or not spec:
+        raise ValueError(
+            f"version {base} of {root} is not bucketed — compact_buckets "
+            "applies to bucketed tables"
+        )
+
+    def _nfiles(rel: str) -> int:
+        return sum(
+            1
+            for x in os.listdir(os.path.join(root, rel))
+            if x.endswith(".parquet")
+        )
+
+    frag = {b: rel for b, rel in man.items() if _nfiles(rel) > max_files}
+    if not frag:
+        return base
+    stats_key = spec.get("stats_key")
+    n = base + 1
+    snap = os.path.join(root, f"v{n}")
+    if not os.path.isdir(snap):
+        df = spark.read.parquet(
+            *[os.path.join(root, rel) for rel in frag.values()]
+        )
+        # bucket dirs are hive-partition leaves: the bucket id is not a
+        # data column, so re-derive it from the table's own expression
+        # (deterministic on the key — the same routing that put the
+        # rows there)
+        dfb = df.withColumn(_BUCKET_COL, F.expr(spec["expr"]))
+        shaped = dfb.repartition(F.col(_BUCKET_COL))
+        if stats_key:
+            shaped = shaped.sortWithinPartitions(_BUCKET_COL, stats_key)
+        tmp = f"{snap}.tmp{os.getpid()}"
+        shaped.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(tmp)
+        _rename_snapshot(tmp, snap)
+    written = _manifest_from_snapshot(root, n)
+    stray = sorted(set(written) - set(frag))
+    if stray:
+        raise ValueError(
+            f"bucket compaction produced rows in foreign bucket(s) "
+            f"{stray} — bucket function drift; commit aborted before "
+            "the marker"
+        )
+    new_man = {b: rel for b, rel in man.items() if b not in frag}
+    new_man.update(written)
+    payload = {
+        "manifest": new_man,
+        "bucket": spec,
+        "base_version": base,
+        "compacted_buckets": sorted(frag),
+        **(meta or {}),
+    }
+    if stats_key:
+        payload["file_stats"] = _carried_bucket_stats(
+            root, bmeta, new_man, sorted(written.values()), stats_key
+        )
+    _write_marker(root, n, payload)
+    return n
+
+
+def _carried_bucket_stats(
+    root: str,
+    base_meta: dict,
+    new_man: Dict[str, str],
+    rewritten_rel_dirs: "Sequence[str]",
+    stats_key: str,
+) -> dict:
+    """File statistics for a bucketed commit that rewrote SOME buckets:
+    fresh footer min/max for the rewritten directories, base-marker
+    entries carried forward for by-reference ones (their files are
+    immutable, so the recorded stats stay exact)."""
+    old = (base_meta.get("file_stats") or {}).get("files", {})
+    kept_dirs = set(new_man.values()) - set(rewritten_rel_dirs)
+    files = {
+        rel: mm
+        for rel, mm in old.items()
+        if rel.rsplit("/", 1)[0] in kept_dirs
+    }
+    files.update(
+        _collect_bucket_file_stats(root, rewritten_rel_dirs, stats_key)
+    )
+    return {"key": stats_key, "files": files}
 
 
 def commit_snapshot_exclusive(

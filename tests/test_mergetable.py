@@ -1023,3 +1023,277 @@ def test_strict_source_keys_survives_count_named_key(spark):
             not_matched_insert={"bal": "s.delta"},
             strict_source_keys=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# round 11 (continuation): MERGE delete clauses, merge-on-read deletes,
+# change data feed, bucket compaction, stats carry-forward
+# ---------------------------------------------------------------------------
+
+
+def test_merge_into_delete_clauses(spark):
+    """The two DELETE clause kinds: WHEN MATCHED AND cond THEN DELETE
+    drops the matched row (taking precedence over the update clause),
+    WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE drops target-only
+    rows; a NULL-valued condition keeps the row (SQL AND semantics)."""
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -950.0), (3, "c", 3.0), (5, "e", None)],
+        "k long, name string, bal double",
+    )
+    src = spark.createDataFrame(
+        [(1, -20.0), (4, 7.0)], "k long, delta double"
+    )
+    out = merge_into(
+        tgt, src, on="k",
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"name": "'NEW'", "bal": "s.delta"},
+        matched_delete="t.bal + s.delta < 0",
+        not_matched_by_source_delete="t.bal < -900",
+    )
+    rows = {r.k: (r.name, r.bal) for r in out.collect()}
+    # k=1 matched, 10-20 < 0 -> DELETED (not updated); k=2 target-only,
+    # bal < -900 -> DELETED; k=3 passthrough; k=4 insert; k=5 NULL bal ->
+    # NULL condition -> KEPT
+    assert rows == {3: ("c", 3.0), 4: ("NEW", 7.0), 5: ("e", None)}, rows
+
+
+def test_mor_delete_chain_time_travel_and_compact(spark, tmp_path):
+    """Merge-on-read equality deletes: each delete commit writes ONLY
+    the deleted keys; reads resolve the chain with broadcast anti-joins;
+    every version stays time-travelable; compact_mor folds the chain
+    into a plain snapshot byte-equal to the resolved state."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_meta,
+        commit_mor_delete,
+        compact_mor,
+    )
+
+    root = str(tmp_path / "mor")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -5.0), (3, "c", 3.0), (4, "d", -1.0)],
+        "k long, name string, bal double",
+    )
+    commit_snapshot(v0, root, 0)
+    assert commit_mor_delete(spark, root, "bal < 0", on="k") == 1
+    assert sorted(r.k for r in read_version(spark, root).collect()) == [1, 3]
+    assert commit_mor_delete(spark, root, "name = 'c'", on="k") == 2
+    assert sorted(r.k for r in read_version(spark, root).collect()) == [1]
+    # the delete version's directory holds only the key file — O(deleted
+    # keys) bytes, not a rewrite
+    m1 = commit_meta(root, 1)
+    assert m1["mor_base"] == 0 and m1["delete_key"] == ["k"]
+    assert os.path.isdir(os.path.join(root, m1["delete_rel"]))
+    # chain time travel
+    assert sorted(r.k for r in read_version(spark, root, 1).collect()) == [1, 3]
+    assert sorted(r.k for r in read_version(spark, root, 0).collect()) == [1, 2, 3, 4]
+    # compact: plain snapshot, no mor_base, content identical
+    assert compact_mor(spark, root) == 3
+    m3 = commit_meta(root, 3)
+    assert "mor_base" not in m3
+    assert sorted(tuple(r) for r in read_version(spark, root, 3).collect()) == [
+        (1, "a", 10.0)
+    ]
+    # guards: bucketed base and unknown key column raise
+    with pytest.raises(ValueError, match="not on the table"):
+        commit_mor_delete(spark, root, "bal < 0", on="nope")
+
+
+def test_vacuum_keeps_mor_chain_alive(spark, tmp_path):
+    """Vacuum promotes a kept MoR version's base chain to kept (data AND
+    markers — resolution reads ancestor metadata); once compaction
+    retires the chain, the ancestors become droppable."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_mor_delete,
+        compact_mor,
+        vacuum,
+    )
+
+    root = str(tmp_path / "morvac")
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, 1.0), (2, -2.0), (3, 3.0)], "k long, bal double"
+        ),
+        root,
+        0,
+    )
+    commit_mor_delete(spark, root, "bal < 0", on="k")
+    commit_mor_delete(spark, root, "k = 3", on="k")
+    # keep=1 would nominally drop v0,v1 — but v2 resolves through them
+    assert vacuum(root, keep=1) == []
+    assert sorted(r.k for r in read_version(spark, root).collect()) == [1]
+    compact_mor(spark, root)  # v3, plain
+    assert vacuum(root, keep=1) == [0, 1, 2]
+    assert sorted(r.k for r in read_version(spark, root).collect()) == [1]
+
+
+def test_table_changes_plain_and_schema_evolution(spark, tmp_path):
+    """The CDF kernel over plain versions: insert/delete rows carry one
+    image, updates carry BOTH images; unchanged keys emit nothing; a
+    column added at to_v reads as NULL in pre-images and delete rows
+    (schema evolution), and a non-NULL evolved value alone marks the
+    row updated."""
+    from dataframe_expressions_spark.sources.mergetable import table_changes
+
+    root = str(tmp_path / "cdf")
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (5, "e", 5.0)],
+            "k long, name string, bal double",
+        ),
+        root,
+        0,
+    )
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 1.0, None), (2, "b", 9.0, None), (4, "d", 4.0, "x"),
+             (5, "e", 5.0, "tagged")],
+            "k long, name string, bal double, tag string",
+        ),
+        root,
+        1,
+    )
+    ch = table_changes(spark, root, 0, 1, on="k")
+    assert ch.columns == ["k", "name", "bal", "tag", "change_type"]
+    got = sorted((r.k, r.change_type, r.bal, r.tag) for r in ch.collect())
+    assert got == [
+        (2, "update_postimage", 9.0, None),
+        (2, "update_preimage", 2.0, None),
+        (3, "delete", 3.0, None),
+        (4, "insert", 4.0, "x"),
+        (5, "update_postimage", 5.0, "tagged"),  # evolved value alone
+        (5, "update_preimage", 5.0, None),
+    ], got
+    with pytest.raises(ValueError, match="needs on="):
+        table_changes(spark, root, 0, 1)
+
+
+def test_table_changes_bucketed_fast_path_reads_only_diff_buckets(
+    spark, tmp_path
+):
+    """On a bucketed table the feed reads ONLY buckets whose manifest
+    entries differ between the versions — by-reference buckets are
+    provably unchanged (immutable files, identical paths), so the scan
+    set is 2k/B for a k-bucket merge, asserted via inputFiles()."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_bucketed,
+        merge_into_bucketed,
+        table_changes,
+    )
+
+    root = str(tmp_path / "cdfb")
+    tgt = spark.createDataFrame(
+        [(k, float(10 * k)) for k in range(32)], "k long, bal double"
+    )
+    commit_bucketed(tgt, root, 0, on="k", n_buckets=8, hashed=False)
+    src = spark.createDataFrame(
+        [(0, 1.0), (9, 2.0), (80, 4.0)], "k long, delta double"
+    )
+    merge_into_bucketed(
+        spark, root, src,
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"bal": "s.delta"},
+    )
+    ch = table_changes(spark, root, 0, 1)
+    got = sorted((r.k, r.change_type) for r in ch.collect())
+    assert got == [
+        (0, "update_postimage"), (0, "update_preimage"),
+        (9, "update_postimage"), (9, "update_preimage"),
+        (80, "insert"),
+    ], got
+    files = ch.inputFiles()
+    assert files and all(
+        "_mt_bucket=0/" in f or "_mt_bucket=1/" in f for f in files
+    ), files
+
+
+def test_bucketed_merge_carries_file_stats_forward(spark, tmp_path):
+    """A bucketed table committed with stats_key keeps range skipping
+    working ACROSS merges: the merge marker refreshes stats for
+    rewritten buckets and carries the recorded entries for by-reference
+    ones (immutable files — the old stats stay exact)."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_bucketed,
+        commit_meta,
+        merge_into_bucketed,
+        read_bucketed,
+    )
+
+    root = str(tmp_path / "bstats")
+    tgt = spark.createDataFrame(
+        [(k, float(k)) for k in range(64)], "k long, bal double"
+    )
+    commit_bucketed(
+        tgt, root, 0, on="k", n_buckets=8, hashed=False, stats_key="k"
+    )
+    src = spark.createDataFrame([(1, 100.0)], "k long, delta double")
+    merge_into_bucketed(
+        spark, root, src,
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"bal": "s.delta"},
+    )
+    m1 = commit_meta(root, 1)
+    stats = m1["file_stats"]
+    assert stats["key"] == "k"
+    rels = set(stats["files"])
+    # carried entries point at v0 (by-reference), refreshed at v1
+    assert any(r.startswith("v0/") for r in rels)
+    assert any(r.startswith("v1/") for r in rels)
+    # every manifest dir is covered by the stats
+    covered = {r.rsplit("/", 1)[0] for r in rels}
+    assert covered == set(m1["manifest"].values())
+    got = read_bucketed(spark, root, 1, key_range=(0, 3))
+    assert {r.k: r.bal for r in got.collect()} == {
+        0: 0.0, 1: 101.0, 2: 2.0, 3: 3.0
+    }
+
+
+def test_compact_buckets_rewrites_only_fragmented(spark, tmp_path):
+    """Compaction contract: buckets over the file threshold are rewritten
+    to one sorted file; already-compact buckets ride BY REFERENCE (same
+    paths); content is byte-identical; stats are refreshed/carried; a
+    table with nothing to compact returns the current version without
+    burning a number."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_bucketed,
+        commit_meta,
+        compact_buckets,
+        read_bucketed,
+    )
+
+    root = str(tmp_path / "frag")
+    tgt = spark.createDataFrame(
+        [(k, float(k)) for k in range(256)], "k long, bal double"
+    )
+    # n_files=32 over 8 buckets -> multiple files per bucket dir
+    commit_bucketed(
+        tgt, root, 0, on="k", n_buckets=8, hashed=False, stats_key="k",
+        n_files=32,
+    )
+    man0 = commit_meta(root, 0)["manifest"]
+    frag_counts = {
+        b: len([x for x in os.listdir(os.path.join(root, rel))
+                if x.endswith(".parquet")])
+        for b, rel in man0.items()
+    }
+    assert any(c > 1 for c in frag_counts.values()), frag_counts
+    n1 = compact_buckets(spark, root, max_files=1)
+    assert n1 == 1
+    m1 = commit_meta(root, 1)
+    man1 = m1["manifest"]
+    for b, rel in man1.items():
+        nf = len([x for x in os.listdir(os.path.join(root, rel))
+                  if x.endswith(".parquet")])
+        if frag_counts[b] > 1:
+            assert rel.startswith("v1/") and nf == 1, (b, rel, nf)
+        else:
+            assert rel == man0[b], (b, rel)  # by reference
+    got = sorted(tuple(r) for r in read_bucketed(spark, root, 1).collect())
+    assert got == sorted(tuple(r) for r in tgt.collect())
+    # stats survived the compaction and still prune
+    assert set(m1["file_stats"]["files"]) and read_bucketed(
+        spark, root, 1, key_range=(10, 12)
+    ).count() == 3
+    # idempotent threshold: nothing fragmented now -> no new version
+    assert compact_buckets(spark, root, max_files=1) == 1
+    with pytest.raises(ValueError, match="max_files"):
+        compact_buckets(spark, root, max_files=0)
