@@ -117,15 +117,23 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # fronting test recomputes the same derivation).  CORRECTNESS_r10 came
 # back 50/50, leaving the post-r10 vintage distribution r5:21 r6:50
 # r7:50 r8:50 r9:50 r10:50 — so, per the r10 VERDICT plan (item 2):
-# slots 1-4 the round-11 additions (dsl_pipeline_near_dedup,
+# slots 1-9 the round-11 additions (dsl_pipeline_near_dedup,
 # table_merge_bucketed, table_read_skipping, table_bucket_pruned_read
-# — zero evidence), slots 5-25 the FULL 21-id r5 tail (stats_ks_test
-# ... window_rank), slots 26-50 the alphabetical head (25 of 50) of
-# the r6 block (agg_distinct ... join_outer).  If CORRECTNESS_r11 comes back 50/50 the
-# oldest remaining evidence is the 24-id r6 tail — front any round-12
-# additions, then that tail, then the r7 block head (derive
-# programmatically from the committed CORRECTNESS files, as always).
+# from the first session; table_merge_delete, table_delete_mor,
+# table_change_feed, table_incremental_agg, table_compact_buckets from
+# the continuation — all zero evidence), slots 10-30 the FULL 21-id r5
+# tail (stats_ks_test ... window_rank), slots 31-50 the alphabetical
+# head (20 of 50) of the r6 block (agg_distinct ... filter_lambda).
+# If CORRECTNESS_r11 comes back 50/50 the oldest remaining evidence is
+# the 29-id r6 tail — front any round-12 additions, then that tail,
+# then the r7 block head (derive programmatically from the committed
+# CORRECTNESS files, as always).
 DRIVER_WINDOW_PRIORITY: tuple = (
+    "table_merge_delete",
+    "table_delete_mor",
+    "table_change_feed",
+    "table_incremental_agg",
+    "table_compact_buckets",
     "dsl_pipeline_near_dedup",
     "table_merge_bucketed",
     "table_read_skipping",
@@ -171,11 +179,6 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "feature_hashing",
     "feature_target_encode",
     "filter_lambda",
-    "filter_mask",
-    "graph_triangle_count",
-    "join_full_outer",
-    "join_left_semi_anti",
-    "join_outer",
 )
 
 
@@ -191,6 +194,7 @@ def load_all() -> Dict[str, Query]:
         tier6,
         tier7,
         tier8,
+        tier9,
     )
 
     ordered: Dict[str, Query] = {}

@@ -1,0 +1,422 @@
+"""Tier 9 — round-11 continuation block: the table format's remaining
+lakehouse capabilities, each driver-checkable end-to-end.
+
+MERGE DELETE clauses (the last two of SQL MERGE's five clause kinds),
+merge-on-read equality deletes with read-time anti-join resolution and
+compaction, a change data feed (Delta-CDF-shaped: updates emit both
+images), manifest-aware bucket compaction (the OPTIMIZE job), and
+downstream incremental aggregate maintenance driven by the feed — the
+materialized-view refresh a 100 TB pipeline runs instead of a full
+recompute.
+
+Reference parity note: gordonwatts/dataframe_expressions is a
+capture-only front end (no engine, ~1.2 kLoC; see SURVEY.md §1), so
+every operator here is extension scope — expressed Spark-first over
+sources/mergetable.py's commit-log table format and oracle-checked like
+tiers 2–8.
+
+Oracle discipline (same as tiers 5–8): BIGINT casts on counts; doubles
+emitted unrounded where both engines add identical IEEE operands
+(DECIMAL(38,6)-folded sums cast once); identical aliases both sides;
+write-once store builds keyed by testdata fingerprint with versioned
+prefixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SDF
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+# The per-customer order-revenue change set shared by this tier's
+# merge-table builds — identical to the tier-8 custmerge change set
+# (1/7 of the keys shifted out of the dim's key space = the NOT MATCHED
+# inserts) so oracles stay cross-checkable.
+_CHG_SQL = """
+    SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+                ELSE o_custkey END AS k,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev,
+           CAST(count(*) AS BIGINT) AS n_o
+    FROM orders GROUP BY 1
+"""
+
+
+def _order_changes(spark: SparkSession, sf_dir: str, where=None) -> SDF:
+    orders = load_table(spark, sf_dir, "orders")
+    if where is not None:
+        orders = orders.where(where)
+    return orders.groupBy(
+        F.when(F.col("o_custkey") % 7 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("n_o"),
+    )
+
+
+def _table_root(sf_dir: str, prefix_stem: str, tables=("customer", "orders")):
+    from ..sources.tables import (
+        source_fingerprint,
+        store_root,
+        sweep_stale_store_dirs,
+    )
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    prefix = f"spark_graft_table_{prefix_stem}_{key}_"
+    root = f"{store_root()}/{prefix}{source_fingerprint(sf_dir, tables)}"
+    sweep_stale_store_dirs(store_root(), prefix, root)
+    return root
+
+
+# ---------------------------------------------------------------------------
+# MERGE with DELETE clauses
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_merge_delete",
+    f"""
+    WITH chg AS ({_CHG_SQL})
+    SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
+             AS c_name,
+           CASE WHEN c.c_custkey IS NULL THEN g.rev
+                WHEN g.k IS NULL THEN CAST(c.c_acctbal AS DOUBLE)
+                ELSE CAST(c.c_acctbal AS DOUBLE) + g.rev END AS acctbal,
+           coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders
+    FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k
+    WHERE NOT (c.c_custkey IS NOT NULL AND g.k IS NOT NULL
+               AND CAST(c.c_acctbal AS DOUBLE) < 0)
+      AND NOT (c.c_custkey IS NOT NULL AND g.k IS NULL
+               AND CAST(c.c_acctbal AS DOUBLE) < -900)
+    """,
+)
+def table_merge_delete(spark: SparkSession, sf_dir: str) -> SDF:
+    """MERGE with DELETE clauses on the copy-on-write table (round 11 —
+    the last two of SQL MERGE's five clause kinds): WHEN MATCHED AND
+    ``t.acctbal < 0`` THEN DELETE (purge negative-balance customers the
+    moment a change arrives for them — delete takes precedence over the
+    update clause, Delta's conditional-delete-first order), WHEN MATCHED
+    UPDATE the revenue ledger, WHEN NOT MATCHED INSERT, and WHEN NOT
+    MATCHED BY SOURCE AND ``t.acctbal < -900`` THEN DELETE (retire
+    deeply-negative dormant accounts).  The returned frame is the
+    READ-BACK of the committed v1, so the oracle checks the full
+    five-clause write → commit → read round trip.
+
+    Plan: both delete clauses lower to ONE extra filter on the same
+    null-safe full-outer merge join (sources/mergetable.py merge_into)
+    — no second shuffle; at 100 TB a MERGE with deletes costs exactly
+    what a MERGE without them costs, which is why lakehouse CDC
+    pipelines fold retention rules into the merge instead of running a
+    separate DELETE pass."""
+    from ..sources.mergetable import (
+        commit_snapshot,
+        latest_version,
+        merge_into,
+        read_version,
+    )
+
+    root = _table_root(sf_dir, "custdelete_v1")
+    if (latest_version(root) or -1) < 1:
+        cust = load_table(spark, sf_dir, "customer")
+        v0 = cust.select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.lit(0).cast("long").alias("n_orders"),
+        )
+        commit_snapshot(v0, root, 0, meta={"op": "create"})
+        merged = merge_into(
+            read_version(spark, root, 0),
+            _order_changes(spark, sf_dir),
+            on="c_custkey",
+            matched_update={
+                "acctbal": "t.acctbal + s.rev",
+                "n_orders": "t.n_orders + s.n_o",
+            },
+            not_matched_insert={
+                "c_name": "'NEW'",
+                "acctbal": "s.rev",
+                "n_orders": "s.n_o",
+            },
+            matched_delete="t.acctbal < 0",
+            not_matched_by_source_delete="t.acctbal < -900",
+        )
+        commit_snapshot(merged, root, 1, meta={"op": "merge+delete"})
+    return read_version(spark, root, 1)
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read equality deletes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_delete_mor",
+    """
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer
+    WHERE NOT (CAST(c_acctbal AS DOUBLE) < 0)
+      AND NOT (c_mktsegment = 'BUILDING')
+    """,
+)
+def table_delete_mor(spark: SparkSession, sf_dir: str) -> SDF:
+    """MERGE-ON-READ equality deletes (round 11): two chained
+    ``DELETE WHERE`` commits — negative balances at v1, the BUILDING
+    segment at v2 — each writing ONLY the deleted keys (the Iceberg
+    equality-delete / Delta deletion-vector idea on the commit log);
+    the returned frame is the resolved latest version, whose read plan
+    is the v0 parquet scan plus two BROADCAST ANTI-JOINS, zero data
+    files rewritten.
+
+    Scale: a delete matching k keys in a 100 TB table writes O(k)
+    bytes; the read tax is one broadcast anti-join per uncompacted
+    delete commit, retired by ``compact_mor`` when it outweighs the
+    write savings (tests/test_mergetable.py covers the compaction
+    identity and vacuum's chain closure — a kept delete version keeps
+    its base chain alive).  Predicates are evaluated against the
+    RESOLVED state, so chains compose exactly like sequential SQL
+    DELETEs, which is what the oracle states."""
+    from ..sources.mergetable import (
+        commit_mor_delete,
+        commit_snapshot,
+        latest_version,
+        read_version,
+    )
+
+    root = _table_root(sf_dir, "custmor_v1", tables=("customer",))
+    if (latest_version(root) or -1) < 0:
+        cust = load_table(spark, sf_dir, "customer")
+        v0 = cust.select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+        )
+        commit_snapshot(v0, root, 0, meta={"op": "create"})
+    if (latest_version(root) or -1) < 1:
+        commit_mor_delete(spark, root, "acctbal < 0", on="c_custkey")
+    if (latest_version(root) or -1) < 2:
+        commit_mor_delete(
+            spark, root, "c_mktsegment = 'BUILDING'", on="c_custkey"
+        )
+    return read_version(spark, root, 2)
+
+
+# ---------------------------------------------------------------------------
+# change data feed
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_change_feed",
+    f"""
+    WITH chg AS ({_CHG_SQL}),
+    v0 AS (SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal,
+                  CAST(0 AS BIGINT) AS n_orders FROM customer)
+    SELECT g.k AS c_custkey, 'NEW' AS c_name, g.rev AS acctbal,
+           g.n_o AS n_orders, 'insert' AS change_type
+    FROM chg g LEFT JOIN v0 c ON c.c_custkey = g.k
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.acctbal, c.n_orders,
+           'update_preimage' AS change_type
+    FROM v0 c JOIN chg g ON c.c_custkey = g.k
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.acctbal + g.rev, g.n_o,
+           'update_postimage' AS change_type
+    FROM v0 c JOIN chg g ON c.c_custkey = g.k
+    """,
+)
+def table_change_feed(spark: SparkSession, sf_dir: str) -> SDF:
+    """CHANGE DATA FEED v0 → v1 of the merge table (round 11): the
+    key-level diff of the committed MERGE, one row per change —
+    inserts carry the post-image, updates carry BOTH images (the Delta
+    CDF contract; pre-images are what make downstream incremental
+    aggregation possible), unchanged customers emit nothing, and this
+    MERGE deletes nothing so no delete rows appear (the kernel's
+    delete/evolution paths are unit-tested in tests/test_mergetable.py).
+
+    Plan: ONE null-safe full-outer join of the two snapshots on the
+    key; classification and both images are built in a single
+    projection (an array of change structs, exploded) — no second pass.
+    On a BUCKETED table the feed reads only buckets whose manifest
+    entries differ (by-reference buckets are provably unchanged:
+    immutable files, identical paths), so a k-of-B-bucket merge yields
+    a feed that scans 2k/B of the table — the same amplification bound
+    as the bucketed MERGE itself; that fast path is asserted via
+    inputFiles() in the unit tests."""
+    from ..sources.mergetable import table_changes
+    from .tier8 import _ensure_merge_table
+
+    root = _ensure_merge_table(spark, sf_dir)
+    return table_changes(spark, root, 0, 1, on="c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance from the feed
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_incremental_agg",
+    f"""
+    WITH chg AS ({_CHG_SQL}),
+    merged AS (
+      SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
+             coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders
+      FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k)
+    SELECT CAST(c_custkey % 10 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_orders) AS BIGINT) AS total_orders
+    FROM merged GROUP BY 1
+    """,
+)
+def table_incremental_agg(spark: SparkSession, sf_dir: str) -> SDF:
+    """INCREMENTAL AGGREGATE MAINTENANCE from the change feed (round
+    11): a downstream per-key-group rollup (rows + total orders by the
+    customer key's last digit) maintained WITHOUT re-aggregating v1 —
+    the v0 aggregate plus signed deltas from ``table_changes(0, 1)``:
+    +1 for inserts and update post-images, −1 for deletes and update
+    pre-images.  The oracle is the DIRECT aggregate over the merged
+    state, so the hash check proves delta maintenance ≡ full recompute
+    — the materialized-view refresh identity.
+
+    Scale: this is why the feed emits pre-images — the refresh cost is
+    O(change set), not O(table): at 100 TB a daily MERGE touching 0.1%
+    of rows refreshes downstream aggregates a thousand times cheaper
+    than recompute, and every measure here is exact-integer arithmetic
+    so the identity is bitwise, not approximate.  The maintained
+    aggregate shuffles only the change set (one groupBy) plus the
+    group-sized join against the v0 aggregate."""
+    from ..sources.mergetable import read_version, table_changes
+    from .tier8 import _ensure_merge_table
+
+    root = _ensure_merge_table(spark, sf_dir)
+    v0 = read_version(spark, root, 0)
+    agg0 = v0.groupBy((F.col("c_custkey") % 10).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_orders").cast("long").alias("total_orders"),
+    )
+    ch = table_changes(spark, root, 0, 1, on="c_custkey")
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = ch.groupBy((F.col("c_custkey") % 10).alias("grp")).agg(
+        F.sum(sign).cast("long").alias("dn"),
+        F.sum(sign * F.col("n_orders")).cast("long").alias("dord"),
+    )
+    zero = F.lit(0).cast("long")
+    return agg0.join(delta, "grp", "full_outer").select(
+        F.col("grp").cast("long").alias("grp"),
+        (F.coalesce(F.col("n_rows"), zero) + F.coalesce(F.col("dn"), zero))
+        .cast("long")
+        .alias("n_rows"),
+        (
+            F.coalesce(F.col("total_orders"), zero)
+            + F.coalesce(F.col("dord"), zero)
+        )
+        .cast("long")
+        .alias("total_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucket compaction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_compact_buckets",
+    f"""
+    WITH chg AS (SELECT CASE WHEN o_custkey % 7 = 0
+                             THEN o_custkey + 1000000
+                             ELSE o_custkey END AS k,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                             AS DOUBLE) AS rev,
+                        CAST(count(*) AS BIGINT) AS n_o
+                 FROM orders WHERE o_custkey % 16 < 2 GROUP BY 1)
+    SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
+             AS c_name,
+           CASE WHEN c.c_custkey IS NULL THEN g.rev
+                WHEN g.k IS NULL THEN CAST(c.c_acctbal AS DOUBLE)
+                ELSE CAST(c.c_acctbal AS DOUBLE) + g.rev END AS acctbal,
+           coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders
+    FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k
+    """,
+)
+def table_compact_buckets(spark: SparkSession, sf_dir: str) -> SDF:
+    """MANIFEST-AWARE BUCKET COMPACTION (round 11 — the OPTIMIZE job):
+    v0 commits the customer dim deliberately FRAGMENTED (48 range
+    partitions over 16 key buckets ⇒ ~3 files per bucket dir, with
+    per-file key statistics), v1 bucket-scope-merges a change set
+    confined to buckets {0,1} (which rewrites those two buckets as one
+    compact file each), and v2 = ``compact_buckets(max_files=1)``
+    rewrites ONLY the still-fragmented buckets — the two
+    freshly-merged buckets ride into v2 BY REFERENCE, and file
+    statistics are refreshed for rewritten buckets and carried forward
+    for referenced ones, so range skipping survives the whole
+    fragment → merge → compact chain.  The returned frame is the
+    read-back of the compacted version; the oracle is the merged
+    content, so any row lost or duplicated by compaction
+    hash-mismatches.
+
+    Scale: compaction cost is proportional to the FRAGMENTED fraction
+    of the table, not the table — the maintenance pass that bounds
+    read-side file counts after many small merges without the
+    full-table rewrite a naive OPTIMIZE performs.  At 100 TB with
+    daily 3-bucket merges, weekly compaction touches only what the
+    week's merges fragmented."""
+    from ..sources.mergetable import (
+        commit_bucketed,
+        compact_buckets,
+        latest_version,
+        merge_into_bucketed,
+        read_bucketed,
+    )
+
+    root = _table_root(sf_dir, "custfrag_v1")
+    if (latest_version(root) or -1) < 1:
+        cust = load_table(spark, sf_dir, "customer")
+        v0 = cust.select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.lit(0).cast("long").alias("n_orders"),
+        )
+        commit_bucketed(
+            v0, root, 0, on="c_custkey", n_buckets=16, hashed=False,
+            stats_key="c_custkey", n_files=48, meta={"op": "create"},
+        )
+        # %16 filter BEFORE the %7 shift: 1000000 % 16 == 0, so shifted
+        # insert keys stay inside buckets {0,1} (same trick as the
+        # tier-8 bucketed table)
+        merge_into_bucketed(
+            spark,
+            root,
+            _order_changes(spark, sf_dir, where=F.col("o_custkey") % 16 < 2),
+            matched_update={
+                "acctbal": "t.acctbal + s.rev",
+                "n_orders": "t.n_orders + s.n_o",
+            },
+            not_matched_insert={
+                "c_name": "'NEW'",
+                "acctbal": "s.rev",
+                "n_orders": "s.n_o",
+            },
+            meta={"op": "merge"},
+        )
+    if (latest_version(root) or -1) < 2:
+        # returns the CURRENT version untouched if nothing is fragmented
+        # (possible at tiny scale factors) — reading the latest version
+        # is content-identical either way
+        compact_buckets(spark, root, max_files=1, meta={"op": "compact"})
+    return read_bucketed(spark, root)
