@@ -261,6 +261,146 @@ def table_change_feed(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# multi-commit feed consumption
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_feed_versions",
+    """
+    WITH chg0 AS (SELECT CASE WHEN o_custkey % 7 = 0
+                              THEN o_custkey + 1000000
+                              ELSE o_custkey END AS k,
+                         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                              AS DOUBLE) AS rev,
+                         CAST(count(*) AS BIGINT) AS n_o
+                  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+    chg1 AS (SELECT CASE WHEN o_custkey % 7 = 0
+                         THEN o_custkey + 1000000
+                         ELSE o_custkey END AS k,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                         AS DOUBLE) AS rev,
+                    CAST(count(*) AS BIGINT) AS n_o
+             FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+    v0 AS (SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal,
+                  CAST(0 AS BIGINT) AS n_orders FROM customer),
+    v1 AS (SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
+                  CASE WHEN c.c_custkey IS NULL THEN 'NEW'
+                       ELSE c.c_name END AS c_name,
+                  CASE WHEN c.c_custkey IS NULL THEN g.rev
+                       WHEN g.k IS NULL THEN c.acctbal
+                       ELSE c.acctbal + g.rev END AS acctbal,
+                  CASE WHEN c.c_custkey IS NULL THEN g.n_o
+                       WHEN g.k IS NULL THEN c.n_orders
+                       ELSE c.n_orders + g.n_o END AS n_orders
+           FROM v0 c FULL OUTER JOIN chg0 g ON c.c_custkey = g.k)
+    SELECT g.k AS c_custkey, 'NEW' AS c_name, g.rev AS acctbal,
+           g.n_o AS n_orders, 'insert' AS change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM chg0 g LEFT JOIN v0 c ON c.c_custkey = g.k
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.acctbal, c.n_orders,
+           'update_preimage', CAST(1 AS BIGINT)
+    FROM v0 c JOIN chg0 g ON c.c_custkey = g.k
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.acctbal + g.rev, c.n_orders + g.n_o,
+           'update_postimage', CAST(1 AS BIGINT)
+    FROM v0 c JOIN chg0 g ON c.c_custkey = g.k
+    UNION ALL
+    SELECT g.k, 'NEW', g.rev, g.n_o, 'insert', CAST(2 AS BIGINT)
+    FROM chg1 g LEFT JOIN v1 c ON c.c_custkey = g.k
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.acctbal, c.n_orders,
+           'update_preimage', CAST(2 AS BIGINT)
+    FROM v1 c JOIN chg1 g ON c.c_custkey = g.k
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.acctbal + g.rev, c.n_orders + g.n_o,
+           'update_postimage', CAST(2 AS BIGINT)
+    FROM v1 c JOIN chg1 g ON c.c_custkey = g.k
+    """,
+)
+def table_feed_versions(spark: SparkSession, sf_dir: str) -> SDF:
+    """MULTI-COMMIT CHANGE FEED CONSUMPTION (round 11):
+    ``feed_since(root, 0)`` over a table that accrued TWO merge commits
+    — v1 merges the even-orderkey half of the order ledger, v2 the odd
+    half — returning every change row stamped with its
+    ``_commit_version``, in exactly the shape an incremental consumer
+    (a downstream sync, a search indexer, a feature store) replays:
+    Delta's ``readChangeFeed startingVersion`` semantics on the commit
+    log.  A key updated in both commits appears four times (pre/post
+    per commit) with the v2 pre-image equal to the v1 post-image — the
+    feed is CONSISTENT across commits, which the oracle (the two diffs
+    stated directly over the v0/v1 CTE chain) proves by hash.
+
+    Scale: the feed costs the SUM of per-step diffs — one full-outer
+    join per commit over exactly the versions involved; for bucketed
+    tables each step reads only manifest-differing buckets, so
+    consuming a day of k-bucket merges is O(k × commits), never
+    O(table × commits).  Versions are immutable, so any range's feed
+    is deterministic forever — re-consumption is idempotent by
+    construction."""
+    from ..sources.mergetable import (
+        commit_snapshot,
+        feed_since,
+        latest_version,
+        merge_into,
+        read_version,
+    )
+
+    root = _table_root(sf_dir, "custfeed_v1")
+    clauses = dict(
+        matched_update={
+            "acctbal": "t.acctbal + s.rev",
+            "n_orders": "t.n_orders + s.n_o",
+        },
+        not_matched_insert={
+            "c_name": "'NEW'",
+            "acctbal": "s.rev",
+            "n_orders": "s.n_o",
+        },
+    )
+    if (latest_version(root) or -1) < 1:
+        cust = load_table(spark, sf_dir, "customer")
+        v0 = cust.select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.lit(0).cast("long").alias("n_orders"),
+        )
+        commit_snapshot(v0, root, 0, meta={"op": "create"})
+        commit_snapshot(
+            merge_into(
+                read_version(spark, root, 0),
+                _order_changes(
+                    spark, sf_dir, where=F.col("o_orderkey") % 2 == 0
+                ),
+                on="c_custkey",
+                **clauses,
+            ),
+            root,
+            1,
+            meta={"op": "merge-even"},
+        )
+    if (latest_version(root) or -1) < 2:
+        commit_snapshot(
+            merge_into(
+                read_version(spark, root, 1),
+                _order_changes(
+                    spark, sf_dir, where=F.col("o_orderkey") % 2 == 1
+                ),
+                on="c_custkey",
+                **clauses,
+            ),
+            root,
+            2,
+            meta={"op": "merge-odd"},
+        )
+    return feed_since(spark, root, 0, on="c_custkey")
+
+
+# ---------------------------------------------------------------------------
 # incremental aggregate maintenance from the feed
 # ---------------------------------------------------------------------------
 

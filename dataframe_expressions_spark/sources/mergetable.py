@@ -81,6 +81,7 @@ __all__ = [
     "compact_buckets",
     "compact_mor",
     "latest_version",
+    "feed_since",
     "merge_into",
     "merge_into_bucketed",
     "read_bucketed",
@@ -1359,6 +1360,59 @@ def _diff_changes(f: SDF, t: SDF, keys: List[str]) -> SDF:
     )
     return j.select(F.explode(changes).alias("_c")).select(
         "_c.row.*", "_c.change_type"
+    )
+
+
+def feed_since(
+    spark: SparkSession,
+    root: str,
+    since_version: int,
+    to_version: Optional[int] = None,
+    on: Optional[Union[str, Sequence[str]]] = None,
+) -> SDF:
+    """MULTI-COMMIT change feed (round 11): the union of per-commit
+    change feeds over ``(since_version, to_version]`` (latest committed
+    when ``to_version`` is omitted), each row stamped with the
+    ``_commit_version`` that produced it — Delta's
+    ``readChangeFeed startingVersion`` semantics on the commit log.
+    This is the incremental-consumer contract: a downstream pipeline
+    remembers the last version it processed and calls
+    ``feed_since(root, last_seen)`` to get exactly the missed changes,
+    in commit order, exactly once (versions are immutable, so the feed
+    for a given range is deterministic forever).
+
+    Commit kinds compose transparently: plain COW snapshots and MERGE
+    commits diff directly, MERGE-ON-READ delete commits resolve through
+    ``read_version``'s anti-join before diffing (their feed is pure
+    delete rows), and bucketed commits use the manifest fast path (only
+    buckets whose entries differ are read).  Schema evolution across the
+    range is handled by name-based union with NULL fill for columns a
+    version predates.
+
+    Scale: cost is the sum of per-step diffs — for bucketed tables that
+    is O(touched buckets) per commit, so consuming a day of k-bucket
+    merges reads O(k × commits), never O(table × commits)."""
+    if to_version is None:
+        to_version = latest_version(root)
+    if to_version is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    if since_version > to_version:
+        raise ValueError(
+            f"feed_since range is empty: since={since_version} > "
+            f"to={to_version}"
+        )
+    frames = [
+        table_changes(spark, root, v, v + 1, on=on).withColumn(
+            "_commit_version", F.lit(v + 1).cast("long")
+        )
+        for v in range(since_version, to_version)
+    ]
+    if not frames:
+        raise ValueError(
+            f"feed_since({since_version}, {to_version}) selects no commits"
+        )
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
     )
 
 

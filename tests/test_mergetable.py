@@ -1297,3 +1297,60 @@ def test_compact_buckets_rewrites_only_fragmented(spark, tmp_path):
     assert compact_buckets(spark, root, max_files=1) == 1
     with pytest.raises(ValueError, match="max_files"):
         compact_buckets(spark, root, max_files=0)
+
+
+def test_feed_since_multi_commit_with_mor_and_evolution(spark, tmp_path):
+    """feed_since unions per-commit diffs with _commit_version stamps;
+    a MoR delete commit inside the range feeds as pure delete rows
+    (resolution through the anti-join), and a column added mid-range
+    NULL-fills earlier commits' rows (name-based union)."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_mor_delete,
+        feed_since,
+    )
+
+    root = str(tmp_path / "feed")
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, 1.0), (2, -2.0), (3, 3.0)], "k long, bal double"
+        ),
+        root,
+        0,
+    )
+    # v1: plain rewrite — k=1 updated, k=4 inserted
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, 9.0), (2, -2.0), (3, 3.0), (4, 4.0)], "k long, bal double"
+        ),
+        root,
+        1,
+    )
+    # v2: merge-on-read delete of negative balances (k=2)
+    commit_mor_delete(spark, root, "bal < 0", on="k")
+    # v3: evolved schema — new tag column, k=3 tagged
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, 9.0, None), (3, 3.0, "x"), (4, 4.0, None)],
+            "k long, bal double, tag string",
+        ),
+        root,
+        3,
+    )
+    feed = feed_since(spark, root, 0, on="k")
+    got = sorted(
+        (r._commit_version, r.k, r.change_type, r.bal, r.tag)
+        for r in feed.collect()
+    )
+    assert got == [
+        (1, 1, "update_postimage", 9.0, None),
+        (1, 1, "update_preimage", 1.0, None),
+        (1, 4, "insert", 4.0, None),
+        (2, 2, "delete", -2.0, None),
+        (3, 3, "update_postimage", 3.0, "x"),
+        (3, 3, "update_preimage", 3.0, None),
+    ], got
+    # a consumer that already saw v2 gets only the v3 commit
+    tail = feed_since(spark, root, 2, on="k")
+    assert {r._commit_version for r in tail.collect()} == {3}
+    with pytest.raises(ValueError, match="empty"):
+        feed_since(spark, root, 9, on="k")
