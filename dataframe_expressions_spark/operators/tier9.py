@@ -469,6 +469,93 @@ def table_incremental_agg(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# bucket-scoped MERGE with a delete clause
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_bucketed_delete",
+    """
+    WITH chg AS (SELECT CASE WHEN o_custkey % 7 = 0
+                             THEN o_custkey + 1000000
+                             ELSE o_custkey END AS k,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                             AS DOUBLE) AS rev,
+                        CAST(count(*) AS BIGINT) AS n_o
+                 FROM orders WHERE o_custkey % 16 < 3 GROUP BY 1)
+    SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
+             AS c_name,
+           CASE WHEN c.c_custkey IS NULL THEN g.rev
+                WHEN g.k IS NULL THEN CAST(c.c_acctbal AS DOUBLE)
+                ELSE CAST(c.c_acctbal AS DOUBLE) + g.rev END AS acctbal,
+           coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders
+    FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k
+    WHERE NOT (c.c_custkey IS NOT NULL AND g.k IS NOT NULL
+               AND CAST(c.c_acctbal AS DOUBLE) < 0)
+    """,
+)
+def table_bucketed_delete(spark: SparkSession, sf_dir: str) -> SDF:
+    """BUCKET-SCOPED MERGE WITH A DELETE CLAUSE (round 11): the
+    bucketed copy-on-write MERGE carrying WHEN MATCHED AND
+    ``t.acctbal < 0`` THEN DELETE — retention folded into the same
+    k/B-bounded rewrite, because a matched row's bucket is touched BY
+    CONSTRUCTION (the bucket function is applied to the merge key), so
+    the delete always lands inside the buckets being rewritten anyway.
+    The complementary clause, WHEN NOT MATCHED BY SOURCE DELETE, is
+    deliberately REJECTED by ``merge_into_bucketed``: it targets rows
+    in buckets the source never touches, which would silently forfeit
+    the k/B write bound — that clause belongs to the table-granularity
+    path, which prices the full rewrite honestly.
+
+    The change set is confined to buckets {0,1,2} of 16 (the %16
+    filter precedes the %7 key shift; 1000000 % 16 == 0 keeps shifted
+    inserts inside), so v1 rewrites 3/16 of the table while purging
+    matched negative-balance customers, and the other 13 buckets —
+    including their negative-balance rows, correctly NOT deleted
+    (no change arrived for them) — ride by reference.  The oracle
+    states exactly that asymmetry, so a delete leaking into an
+    untouched bucket, or a matched delete skipped, hash-mismatches."""
+    from ..sources.mergetable import (
+        commit_bucketed,
+        latest_version,
+        merge_into_bucketed,
+        read_bucketed,
+    )
+
+    root = _table_root(sf_dir, "custbdel_v1")
+    if (latest_version(root) or -1) < 1:
+        cust = load_table(spark, sf_dir, "customer")
+        v0 = cust.select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.lit(0).cast("long").alias("n_orders"),
+        )
+        commit_bucketed(
+            v0, root, 0, on="c_custkey", n_buckets=16, hashed=False,
+            meta={"op": "create"},
+        )
+        merge_into_bucketed(
+            spark,
+            root,
+            _order_changes(spark, sf_dir, where=F.col("o_custkey") % 16 < 3),
+            matched_update={
+                "acctbal": "t.acctbal + s.rev",
+                "n_orders": "t.n_orders + s.n_o",
+            },
+            not_matched_insert={
+                "c_name": "'NEW'",
+                "acctbal": "s.rev",
+                "n_orders": "s.n_o",
+            },
+            matched_delete="t.acctbal < 0",
+            meta={"op": "merge+delete"},
+        )
+    return read_bucketed(spark, root, 1)
+
+
+# ---------------------------------------------------------------------------
 # bucket compaction
 # ---------------------------------------------------------------------------
 

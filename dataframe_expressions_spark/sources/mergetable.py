@@ -1001,6 +1001,7 @@ def merge_into_bucketed(
     not_matched_insert: Dict[str, str],
     meta: Optional[dict] = None,
     strict_source_keys: bool = False,
+    matched_delete: Optional[str] = None,
 ) -> int:
     """Bucket-scoped copy-on-write MERGE (round 11): run ``merge_into``
     against ONLY the buckets the source touches, publish the result as
@@ -1021,6 +1022,14 @@ def merge_into_bucketed(
     and rewrites k/B of the table instead of all of it.  The touched-
     bucket set is computed with one map-side-combined distinct over the
     source's derived bucket id (≤ B tiny rows to the driver).
+
+    ``matched_delete`` is supported (a matched row's bucket is touched
+    by construction, so the delete lands inside the rewrite set);
+    ``not_matched_by_source_delete`` is deliberately NOT — it targets
+    rows whose buckets the source never touches, which would require a
+    full-table rewrite and silently forfeit the k/B bound.  Run that
+    clause through the table-granularity ``merge_into`` +
+    ``commit_bucketed`` path, which prices the full rewrite honestly.
 
     Returns the committed version number."""
     base = latest_version(root)
@@ -1080,6 +1089,7 @@ def merge_into_bucketed(
             matched_update=matched_update,
             not_matched_insert=not_matched_insert,
             strict_source_keys=strict_source_keys,
+            matched_delete=matched_delete,
         )
         if not os.path.isdir(snap):
             tmp = f"{snap}.tmp{os.getpid()}"

@@ -1354,3 +1354,42 @@ def test_feed_since_multi_commit_with_mor_and_evolution(spark, tmp_path):
     assert {r._commit_version for r in tail.collect()} == {3}
     with pytest.raises(ValueError, match="empty"):
         feed_since(spark, root, 9, on="k")
+
+
+def test_bucketed_merge_matched_delete_confined_to_touched(spark, tmp_path):
+    """matched_delete composes with bucket scoping: a matched row's
+    bucket is touched by construction, so deletes land inside the
+    rewrite set; negative rows in UNTOUCHED buckets survive unchanged
+    (no change arrived for them) and their files ride by reference."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_bucketed,
+        commit_meta,
+        merge_into_bucketed,
+        read_bucketed,
+    )
+
+    root = str(tmp_path / "bdel")
+    # k % 4 buckets; negative balances at k = 2 (bucket 2) and k = 5
+    # (bucket 1)
+    tgt = spark.createDataFrame(
+        [(0, 10.0), (1, 11.0), (2, -5.0), (4, 40.0), (5, -7.0)],
+        "k long, bal double",
+    )
+    commit_bucketed(tgt, root, 0, on="k", n_buckets=4, hashed=False)
+    man0 = commit_meta(root, 0)["manifest"]
+    # source touches buckets {1, 2}: k=5 matched (negative -> DELETE),
+    # k=2 matched (negative -> DELETE), k=9 insert (bucket 1)
+    src = spark.createDataFrame(
+        [(5, 1.0), (2, 1.0), (9, 9.0)], "k long, delta double"
+    )
+    merge_into_bucketed(
+        spark, root, src,
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"bal": "s.delta"},
+        matched_delete="t.bal < 0",
+    )
+    got = {r.k: r.bal for r in read_bucketed(spark, root, 1).collect()}
+    # 2 and 5 purged; 9 inserted; 0/1/4 untouched
+    assert got == {0: 10.0, 1: 11.0, 4: 40.0, 9: 9.0}, got
+    man1 = commit_meta(root, 1)["manifest"]
+    assert man1["0"] == man0["0"]  # untouched bucket by reference
