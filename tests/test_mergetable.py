@@ -1393,3 +1393,93 @@ def test_bucketed_merge_matched_delete_confined_to_touched(spark, tmp_path):
     assert got == {0: 10.0, 1: 11.0, 4: 40.0, 9: 9.0}, got
     man1 = commit_meta(root, 1)["manifest"]
     assert man1["0"] == man0["0"]  # untouched bucket by reference
+
+
+_cdf_state = st.dictionaries(
+    st.integers(min_value=0, max_value=7),
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       width=32)),
+    ),
+    max_size=8,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_cdf_state, _cdf_state)
+def test_diff_changes_matches_python_reference(spark, before, after):
+    """Brute-force reference (per-op ritual): the CDF kernel over
+    arbitrary before/after states — inserts/deletes carry one image,
+    updates exactly two, unchanged keys nothing, NULL values compared
+    null-safely — must equal the dict diff a Python loop computes."""
+    import pandas as pd
+
+    from dataframe_expressions_spark.sources.mergetable import _diff_changes
+
+    def mk(state):
+        rows = [(k, v[0], v[1]) for k, v in state.items()]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["k", "name", "val"]).astype(
+                {"k": "Int64"}
+            ),
+            "k long, name string, val double",
+        )
+
+    got = sorted(
+        (r.k, r.change_type, r.name, r.val)
+        for r in _diff_changes(mk(before), mk(after), ["k"]).collect()
+    )
+    want = []
+    for k in set(before) | set(after):
+        if k not in before:
+            want.append((k, "insert", *after[k]))
+        elif k not in after:
+            want.append((k, "delete", *before[k]))
+        elif before[k] != after[k]:
+            want.append((k, "update_preimage", *before[k]))
+            want.append((k, "update_postimage", *after[k]))
+    assert got == sorted(want)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False),
+             min_size=0, max_size=10, unique=True),
+    st.integers(min_value=-50, max_value=50),
+    st.integers(min_value=-50, max_value=50),
+)
+def test_mor_chain_matches_python_reference(spark, bals, cut1, cut2):
+    """Brute-force reference: two chained merge-on-read delete
+    predicates resolve to exactly the Python double-filter — the chain
+    semantics equal sequential SQL DELETEs regardless of predicate
+    overlap (including all-deleted and none-deleted edges)."""
+    import tempfile
+
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_mor_delete,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = f"{tmp}/t"
+        rows = [(i, b) for i, b in enumerate(bals)]
+        commit_snapshot(
+            spark.createDataFrame(rows, "k long, bal double"), root, 0
+        )
+        commit_mor_delete(spark, root, f"bal < {cut1}", on="k")
+        commit_mor_delete(spark, root, f"bal > {cut2}", on="k")
+        got = sorted(r.k for r in read_version(spark, root).collect())
+        want = sorted(
+            i for i, b in rows if not (b < cut1) and not (b > cut2)
+        )
+        assert got == want
