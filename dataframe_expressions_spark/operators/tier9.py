@@ -31,17 +31,35 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .registry import query
 
-# The per-customer order-revenue change set shared by this tier's
-# merge-table builds — identical to the tier-8 custmerge change set
-# (1/7 of the keys shifted out of the dim's key space = the NOT MATCHED
-# inserts) so oracles stay cross-checkable.
-_CHG_SQL = """
+def _chg_sql(where: str = "") -> str:
+    """The per-customer order-revenue change-set CTE shared by this
+    tier's oracles — identical to the tier-8 custmerge change set (1/7
+    of the keys shifted out of the dim's key space = the NOT MATCHED
+    inserts) so oracles stay cross-checkable; ``where`` slots an
+    optional ``WHERE ...`` clause BEFORE the shift/grouping (the Spark
+    twin is ``_order_changes``; round-11 review deduplicated the six
+    inline copies so the definitions cannot silently diverge)."""
+    return f"""
     SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
                 ELSE o_custkey END AS k,
            CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev,
            CAST(count(*) AS BIGINT) AS n_o
-    FROM orders GROUP BY 1
+    FROM orders {where} GROUP BY 1
 """
+
+
+_CHG_SQL = _chg_sql()
+
+
+def _customer_v0(spark: SparkSession, sf_dir: str) -> SDF:
+    """The v0 ledger projection every merge-table build in this tier
+    starts from (mirrors tier8's _ensure_merge_table v0)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.lit(0).cast("long").alias("n_orders"),
+    )
 
 
 def _order_changes(spark: SparkSession, sf_dir: str, where=None) -> SDF:
@@ -124,14 +142,9 @@ def table_merge_delete(spark: SparkSession, sf_dir: str) -> SDF:
 
     root = _table_root(sf_dir, "custdelete_v1")
     if (latest_version(root) or -1) < 1:
-        cust = load_table(spark, sf_dir, "customer")
-        v0 = cust.select(
-            "c_custkey",
-            "c_name",
-            F.col("c_acctbal").cast("double").alias("acctbal"),
-            F.lit(0).cast("long").alias("n_orders"),
+        commit_snapshot(
+            _customer_v0(spark, sf_dir), root, 0, meta={"op": "create"}
         )
-        commit_snapshot(v0, root, 0, meta={"op": "create"})
         merged = merge_into(
             read_version(spark, root, 0),
             _order_changes(spark, sf_dir),
@@ -192,7 +205,10 @@ def table_delete_mor(spark: SparkSession, sf_dir: str) -> SDF:
     )
 
     root = _table_root(sf_dir, "custmor_v1", tables=("customer",))
-    if (latest_version(root) or -1) < 0:
+    # `is None`, not `(... or -1) < 0`: latest == 0 is falsy, so the
+    # `or` idiom would re-enter the build branch forever at v0
+    # (round-11 review)
+    if latest_version(root) is None:
         cust = load_table(spark, sf_dir, "customer")
         v0 = cust.select(
             "c_custkey",
@@ -267,21 +283,9 @@ def table_change_feed(spark: SparkSession, sf_dir: str) -> SDF:
 
 @query(
     "table_feed_versions",
-    """
-    WITH chg0 AS (SELECT CASE WHEN o_custkey % 7 = 0
-                              THEN o_custkey + 1000000
-                              ELSE o_custkey END AS k,
-                         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
-                              AS DOUBLE) AS rev,
-                         CAST(count(*) AS BIGINT) AS n_o
-                  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
-    chg1 AS (SELECT CASE WHEN o_custkey % 7 = 0
-                         THEN o_custkey + 1000000
-                         ELSE o_custkey END AS k,
-                    CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
-                         AS DOUBLE) AS rev,
-                    CAST(count(*) AS BIGINT) AS n_o
-             FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+    f"""
+    WITH chg0 AS ({_chg_sql("WHERE o_orderkey % 2 = 0")}),
+    chg1 AS ({_chg_sql("WHERE o_orderkey % 2 = 1")}),
     v0 AS (SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal,
                   CAST(0 AS BIGINT) AS n_orders FROM customer),
     v1 AS (SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
@@ -362,14 +366,9 @@ def table_feed_versions(spark: SparkSession, sf_dir: str) -> SDF:
         },
     )
     if (latest_version(root) or -1) < 1:
-        cust = load_table(spark, sf_dir, "customer")
-        v0 = cust.select(
-            "c_custkey",
-            "c_name",
-            F.col("c_acctbal").cast("double").alias("acctbal"),
-            F.lit(0).cast("long").alias("n_orders"),
+        commit_snapshot(
+            _customer_v0(spark, sf_dir), root, 0, meta={"op": "create"}
         )
-        commit_snapshot(v0, root, 0, meta={"op": "create"})
         commit_snapshot(
             merge_into(
                 read_version(spark, root, 0),
@@ -475,14 +474,8 @@ def table_incremental_agg(spark: SparkSession, sf_dir: str) -> SDF:
 
 @query(
     "table_bucketed_delete",
-    """
-    WITH chg AS (SELECT CASE WHEN o_custkey % 7 = 0
-                             THEN o_custkey + 1000000
-                             ELSE o_custkey END AS k,
-                        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
-                             AS DOUBLE) AS rev,
-                        CAST(count(*) AS BIGINT) AS n_o
-                 FROM orders WHERE o_custkey % 16 < 3 GROUP BY 1)
+    f"""
+    WITH chg AS ({_chg_sql("WHERE o_custkey % 16 < 3")})
     SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
            CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
              AS c_name,
@@ -525,16 +518,9 @@ def table_bucketed_delete(spark: SparkSession, sf_dir: str) -> SDF:
 
     root = _table_root(sf_dir, "custbdel_v1")
     if (latest_version(root) or -1) < 1:
-        cust = load_table(spark, sf_dir, "customer")
-        v0 = cust.select(
-            "c_custkey",
-            "c_name",
-            F.col("c_acctbal").cast("double").alias("acctbal"),
-            F.lit(0).cast("long").alias("n_orders"),
-        )
         commit_bucketed(
-            v0, root, 0, on="c_custkey", n_buckets=16, hashed=False,
-            meta={"op": "create"},
+            _customer_v0(spark, sf_dir), root, 0, on="c_custkey",
+            n_buckets=16, hashed=False, meta={"op": "create"},
         )
         merge_into_bucketed(
             spark,
@@ -563,13 +549,7 @@ def table_bucketed_delete(spark: SparkSession, sf_dir: str) -> SDF:
 @query(
     "table_compact_buckets",
     f"""
-    WITH chg AS (SELECT CASE WHEN o_custkey % 7 = 0
-                             THEN o_custkey + 1000000
-                             ELSE o_custkey END AS k,
-                        CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
-                             AS DOUBLE) AS rev,
-                        CAST(count(*) AS BIGINT) AS n_o
-                 FROM orders WHERE o_custkey % 16 < 2 GROUP BY 1)
+    WITH chg AS ({_chg_sql("WHERE o_custkey % 16 < 2")})
     SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
            CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
              AS c_name,
@@ -612,16 +592,10 @@ def table_compact_buckets(spark: SparkSession, sf_dir: str) -> SDF:
 
     root = _table_root(sf_dir, "custfrag_v1")
     if (latest_version(root) or -1) < 1:
-        cust = load_table(spark, sf_dir, "customer")
-        v0 = cust.select(
-            "c_custkey",
-            "c_name",
-            F.col("c_acctbal").cast("double").alias("acctbal"),
-            F.lit(0).cast("long").alias("n_orders"),
-        )
         commit_bucketed(
-            v0, root, 0, on="c_custkey", n_buckets=16, hashed=False,
-            stats_key="c_custkey", n_files=48, meta={"op": "create"},
+            _customer_v0(spark, sf_dir), root, 0, on="c_custkey",
+            n_buckets=16, hashed=False, stats_key="c_custkey", n_files=48,
+            meta={"op": "create"},
         )
         # %16 filter BEFORE the %7 shift: 1000000 % 16 == 0, so shifted
         # insert keys stay inside buckets {0,1} (same trick as the

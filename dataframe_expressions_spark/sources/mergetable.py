@@ -144,12 +144,25 @@ def read_version(
         # the deleted keys anti-joined away.  Chains resolve recursively
         # (each delete commit stacks one more broadcast anti-join); a
         # key_range read prunes the base's files first, then applies the
-        # same anti-join — both pushdowns compose.
-        base = read_version(spark, root, meta["mor_base"], key_range)
-        dels = spark.read.parquet(os.path.join(root, meta["delete_rel"]))
-        return base.join(
-            F.broadcast(dels), on=list(meta["delete_key"]), how="left_anti"
+        # same anti-join — both pushdowns compose.  The anti-join is
+        # NULL-SAFE (round-11 review: a plain equi-join never matches
+        # NULL = NULL, so a NULL-key row selected by DELETE WHERE would
+        # silently survive — merge_into pairs keys null-safely and this
+        # path must too).
+        base = read_version(spark, root, meta["mor_base"], key_range).alias(
+            "b"
         )
+        dels = spark.read.parquet(
+            os.path.join(root, meta["delete_rel"])
+        ).alias("d")
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"b.{k}").eqNullSafe(F.col(f"d.{k}"))
+                for k in meta["delete_key"]
+            ],
+        )
+        return base.join(F.broadcast(dels), cond, "left_anti")
     if key_range is None:
         return spark.read.parquet(snap)
     stats = meta.get("file_stats")
@@ -783,6 +796,25 @@ def _rename_snapshot(tmp: str, snap: str) -> None:
             raise
 
 
+def _clear_uncommitted_snapshot(root: str, n: int) -> None:
+    """Remove an orphan ``v<n>`` left by a crashed single-writer step
+    (dir present, marker absent) so the caller writes FRESH data for
+    its own marker.  The data-deriving commit paths (bucketed MERGE,
+    compaction, MoR deletes) must never attach a new marker to a stale
+    dir: the dir may hold a DIFFERENT call's output — a different
+    predicate's delete keys, a different max_files compaction — which
+    is the round-10 'marker over another call's data' silent-wrong-data
+    class, and for bucketed MERGE the stray-bucket guard would
+    otherwise reject the stale dir FOREVER (vacuum can't sweep an
+    orphan at a never-superseded version number), wedging the table
+    (round-11 review).  A marker-less dir is invisible to every reader
+    and these paths are documented single-writer, so removal is safe."""
+    marker = os.path.join(root, "_commits", str(n))
+    snap = os.path.join(root, f"v{n}")
+    if os.path.isdir(snap) and not os.path.exists(marker):
+        shutil.rmtree(snap, ignore_errors=True)
+
+
 def commit_bucketed(
     df: SDF,
     root: str,
@@ -1071,6 +1103,11 @@ def merge_into_bucketed(
         )
     touched_set = {str(b) for b in touched}
     n_new = base + 1
+    # a marker-less orphan at n_new (crashed merge OR crashed
+    # compaction) may hold foreign buckets — reusing it would trip the
+    # stray-bucket guard forever and wedge the table (round-11 review);
+    # clear it and write this merge's own output
+    _clear_uncommitted_snapshot(root, n_new)
     snap = os.path.join(root, f"v{n_new}")
     tgt_paths = [
         os.path.join(root, man[b]) for b in sorted(touched_set & set(man))
@@ -1187,11 +1224,14 @@ def commit_mor_delete(
         .coalesce(n_files)
     )
     n = base + 1
+    # never reuse a marker-less orphan dir: it may hold a DIFFERENT
+    # predicate's delete keys and this call's marker records THIS
+    # predicate (round-11 review: silent wrong deletes forever after)
+    _clear_uncommitted_snapshot(root, n)
     snap = os.path.join(root, f"v{n}")
-    if not os.path.isdir(snap):
-        tmp = f"{snap}.tmp{os.getpid()}"
-        dels.write.mode("overwrite").parquet(os.path.join(tmp, "_deletes"))
-        _rename_snapshot(tmp, snap)
+    tmp = f"{snap}.tmp{os.getpid()}"
+    dels.write.mode("overwrite").parquet(os.path.join(tmp, "_deletes"))
+    _rename_snapshot(tmp, snap)
     _write_marker(
         root,
         n,
@@ -1327,6 +1367,14 @@ def _diff_changes(f: SDF, t: SDF, keys: List[str]) -> SDF:
     missing_k = [k for k in keys if k not in tcols]
     if missing_k:
         raise ValueError(f"change-feed key column(s) {missing_k} absent")
+    if "change_type" in tcols:
+        # the output column would be ambiguous with the data column —
+        # refuse loudly rather than emit a frame no downstream filter
+        # can reference (round-11 review)
+        raise ValueError(
+            "change feed over a table with its own 'change_type' column "
+            "is ambiguous — rename the data column first"
+        )
     tdtypes = {fld.name: fld.dataType for fld in t.schema.fields}
     for c in tcols:
         if c not in f.columns:
@@ -1411,19 +1459,35 @@ def feed_since(
             f"feed_since range is empty: since={since_version} > "
             f"to={to_version}"
         )
+    if since_version == to_version:
+        # caught-up consumer: the steady state of every polling
+        # pipeline — an EMPTY frame with the feed schema, never an
+        # error (round-11 review; Delta's readChangeFeed does the same)
+        return _stamp_commit_version(
+            table_changes(spark, root, to_version, to_version, on=on),
+            None,
+        ).limit(0)
     frames = [
-        table_changes(spark, root, v, v + 1, on=on).withColumn(
-            "_commit_version", F.lit(v + 1).cast("long")
+        _stamp_commit_version(
+            table_changes(spark, root, v, v + 1, on=on), v + 1
         )
         for v in range(since_version, to_version)
     ]
-    if not frames:
-        raise ValueError(
-            f"feed_since({since_version}, {to_version}) selects no commits"
-        )
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
     )
+
+
+def _stamp_commit_version(ch: SDF, v: "Optional[int]") -> SDF:
+    """Append the feed's ``_commit_version`` stamp, refusing to shadow a
+    same-named data column (withColumn would silently REPLACE it —
+    round-11 review)."""
+    if "_commit_version" in ch.columns:
+        raise ValueError(
+            "feed_since over a table with its own '_commit_version' "
+            "column would shadow it — rename the data column first"
+        )
+    return ch.withColumn("_commit_version", F.lit(v).cast("long"))
 
 
 def compact_buckets(
@@ -1474,6 +1538,9 @@ def compact_buckets(
         return base
     stats_key = spec.get("stats_key")
     n = base + 1
+    # never reuse a marker-less orphan dir (a crashed compaction with a
+    # different max_files, or a crashed merge) — round-11 review
+    _clear_uncommitted_snapshot(root, n)
     snap = os.path.join(root, f"v{n}")
     if not os.path.isdir(snap):
         df = spark.read.parquet(

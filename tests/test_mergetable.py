@@ -1483,3 +1483,135 @@ def test_mor_chain_matches_python_reference(spark, bals, cut1, cut2):
             i for i, b in rows if not (b < cut1) and not (b > cut2)
         )
         assert got == want
+
+
+def test_mor_delete_null_keys_and_orphan_dirs(spark, tmp_path):
+    """Round-11 review regressions: (a) a NULL-key row selected by
+    DELETE WHERE is actually deleted (the anti-join is null-safe);
+    (b) a crashed delete commit's marker-less orphan dir is NEVER
+    reused — the next commit_mor_delete writes its own keys fresh, so
+    the marker's predicate always describes the data."""
+    import shutil as _shutil
+
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_mor_delete,
+    )
+
+    root = str(tmp_path / "mornull")
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, 1.0), (None, -9.0), (3, -3.0)], "k long, bal double"
+        ),
+        root,
+        0,
+    )
+    commit_mor_delete(spark, root, "bal < 0", on="k")
+    got = sorted(
+        (r.k for r in read_version(spark, root).collect()),
+        key=lambda x: (x is None, x),
+    )
+    assert got == [1], got  # NULL-key negative row gone too
+
+    # orphan simulation: v2 dir holds a STALE delete file (key 1), no
+    # marker; the next delete commit must discard it, not adopt it
+    stale = os.path.join(root, "v2")
+    spark.createDataFrame([(1,)], "k long").write.parquet(
+        os.path.join(stale, "_deletes")
+    )
+    commit_mor_delete(spark, root, "bal > 100", on="k")  # matches nothing
+    assert sorted(r.k for r in read_version(spark, root).collect()) == [1]
+
+
+def test_feed_since_caught_up_returns_empty_frame(spark, tmp_path):
+    """A caught-up consumer (since == latest) gets an EMPTY frame with
+    the feed schema — the steady state of a polling pipeline must not
+    be an error (round-11 review)."""
+    from dataframe_expressions_spark.sources.mergetable import feed_since
+
+    root = str(tmp_path / "fcu")
+    commit_snapshot(
+        spark.createDataFrame([(1, 1.0)], "k long, bal double"), root, 0
+    )
+    tail = feed_since(spark, root, 0, on="k")
+    assert tail.columns == ["k", "bal", "change_type", "_commit_version"]
+    assert tail.count() == 0
+
+
+def test_crashed_compaction_orphan_does_not_wedge_merges(spark, tmp_path):
+    """A compact_buckets crash between snapshot rename and marker write
+    leaves a marker-less orphan at the NEXT version number; a subsequent
+    bucketed MERGE must clear it and commit its own data (round-11
+    review: the stray-bucket guard would otherwise reject the stale dir
+    forever, wedging the table)."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_bucketed,
+        merge_into_bucketed,
+        read_bucketed,
+    )
+
+    root = str(tmp_path / "wedge")
+    tgt = spark.createDataFrame(
+        [(k, float(k)) for k in range(16)], "k long, bal double"
+    )
+    commit_bucketed(tgt, root, 0, on="k", n_buckets=4, hashed=False)
+    # simulate the crashed compaction: v1 exists with buckets {2, 3},
+    # no marker
+    orphan = spark.createDataFrame(
+        [(2, 0.0), (3, 0.0), (7, 0.0)], "k long, bal double"
+    )
+    from pyspark.sql import functions as F  # noqa: N812
+
+    orphan.withColumn("_mt_bucket", F.expr("pmod(k, 4)")).write.partitionBy(
+        "_mt_bucket"
+    ).parquet(os.path.join(root, "v1"))
+    # merge touching only bucket 0 must succeed, not raise bucket drift
+    src = spark.createDataFrame([(0, 100.0)], "k long, delta double")
+    n = merge_into_bucketed(
+        spark, root, src,
+        matched_update={"bal": "t.bal + s.delta"},
+        not_matched_insert={"bal": "s.delta"},
+    )
+    assert n == 1
+    got = {r.k: r.bal for r in read_bucketed(spark, root, 1).collect()}
+    assert got[0] == 100.0 and len(got) == 16
+
+
+def test_feed_column_collisions_raise(spark, tmp_path):
+    """change_type / _commit_version data columns would be shadowed or
+    ambiguous in the feed output — both refuse loudly (round-11
+    review)."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        feed_since,
+        table_changes,
+    )
+
+    root = str(tmp_path / "coll")
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, "x")], "k long, change_type string"
+        ),
+        root,
+        0,
+    )
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, "y")], "k long, change_type string"
+        ),
+        root,
+        1,
+    )
+    with pytest.raises(ValueError, match="change_type"):
+        table_changes(spark, root, 0, 1, on="k").collect()
+    root2 = str(tmp_path / "coll2")
+    commit_snapshot(
+        spark.createDataFrame([(1, 5)], "k long, _commit_version long"),
+        root2,
+        0,
+    )
+    commit_snapshot(
+        spark.createDataFrame([(1, 6)], "k long, _commit_version long"),
+        root2,
+        1,
+    )
+    with pytest.raises(ValueError, match="_commit_version"):
+        feed_since(spark, root2, 0, on="k").collect()
