@@ -468,6 +468,182 @@ def table_incremental_agg(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# streaming CDC loop: upsert in, feed out, downstream maintained
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_feed_consume",
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS grp,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS total_events
+    FROM events GROUP BY 1
+    """,
+)
+def stream_feed_consume(spark: SparkSession, sf_dir: str) -> SDF:
+    """THE FULL LAKEHOUSE CDC LOOP, streaming (round 11 continuation):
+    each micro-batch (1) MERGEs its per-user change set into the
+    upstream ledger table — one commit per batch, batch_id-guarded
+    exactly-once (the stream_table_upsert recipe) — and then (2)
+    CONSUMES the upstream CHANGE FEED it just produced,
+    ``feed_since(consumed_through, latest)``, folding signed deltas
+    (+1 insert/post-image, −1 delete/pre-image) into a DOWNSTREAM
+    versioned table whose marker records ``consumed_through``.  The
+    returned frame is the downstream read-back; the oracle is the
+    direct rollup over ALL events, so the hash proves the entire
+    in → feed → out chain end-to-end: any missed batch, double-applied
+    delta, or wrong image sign mismatches.
+
+    Exactly-once on BOTH hops without a transactional sink: upstream
+    replays are skipped by the marker batch_id; the downstream guard is
+    version-based, not batch-based — it consumes whatever feed range
+    ``(consumed_through, upstream latest]`` is outstanding, so a crash
+    BETWEEN the two commits self-heals on the next batch (the replay
+    skips the upstream commit but the feed gap is still consumed).
+    The caught-up case (no outstanding range) is the steady state and
+    returns an empty frame, not an error.
+
+    Scale: per batch the upstream merge shuffles only the batch's
+    change set; the feed diff joins exactly the two versions involved;
+    the downstream merge is GROUP-sized (10 rows here).  The downstream
+    measures are exact integers, so maintenance ≡ recompute bitwise —
+    at 100 TB this loop is how derived tables track a mutating ledger
+    at O(change set) per commit, never O(table)."""
+    import os
+    import shutil
+
+    from ..sources.mergetable import (
+        commit_meta,
+        commit_snapshot,
+        feed_since,
+        latest_version,
+        merge_into,
+        read_version,
+    )
+    from ..sources.tables import (
+        source_fingerprint,
+        store_root,
+        sweep_stale_store_dirs,
+    )
+
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fp = source_fingerprint(sf_dir, ("events",))
+    prefix = f"spark_graft_table_streamfeed_v1_{key}_"
+    root = f"{store_root()}/{prefix}{fp}"
+    sweep_stale_store_dirs(store_root(), prefix, root)
+    up, down = os.path.join(root, "up"), os.path.join(root, "down")
+    done = os.path.join(root, "_stream_done")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        stage_prefix = f"spark_graft_feedstage_v1_{key}_"
+        src = f"{store_root()}/{stage_prefix}{fp}"
+        sweep_stale_store_dirs(store_root(), stage_prefix, src)
+        if not os.path.exists(src):
+            tmp = f"{src}.tmp{os.getpid()}"
+            load_table(spark, sf_dir, "events").select(
+                "event_id", "user_id"
+            ).repartition(8).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, src)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        if latest_version(up) is None:
+            commit_snapshot(
+                spark.createDataFrame([], "user_id long, n_events long"),
+                up, 0, meta={"op": "create"}, n_files=1,
+            )
+        if latest_version(down) is None:
+            commit_snapshot(
+                spark.createDataFrame(
+                    [], "grp long, n_users long, total_events long"
+                ),
+                down, 0, meta={"op": "create", "consumed_through": 0},
+                n_files=1,
+            )
+        schema = spark.read.parquet(src).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+
+        def loop(batch_df: SDF, batch_id: int) -> None:
+            # hop 1: CDC in — batch_id-guarded upstream MERGE commit
+            cur = latest_version(up)
+            if commit_meta(up, cur).get("batch_id", -1) < batch_id:
+                chg = batch_df.groupBy("user_id").agg(
+                    F.count(F.lit(1)).cast("long").alias("bn")
+                )
+                commit_snapshot(
+                    merge_into(
+                        read_version(spark, up, cur),
+                        chg,
+                        on="user_id",
+                        matched_update={
+                            "n_events": "t.n_events + s.bn"
+                        },
+                        not_matched_insert={"n_events": "s.bn"},
+                    ),
+                    up, cur + 1, meta={"batch_id": batch_id}, n_files=4,
+                )
+            # hop 2: CDC out — consume whatever feed range is
+            # outstanding (version-based guard: self-heals a crash
+            # between the two commits; caught-up = empty feed)
+            dcur = latest_version(down)
+            seen = commit_meta(down, dcur).get("consumed_through", 0)
+            upv = latest_version(up)
+            if seen >= upv:
+                return
+            ch = feed_since(spark, up, seen, upv, on="user_id")
+            sign = F.when(
+                F.col("change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            delta = ch.groupBy(
+                (F.col("user_id") % 10).alias("grp")
+            ).agg(
+                F.sum(sign).cast("long").alias("du"),
+                F.sum(sign * F.col("n_events")).cast("long").alias("de"),
+            )
+            commit_snapshot(
+                merge_into(
+                    read_version(spark, down, dcur),
+                    delta,
+                    on="grp",
+                    matched_update={
+                        "n_users": "t.n_users + s.du",
+                        "total_events": "t.total_events + s.de",
+                    },
+                    not_matched_insert={
+                        "n_users": "s.du",
+                        "total_events": "s.de",
+                    },
+                ),
+                down, dcur + 1,
+                meta={"consumed_through": upv}, n_files=1,
+            )
+
+        ckpt = os.path.join(root, "_ckpt")
+        q = (
+            sdf.writeStream.foreachBatch(loop)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)  # drained bounded source
+        tmp = f"{done}.tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write("done")
+        try:
+            os.rename(tmp, done)
+        except OSError:
+            os.unlink(tmp)
+    return read_version(spark, down)
+
+
+# ---------------------------------------------------------------------------
 # bucket-scoped MERGE with a delete clause
 # ---------------------------------------------------------------------------
 

@@ -1615,3 +1615,32 @@ def test_feed_column_collisions_raise(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="_commit_version"):
         feed_since(spark, root2, 0, on="k").collect()
+
+
+def test_stream_feed_consume_write_once_and_loop_consistency(spark):
+    """The CDC-loop query: second invocation serves the committed
+    downstream state (no new upstream or downstream versions), and the
+    downstream marker's consumed_through equals the upstream latest —
+    the loop drained fully."""
+    from dataframe_expressions_spark.operators.registry import load_all
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_meta,
+        latest_version,
+    )
+    from dataframe_expressions_spark.sources.tables import (
+        source_fingerprint,
+        store_root,
+    )
+
+    q = load_all()["stream_feed_consume"]
+    rows1 = sorted(tuple(r) for r in q.fn(spark, SF_SMOKE).collect())
+    key = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
+    fp = source_fingerprint(SF_SMOKE, ("events",))
+    root = f"{store_root()}/spark_graft_table_streamfeed_v1_{key}_{fp}"
+    up, down = os.path.join(root, "up"), os.path.join(root, "down")
+    upv, downv = latest_version(up), latest_version(down)
+    assert upv >= 1 and downv >= 1
+    assert commit_meta(down).get("consumed_through") == upv
+    rows2 = sorted(tuple(r) for r in q.fn(spark, SF_SMOKE).collect())
+    assert rows2 == rows1
+    assert latest_version(up) == upv and latest_version(down) == downv
