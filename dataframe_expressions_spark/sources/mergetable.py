@@ -57,6 +57,42 @@ exactly the Iceberg/Delta partition-scoped-rewrite idea reduced to its
 essence.  ``vacuum`` is manifest-aware: a dropped version's bucket
 directory survives as long as any kept version's manifest references
 it.
+
+Round-11 continuation — the remaining lakehouse surface, each feature
+priced by its scale trade:
+
+* **All five MERGE clause kinds**: ``matched_delete`` /
+  ``not_matched_by_source_delete`` are one extra filter on the same
+  full-outer join (a MERGE with retention rules costs what a plain
+  MERGE costs).  ``matched_delete`` composes with bucket scoping (a
+  matched row's bucket is touched by construction);
+  ``not_matched_by_source_delete`` deliberately does NOT (it targets
+  untouched buckets — honoring it would silently forfeit the k/B
+  bound, so it stays table-granularity-only).
+* **Merge-on-read equality deletes** (``commit_mor_delete`` /
+  ``compact_mor``): a delete writes O(deleted keys) bytes; reads stack
+  one NULL-SAFE broadcast anti-join per uncompacted commit;
+  compaction retires the chain when the read tax outweighs the write
+  savings.  ``vacuum`` promotes a kept delete version's base chain to
+  kept (data AND markers — resolution reads ancestor metadata).
+* **Change data feed** (``table_changes`` / ``feed_since``): one
+  full-outer diff join per commit pair, Delta-CDF image contract
+  (updates emit pre AND post — what makes downstream incremental
+  aggregation exact); bucketed versions diff only manifest-differing
+  buckets (immutable files: identical path ⇒ identical bytes), so a
+  k-of-B-bucket merge feeds from 2k/B of the table.  ``feed_since``
+  stamps ``_commit_version`` and returns an EMPTY frame to a
+  caught-up consumer (the polling steady state).
+* **Bucket compaction** (``compact_buckets``): the OPTIMIZE job —
+  rewrites only buckets over the file threshold, references the rest,
+  refreshes/carries file statistics; cost proportional to the
+  fragmented fraction, never the table.
+
+Crash rule for the data-deriving commits (bucketed MERGE, compaction,
+MoR deletes): a marker-less orphan ``v<n>`` is CLEARED, never adopted
+— the orphan may hold a different call's output, and attaching a
+fresh marker to stale data is the silent-wrong-data class this
+module's protocol exists to rule out.
 """
 
 from __future__ import annotations
