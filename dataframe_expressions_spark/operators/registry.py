@@ -117,19 +117,20 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # fronting test recomputes the same derivation).  CORRECTNESS_r10 came
 # back 50/50, leaving the post-r10 vintage distribution r5:21 r6:50
 # r7:50 r8:50 r9:50 r10:50 — so, per the r10 VERDICT plan (item 2):
-# slots 1-12 the round-11 additions (dsl_pipeline_near_dedup,
+# slots 1-13 the round-11 additions (dsl_pipeline_near_dedup,
 # table_merge_bucketed, table_read_skipping, table_bucket_pruned_read
-# from the first session; stream_feed_consume, table_bucketed_delete,
-# table_feed_versions, table_merge_delete, table_delete_mor,
-# table_change_feed, table_incremental_agg, table_compact_buckets from
-# the continuation — all zero evidence), slots 13-33 the FULL 21-id r5
-# tail (stats_ks_test ... window_rank), slots 34-50 the alphabetical
-# head (17 of 50) of the r6 block (agg_distinct ...
-# emb_matryoshka_audit).  If CORRECTNESS_r11 comes back 50/50 the
-# oldest remaining evidence is the 33-id r6 tail — front any round-12
-# additions, then that tail, then the r7 block head (derive
+# from the first session; dsl_table_pipeline, stream_feed_consume,
+# table_bucketed_delete, table_feed_versions, table_merge_delete,
+# table_delete_mor, table_change_feed, table_incremental_agg,
+# table_compact_buckets from the continuation — all zero evidence),
+# slots 14-34 the FULL 21-id r5 tail (stats_ks_test ... window_rank),
+# slots 35-50 the alphabetical head (16 of 50) of the r6 block
+# (agg_distinct ... emb_knn_graph).  If CORRECTNESS_r11 comes back
+# 50/50 the oldest remaining evidence is the 34-id r6 tail — front any
+# round-12 additions, then that tail, then the r7 block head (derive
 # programmatically from the committed CORRECTNESS files, as always).
 DRIVER_WINDOW_PRIORITY: tuple = (
+    "dsl_table_pipeline",
     "stream_feed_consume",
     "table_bucketed_delete",
     "table_feed_versions",
@@ -179,7 +180,6 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "dq_referential_integrity",
     "dq_split_leakage",
     "emb_knn_graph",
-    "emb_matryoshka_audit",
 )
 
 

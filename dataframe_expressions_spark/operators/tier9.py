@@ -468,6 +468,64 @@ def table_incremental_agg(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# capture DSL over the table format
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dsl_table_pipeline",
+    f"""
+    WITH chg AS ({_CHG_SQL}),
+    merged AS (
+    SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
+             AS c_name,
+           CASE WHEN c.c_custkey IS NULL THEN g.rev
+                WHEN g.k IS NULL THEN CAST(c.c_acctbal AS DOUBLE)
+                ELSE CAST(c.c_acctbal AS DOUBLE) + g.rev END AS acctbal,
+           coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders
+    FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k)
+    SELECT c_custkey, c_name, acctbal, n_orders,
+           acctbal / n_orders AS avg_rev
+    FROM merged WHERE n_orders > 0 AND acctbal > 1000
+    """,
+)
+def dsl_table_pipeline(spark: SparkSession, sf_dir: str) -> SDF:
+    """THE CAPTURE DSL OVER THE TABLE FORMAT (round 11 continuation):
+    the repo's two flagship layers composed — a DSL mask + computed
+    projection over the copy-on-write table's committed v1 read-back:
+    ``d[(d.n_orders > 0) & (d.acctbal > 1000)]`` with
+    ``avg_rev = d.acctbal / d.n_orders``.  The lowering layer binds ANY
+    Spark DataFrame as a source, so versioned table reads compose with
+    captured expressions for free — a user curates with the DSL over
+    governed, time-travelable tables exactly as over raw parquet.
+
+    Scale: the captured mask lowers to a ``.where`` directly over the
+    snapshot's parquet scan, so both predicates reach the reader as
+    PushedFilters (asserted in tests/test_plans.py) — version
+    resolution is one driver-side marker listing, and nothing about the
+    table layer blunts Catalyst's pruning/pushdown on the read path."""
+    from ..plans.lowering import select_from
+    from ..plans.nodes import DataFrame as CaptureFrame
+    from ..sources.mergetable import read_version
+    from .tier8 import _ensure_merge_table
+
+    root = _ensure_merge_table(spark, sf_dir)
+    tbl = read_version(spark, root, 1)
+    d = CaptureFrame()
+    active = d[(d.n_orders > 0) & (d.acctbal > 1000.0)]
+    return select_from(
+        {d: tbl},
+        active,
+        c_custkey=d.c_custkey,
+        c_name=d.c_name,
+        acctbal=d.acctbal,
+        n_orders=d.n_orders,
+        avg_rev=d.acctbal / d.n_orders,
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming CDC loop: upsert in, feed out, downstream maintained
 # ---------------------------------------------------------------------------
 

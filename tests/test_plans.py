@@ -510,3 +510,16 @@ def test_daily_rollup_queries_scan_corpus_once(spark):
         ).executedPlan().toString()
         n = len(re.findall(r"FileScan parquet", plan))
         assert n == 0, (qid, n, plan[:1500])
+
+
+def test_dsl_table_pipeline_filters_pushed_to_snapshot_scan(spark):
+    """The DSL-over-table query's captured mask must reach the committed
+    snapshot's parquet scan as PushedFilters — the table layer blunts
+    nothing about Catalyst's pushdown (round 11 continuation)."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    qs = load_all()
+    plan = _formatted_plan(qs["dsl_table_pipeline"].fn(spark, SF_SMOKE))
+    assert "GreaterThan(n_orders,0)" in plan, plan
+    assert "GreaterThan(acctbal,1000.0)" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
