@@ -3027,7 +3027,6 @@ def stream_table_upsert(spark: SparkSession, sf_dir: str) -> SDF:
     lives in the TABLE, not a state store, so a restart needs no state
     rebuild — the standard CDC-into-lakehouse shape."""
     import os
-    import shutil
 
     from ..sources.mergetable import (
         commit_meta,
@@ -3038,9 +3037,12 @@ def stream_table_upsert(spark: SparkSession, sf_dir: str) -> SDF:
         vacuum,
     )
     from ..sources.tables import (
+        drain_staged_stream,
         source_fingerprint,
         store_root,
         sweep_stale_store_dirs,
+        write_done_marker,
+        write_once_parquet,
     )
 
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
@@ -3056,15 +3058,12 @@ def stream_table_upsert(spark: SparkSession, sf_dir: str) -> SDF:
         stage_prefix = f"spark_graft_upsert_stage_v2_{key}_"
         src = f"{store_root()}/{stage_prefix}{fp}"
         sweep_stale_store_dirs(store_root(), stage_prefix, src)
-        if not os.path.exists(src):
-            tmp = f"{src}.tmp{os.getpid()}"
+        write_once_parquet(
             load_table(spark, sf_dir, "events").select(
                 "event_id", "user_id", "value"
-            ).repartition(8).write.mode("overwrite").parquet(tmp)
-            try:
-                os.rename(tmp, src)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
+            ),
+            src,
+        )
         if latest_version(root) is None:
             empty = spark.createDataFrame(
                 [],
@@ -3073,13 +3072,6 @@ def stream_table_upsert(spark: SparkSession, sf_dir: str) -> SDF:
             )
             commit_snapshot(empty, root, 0, meta={"op": "create"},
                             n_files=1)
-        schema = spark.read.parquet(src).schema
-        sdf = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(src)
-        )
-
         def upsert(batch_df: SDF, batch_id: int) -> None:
             cur = latest_version(root)
             applied = commit_meta(root, cur).get("batch_id", -1)
@@ -3116,23 +3108,9 @@ def stream_table_upsert(spark: SparkSession, sf_dir: str) -> SDF:
                 n_files=4,
             )
 
-        ckpt = os.path.join(root, "_ckpt")
-        q = (
-            sdf.writeStream.foreachBatch(upsert)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination()
+        drain_staged_stream(spark, src, upsert, os.path.join(root, "_ckpt"))
         vacuum(root, keep=2)  # retention: the CDC loop in steady state
-        shutil.rmtree(ckpt, ignore_errors=True)  # drained bounded source
-        tmp = f"{done}.tmp{os.getpid()}"
-        with open(tmp, "w") as fh:
-            fh.write("done")
-        try:
-            os.rename(tmp, done)
-        except OSError:
-            os.unlink(tmp)
+        write_done_marker(done)
     final = read_version(spark, root)
     return final.select(
         "user_id",

@@ -51,6 +51,31 @@ def _chg_sql(where: str = "") -> str:
 _CHG_SQL = _chg_sql()
 
 
+def _merged_cte(chg_where: str = "") -> str:
+    """WITH prefix (``chg`` + ``merged``) shared by every oracle stated
+    over the merged ledger — the full-outer upsert of the customer dim
+    with the order change set, carrying ``in_dim``/``in_chg``/
+    ``v0_acctbal`` helper columns so clause-level filters (MERGE delete
+    conditions over the PRE-merge state) stay expressible after the
+    CTE.  Round-11 review: the merged SELECT was inlined six times
+    across tier8/tier9 — an oracle fix could land in five copies and
+    silently miss the sixth."""
+    return f"""WITH chg AS ({_chg_sql(chg_where)}),
+    merged AS (
+    SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
+             AS c_name,
+           CASE WHEN c.c_custkey IS NULL THEN g.rev
+                WHEN g.k IS NULL THEN CAST(c.c_acctbal AS DOUBLE)
+                ELSE CAST(c.c_acctbal AS DOUBLE) + g.rev END AS acctbal,
+           coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders,
+           CAST(c.c_acctbal AS DOUBLE) AS v0_acctbal,
+           (c.c_custkey IS NOT NULL) AS in_dim,
+           (g.k IS NOT NULL) AS in_chg
+    FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k)
+    """
+
+
 def _customer_v0(spark: SparkSession, sf_dir: str) -> SDF:
     """The v0 ledger projection every merge-table build in this tier
     starts from (mirrors tier8's _ensure_merge_table v0)."""
@@ -99,20 +124,10 @@ def _table_root(sf_dir: str, prefix_stem: str, tables=("customer", "orders")):
 
 @query(
     "table_merge_delete",
-    f"""
-    WITH chg AS ({_CHG_SQL})
-    SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
-           CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
-             AS c_name,
-           CASE WHEN c.c_custkey IS NULL THEN g.rev
-                WHEN g.k IS NULL THEN CAST(c.c_acctbal AS DOUBLE)
-                ELSE CAST(c.c_acctbal AS DOUBLE) + g.rev END AS acctbal,
-           coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders
-    FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k
-    WHERE NOT (c.c_custkey IS NOT NULL AND g.k IS NOT NULL
-               AND CAST(c.c_acctbal AS DOUBLE) < 0)
-      AND NOT (c.c_custkey IS NOT NULL AND g.k IS NULL
-               AND CAST(c.c_acctbal AS DOUBLE) < -900)
+    _merged_cte() + """
+    SELECT c_custkey, c_name, acctbal, n_orders FROM merged
+    WHERE NOT (in_dim AND in_chg AND v0_acctbal < 0)
+      AND NOT (in_dim AND NOT in_chg AND v0_acctbal < -900)
     """,
 )
 def table_merge_delete(spark: SparkSession, sf_dir: str) -> SDF:
@@ -406,12 +421,7 @@ def table_feed_versions(spark: SparkSession, sf_dir: str) -> SDF:
 
 @query(
     "table_incremental_agg",
-    f"""
-    WITH chg AS ({_CHG_SQL}),
-    merged AS (
-      SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
-             coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders
-      FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k)
+    _merged_cte() + """
     SELECT CAST(c_custkey % 10 AS BIGINT) AS grp,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(n_orders) AS BIGINT) AS total_orders
@@ -474,17 +484,7 @@ def table_incremental_agg(spark: SparkSession, sf_dir: str) -> SDF:
 
 @query(
     "dsl_table_pipeline",
-    f"""
-    WITH chg AS ({_CHG_SQL}),
-    merged AS (
-    SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
-           CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
-             AS c_name,
-           CASE WHEN c.c_custkey IS NULL THEN g.rev
-                WHEN g.k IS NULL THEN CAST(c.c_acctbal AS DOUBLE)
-                ELSE CAST(c.c_acctbal AS DOUBLE) + g.rev END AS acctbal,
-           coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders
-    FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k)
+    _merged_cte() + """
     SELECT c_custkey, c_name, acctbal, n_orders,
            acctbal / n_orders AS avg_rev
     FROM merged WHERE n_orders > 0 AND acctbal > 1000
@@ -536,7 +536,7 @@ def dsl_table_pipeline(spark: SparkSession, sf_dir: str) -> SDF:
     SELECT CAST(user_id % 10 AS BIGINT) AS grp,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(count(*) AS BIGINT) AS total_events
-    FROM events GROUP BY 1
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
     """,
 )
 def stream_feed_consume(spark: SparkSession, sf_dir: str) -> SDF:
@@ -569,7 +569,6 @@ def stream_feed_consume(spark: SparkSession, sf_dir: str) -> SDF:
     at 100 TB this loop is how derived tables track a mutating ledger
     at O(change set) per commit, never O(table)."""
     import os
-    import shutil
 
     from ..sources.mergetable import (
         commit_meta,
@@ -580,32 +579,37 @@ def stream_feed_consume(spark: SparkSession, sf_dir: str) -> SDF:
         read_version,
     )
     from ..sources.tables import (
+        drain_staged_stream,
         source_fingerprint,
         store_root,
         sweep_stale_store_dirs,
+        write_done_marker,
+        write_once_parquet,
     )
 
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     fp = source_fingerprint(sf_dir, ("events",))
-    prefix = f"spark_graft_table_streamfeed_v1_{key}_"
+    prefix = f"spark_graft_table_streamfeed_v2_{key}_"
     root = f"{store_root()}/{prefix}{fp}"
     sweep_stale_store_dirs(store_root(), prefix, root)
     up, down = os.path.join(root, "up"), os.path.join(root, "down")
     done = os.path.join(root, "_stream_done")
     if not os.path.exists(done):
         os.makedirs(root, exist_ok=True)
-        stage_prefix = f"spark_graft_feedstage_v1_{key}_"
+        stage_prefix = f"spark_graft_feedstage_v2_{key}_"
         src = f"{store_root()}/{stage_prefix}{fp}"
         sweep_stale_store_dirs(store_root(), stage_prefix, src)
-        if not os.path.exists(src):
-            tmp = f"{src}.tmp{os.getpid()}"
-            load_table(spark, sf_dir, "events").select(
-                "event_id", "user_id"
-            ).repartition(8).write.mode("overwrite").parquet(tmp)
-            try:
-                os.rename(tmp, src)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
+        # keyed CDC stream: only the key column is staged (nothing
+        # downstream reads anything else — round-11 review), and
+        # NULL-key events are dropped at ingest so the n_users fold
+        # matches count(DISTINCT), which ignores NULLs, on any future
+        # events vintage
+        write_once_parquet(
+            load_table(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull())
+            .select("user_id"),
+            src,
+        )
         if latest_version(up) is None:
             commit_snapshot(
                 spark.createDataFrame([], "user_id long, n_events long"),
@@ -619,13 +623,6 @@ def stream_feed_consume(spark: SparkSession, sf_dir: str) -> SDF:
                 down, 0, meta={"op": "create", "consumed_through": 0},
                 n_files=1,
             )
-        schema = spark.read.parquet(src).schema
-        sdf = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(src)
-        )
-
         def loop(batch_df: SDF, batch_id: int) -> None:
             # hop 1: CDC in — batch_id-guarded upstream MERGE commit
             cur = latest_version(up)
@@ -682,22 +679,8 @@ def stream_feed_consume(spark: SparkSession, sf_dir: str) -> SDF:
                 meta={"consumed_through": upv}, n_files=1,
             )
 
-        ckpt = os.path.join(root, "_ckpt")
-        q = (
-            sdf.writeStream.foreachBatch(loop)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination()
-        shutil.rmtree(ckpt, ignore_errors=True)  # drained bounded source
-        tmp = f"{done}.tmp{os.getpid()}"
-        with open(tmp, "w") as fh:
-            fh.write("done")
-        try:
-            os.rename(tmp, done)
-        except OSError:
-            os.unlink(tmp)
+        drain_staged_stream(spark, src, loop, os.path.join(root, "_ckpt"))
+        write_done_marker(done)
     return read_version(spark, down)
 
 
@@ -708,18 +691,9 @@ def stream_feed_consume(spark: SparkSession, sf_dir: str) -> SDF:
 
 @query(
     "table_bucketed_delete",
-    f"""
-    WITH chg AS ({_chg_sql("WHERE o_custkey % 16 < 3")})
-    SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
-           CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
-             AS c_name,
-           CASE WHEN c.c_custkey IS NULL THEN g.rev
-                WHEN g.k IS NULL THEN CAST(c.c_acctbal AS DOUBLE)
-                ELSE CAST(c.c_acctbal AS DOUBLE) + g.rev END AS acctbal,
-           coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders
-    FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k
-    WHERE NOT (c.c_custkey IS NOT NULL AND g.k IS NOT NULL
-               AND CAST(c.c_acctbal AS DOUBLE) < 0)
+    _merged_cte("WHERE o_custkey % 16 < 3") + """
+    SELECT c_custkey, c_name, acctbal, n_orders FROM merged
+    WHERE NOT (in_dim AND in_chg AND v0_acctbal < 0)
     """,
 )
 def table_bucketed_delete(spark: SparkSession, sf_dir: str) -> SDF:
@@ -782,16 +756,8 @@ def table_bucketed_delete(spark: SparkSession, sf_dir: str) -> SDF:
 
 @query(
     "table_compact_buckets",
-    f"""
-    WITH chg AS ({_chg_sql("WHERE o_custkey % 16 < 2")})
-    SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
-           CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE c.c_name END
-             AS c_name,
-           CASE WHEN c.c_custkey IS NULL THEN g.rev
-                WHEN g.k IS NULL THEN CAST(c.c_acctbal AS DOUBLE)
-                ELSE CAST(c.c_acctbal AS DOUBLE) + g.rev END AS acctbal,
-           coalesce(g.n_o, CAST(0 AS BIGINT)) AS n_orders
-    FROM customer c FULL OUTER JOIN chg g ON c.c_custkey = g.k
+    _merged_cte("WHERE o_custkey % 16 < 2") + """
+    SELECT c_custkey, c_name, acctbal, n_orders FROM merged
     """,
 )
 def table_compact_buckets(spark: SparkSession, sf_dir: str) -> SDF:

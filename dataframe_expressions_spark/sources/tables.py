@@ -236,6 +236,68 @@ def _materialize(
     return spark.read.parquet(out)
 
 
+def write_once_parquet(df: SDF, path: str, n_files: int = 8) -> None:
+    """Write-once parquet stage: repartition, land in a pid-suffixed
+    temp dir, rename into place (losers of a concurrent rename race
+    discard their temp) — the _materialize discipline for callers that
+    manage their own path/fingerprint."""
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        return
+    tmp = f"{path}.tmp{os.getpid()}"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_done_marker(path: str) -> None:
+    """Publish a done marker via tmp + rename (atomic on POSIX), so a
+    partially-written marker can never read as done."""
+    import os
+
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write("done")
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.unlink(tmp)
+
+
+def drain_staged_stream(
+    spark: SparkSession,
+    src: str,
+    loop,
+    ckpt: str,
+    max_files_per_trigger: int = 2,
+) -> None:
+    """Run a bounded file-source stream to completion: schema from the
+    staged parquet, ``maxFilesPerTrigger`` micro-batches through
+    ``foreachBatch(loop)``, AvailableNow trigger, checkpoint removed
+    after the drain (the source is bounded and write-once; exactly-once
+    across RE-INVOCATIONS is the caller's marker/batch_id guard, not
+    the checkpoint's).  Shared by every streaming-CDC query so the two
+    exactly-once protocols cannot drift apart (round-11 review)."""
+    import shutil
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src)
+        .writeStream.foreachBatch(loop)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def orders_nested(spark: SparkSession, sf_dir: str) -> SDF:
     """orders ⋈ (lineitem grouped per order as sorted array<struct>).
 
