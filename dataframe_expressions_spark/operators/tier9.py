@@ -31,6 +31,14 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .registry import query
 
+# Store prefixes for the streaming CDC loop, shared with the tests so a
+# version bump can never leave the test validating a stale store from an
+# older query version (round-12 ADVICE: the test hard-coded v1 after the
+# query moved to v2).
+STREAMFEED_TABLE_STEM = "streamfeed_v2"
+STREAMFEED_STAGE_STEM = "feedstage_v2"
+
+
 def _chg_sql(where: str = "") -> str:
     """The per-customer order-revenue change-set CTE shared by this
     tier's oracles — identical to the tier-8 custmerge change set (1/7
@@ -589,14 +597,14 @@ def stream_feed_consume(spark: SparkSession, sf_dir: str) -> SDF:
 
     key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     fp = source_fingerprint(sf_dir, ("events",))
-    prefix = f"spark_graft_table_streamfeed_v2_{key}_"
+    prefix = f"spark_graft_table_{STREAMFEED_TABLE_STEM}_{key}_"
     root = f"{store_root()}/{prefix}{fp}"
     sweep_stale_store_dirs(store_root(), prefix, root)
     up, down = os.path.join(root, "up"), os.path.join(root, "down")
     done = os.path.join(root, "_stream_done")
     if not os.path.exists(done):
         os.makedirs(root, exist_ok=True)
-        stage_prefix = f"spark_graft_feedstage_v2_{key}_"
+        stage_prefix = f"spark_graft_{STREAMFEED_STAGE_STEM}_{key}_"
         src = f"{store_root()}/{stage_prefix}{fp}"
         sweep_stale_store_dirs(store_root(), stage_prefix, src)
         # keyed CDC stream: only the key column is staged (nothing

@@ -849,6 +849,16 @@ def _clear_uncommitted_snapshot(root: str, n: int) -> None:
     snap = os.path.join(root, f"v{n}")
     if os.path.isdir(snap) and not os.path.exists(marker):
         shutil.rmtree(snap, ignore_errors=True)
+        if os.path.isdir(snap):
+            # A partially-failed removal must not fall through: the
+            # caller's `if not os.path.isdir(snap)` would skip ITS write
+            # and attach a fresh marker to this stale orphan — the exact
+            # silent-wrong-data class this helper exists to prevent
+            # (round-12 ADVICE).
+            raise OSError(
+                f"could not clear stale uncommitted snapshot {snap} — "
+                "refusing to risk committing a marker over foreign data"
+            )
 
 
 def commit_bucketed(
@@ -1639,6 +1649,21 @@ def _carried_bucket_stats(
     files.update(
         _collect_bucket_file_stats(root, rewritten_rel_dirs, stats_key)
     )
+    # Every manifest dir must be covered: key_range reads prune by
+    # iterating stats['files'] ONLY, so a base marker with incomplete
+    # file_stats (e.g. a merge committed by code predating the stats
+    # carry) would yield range reads that silently drop rows from
+    # uncovered buckets — fail the commit loudly instead (round-12
+    # ADVICE).
+    covered = {rel.rsplit("/", 1)[0] for rel in files}
+    gap = sorted(set(new_man.values()) - covered)
+    if gap:
+        raise ValueError(
+            f"carried file statistics cover no files in manifest dir(s) "
+            f"{gap} — the base marker's file_stats are incomplete; "
+            "recommit the base with stats (e.g. compact_mor/compact_"
+            "buckets with stats_key) before stats-carrying commits"
+        )
     return {"key": stats_key, "files": files}
 
 

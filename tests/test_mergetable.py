@@ -1632,11 +1632,18 @@ def test_stream_feed_consume_write_once_and_loop_consistency(spark):
         store_root,
     )
 
+    from dataframe_expressions_spark.operators.tier9 import (
+        STREAMFEED_TABLE_STEM,
+    )
+
     q = load_all()["stream_feed_consume"]
     rows1 = sorted(tuple(r) for r in q.fn(spark, SF_SMOKE).collect())
     key = SF_SMOKE.rstrip("/").rsplit("/", 1)[-1]
     fp = source_fingerprint(SF_SMOKE, ("events",))
-    root = f"{store_root()}/spark_graft_table_streamfeed_v1_{key}_{fp}"
+    root = (
+        f"{store_root()}/spark_graft_table_{STREAMFEED_TABLE_STEM}_"
+        f"{key}_{fp}"
+    )
     up, down = os.path.join(root, "up"), os.path.join(root, "down")
     upv, downv = latest_version(up), latest_version(down)
     assert upv >= 1 and downv >= 1
