@@ -32,7 +32,19 @@ commit semantics — ``commit_snapshot_exclusive`` provides them (round
 11): the ``v<n>`` dir rename is the atomic claim locally, the marker is
 published with ``os.link`` (if-absent, unlike rename), and losers retry
 with the next number, so concurrent writers land as consecutive
-versions with no lost update.  On an object store the same loop runs
+versions with no lost COMMIT — both snapshots are durable and
+addressable.  That alone is NOT serializability: a MERGE that lost the
+claim still committed a state derived from a stale base, silently
+omitting the winner's changes from ``latest_version`` — the lost-update
+anomaly.  ``merge_into_bucketed_exclusive`` (round 12) closes it with
+OCC write-set conflict detection: every merge marker records its
+``read_base`` and ``touched_buckets`` write-set; on claim loss the
+writer inspects the intervening commits and either REBASES (write-sets
+disjoint — the merged buckets are still valid, so the new manifest is
+the manifest union: latest manifest overlaid with this writer's
+rewritten buckets; zero recompute) or RE-RUNS the merge from the new
+base (write-sets overlap), aborting with ``MergeConflictError`` only
+after bounded retries.  On an object store the same loop runs
 with the marker PUT carrying the if-absent flag (S3 If-None-Match /
 GCS generation-match 0 / ABFS ETag) — the problem Delta's LogStore /
 commit-coordinator solves, reduced to its retry-loop essence.
@@ -108,6 +120,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "MergeConflictError",
     "bucket_expr",
     "commit_bucketed",
     "commit_meta",
@@ -120,11 +133,19 @@ __all__ = [
     "feed_since",
     "merge_into",
     "merge_into_bucketed",
+    "merge_into_bucketed_exclusive",
     "read_bucketed",
     "read_version",
     "table_changes",
     "vacuum",
 ]
+
+
+class MergeConflictError(RuntimeError):
+    """A concurrent MERGE could not commit: every retry found an
+    intervening commit whose write-set overlaps this writer's.  The
+    table is UNCHANGED by the failed writer (no marker was published) —
+    the caller may re-invoke (fresh retries) or give up."""
 
 
 def latest_version(root: str) -> Optional[int]:
@@ -1071,6 +1092,51 @@ def read_bucketed(
     return df
 
 
+def _cast_source_to_table(
+    spark: SparkSession,
+    root: str,
+    man: Dict[str, str],
+    keys: List[str],
+    source: SDF,
+) -> "tuple[SDF, SDF]":
+    """Cast the source's join-key columns to the TABLE's own schema and
+    return ``(cast source, sample frame)``.  The whole bucketed-layout
+    invariant rests on "bucket(source key) == bucket(table key)" — but
+    Spark's murmur3 is PHYSICAL-type sensitive (hash(42 INT) !=
+    hash(42 BIGINT)), so a source whose key arrived as a narrower type
+    would compute the wrong touched set and then route merged rows into
+    buckets the manifest still references by-path, silently losing them
+    (round-11 review)."""
+    sample = spark.read.parquet(os.path.join(root, next(iter(man.values()))))
+    tdtypes = {f.name: f.dataType for f in sample.schema.fields}
+    for k in keys:
+        source = source.withColumn(k, F.col(k).cast(tdtypes[k]))
+    return source, sample
+
+
+def _touched_buckets(source: SDF, expr: str, keys: List[str]) -> "set[str]":
+    """The source's touched-bucket write-set: one map-side-combined
+    distinct over the derived bucket id (≤ B tiny rows to the driver).
+    NULL buckets (a NULL key under modulo bucketing) are rejected loudly
+    — they would route rows to a bucket no manifest resolves."""
+    touched = sorted(
+        (
+            r.b
+            for r in source.select(F.expr(expr).alias("b"))
+            .distinct()
+            .collect()
+        ),
+        key=lambda b: (b is None, b),
+    )
+    if any(b is None for b in touched):
+        raise ValueError(
+            f"MERGE source key {keys} contains NULLs that bucket to NULL "
+            "under this table's bucket function — coalesce the key or "
+            "rebuild the table with hashed bucketing"
+        )
+    return {str(b) for b in touched}
+
+
 def merge_into_bucketed(
     spark: SparkSession,
     root: str,
@@ -1121,33 +1187,8 @@ def merge_into_bucketed(
             "commit_snapshot"
         )
     keys, expr = list(spec["on"]), spec["expr"]
-    # The whole layout invariant rests on "bucket(source key) ==
-    # bucket(table key)" — but Spark's murmur3 is PHYSICAL-type
-    # sensitive (hash(42 INT) != hash(42 BIGINT)), so a source whose
-    # key arrived as a narrower type would compute the wrong touched
-    # set and then route merged rows into buckets the manifest still
-    # references by-path, silently losing them (round-11 review).
-    # Cast the source key columns to the table's own schema first.
-    sample = spark.read.parquet(os.path.join(root, next(iter(man.values()))))
-    tdtypes = {f.name: f.dataType for f in sample.schema.fields}
-    for k in keys:
-        source = source.withColumn(k, F.col(k).cast(tdtypes[k]))
-    touched = sorted(
-        (
-            r.b
-            for r in source.select(F.expr(expr).alias("b"))
-            .distinct()
-            .collect()
-        ),
-        key=lambda b: (b is None, b),
-    )
-    if any(b is None for b in touched):
-        raise ValueError(
-            f"MERGE source key {keys} contains NULLs that bucket to NULL "
-            "under this table's bucket function — coalesce the key or "
-            "rebuild the table with hashed bucketing"
-        )
-    touched_set = {str(b) for b in touched}
+    source, sample = _cast_source_to_table(spark, root, man, keys, source)
+    touched_set = _touched_buckets(source, expr, keys)
     n_new = base + 1
     # a marker-less orphan at n_new (crashed merge OR crashed
     # compaction) may hold foreign buckets — reusing it would trip the
@@ -1164,7 +1205,7 @@ def merge_into_bucketed(
         # no touched bucket has target data: all-insert merge against an
         # empty target with the table's schema (footer-only read)
         tgt = sample.limit(0)
-    if touched:
+    if touched_set:
         merged = merge_into(
             tgt,
             source,
@@ -1691,8 +1732,15 @@ def commit_snapshot_exclusive(
 
     Two writers racing the same next version therefore both land, as
     ``v_n`` and ``v_{n+1}``, each marker describing its own writer's
-    data — no lost update (tested with genuinely concurrent writers in
-    tests/test_mergetable.py).  Crash windows are the same as
+    data — no lost COMMIT (tested with genuinely concurrent writers in
+    tests/test_mergetable.py).  NOTE this is snapshot durability, not
+    table-level serializability: the ``v_{n+1}`` writer derived its
+    snapshot without seeing ``v_n``'s changes, so a reader of the
+    latest version sees only the later writer's view.  Writers whose
+    snapshots are DERIVED from the table (MERGE) and need lost-update
+    prevention must use ``merge_into_bucketed_exclusive``, which adds
+    OCC write-set conflict detection on top of this claim loop.  Crash
+    windows are the same as
     ``commit_snapshot``: before the rename, an invisible temp; between
     rename and marker, an invisible orphan swept by vacuum's
     superseded-version horizon.
@@ -1746,3 +1794,265 @@ def commit_snapshot_exclusive(
         )
     os.unlink(mtmp)
     return n
+
+
+# ---------------------------------------------------------------------------
+# OCC concurrent MERGE (round 12, r11 VERDICT item 1)
+# ---------------------------------------------------------------------------
+
+
+def _await_commit_meta(root: str, m: int, timeout: float) -> dict:
+    """Metadata of version ``m``, waiting for its marker when the
+    ``v<m>`` dir is claimed but the marker not yet published (the
+    claim→marker window of a LIVE concurrent writer is milliseconds).
+    A writer that died inside that window never publishes — after
+    ``timeout`` this raises loudly; vacuum's superseded-version horizon
+    eventually sweeps the orphan, after which retrying works."""
+    import time
+
+    deadline = time.time() + timeout
+    while True:
+        try:
+            return commit_meta(root, m)
+        except (FileNotFoundError, json.JSONDecodeError):
+            if time.time() >= deadline:
+                raise TimeoutError(
+                    f"version {m} of {root} is claimed but its marker "
+                    f"did not appear within {timeout}s — a concurrent "
+                    "writer likely died between claim and publish; "
+                    "vacuum will sweep the orphan once superseded"
+                )
+            time.sleep(0.05)
+
+
+def merge_into_bucketed_exclusive(
+    spark: SparkSession,
+    root: str,
+    source: SDF,
+    matched_update: Dict[str, str],
+    not_matched_insert: Dict[str, str],
+    meta: Optional[dict] = None,
+    strict_source_keys: bool = False,
+    matched_delete: Optional[str] = None,
+    max_retries: int = 5,
+    marker_timeout: float = 30.0,
+) -> int:
+    """MULTI-WRITER bucket-scoped MERGE with OCC write-set conflict
+    detection (round 12, r11 VERDICT item 1) — the lost-update fix for
+    concurrent MERGEs that ``commit_snapshot_exclusive`` alone cannot
+    provide (it sequences snapshots durably, but a merge that lost the
+    claim still derived its state from a stale base).
+
+    Protocol, per attempt:
+
+    1. read ``base = latest_version`` and compute the merge against
+       base's touched buckets, writing the rewritten buckets to a
+       writer-private temp dir (clauses and layout identical to
+       ``merge_into_bucketed``);
+    2. claim the next version by atomic ``os.rename`` of the temp to
+       ``v<n>`` (POSIX rename onto an existing dir fails = if-absent);
+    3. on claim loss at ``n``, read the INTERVENING commit's marker
+       (awaiting it briefly if the rival is mid-publish) and compare
+       write-sets: its recorded ``touched_buckets`` (merges) /
+       ``compacted_buckets`` (compactions) against ours —
+
+       * DISJOINT and same bucket spec → REBASE: our rewritten buckets
+         are still valid (the rival provably did not modify them — its
+         manifest carries them by reference, immutable files), so
+         adopt the rival's manifest as the new base manifest, advance
+         ``n``, and retry the claim.  Zero recompute, zero rewrite —
+         for bucketed tables the rebase is a manifest union;
+       * OVERLAPPING (or a write-set-less commit kind, or a changed
+         bucket spec: conservative) → ABORT-AND-RETRY: discard the
+         temp and re-run the whole merge from the new latest version,
+         up to ``max_retries`` times, then raise ``MergeConflictError``
+         (the table is never corrupted — no marker was published);
+
+    4. publish the marker if-absent (``os.link``), recording
+       ``read_base`` (the version the merge was computed from),
+       ``base_version`` (the version it chains after) and
+       ``touched_buckets`` (this writer's write-set, which is what
+       future rivals check against).
+
+    This is Delta/Iceberg OCC reduced to its essence: optimistic
+    execution, conflict detection on logical write-sets at commit time,
+    cheap rebase when the physical work is still valid.  Both writers'
+    changes are present in the final latest version whenever commits
+    succeed — the "no lost update" claim at TABLE semantics level,
+    tested with genuinely concurrent writers in
+    tests/test_mergetable.py.
+
+    Scale: a rebase costs one marker read + one rename retry (no data
+    touched) — so N concurrent merges over disjoint bucket sets, the
+    common case for partitioned ingest, serialize with N-1 rebases and
+    exactly N bucket rewrites total.  Recompute is paid only on true
+    overlap, where it is the price of correctness.
+
+    Returns the committed version number."""
+    import threading
+
+    attempts = 0
+    while True:
+        base = latest_version(root)
+        if base is None:
+            raise FileNotFoundError(f"no committed version under {root}")
+        bmeta = commit_meta(root, base)
+        man, spec = bmeta.get("manifest"), bmeta.get("bucket")
+        if not man or not spec:
+            raise ValueError(
+                f"version {base} of {root} is not bucketed — use "
+                "merge_into + commit_snapshot_exclusive"
+            )
+        keys, expr = list(spec["on"]), spec["expr"]
+        src, sample = _cast_source_to_table(spark, root, man, keys, source)
+        touched_set = _touched_buckets(src, expr, keys)
+        tgt_paths = [
+            os.path.join(root, man[b])
+            for b in sorted(touched_set & set(man))
+        ]
+        tgt = spark.read.parquet(*tgt_paths) if tgt_paths else sample.limit(0)
+        merged = merge_into(
+            tgt,
+            src,
+            on=keys if len(keys) > 1 else keys[0],
+            matched_update=matched_update,
+            not_matched_insert=not_matched_insert,
+            strict_source_keys=strict_source_keys,
+            matched_delete=matched_delete,
+        )
+        tmp = os.path.join(
+            root,
+            f".tmpm{os.getpid()}-{threading.get_ident()}-{base}-{attempts}",
+        )
+        shaped = merged.withColumn(_BUCKET_COL, F.expr(expr)).repartition(
+            F.col(_BUCKET_COL)
+        )
+        if spec.get("stats_key"):
+            shaped = shaped.sortWithinPartitions(
+                _BUCKET_COL, spec["stats_key"]
+            )
+        shaped.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(tmp)
+        written_names = {
+            x.split("=", 1)[1]
+            for x in os.listdir(tmp)
+            if x.startswith(f"{_BUCKET_COL}=")
+        }
+        stray = sorted(written_names - touched_set)
+        if stray:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ValueError(
+                f"bucketed MERGE produced rows in untouched bucket(s) "
+                f"{stray} — bucket function/type drift; commit aborted "
+                "before the claim"
+            )
+        claimed = _claim_merge_version(
+            root, base, bmeta, touched_set, spec, tmp, marker_timeout
+        )
+        if claimed is None:
+            attempts += 1
+            if attempts > max_retries:
+                raise MergeConflictError(
+                    f"concurrent MERGE on {root} aborted after "
+                    f"{max_retries} retries: every attempt found an "
+                    "intervening commit whose write-set overlaps "
+                    f"{sorted(touched_set)}"
+                )
+            continue
+        n, newest_meta = claimed
+        base_man = newest_meta["manifest"]
+        written = _manifest_from_snapshot(root, n)
+        new_man = {
+            b: rel for b, rel in base_man.items() if b not in touched_set
+        }
+        new_man.update(written)
+        payload = {
+            "manifest": new_man,
+            "bucket": spec,
+            "base_version": n - 1,
+            "read_base": base,
+            "touched_buckets": sorted(touched_set),
+            **(meta or {}),
+        }
+        if spec.get("stats_key"):
+            payload["file_stats"] = _carried_bucket_stats(
+                root,
+                newest_meta,
+                new_man,
+                sorted(written.values()),
+                spec["stats_key"],
+            )
+        marker = os.path.join(root, "_commits", str(n))
+        mtmp = f"{marker}.tmpm{os.getpid()}-{threading.get_ident()}"
+        with open(mtmp, "w") as fh:
+            fh.write(_marker_json(n, payload))
+        try:
+            os.link(mtmp, marker)  # atomic if-absent publish
+        except FileExistsError:
+            os.unlink(mtmp)
+            raise RuntimeError(
+                f"commit protocol violation: marker {n} appeared under "
+                f"a snapshot owned by this writer in {root}"
+            )
+        os.unlink(mtmp)
+        return n
+
+
+def _claim_merge_version(
+    root: str,
+    base: int,
+    bmeta: dict,
+    touched_set: "set[str]",
+    spec: dict,
+    tmp: str,
+    marker_timeout: float,
+):
+    """The OCC claim loop: rename ``tmp`` to the first free ``v<n>``
+    above ``base``, checking every intervening commit's write-set for
+    overlap with ``touched_set`` along the way.  Returns ``(n,
+    newest_intervening_meta)`` on success (``newest_intervening_meta``
+    is ``bmeta`` when nothing intervened — it supplies the manifest the
+    commit rebases onto), or ``None`` on a write-set conflict (``tmp``
+    removed; caller recomputes from the new base).  A rival whose
+    bucket spec differs from ours raises — retrying cannot help, and
+    committing would corrupt the layout."""
+    commits_dir = os.path.join(root, "_commits")
+    newest_meta = bmeta
+    n = base + 1
+    while True:
+        snap = os.path.join(root, f"v{n}")
+        marker = os.path.join(commits_dir, str(n))
+        if not (os.path.isdir(snap) or os.path.exists(marker)):
+            try:
+                os.rename(tmp, snap)
+                return n, newest_meta
+            except OSError:
+                if not (
+                    os.path.isdir(snap) or os.path.exists(marker)
+                ):
+                    # real rename failure, not a lost race
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    raise
+                # lost the claim: fall through and check version n
+        m_meta = _await_commit_meta(root, n, marker_timeout)
+        rival_spec = m_meta.get("bucket") or {}
+        if rival_spec.get("expr") != spec["expr"]:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ValueError(
+                f"concurrent commit {n} on {root} changed the bucket "
+                "spec — OCC merge cannot proceed against a re-bucketed "
+                "table"
+            )
+        ws = m_meta.get("touched_buckets")
+        if ws is None:
+            ws = m_meta.get("compacted_buckets")
+        if (
+            ws is None
+            or set(ws) & touched_set
+            or m_meta.get("manifest") is None
+        ):
+            # overlapping write-set, or a commit kind that records none
+            # (full rewrite, unknown): conservative conflict
+            shutil.rmtree(tmp, ignore_errors=True)
+            return None
+        newest_meta = m_meta
+        n += 1

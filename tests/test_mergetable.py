@@ -1651,3 +1651,249 @@ def test_stream_feed_consume_write_once_and_loop_consistency(spark):
     rows2 = sorted(tuple(r) for r in q.fn(spark, SF_SMOKE).collect())
     assert rows2 == rows1
     assert latest_version(up) == upv and latest_version(down) == downv
+
+
+# ---------------------------------------------------------------------------
+# OCC concurrent MERGE (round 12, r11 VERDICT item 1)
+# ---------------------------------------------------------------------------
+
+
+def _mk_occ_base(spark, root, nb=8, n_keys=40):
+    """v0: a modulo-bucketed ledger of n_keys zeroed accounts."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(k, 0.0) for k in range(n_keys)], "k long, val double"
+    )
+    commit_bucketed(df, root, 0, on="k", n_buckets=nb, hashed=False)
+
+
+def _occ_chg(spark, keys, amt):
+    return spark.createDataFrame(
+        [(k, float(amt)) for k in keys], "k long, amt double"
+    )
+
+
+_OCC_CLAUSES = dict(
+    matched_update={"val": "t.val + s.amt"},
+    not_matched_insert={"val": "s.amt"},
+)
+
+
+def test_occ_merge_rebase_on_disjoint_intervening(spark, tmp_path,
+                                                  monkeypatch):
+    """An intervening commit with a DISJOINT write-set triggers the
+    REBASE path: the OCC writer's already-written buckets are adopted
+    onto the rival's manifest (zero recompute), both writers' changes
+    are present in the final latest version, and the marker records the
+    stale read_base alongside the rebased base_version."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    _mk_occ_base(spark, root)
+    fired = {"n": 0}
+    orig = mt._claim_merge_version
+
+    def hooked(root_, base, bmeta, touched, spec, tmp, timeout):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # rival lands AFTER our merge computed, BEFORE our claim:
+            # keys {1, 9} = bucket 1, disjoint from ours (bucket 0)
+            mt.merge_into_bucketed(
+                spark, root_, _occ_chg(spark, [1, 9], 7.0), **_OCC_CLAUSES
+            )
+        return orig(root_, base, bmeta, touched, spec, tmp, timeout)
+
+    monkeypatch.setattr(mt, "_claim_merge_version", hooked)
+    n = mt.merge_into_bucketed_exclusive(
+        spark, root, _occ_chg(spark, [0, 8], 5.0), **_OCC_CLAUSES
+    )
+    assert n == 2 and fired["n"] == 1
+    meta = mt.commit_meta(root, 2)
+    assert meta["read_base"] == 0  # computed from the stale base...
+    assert meta["base_version"] == 1  # ...rebased onto the rival
+    assert meta["touched_buckets"] == ["0"]
+    got = {
+        r.k: r.val
+        for r in mt.read_bucketed(spark, root).collect()
+        if r.val != 0.0
+    }
+    assert got == {0: 5.0, 8: 5.0, 1: 7.0, 9: 7.0}  # no lost update
+
+
+def test_occ_merge_recompute_on_overlap(spark, tmp_path, monkeypatch):
+    """An intervening commit whose write-set OVERLAPS forces
+    abort-and-retry: the merge re-runs from the new base, so additive
+    updates from BOTH writers compose in the final state."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    _mk_occ_base(spark, root)
+    fired = {"n": 0}
+    orig = mt._claim_merge_version
+
+    def hooked(root_, base, bmeta, touched, spec, tmp, timeout):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # rival touches bucket 0 TOO (key 8), same keys as ours
+            mt.merge_into_bucketed(
+                spark, root_, _occ_chg(spark, [8], 7.0), **_OCC_CLAUSES
+            )
+        return orig(root_, base, bmeta, touched, spec, tmp, timeout)
+
+    monkeypatch.setattr(mt, "_claim_merge_version", hooked)
+    n = mt.merge_into_bucketed_exclusive(
+        spark, root, _occ_chg(spark, [0, 8], 5.0), **_OCC_CLAUSES
+    )
+    assert n == 2 and fired["n"] == 1
+    meta = mt.commit_meta(root, 2)
+    assert meta["read_base"] == 1  # recomputed from the rival's commit
+    got = {
+        r.k: r.val
+        for r in mt.read_bucketed(spark, root).collect()
+        if r.val != 0.0
+    }
+    assert got == {0: 5.0, 8: 12.0}  # 7 (rival) + 5 (ours) composed
+    # no leftover writer-private temp dirs
+    assert not [x for x in os.listdir(root) if x.startswith(".tmpm")]
+
+
+def test_occ_merge_conflict_exhaustion_and_writesetless_rival(
+    spark, tmp_path, monkeypatch
+):
+    """A rival that overlaps on EVERY attempt exhausts max_retries into
+    MergeConflictError with the table unchanged by the loser; a rival
+    commit kind that records no write-set (full bucketed rewrite) is a
+    conservative conflict that a retry then absorbs."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+    from dataframe_expressions_spark.sources.mergetable import (
+        MergeConflictError,
+    )
+
+    root = str(tmp_path / "tbl")
+    _mk_occ_base(spark, root)
+    orig = mt._claim_merge_version
+
+    def always_rival(root_, base, bmeta, touched, spec, tmp, timeout):
+        mt.merge_into_bucketed(
+            spark, root_, _occ_chg(spark, [0], 1.0), **_OCC_CLAUSES
+        )
+        return orig(root_, base, bmeta, touched, spec, tmp, timeout)
+
+    monkeypatch.setattr(mt, "_claim_merge_version", always_rival)
+    with pytest.raises(MergeConflictError):
+        mt.merge_into_bucketed_exclusive(
+            spark,
+            root,
+            _occ_chg(spark, [0, 8], 5.0),
+            max_retries=1,
+            **_OCC_CLAUSES,
+        )
+    v_after = mt.latest_version(root)
+    got = {
+        r.k: r.val
+        for r in mt.read_bucketed(spark, root).collect()
+        if r.val != 0.0
+    }
+    assert got == {0: 2.0}  # two rival commits, loser left no trace
+    assert not [x for x in os.listdir(root) if x.startswith(".tmpm")]
+
+    # write-set-less rival: a full commit_bucketed rewrite at the next
+    # version — first attempt conflicts conservatively, retry succeeds
+    fired = {"n": 0}
+
+    def full_rewrite_rival(root_, base, bmeta, touched, spec, tmp, timeout):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            cur = mt.read_bucketed(spark, root_)
+            mt.commit_bucketed(
+                cur, root_, mt.latest_version(root_) + 1, on="k",
+                n_buckets=8, hashed=False,
+            )
+        return orig(root_, base, bmeta, touched, spec, tmp, timeout)
+
+    monkeypatch.setattr(mt, "_claim_merge_version", full_rewrite_rival)
+    n = mt.merge_into_bucketed_exclusive(
+        spark, root, _occ_chg(spark, [0, 8], 5.0), **_OCC_CLAUSES
+    )
+    assert n == v_after + 2 and fired["n"] == 1
+    got = {
+        r.k: r.val
+        for r in mt.read_bucketed(spark, root).collect()
+        if r.val != 0.0
+    }
+    assert got == {0: 7.0, 8: 5.0}
+
+
+def test_occ_merge_rejects_rebucketed_rival(spark, tmp_path, monkeypatch):
+    """A rival that changed the bucket SPEC is never rebased onto and
+    never retried against — OCC merge raises, table intact."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    _mk_occ_base(spark, root, nb=8)
+    orig = mt._claim_merge_version
+    fired = {"n": 0}
+
+    def rebucket_rival(root_, base, bmeta, touched, spec, tmp, timeout):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            cur = mt.read_bucketed(spark, root_)
+            mt.commit_bucketed(
+                cur, root_, mt.latest_version(root_) + 1, on="k",
+                n_buckets=4, hashed=False,
+            )
+        return orig(root_, base, bmeta, touched, spec, tmp, timeout)
+
+    monkeypatch.setattr(mt, "_claim_merge_version", rebucket_rival)
+    with pytest.raises(ValueError, match="bucket spec"):
+        mt.merge_into_bucketed_exclusive(
+            spark, root, _occ_chg(spark, [0], 5.0), **_OCC_CLAUSES
+        )
+    assert not [x for x in os.listdir(root) if x.startswith(".tmpm")]
+
+
+def test_occ_merge_genuinely_concurrent_writers(spark, tmp_path):
+    """Two OCC merges with disjoint bucket write-sets run in genuinely
+    concurrent threads: both MUST commit (consecutive versions) and the
+    final latest version carries BOTH writers' changes — the
+    table-semantics no-lost-update claim, end-to-end."""
+    import threading
+
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    _mk_occ_base(spark, root)
+    results, errors = {}, []
+    barrier = threading.Barrier(2)
+
+    def writer(tag, keys, amt):
+        try:
+            chg = _occ_chg(spark, keys, amt)
+            barrier.wait(timeout=120)
+            results[tag] = mt.merge_into_bucketed_exclusive(
+                spark, root, chg, meta={"writer": tag}, **_OCC_CLAUSES
+            )
+        except Exception as e:  # noqa: BLE001 - surfaced via the assert
+            errors.append((tag, repr(e)))
+
+    threads = [
+        threading.Thread(target=writer, args=("a", [0, 8, 16], 5.0)),
+        threading.Thread(target=writer, args=("b", [1, 9, 17], 7.0)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert sorted(results.values()) == [1, 2], results
+    got = {
+        r.k: r.val
+        for r in mt.read_bucketed(spark, root).collect()
+        if r.val != 0.0
+    }
+    assert got == {0: 5.0, 8: 5.0, 16: 5.0, 1: 7.0, 9: 7.0, 17: 7.0}
+    for tag, n in results.items():
+        assert mt.commit_meta(root, n)["writer"] == tag
