@@ -758,6 +758,126 @@ def table_bucketed_delete(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# multi-column data skipping
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_multicol_skipping",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_custkey BETWEEN 40 AND 119
+      AND date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+            BETWEEN 1096 AND 1460
+    GROUP BY o_orderpriority
+    """,
+)
+def table_multicol_skipping(spark: SparkSession, sf_dir: str) -> SDF:
+    """MULTI-COLUMN FILE STATISTICS + Z-ORDER LAYOUT in the table
+    format (round 12, r11 VERDICT item 4): orders is committed with
+    ``zorder_by=(o_custkey, o_day)`` — the snapshot range-partitioned
+    and sorted on the Morton bit-interleave of the pair, the
+    sink_zorder layout moved INTO the commit protocol — and
+    ``stats_cols`` recording per-file footer min/max for BOTH columns
+    in the commit marker.  ``read_version(ranges={...})`` then prunes
+    files on the CONJUNCTION of a customer-range and a date-range
+    predicate from one driver-side JSON read, with both predicates also
+    pushed to the surviving files' row groups.  Oracle = the same
+    2-predicate filter on the original table, so a wrongly-pruned file
+    (dropped matching rows) or a leaked row hash-mismatches;
+    per-dimension inputFiles() proper-subset is asserted in
+    tests/test_mergetable.py.
+
+    Scale: a single-key sort keeps exact stats for the second column
+    too, but every file spans that column's whole domain — only the
+    Z-order interleave makes BOTH dimensions' per-file ranges tight, so
+    a 2-d predicate at 100 TB touches O(matching cells) files instead
+    of a full stripe per constrained key.  The stats read stays one
+    marker get; no file listing, no footer fetches at read time."""
+    from ..sources.mergetable import (
+        commit_snapshot,
+        latest_version,
+        read_version,
+    )
+
+    root = _table_root(sf_dir, "ordzord_v1", tables=("orders",))
+    if latest_version(root) is None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderdate",
+            "o_totalprice",
+            "o_orderpriority",
+        ).withColumn(
+            "o_day", F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        )
+        commit_snapshot(
+            orders,
+            root,
+            0,
+            meta={"op": "create"},
+            n_files=16,
+            stats_cols=["o_custkey", "o_day"],
+            zorder_by=("o_custkey", "o_day"),
+        )
+    back = read_version(
+        spark, root, ranges={"o_custkey": (40, 119), "o_day": (1096, 1460)}
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# timestamp time travel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_time_travel_ts",
+    """
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer WHERE c_acctbal > 0
+    """,
+)
+def table_time_travel_ts(spark: SparkSession, sf_dir: str) -> SDF:
+    """TIMESTAMP TIME TRAVEL (round 12, r11 VERDICT item 3): read the
+    merge table AS OF the wall-clock instant of the v0 commit — between
+    two committed versions by TIMESTAMP, not version number — via
+    ``read_version(root, as_of=ts)``, which resolves the newest commit
+    marker whose ``committed_at`` is <= ts (Delta's ``timestampAsOf``
+    on the commit log).  The probe timestamp is read from v0's own
+    marker, and the query asserts the inter-commit ordering it relies
+    on (v1's stamp strictly later), so the resolution is deterministic
+    for any committed store.  Oracle = the version-pinned v0 definition
+    (the pre-merge customer dim), positive balances only — so resolving
+    to the wrong side of the boundary hash-mismatches.
+
+    Scale: resolution is one driver-side marker listing + JSON reads —
+    no data file is touched until the resolved snapshot's ordinary
+    pruned parquet scan.  Clock-skew caveat (documented in
+    ``version_as_of``, same as Delta): ``committed_at`` comes from each
+    committing writer's clock; version numbers remain the authoritative
+    history when multi-writer skew exceeds the inter-commit gap."""
+    from ..sources.mergetable import commit_meta, read_version
+    from .tier8 import _ensure_merge_table
+
+    root = _ensure_merge_table(spark, sf_dir)
+    ts0 = commit_meta(root, 0)["committed_at"]
+    ts1 = commit_meta(root, 1)["committed_at"]
+    assert ts1 > ts0, (ts0, ts1)  # markers are stamped sequentially
+    v0 = read_version(spark, root, as_of=ts0)
+    return v0.where(F.col("acctbal") > 0).select(
+        "c_custkey", "c_name", "acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
 # OCC concurrent MERGE
 # ---------------------------------------------------------------------------
 

@@ -138,6 +138,7 @@ __all__ = [
     "read_version",
     "table_changes",
     "vacuum",
+    "version_as_of",
 ]
 
 
@@ -167,14 +168,71 @@ def latest_version(root: str) -> Optional[int]:
     return best
 
 
+def _marker_committed_at(root: str, m: int) -> float:
+    """Commit wall-clock of version ``m``: the marker's ``committed_at``
+    field, falling back to the marker file's own mtime for markers
+    predating the field.  ``inf`` when the marker vanished under a
+    racing vacuum (treat as young / unresolvable)."""
+    try:
+        meta = commit_meta(root, m)
+        if isinstance(meta.get("committed_at"), (int, float)):
+            return float(meta["committed_at"])
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    try:
+        return os.path.getmtime(os.path.join(root, "_commits", str(m)))
+    except OSError:
+        return float("inf")
+
+
+def version_as_of(root: str, ts) -> int:
+    """TIMESTAMP TIME TRAVEL resolution (round 12, r11 VERDICT item 3):
+    the newest committed version whose ``committed_at`` is <= ``ts`` —
+    Delta's ``timestampAsOf`` on the commit log.  ``ts`` is epoch
+    seconds (or anything with ``.timestamp()``, e.g. a ``datetime``).
+
+    Clock-skew caveat (documented, not solved — same as Delta):
+    ``committed_at`` is stamped by each COMMITTING WRITER's clock, so
+    with multi-writer skew larger than the inter-commit gap the
+    timestamp order can disagree with the version order; version-number
+    reads are the authoritative history.  Resolution is one driver-side
+    listing + marker reads — no data touched."""
+    if hasattr(ts, "timestamp"):
+        ts = ts.timestamp()
+    commits_dir = os.path.join(root, "_commits")
+    if not os.path.isdir(commits_dir):
+        raise FileNotFoundError(f"no committed version under {root}")
+    committed = sorted(
+        int(x)
+        for x in os.listdir(commits_dir)
+        if x.isdigit() and os.path.isdir(os.path.join(root, f"v{int(x)}"))
+    )
+    best = None
+    for m in committed:
+        if _marker_committed_at(root, m) <= ts:
+            best = m  # committed ascending: keep the newest qualifying
+    if best is None:
+        raise ValueError(
+            f"no version of {root} was committed at or before "
+            f"timestamp {ts} (earliest commit is "
+            f"{_marker_committed_at(root, committed[0]) if committed else None})"
+        )
+    return best
+
+
 def read_version(
     spark: SparkSession,
     root: str,
     n: Optional[int] = None,
     key_range: Optional["tuple"] = None,
+    as_of=None,
+    ranges: Optional[dict] = None,
 ) -> SDF:
     """Snapshot read-back: version ``n``, or the latest committed one.
-    Time travel = pass an older committed ``n``.
+    Time travel = pass an older committed ``n``, or ``as_of=<epoch
+    seconds | datetime>`` to resolve the version by commit TIMESTAMP
+    (``version_as_of`` — Delta's ``timestampAsOf``); passing both is a
+    contradiction and raises.
 
     ``key_range=(lo, hi)`` (inclusive) enables DATA SKIPPING (round 11,
     r10 VERDICT item 3): when the version was committed with
@@ -185,7 +243,28 @@ def read_version(
     The key predicate is ALSO applied as a normal filter (and pushed to
     the parquet row groups of the surviving files), so results are exact
     whether or not stats exist; files with NULL-only or missing stats
-    are conservatively kept."""
+    are conservatively kept.
+
+    ``ranges={col: (lo, hi), ...}`` (round 12) is the MULTI-COLUMN
+    generalization: when the version was committed with ``stats_cols``,
+    files are pruned on the CONJUNCTION of the inclusive range
+    predicates — a file survives only if EVERY constrained column's
+    recorded [min, max] overlaps its range — and each predicate is also
+    applied as a residual pushed filter.  With a ``zorder_by`` write
+    layout both dimensions prune selectively (inputFiles
+    proper-subset-per-dimension is asserted in tests).  ``ranges`` and
+    ``key_range`` are alternative stats families; passing both
+    raises."""
+    if ranges and key_range:
+        raise ValueError(
+            "read_version takes ranges= or key_range=, not both"
+        )
+    if as_of is not None:
+        if n is not None:
+            raise ValueError(
+                "read_version takes n= or as_of=, not both"
+            )
+        n = version_as_of(root, as_of)
     if n is None:
         n = latest_version(root)
     if n is None:
@@ -206,9 +285,9 @@ def read_version(
         # NULL = NULL, so a NULL-key row selected by DELETE WHERE would
         # silently survive — merge_into pairs keys null-safely and this
         # path must too).
-        base = read_version(spark, root, meta["mor_base"], key_range).alias(
-            "b"
-        )
+        base = read_version(
+            spark, root, meta["mor_base"], key_range, ranges=ranges
+        ).alias("b")
         dels = spark.read.parquet(
             os.path.join(root, meta["delete_rel"])
         ).alias("d")
@@ -220,6 +299,49 @@ def read_version(
             ],
         )
         return base.join(F.broadcast(dels), cond, "left_anti")
+    if ranges:
+        stats_c = meta.get("file_stats_cols")
+        if not stats_c:
+            raise ValueError(
+                f"version {n} of {root} has no multi-column file "
+                "statistics — commit with stats_cols= to enable ranges "
+                "reads"
+            )
+        unknown = sorted(set(ranges) - set(stats_c["cols"]))
+        if unknown:
+            raise ValueError(
+                f"ranges constrain column(s) {unknown} with no recorded "
+                f"statistics (recorded: {stats_c['cols']})"
+            )
+        for c, (lo, hi) in ranges.items():
+            first = next(
+                (
+                    per.get(c)
+                    for per in stats_c["files"].values()
+                    if per and per.get(c) is not None
+                ),
+                None,
+            )
+            if first is not None:
+                _check_range_types(
+                    {"key": c, "files": {"_": first}}, lo, hi, (lo, hi)
+                )
+        keep = []
+        for rel, per_col in stats_c["files"].items():
+            ok = True
+            for c, (lo, hi) in ranges.items():
+                mm = (per_col or {}).get(c)
+                if mm is not None and (mm[1] < lo or mm[0] > hi):
+                    ok = False
+                    break
+            if ok:
+                keep.append(os.path.join(root, rel))
+        if not keep:
+            return spark.read.parquet(snap).limit(0)
+        df = spark.read.parquet(*keep)
+        for c, (lo, hi) in ranges.items():
+            df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
+        return df
     if key_range is None:
         return spark.read.parquet(snap)
     stats = meta.get("file_stats")
@@ -312,10 +434,33 @@ def _marker_json(n: int, payload: Optional[dict]) -> str:
     )
 
 
-def _shape_for_write(df: SDF, n_files: int, stats_key: Optional[str]) -> SDF:
+def _shape_for_write(
+    df: SDF,
+    n_files: int,
+    stats_key: Optional[str],
+    zorder_by: Optional[Sequence[str]] = None,
+) -> SDF:
     """Snapshot write layout, shared by both commit paths: range
     partition + sort on the stats key (disjoint per-file ranges — what
-    makes min/max skipping selective), plain repartition otherwise."""
+    makes min/max skipping selective); or Z-ORDER on a column PAIR
+    (round 12) — range partition + sort on the Morton bit-interleave of
+    the two columns, so per-file min/max stay tight on BOTH dimensions
+    at once (the sink_zorder layout moved into the table format; a
+    single-key sort helps only its own key); plain repartition
+    otherwise."""
+    if zorder_by:
+        if len(zorder_by) != 2:
+            raise ValueError("zorder_by takes exactly two columns")
+        if stats_key:
+            raise ValueError("zorder_by and stats_key are exclusive layouts")
+        z = _morton2(F.col(zorder_by[0]), F.col(zorder_by[1]))
+        zc = "_mt_zval"
+        return (
+            df.withColumn(zc, z)
+            .repartitionByRange(n_files, F.col(zc))
+            .sortWithinPartitions(zc)
+            .drop(zc)
+        )
     if stats_key:
         return df.repartitionByRange(
             n_files, F.col(stats_key)
@@ -323,17 +468,54 @@ def _shape_for_write(df: SDF, n_files: int, stats_key: Optional[str]) -> SDF:
     return df.repartition(n_files)
 
 
+def _morton2(a, b):
+    """32-bit Morton code of two integer columns' low 16 bits — pure
+    JVM shift/mask arithmetic (stays in whole-stage codegen, no UDF).
+    Callers must map each dimension into the 0..65535 domain first
+    (e.g. epoch-day offsets, bounded ids) — bits above 16 are masked
+    off, which degrades selectivity, never correctness (stats pruning
+    is advisory; residual predicates always apply)."""
+
+    def _spread16(col):
+        x = col.cast("long").bitwiseAND(F.lit(0xFFFF))
+        x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+        x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+        return x
+
+    return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1))
+
+
 def _stats_payload(
-    root: str, n: int, stats_key: Optional[str], meta: Optional[dict]
+    root: str,
+    n: int,
+    stats_key: Optional[str],
+    meta: Optional[dict],
+    stats_cols: Optional[Sequence[str]] = None,
 ) -> dict:
     """Marker payload = caller metadata plus (when requested) the
-    per-file footer statistics — shared by both commit paths."""
+    per-file footer statistics — shared by both commit paths.
+    ``stats_cols`` records MULTI-column per-file min/max (round 12,
+    r11 VERDICT item 4) under ``file_stats_cols``; one footer pass
+    collects every requested column."""
     payload = dict(meta or {})
     if stats_key:
         payload["file_stats"] = {
             "key": stats_key,
             "files": _collect_file_stats(root, n, stats_key),
         }
+    if stats_cols:
+        cols = list(stats_cols)
+        snap = os.path.join(root, f"v{n}")
+        files = {
+            f"v{n}/{fname}": _file_minmax_multi(
+                os.path.join(snap, fname), cols
+            )
+            for fname in sorted(os.listdir(snap))
+            if fname.endswith(".parquet")
+        }
+        payload["file_stats_cols"] = {"cols": cols, "files": files}
     return payload
 
 
@@ -405,6 +587,44 @@ def _file_minmax(path: str, key: str) -> "Optional[list]":
     return [lo, hi] if lo is not None and hi is not None else None
 
 
+def _file_minmax_multi(path: str, cols: Sequence[str]) -> dict:
+    """Per-column footer ``[min, max]`` for one parquet file over a
+    column LIST — one metadata read collecting every requested column
+    (``_file_minmax``'s contract per column: ``None`` for unusable
+    stats, kept conservatively by readers)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    acc: dict = {c: ([], []) for c in cols}
+    for rg in range(md.num_row_groups):
+        grp = md.row_group(rg)
+        by_path = {}
+        for ci in range(grp.num_columns):
+            col = grp.column(ci)
+            if col.path_in_schema in acc:
+                by_path[col.path_in_schema] = col.statistics
+        for c in cols:
+            if acc[c] is None:
+                continue
+            st = by_path.get(c)
+            if st is None or not st.has_min_max:
+                acc[c] = None
+                continue
+            try:
+                acc[c][0].append(st.min)
+                acc[c][1].append(st.max)
+            except Exception:  # noqa: BLE001 — unextractable stats
+                acc[c] = None
+    out = {}
+    for c in cols:
+        if acc[c] is None or not acc[c][0]:
+            out[c] = None
+            continue
+        lo, hi = _jsonable(min(acc[c][0])), _jsonable(max(acc[c][1]))
+        out[c] = [lo, hi] if lo is not None and hi is not None else None
+    return out
+
+
 def _collect_bucket_file_stats(
     root: str, rel_dirs: "Sequence[str]", key: str
 ) -> Dict[str, list]:
@@ -425,7 +645,9 @@ def _collect_bucket_file_stats(
 
 def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
                     n_files: int = 8,
-                    stats_key: Optional[str] = None) -> None:
+                    stats_key: Optional[str] = None,
+                    stats_cols: Optional[Sequence[str]] = None,
+                    zorder_by: Optional[Sequence[str]] = None) -> None:
     """Publish ``df`` as version ``n``: temp-write + rename the snapshot,
     THEN temp-write + rename the marker (the ordering is the crash
     safety: a marker never points at a missing snapshot).  Loser of a
@@ -438,7 +660,18 @@ def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
     ``read_version(key_range=...)`` then prunes files before the scan.
     At 100 TB this is the difference between listing/scanning the whole
     snapshot and touching only the k files a key predicate can match;
-    the stats collection itself reads footers only."""
+    the stats collection itself reads footers only.
+
+    MULTI-COLUMN statistics (round 12, r11 VERDICT item 4):
+    ``stats_cols=[c1, c2, ...]`` records per-file footer min/max for
+    EVERY listed column under the marker's ``file_stats_cols``, and
+    ``read_version(ranges={c: (lo, hi), ...})`` prunes on the
+    CONJUNCTION of range predicates.  ``zorder_by=(a, b)`` lays the
+    snapshot out by the Morton interleave of the pair (the sink_zorder
+    layout), which is what keeps BOTH dimensions' per-file ranges tight
+    — a single-key sort records exact stats for the second column too,
+    but every file spans its whole domain, so only the Z-order layout
+    makes 2-d pruning selective."""
     os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
     snap = os.path.join(root, f"v{n}")
     marker = os.path.join(root, "_commits", str(n))
@@ -446,7 +679,7 @@ def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
         return  # already committed
     if not os.path.isdir(snap):
         tmp = f"{snap}.tmp{os.getpid()}"
-        _shape_for_write(df, n_files, stats_key).write.mode(
+        _shape_for_write(df, n_files, stats_key, zorder_by).write.mode(
             "overwrite"
         ).parquet(tmp)
         try:
@@ -459,7 +692,9 @@ def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
                 # violate the "a marker never points at a missing
                 # snapshot" invariant (round-10 review), so surface it.
                 raise
-    _write_marker(root, n, _stats_payload(root, n, stats_key, meta))
+    _write_marker(
+        root, n, _stats_payload(root, n, stats_key, meta, stats_cols)
+    )
 
 
 def _kept_manifest_refs(root: str, versions: Sequence[int]) -> "set[str]":
@@ -582,19 +817,8 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
                     pass
 
     # marker-relative orphan horizon: the newest committed_at per the
-    # kept markers (fallback: marker file mtime for pre-field markers)
-    def _committed_at(m: int) -> float:
-        try:
-            meta = commit_meta(root, m)
-            if isinstance(meta.get("committed_at"), (int, float)):
-                return float(meta["committed_at"])
-        except (FileNotFoundError, json.JSONDecodeError):
-            pass
-        try:
-            return os.path.getmtime(os.path.join(commits_dir, str(m)))
-        except OSError:
-            return float("inf")  # racing vacuum took it: treat as young
-
+    # kept markers (shared _marker_committed_at: committed_at field,
+    # marker-mtime fallback, inf when a racing vacuum took the marker)
     now = time.time()
     kept = {f"v{n}" for n in committed if n not in drop}
     for name in os.listdir(root):
@@ -620,7 +844,11 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
         ):
             k = int(name[1:])
             superseded_age = max(
-                (now - _committed_at(m) for m in kept_versions if m > k),
+                (
+                    now - _marker_committed_at(root, m)
+                    for m in kept_versions
+                    if m > k
+                ),
                 default=0.0,
             )
             if superseded_age > 3600:
@@ -988,9 +1216,12 @@ def read_bucketed(
     n: Optional[int] = None,
     key_equals: Optional[dict] = None,
     key_range: Optional["tuple"] = None,
+    as_of=None,
 ) -> SDF:
     """Read a bucketed table at version ``n`` (latest committed when
-    omitted) by resolving its manifest and scanning the union of the
+    omitted; ``as_of=<epoch seconds | datetime>`` resolves the version
+    by commit timestamp instead — see ``version_as_of``; passing both
+    raises) by resolving its manifest and scanning the union of the
     referenced bucket directories — which may physically live under
     SEVERAL older version dirs (that is the by-reference part).  Plain
     parquet scan semantics: column pruning and predicate pushdown reach
@@ -1016,6 +1247,10 @@ def read_bucketed(
     ``read_version``'s min/max file skipping for range predicates.
     The key set must be exactly the table's bucket key (a subset cannot
     determine the bucket)."""
+    if as_of is not None:
+        if n is not None:
+            raise ValueError("read_bucketed takes n= or as_of=, not both")
+        n = version_as_of(root, as_of)
     meta = commit_meta(root, n)
     man = meta.get("manifest")
     if man is None:
@@ -1714,6 +1949,8 @@ def commit_snapshot_exclusive(
     meta: Optional[dict] = None,
     n_files: int = 8,
     stats_key: Optional[str] = None,
+    stats_cols: Optional[Sequence[str]] = None,
+    zorder_by: Optional[Sequence[str]] = None,
 ) -> int:
     """MULTI-WRITER commit (round 11, r10 VERDICT item 4): publish
     ``df`` as the NEXT version, with an if-absent claim instead of a
@@ -1754,9 +1991,9 @@ def commit_snapshot_exclusive(
     Returns the committed version number."""
     os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
     tmp = os.path.join(root, f".tmpx{os.getpid()}-{id(df)}")
-    _shape_for_write(df, n_files, stats_key).write.mode("overwrite").parquet(
-        tmp
-    )
+    _shape_for_write(df, n_files, stats_key, zorder_by).write.mode(
+        "overwrite"
+    ).parquet(tmp)
     commits_dir = os.path.join(root, "_commits")
     taken = {int(x) for x in os.listdir(commits_dir) if x.isdigit()}
     taken |= {
@@ -1783,7 +2020,11 @@ def commit_snapshot_exclusive(
     marker = os.path.join(commits_dir, str(n))
     mtmp = f"{marker}.tmpx{os.getpid()}-{id(df)}"
     with open(mtmp, "w") as fh:
-        fh.write(_marker_json(n, _stats_payload(root, n, stats_key, meta)))
+        fh.write(
+            _marker_json(
+                n, _stats_payload(root, n, stats_key, meta, stats_cols)
+            )
+        )
     try:
         os.link(mtmp, marker)  # atomic if-absent publish
     except FileExistsError:

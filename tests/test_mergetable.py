@@ -1897,3 +1897,162 @@ def test_occ_merge_genuinely_concurrent_writers(spark, tmp_path):
     assert got == {0: 5.0, 8: 5.0, 16: 5.0, 1: 7.0, 9: 7.0, 17: 7.0}
     for tag, n in results.items():
         assert mt.commit_meta(root, n)["writer"] == tag
+
+
+# ---------------------------------------------------------------------------
+# timestamp time travel (round 12, r11 VERDICT item 3)
+# ---------------------------------------------------------------------------
+
+
+def test_version_as_of_resolution(spark, tmp_path):
+    """as_of resolves to the newest commit at-or-before the timestamp:
+    mid-gap -> earlier version, exact stamp -> that version, far future
+    -> latest, before the first commit -> loud error; n= and as_of=
+    together is a contradiction and raises; datetime inputs work."""
+    import datetime
+
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_meta,
+        read_version,
+        version_as_of,
+    )
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.createDataFrame([(1, "a")], "k long, v string"), root, 0
+    )
+    commit_snapshot(
+        spark.createDataFrame([(1, "b")], "k long, v string"), root, 1
+    )
+    ts0 = commit_meta(root, 0)["committed_at"]
+    ts1 = commit_meta(root, 1)["committed_at"]
+    assert ts1 > ts0
+    mid = (ts0 + ts1) / 2
+    assert version_as_of(root, mid) == 0
+    assert version_as_of(root, ts0) == 0
+    assert version_as_of(root, ts1) == 1
+    assert version_as_of(root, ts1 + 3600) == 1
+    with pytest.raises(ValueError, match="at or before"):
+        version_as_of(root, ts0 - 1)
+    dt = datetime.datetime.fromtimestamp(mid)
+    assert version_as_of(root, dt) == 0
+    assert [r.v for r in read_version(spark, root, as_of=mid).collect()] == [
+        "a"
+    ]
+    with pytest.raises(ValueError, match="not both"):
+        read_version(spark, root, 1, as_of=mid)
+
+
+def test_version_as_of_prefield_marker_mtime_fallback(spark, tmp_path):
+    """Markers written by code predating committed_at resolve through
+    the marker file's mtime, and bucketed reads accept as_of too."""
+    import json as _json
+
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_bucketed,
+        read_bucketed,
+        version_as_of,
+    )
+
+    root = str(tmp_path / "tbl")
+    commit_bucketed(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        root, 0, on="k", n_buckets=4, hashed=False,
+    )
+    marker = os.path.join(root, "_commits", "0")
+    meta = _json.load(open(marker))
+    del meta["committed_at"]  # simulate a pre-field marker
+    with open(marker, "w") as fh:
+        _json.dump(meta, fh)
+    mt = os.path.getmtime(marker)
+    assert version_as_of(root, mt + 1) == 0
+    got = {r.k: r.v for r in read_bucketed(spark, root, as_of=mt + 1).collect()}
+    assert got == {1: "a", 2: "b"}
+    with pytest.raises(ValueError, match="not both"):
+        read_bucketed(spark, root, 0, as_of=mt + 1)
+
+
+# ---------------------------------------------------------------------------
+# multi-column file statistics (round 12, r11 VERDICT item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_multicol_stats_prune_per_dimension(spark, tmp_path):
+    """A Z-ordered snapshot with stats_cols prunes files on EACH
+    dimension independently (inputFiles proper subset per dimension)
+    and on the conjunction, with exact answers either way."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_meta,
+        commit_snapshot,
+        read_version,
+    )
+
+    root = str(tmp_path / "tbl")
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long, val long")
+    commit_snapshot(
+        df, root, 0, n_files=16, stats_cols=["x", "y"], zorder_by=("x", "y")
+    )
+    sc = commit_meta(root, 0)["file_stats_cols"]
+    assert sc["cols"] == ["x", "y"] and len(sc["files"]) == 16
+    all_files = set(read_version(spark, root, 0).inputFiles())
+    assert len(all_files) == 16
+
+    fx = read_version(spark, root, 0, ranges={"x": (0, 15)})
+    assert set(fx.inputFiles()) < all_files  # dimension 1 prunes
+    assert fx.count() == 16 * 64
+
+    fy = read_version(spark, root, 0, ranges={"y": (0, 15)})
+    assert set(fy.inputFiles()) < all_files  # dimension 2 prunes
+    assert fy.count() == 64 * 16
+
+    fxy = read_version(
+        spark, root, 0, ranges={"x": (0, 15), "y": (0, 15)}
+    )
+    assert set(fxy.inputFiles()) <= set(fx.inputFiles()) & set(
+        fy.inputFiles()
+    )
+    got = sorted(r.val for r in fxy.collect())
+    assert got == sorted(
+        x * 64 + y for x in range(16) for y in range(16)
+    )
+    # empty intersection with the domain: exact empty, footer-only plan
+    assert (
+        read_version(spark, root, 0, ranges={"x": (1000, 2000)}).count()
+        == 0
+    )
+
+
+def test_multicol_stats_guardrails(spark, tmp_path):
+    """ranges= refuses: tables without stats_cols, unknown columns,
+    ranges+key_range together, and type-mismatched bounds."""
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_snapshot,
+        read_version,
+    )
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(x, x * 2) for x in range(100)], "x long, y long"
+    )
+    commit_snapshot(df, root, 0, n_files=4, stats_cols=["x"])
+    with pytest.raises(ValueError, match="no recorded"):
+        read_version(spark, root, 0, ranges={"y": (0, 5)})
+    with pytest.raises(ValueError, match="not both"):
+        read_version(
+            spark, root, 0, ranges={"x": (0, 5)}, key_range=(0, 5)
+        )
+    with pytest.raises(ValueError, match="stats type"):
+        read_version(spark, root, 0, ranges={"x": ("a", "b")}).collect()
+
+    root2 = str(tmp_path / "tbl2")
+    commit_snapshot(df, root2, 0, n_files=4)
+    with pytest.raises(ValueError, match="stats_cols"):
+        read_version(spark, root2, 0, ranges={"x": (0, 5)})
+    with pytest.raises(ValueError, match="exactly two"):
+        commit_snapshot(df, str(tmp_path / "t3"), 0, zorder_by=("x",))
+    with pytest.raises(ValueError, match="exclusive"):
+        commit_snapshot(
+            df, str(tmp_path / "t4"), 0, zorder_by=("x", "y"),
+            stats_key="x",
+        )
