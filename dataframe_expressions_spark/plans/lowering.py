@@ -1454,6 +1454,152 @@ class Lowerer:
                vec_col=vec_col)
         )
 
+    # -- table-format write verbs (round 12, r11 VERDICT item 7): the
+    # capture DSL could READ versioned tables (dsl_table_pipeline binds
+    # read_version output as a source) but not WRITE them — these verbs
+    # close the loop, so a captured clean→dedup pipeline lands IN a
+    # governed, time-travelable table.  SIDE-EFFECT SEMANTICS: lowering
+    # is this DSL's action boundary (select_from/to_spark trigger it),
+    # so the commit happens AT LOWERING — once per session (the memo
+    # guarantees a node lowers once), again in a NEW session, exactly
+    # like re-running any Spark write action; idempotence across runs is
+    # the caller's write-once guard, same as every registry query.
+
+    def _call_write_table(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``frame.write_table(root, bucket_on=..., n_buckets=...,
+        hashed=True, n_files=8, stats_key=...)`` — commit the captured
+        pipeline's rows as a table version, DELEGATING to the proven
+        sources/mergetable commit protocol: with ``bucket_on`` the
+        frame CREATES a bucketed table (v0 via ``commit_bucketed`` —
+        the layout later ``.merge_into()`` calls rewrite k/B of);
+        without it the frame lands as the next version through the
+        multi-writer ``commit_snapshot_exclusive`` claim loop.  Returns
+        the committed version's READ-BACK frame, so the pipeline can
+        keep composing over what was actually durably written."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".write_table() applies to event frames")
+        root = args[0] if args else kwargs.pop("root", None)
+        if len(args) > 1 or not isinstance(root, str):
+            raise LoweringError(
+                ".write_table() takes (root_path, bucket_on=, n_buckets=, "
+                "hashed=, n_files=, stats_key=)"
+            )
+        bucket_on = kwargs.pop("bucket_on", None)
+        n_buckets = kwargs.pop("n_buckets", None)
+        hashed = kwargs.pop("hashed", True)
+        n_files = kwargs.pop("n_files", 8)
+        stats_key = kwargs.pop("stats_key", None)
+        if kwargs:
+            raise LoweringError(
+                f".write_table() got unexpected kwargs: {sorted(kwargs)}"
+            )
+        from ..sources import mergetable as mt
+
+        spark = parent.df.sparkSession
+        if bucket_on is not None:
+            if not isinstance(n_buckets, int) or n_buckets < 1:
+                raise LoweringError(
+                    ".write_table() bucket_on= requires n_buckets=<int>"
+                )
+            if mt.latest_version(root) is not None:
+                raise LoweringError(
+                    ".write_table(bucket_on=...) creates tables — merge "
+                    "changes into an existing one with .merge_into()"
+                )
+            mt.commit_bucketed(
+                parent.df, root, 0, on=bucket_on, n_buckets=n_buckets,
+                hashed=hashed, stats_key=stats_key, n_files=n_files,
+                meta={"op": "dsl-write"},
+            )
+            return LFrame(mt.read_bucketed(spark, root, 0))
+        n = mt.commit_snapshot_exclusive(
+            parent.df, root, meta={"op": "dsl-write"}, n_files=n_files,
+            stats_key=stats_key,
+        )
+        return LFrame(mt.read_version(spark, root, n))
+
+    def _call_merge_into(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``frame.merge_into(root, matched_update={...},
+        not_matched_insert={...}, matched_delete=None, on=None,
+        strict_source_keys=False)`` — MERGE the captured frame (the
+        SOURCE change set) into the table at ``root``, delegating to
+        the mergetable kernels: bucketed tables run the OCC
+        ``merge_into_bucketed_exclusive`` (write-set conflict
+        detection, k/B rewrite, rebase on disjoint rivals; ``on`` is
+        the table's own bucket key — an explicit ``on=`` must match
+        it); plain tables run table-granularity ``merge_into`` +
+        ``commit_snapshot_exclusive`` with a required ``on=``.  Clause
+        dicts are the mergetable SET-expression contract verbatim (SQL
+        strings over ``t.``/``s.``).  Returns the committed version's
+        read-back frame."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".merge_into() applies to event frames")
+        root = args[0] if args else kwargs.pop("root", None)
+        matched_update = kwargs.pop("matched_update", None)
+        not_matched_insert = kwargs.pop("not_matched_insert", None)
+        matched_delete = kwargs.pop("matched_delete", None)
+        on = kwargs.pop("on", None)
+        strict = kwargs.pop("strict_source_keys", False)
+        if (
+            kwargs
+            or len(args) > 1
+            or not isinstance(root, str)
+            or not isinstance(matched_update, dict)
+            or not isinstance(not_matched_insert, dict)
+        ):
+            raise LoweringError(
+                ".merge_into() takes (root_path, matched_update={...}, "
+                "not_matched_insert={...}, matched_delete=, on=, "
+                "strict_source_keys=)"
+            )
+        from ..sources import mergetable as mt
+
+        spark = parent.df.sparkSession
+        base = mt.latest_version(root)
+        if base is None:
+            raise LoweringError(
+                f".merge_into() target {root} has no committed version — "
+                "create it with .write_table() first"
+            )
+        bmeta = mt.commit_meta(root, base)
+        if bmeta.get("manifest") is not None:
+            spec_on = list((bmeta.get("bucket") or {}).get("on", []))
+            if on is not None:
+                want = [on] if isinstance(on, str) else list(on)
+                if want != spec_on:
+                    raise LoweringError(
+                        f".merge_into() on= must match the table's "
+                        f"bucket key {spec_on} (got {want})"
+                    )
+            n = mt.merge_into_bucketed_exclusive(
+                spark, root, parent.df,
+                matched_update=matched_update,
+                not_matched_insert=not_matched_insert,
+                meta={"op": "dsl-merge"},
+                strict_source_keys=strict,
+                matched_delete=matched_delete,
+            )
+            return LFrame(mt.read_bucketed(spark, root, n))
+        if on is None:
+            raise LoweringError(
+                ".merge_into() on= is required for non-bucketed tables"
+            )
+        merged = mt.merge_into(
+            mt.read_version(spark, root, base), parent.df, on=on,
+            matched_update=matched_update,
+            not_matched_insert=not_matched_insert,
+            strict_source_keys=strict,
+            matched_delete=matched_delete,
+        )
+        n = mt.commit_snapshot_exclusive(
+            merged, root, meta={"op": "dsl-merge", "read_base": base}
+        )
+        return LFrame(mt.read_version(spark, root, n))
+
     def _call_window(
         self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
     ) -> Any:
