@@ -112,74 +112,74 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # If CORRECTNESS_r06 comes back 50/50, every id has a driver-green row,
 # none older than r2.
 #
-# ROUND-11 WINDOW.  Derived programmatically from the committed
+# ROUND-12 WINDOW.  Derived programmatically from the committed
 # CORRECTNESS_r0*.json files (latest round each id has a row; the
-# fronting test recomputes the same derivation).  CORRECTNESS_r10 came
-# back 50/50, leaving the post-r10 vintage distribution r5:21 r6:50
-# r7:50 r8:50 r9:50 r10:50 — so, per the r10 VERDICT plan (item 2):
-# slots 1-13 the round-11 additions (dsl_pipeline_near_dedup,
-# table_merge_bucketed, table_read_skipping, table_bucket_pruned_read
-# from the first session; dsl_table_pipeline, stream_feed_consume,
-# table_bucketed_delete, table_feed_versions, table_merge_delete,
-# table_delete_mor, table_change_feed, table_incremental_agg,
-# table_compact_buckets from the continuation — all zero evidence),
-# slots 14-34 the FULL 21-id r5 tail (stats_ks_test ... window_rank),
-# slots 35-50 the alphabetical head (16 of 50) of the r6 block
-# (agg_distinct ... emb_knn_graph).  If CORRECTNESS_r11 comes back
-# 50/50 the oldest remaining evidence is the 34-id r6 tail — front any
-# round-12 additions, then that tail, then the r7 block head (derive
-# programmatically from the committed CORRECTNESS files, as always).
+# fronting test recomputes the same derivation).  CORRECTNESS_r11 came
+# back 50/50, leaving the vintage distribution r6:34 r7:50 r8:50 r9:50
+# r10:50 r11:50 — so, per the r11 VERDICT plan (item 5):
+# slots  1- 5: the round-12 additions (dsl_table_write,
+#              stream_table_source, table_merge_concurrent,
+#              table_multicol_skipping, table_time_travel_ts — all
+#              zero evidence),
+# slots  6-39: the FULL 34-id r6 tail (emb_matryoshka_audit ...
+#              window_yoy_delta),
+# slots 40-50: the alphabetical head (11 of 50) of the r7 block
+#              (agg_approx_distinct ... dedup_exact).
+# If CORRECTNESS_r12 comes back 50/50 the oldest remaining evidence is
+# the 39-id r7 tail — front any round-13 additions, then that tail
+# (derive programmatically from the committed CORRECTNESS files, as
+# always).
 DRIVER_WINDOW_PRIORITY: tuple = (
-    "dsl_table_pipeline",
-    "stream_feed_consume",
-    "table_bucketed_delete",
-    "table_feed_versions",
-    "table_merge_delete",
-    "table_delete_mor",
-    "table_change_feed",
-    "table_incremental_agg",
-    "table_compact_buckets",
-    "dsl_pipeline_near_dedup",
-    "table_merge_bucketed",
-    "table_read_skipping",
-    "table_bucket_pruned_read",
-    "stats_ks_test",
-    "stats_mann_whitney",
-    "stats_mutual_info",
-    "stream_python_datasource",
-    "stream_restart_recovery",
-    "stream_transform_with_state",
-    "string_funcs",
-    "text_bigram_surprisal",
-    "text_boilerplate_ngram",
-    "text_char_entropy",
-    "text_gopher_filter",
-    "text_readability",
-    "text_stats",
-    "text_unigram_surprisal",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "udaf_pandas",
-    "window_analytic",
-    "window_first_last",
-    "window_gaps_islands",
-    "window_rank",
-    "agg_distinct",
-    "agg_groupby",
-    "agg_hll_audit",
-    "agg_rollup_cube",
-    "alias_expand",
-    "callable_capture",
-    "cmp_ops",
-    "data_curriculum_order",
-    "data_kfold_assign",
-    "data_mixture_token_budget",
-    "data_shard_manifest",
-    "dedup_incremental_minhash",
-    "dedup_minhash_audit",
-    "dq_referential_integrity",
-    "dq_split_leakage",
-    "emb_knn_graph",
+    "dsl_table_write",
+    "stream_table_source",
+    "table_merge_concurrent",
+    "table_multicol_skipping",
+    "table_time_travel_ts",
+    "emb_matryoshka_audit",
+    "feature_hashing",
+    "feature_target_encode",
+    "filter_lambda",
+    "filter_mask",
+    "graph_triangle_count",
+    "join_full_outer",
+    "join_left_semi_anti",
+    "join_outer",
+    "join_runtime_bloom",
+    "multimodal_chunk_dedup",
+    "nested_count_cut",
+    "nested_filter_agg",
+    "nested_minmax_agg",
+    "pipeline_embedding_curation",
+    "pipeline_multimodal_corpus",
+    "project_scalar",
+    "rank_fusion_hybrid",
+    "scan_csv_quarantine",
+    "sessionize_paths",
+    "sim_search_ivf_pq",
+    "sim_search_recall_audit",
+    "sql_parameterized",
+    "stats_autocorr_lag",
+    "stats_benford_digit",
+    "stats_cusum_changepoint",
+    "stats_gini_revenue",
+    "stats_psi_drift",
+    "stats_trend_mann_kendall",
+    "text_ngram_novelty",
+    "user_func_udf",
+    "window_interval_merge",
+    "window_top_movers",
+    "window_yoy_delta",
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "agg_quantiles",
+    "agg_stats",
+    "arith_ops",
+    "bool_ops",
+    "count_agg",
+    "data_epoch_shuffle",
+    "data_temporal_split",
+    "dedup_band_calibration",
+    "dedup_exact",
 )
 
 
