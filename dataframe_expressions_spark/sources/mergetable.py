@@ -127,6 +127,7 @@ __all__ = [
     "commit_mor_delete",
     "commit_snapshot",
     "commit_snapshot_exclusive",
+    "committed_versions",
     "compact_buckets",
     "compact_mor",
     "latest_version",
@@ -149,23 +150,32 @@ class MergeConflictError(RuntimeError):
     the caller may re-invoke (fresh retries) or give up."""
 
 
+def committed_versions(root: str) -> "list[int]":
+    """Every COMMITTED version (marker present AND snapshot dir
+    present), ascending.  The version sequence may have GAPS: a dead
+    OCC claimant's orphan dir occupies a number that never commits
+    (skipped by ``merge_into_bucketed_exclusive``), and vacuum's MoR
+    chain promotion can drop an interior version while keeping its
+    neighbors — consumers that walk commit HISTORY must therefore pair
+    consecutive COMMITTED versions, never ``n`` and ``n+1``
+    (round-12 review)."""
+    commits_dir = os.path.join(root, "_commits")
+    if not os.path.isdir(commits_dir):
+        return []
+    return sorted(
+        int(name)
+        for name in os.listdir(commits_dir)
+        if name.isdigit()
+        and os.path.isdir(os.path.join(root, f"v{int(name)}"))
+    )
+
+
 def latest_version(root: str) -> Optional[int]:
     """Highest COMMITTED version: marker present AND snapshot dir
     present.  Orphans from crashed writers (dir without marker, or
     marker whose dir vanished) never resolve."""
-    commits_dir = os.path.join(root, "_commits")
-    if not os.path.isdir(commits_dir):
-        return None
-    best = None
-    for name in os.listdir(commits_dir):
-        if not name.isdigit():
-            continue
-        n = int(name)
-        if os.path.isdir(os.path.join(root, f"v{n}")) and (
-            best is None or n > best
-        ):
-            best = n
-    return best
+    vs = committed_versions(root)
+    return vs[-1] if vs else None
 
 
 def _marker_committed_at(root: str, m: int) -> float:
@@ -1781,7 +1791,22 @@ def feed_since(
             f"feed_since range is empty: since={since_version} > "
             f"to={to_version}"
         )
-    if since_version == to_version:
+    all_vs = committed_versions(root)
+    if since_version not in all_vs:
+        raise FileNotFoundError(
+            f"feed_since base version {since_version} of {root} is not "
+            "committed (vacuumed, or never existed) — an exact feed "
+            "from it cannot be produced"
+        )
+    # pair consecutive COMMITTED versions, never n and n+1: the
+    # sequence may have gaps (skipped dead-claimant OCC orphans; MoR
+    # chain promotion under vacuum) — a gap's changes fold into the
+    # surrounding committed pair's diff, keeping the cumulative feed
+    # identity exact (round-12 review: a v->v+1 walk raised on the
+    # first gap and wedged every feed consumer after an OCC skip)
+    chain = [v for v in all_vs if since_version <= v <= to_version]
+    pairs = list(zip(chain, chain[1:]))
+    if not pairs:
         # caught-up consumer: the steady state of every polling
         # pipeline — an EMPTY frame with the feed schema, never an
         # error (round-11 review; Delta's readChangeFeed does the same)
@@ -1790,10 +1815,8 @@ def feed_since(
             None,
         ).limit(0)
     frames = [
-        _stamp_commit_version(
-            table_changes(spark, root, v, v + 1, on=on), v + 1
-        )
-        for v in range(since_version, to_version)
+        _stamp_commit_version(table_changes(spark, root, a, b, on=on), b)
+        for a, b in pairs
     ]
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
@@ -2042,13 +2065,22 @@ def commit_snapshot_exclusive(
 # ---------------------------------------------------------------------------
 
 
-def _await_commit_meta(root: str, m: int, timeout: float) -> dict:
+def _await_commit_meta(
+    root: str, m: int, timeout: float
+) -> Optional[dict]:
     """Metadata of version ``m``, waiting for its marker when the
     ``v<m>`` dir is claimed but the marker not yet published (the
-    claim→marker window of a LIVE concurrent writer is milliseconds).
-    A writer that died inside that window never publishes — after
-    ``timeout`` this raises loudly; vacuum's superseded-version horizon
-    eventually sweeps the orphan, after which retrying works."""
+    claim→publish window of a LIVE writer spans the manifest scan and
+    footer-stats reads — seconds on big tables, which is why the
+    default timeout is generous).  Returns ``None`` after ``timeout``:
+    the claimant is treated as DEAD (the lease assumption every
+    OCC-on-files protocol makes — a writer that stalls longer than the
+    timeout between claim and publish is indistinguishable from a
+    crashed one).  The caller SKIPS the orphaned version number; once a
+    later version commits past it, vacuum's superseded-version horizon
+    can finally sweep the orphan — without the skip, an OCC-only
+    workload could never produce the superseding commit and the table
+    would wedge forever (round-12 review)."""
     import time
 
     deadline = time.time() + timeout
@@ -2057,12 +2089,7 @@ def _await_commit_meta(root: str, m: int, timeout: float) -> dict:
             return commit_meta(root, m)
         except (FileNotFoundError, json.JSONDecodeError):
             if time.time() >= deadline:
-                raise TimeoutError(
-                    f"version {m} of {root} is claimed but its marker "
-                    f"did not appear within {timeout}s — a concurrent "
-                    "writer likely died between claim and publish; "
-                    "vacuum will sweep the orphan once superseded"
-                )
+                return None
             time.sleep(0.05)
 
 
@@ -2186,9 +2213,16 @@ def merge_into_bucketed_exclusive(
                 f"{stray} — bucket function/type drift; commit aborted "
                 "before the claim"
             )
-        claimed = _claim_merge_version(
-            root, base, bmeta, touched_set, spec, tmp, marker_timeout
-        )
+        try:
+            claimed = _claim_merge_version(
+                root, base, bmeta, touched_set, spec, tmp, marker_timeout
+            )
+        except BaseException:
+            # every deliberate exit path removes tmp itself; this belt
+            # covers unexpected raises so a full bucket rewrite never
+            # leaks to disk (vacuum deliberately ignores non-v<n> dirs)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         if claimed is None:
             attempts += 1
             if attempts > max_retries:
@@ -2209,7 +2243,10 @@ def merge_into_bucketed_exclusive(
         payload = {
             "manifest": new_man,
             "bucket": spec,
-            "base_version": n - 1,
+            # the newest COMMITTED version this commit chains after —
+            # NOT n-1, which may be a skipped dead-claimant orphan
+            # (round-12 review)
+            "base_version": newest_meta.get("version", base),
             "read_base": base,
             "touched_buckets": sorted(touched_set),
             **(meta or {}),
@@ -2275,6 +2312,14 @@ def _claim_merge_version(
                     raise
                 # lost the claim: fall through and check version n
         m_meta = _await_commit_meta(root, n, marker_timeout)
+        if m_meta is None:
+            # dead claimant (marker never appeared): SKIP the orphaned
+            # version number — its dir stays invisible to readers, and
+            # once WE commit past it, vacuum's superseded horizon can
+            # sweep it.  newest_meta is unchanged: the orphan
+            # contributed no committed state to rebase onto.
+            n += 1
+            continue
         rival_spec = m_meta.get("bucket") or {}
         if rival_spec.get("expr") != spec["expr"]:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -30,10 +30,13 @@ Design — each piece priced for 100 TB:
   work is two bucket-dir reads + one hash merge: the unit a
   1000-executor cluster schedules as one task.
 
-Scope guards (loud, not silent): merge-on-read delete versions raise
-(resolve them with ``compact_mor`` first); a bucket-spec change across
-the range raises; plain tables need the ``keys`` option since they
-carry no bucket spec to derive key columns from.
+Scope guards: merge-on-read delete versions raise loudly (resolve them
+with ``compact_mor`` first); plain tables need the ``keys`` option
+since they carry no bucket spec to derive key columns from; a
+bucket-spec CHANGE across the range degrades that step to one
+conservative whole-snapshot diff partition (content-correct, O(table)
+for that step — re-bucketing invalidates the manifest fast path's
+identical-entry reasoning, not the diff itself).
 
 Reference parity note: gordonwatts/dataframe_expressions is a
 capture-only front end (no streaming, no storage; SURVEY.md §1) — this
@@ -71,22 +74,19 @@ _ARROW_TO_DDL = {
 
 
 def _marker(root: str, n: int) -> dict:
-    with open(os.path.join(root, "_commits", str(n))) as fh:
-        return json.load(fh)
+    """Version ``n``'s commit metadata — delegated to the table
+    format's own reader so commit-log semantics live in ONE place
+    (round-12 review: a hand-rolled copy here would silently miss the
+    next change to marker resolution).  Driver-side only."""
+    from ..sources.mergetable import commit_meta
+
+    return commit_meta(root, n)
 
 
 def _latest_version(root: str) -> Optional[int]:
-    commits = os.path.join(root, "_commits")
-    if not os.path.isdir(commits):
-        return None
-    best = None
-    for name in os.listdir(commits):
-        if name.isdigit() and os.path.isdir(
-            os.path.join(root, f"v{int(name)}")
-        ):
-            n = int(name)
-            best = n if best is None or n > best else best
-    return best
+    from ..sources.mergetable import latest_version
+
+    return latest_version(root)
 
 
 def _dir_parquet_files(root: str, rel: str) -> List[str]:
@@ -106,11 +106,18 @@ def _sample_parquet_file(root: str) -> str:
     if n is None:
         raise FileNotFoundError(f"no committed version under {root}")
     while n >= 0:
-        meta = _marker(root, n)
+        try:
+            meta = _marker(root, n)
+        except (FileNotFoundError, json.JSONDecodeError):
+            n -= 1  # vacuumed/partial marker: keep looking back
+            continue
         man = meta.get("manifest")
         rels = sorted(man.values()) if man else [f"v{n}"]
         for rel in rels:
-            files = _dir_parquet_files(root, rel)
+            try:
+                files = _dir_parquet_files(root, rel)
+            except OSError:
+                files = []  # vacuumed data dir
             if files:
                 return files[0]
         n -= 1  # empty version (e.g. an all-delete merge): look back
@@ -139,14 +146,21 @@ def _table_ddl(root: str) -> Tuple[str, List[str]]:
     return ", ".join(parts), names
 
 
-def _step_partitions(root: str, v: int) -> List[tuple]:
-    """Plan the diff of commit step ``v`` -> ``v+1``: one partition per
-    changed bucket under the manifest fast path, one whole-snapshot
-    partition otherwise.  Partition value: (commit_version, key_cols,
-    pre_rel_dirs, post_rel_dirs) — all JSON-ish, picklable, and
-    deterministic (immutable versions ⇒ deterministic replay)."""
-    pre, post = _marker(root, v), _marker(root, v + 1)
-    for n, meta in ((v, pre), (v + 1, post)):
+def _step_partitions(root: str, v: int, w: Optional[int] = None) -> List[tuple]:
+    """Plan the diff of the commit step ``v`` -> ``w`` (consecutive
+    COMMITTED versions — ``w`` defaults to ``v + 1`` but callers must
+    pass the true committed successor: the version sequence may have
+    gaps from skipped dead-claimant OCC orphans or vacuum's MoR chain
+    promotion, and a gap's changes fold into the surrounding committed
+    pair's diff).  One partition per changed bucket under the manifest
+    fast path, one whole-snapshot partition otherwise.  Partition
+    value: (commit_version, key_cols, pre_rel_dirs, post_rel_dirs) —
+    all JSON-ish, picklable, and deterministic (immutable versions ⇒
+    deterministic replay)."""
+    if w is None:
+        w = v + 1
+    pre, post = _marker(root, v), _marker(root, w)
+    for n, meta in ((v, pre), (w, post)):
         if "mor_base" in meta:
             raise ValueError(
                 "table stream source cannot feed merge-on-read delete "
@@ -167,7 +181,7 @@ def _step_partitions(root: str, v: int) -> List[tuple]:
         }
         return [
             (
-                v + 1,
+                w,
                 keys,
                 [fman[b]] if b in fman else [],
                 [tman[b]] if b in tman else [],
@@ -180,15 +194,20 @@ def _step_partitions(root: str, v: int) -> List[tuple]:
         sorted(fman.values()) if fman is not None else [f"v{v}"]
     )
     post_rel = (
-        sorted(tman.values()) if tman is not None else [f"v{v + 1}"]
+        sorted(tman.values()) if tman is not None else [f"v{w}"]
     )
-    return [(v + 1, keys, pre_rel, post_rel)]
+    return [(w, keys, pre_rel, post_rel)]
 
 
 def _read_side(root: str, rel_dirs: List[str], columns: List[str]):
     """One side of a diff as a pandas frame (empty with the right
-    columns when the side has no files)."""
+    columns when the side has no files).  Integer columns map to
+    pandas NULLABLE Int dtypes: plain ``to_pandas`` upcasts an int64
+    column holding a NULL to float64, silently corrupting values above
+    2^53 in the emitted feed (round-12 review) — nullable dtypes keep
+    every integer exact with NA for nulls."""
     import pandas as pd
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     files: List[str] = []
@@ -196,49 +215,65 @@ def _read_side(root: str, rel_dirs: List[str], columns: List[str]):
         files.extend(_dir_parquet_files(root, rel))
     if not files:
         return pd.DataFrame({c: [] for c in columns})
-    import pyarrow as pa
-
     tbl = pa.concat_tables(
         [pq.read_table(f, columns=columns) for f in files],
         promote_options="default",
     )
-    return tbl.to_pandas()
+    mapper = {
+        pa.int8(): pd.Int8Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int64(): pd.Int64Dtype(),
+        pa.bool_(): pd.BooleanDtype(),
+    }.get
+    return tbl.to_pandas(types_mapper=mapper)
+
+
+def _py_column(series) -> list:
+    """A pandas column as plain Python values: NA/NaN -> None, numpy
+    scalars unboxed — what the DataSource row tuples must carry."""
+    import pandas as pd
+
+    out = []
+    for v in series.tolist():
+        if v is None or (isinstance(v, float) and v != v) or v is pd.NA:
+            out.append(None)
+        elif hasattr(v, "item"):
+            out.append(v.item())
+        else:
+            out.append(v)
+    return out
+
+
+def _frame_rows(frame, columns, kind, commit_version) -> Iterator[tuple]:
+    """Column-wise tuple emission (round-12 review: iterrows built a
+    Series per row in the per-task hot path — 10-100x slower than
+    extracting columns once and zipping)."""
+    cols = [_py_column(frame[c]) for c in columns]
+    for vals in zip(*cols):
+        yield vals + (kind, commit_version)
 
 
 def _diff_rows(
     pre, post, keys: List[str], columns: List[str], commit_version: int
 ) -> Iterator[tuple]:
     """The CDF kernel over pandas frames: outer-merge on the key,
-    classify, emit (row..., change_type, _commit_version) tuples in
-    ``columns`` order — the same image contract as mergetable
-    ``_diff_changes`` (updates emit BOTH images; unchanged keys emit
-    nothing; NaN==NaN counts as equal, mirroring the null-safe Spark
-    comparison)."""
-    import pandas as pd
+    classify VECTORIZED, emit (row..., change_type, _commit_version)
+    tuples in ``columns`` order — the same image contract as
+    mergetable ``_diff_changes`` (updates emit BOTH images; unchanged
+    keys emit nothing; NA==NA counts as equal, mirroring the null-safe
+    Spark comparison)."""
 
-    def _plain(frame, kind):
-        for _, row in frame.iterrows():
-            vals = []
-            for c in columns:
-                v = row[c]
-                if pd.isna(v):
-                    vals.append(None)
-                elif hasattr(v, "item"):
-                    vals.append(v.item())
-                else:
-                    vals.append(v)
-            yield tuple(vals) + (kind, commit_version)
-
-    # an empty side would poison the outer merge (object-dtype key vs
-    # int64 raises in pandas) — and needs no diff at all: a brand-new
-    # bucket is pure inserts, a vanished one pure deletes
+    # an empty side needs no diff at all (and would poison the outer
+    # merge with object-dtype columns): a brand-new bucket is pure
+    # inserts, a vanished one pure deletes
     if pre.empty and post.empty:
         return
     if pre.empty:
-        yield from _plain(post, "insert")
+        yield from _frame_rows(post, columns, "insert", commit_version)
         return
     if post.empty:
-        yield from _plain(pre, "delete")
+        yield from _frame_rows(pre, columns, "delete", commit_version)
         return
     m = pre.merge(
         post,
@@ -248,52 +283,51 @@ def _diff_rows(
         indicator=True,
     )
     nonkey = [c for c in columns if c not in keys]
+    flags = m["_merge"]
 
-    def _val(row, col, side):
-        v = row[col] if col in keys else row[f"{col} {side}"]
-        if pd.isna(v):
-            return None
-        # pandas upcasts int columns holding NaN to float — undo it so
-        # the tuple matches the declared bigint/int DDL
-        if isinstance(v, float) and v.is_integer() and _is_int_col(
-            pre, post, col
-        ):
-            return int(v)
-        if hasattr(v, "item"):  # numpy scalar -> python
-            v = v.item()
-        return v
+    def _side_frame(rows, side):
+        sel = {}
+        for c in columns:
+            sel[c] = rows[c] if c in keys else rows[f"{c} {side}"]
+        import pandas as pd
 
-    def _is_int_col(pre, post, col):
-        for side in (pre, post):
-            if col in side.columns and str(side[col].dtype).startswith(
-                "int"
-            ):
-                return True
-        return False
+        return pd.DataFrame(sel)
 
-    def _emit(row, side, kind):
-        vals = tuple(_val(row, c, side) for c in columns)
-        return vals + (kind, commit_version)
-
-    for _, row in m.iterrows():
-        flag = row["_merge"]
-        if flag == "right_only":
-            yield _emit(row, "post", "insert")
-        elif flag == "left_only":
-            yield _emit(row, "pre", "delete")
-        else:
-            changed = False
-            for c in nonkey:
-                a, b = row[f"{c} pre"], row[f"{c} post"]
-                both_na = pd.isna(a) and pd.isna(b)
-                if not both_na and not (
-                    (pd.isna(a) == pd.isna(b)) and (both_na or a == b)
-                ):
-                    changed = True
-                    break
-            if changed:
-                yield _emit(row, "pre", "update_preimage")
-                yield _emit(row, "post", "update_postimage")
+    ins = m[flags == "right_only"]
+    if len(ins):
+        yield from _frame_rows(
+            _side_frame(ins, "post"), columns, "insert", commit_version
+        )
+    dele = m[flags == "left_only"]
+    if len(dele):
+        yield from _frame_rows(
+            _side_frame(dele, "pre"), columns, "delete", commit_version
+        )
+    both = m[flags == "both"]
+    if len(both):
+        changed = None
+        for c in nonkey:
+            a, b = both[f"{c} pre"], both[f"{c} post"]
+            both_na = a.isna() & b.isna()
+            eq = (a == b)
+            if hasattr(eq, "fillna"):
+                eq = eq.fillna(False)
+            neq = ~(both_na | eq)
+            changed = neq if changed is None else (changed | neq)
+        upd = both[changed] if changed is not None else both.iloc[0:0]
+        if len(upd):
+            yield from _frame_rows(
+                _side_frame(upd, "pre"),
+                columns,
+                "update_preimage",
+                commit_version,
+            )
+            yield from _frame_rows(
+                _side_frame(upd, "post"),
+                columns,
+                "update_postimage",
+                commit_version,
+            )
 
 
 def _make_source_class():
@@ -322,9 +356,24 @@ def _make_source_class():
             return {"version": self.start if n is None else max(n, self.start)}
 
         def partitions(self, start, end):
+            from ..sources.mergetable import committed_versions
+
+            # pair consecutive COMMITTED versions inside the offset
+            # range: the sequence may have gaps (skipped dead-claimant
+            # OCC orphans, vacuum's MoR chain promotion) and a
+            # v->v+1 walk would raise on the first one (round-12
+            # review).  The chain is anchored at the newest committed
+            # version <= start (normally start itself), so a gap's
+            # changes fold into the surrounding pair's diff.
+            all_vs = committed_versions(self.root)
+            s, e = start["version"], end["version"]
+            base = max((v for v in all_vs if v <= s), default=None)
+            chain = ([base] if base is not None else []) + [
+                v for v in all_vs if s < v <= e
+            ]
             parts = []
-            for v in range(start["version"], end["version"]):
-                for p in _step_partitions(self.root, v):
+            for a, b in zip(chain, chain[1:]):
+                for p in _step_partitions(self.root, a, b):
                     cv, keys, pre_rel, post_rel = p
                     keys = keys or self.opt_keys
                     if not keys:

@@ -214,3 +214,79 @@ def test_stream_source_schema_mapping_guard(spark, tmp_path):
     ddl, names = _table_ddl(root2)
     assert names == ["k", "v", "s"]
     assert "change_type` string" in ddl and "_commit_version` bigint" in ddl
+
+
+def test_stream_source_bigint_null_fidelity(spark, tmp_path):
+    """An int64 column holding NULLs must survive the Arrow diff
+    exactly: plain to_pandas would upcast to float64 and corrupt
+    values above 2^53 (round-12 review) — nullable Int dtypes keep
+    them exact, and NULLs emit as NULL."""
+    big = 9007199254740993  # 2**53 + 1: float64 cannot represent it
+    root = str(tmp_path / "tbl")
+    mt.commit_snapshot(
+        spark.createDataFrame(
+            [(1, big), (2, None), (3, 7)], "k long, val long"
+        ),
+        root,
+        0,
+        n_files=1,
+    )
+    mt.commit_snapshot(
+        spark.createDataFrame(
+            [(1, big), (2, big + 2), (3, None)], "k long, val long"
+        ),
+        root,
+        1,
+        n_files=1,
+    )
+    fmt = register_table_stream_source(spark)
+    q = (
+        spark.readStream.format(fmt)
+        .option("root", root)
+        .option("keys", "k")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "l"))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(
+        (
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "l")).collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert rows == [
+        (2, big + 2, "update_postimage", 1),
+        (2, None, "update_preimage", 1),
+        (3, None, "update_postimage", 1),
+        (3, 7, "update_preimage", 1),
+    ]
+
+
+def test_stream_source_spans_version_gaps(spark, tmp_path):
+    """A skipped dead-claimant orphan inside the committed range must
+    not break the stream: partitions() pairs consecutive COMMITTED
+    versions, so the gap's step folds into the surrounding pair's diff
+    (stamped with the later committed version)."""
+    root = str(tmp_path / "tbl")
+    _mk_table(spark, root, n=10)
+    os.makedirs(os.path.join(root, "v1"))  # dead claimant's orphan
+    n = mt.merge_into_bucketed_exclusive(
+        spark,
+        root,
+        spark.createDataFrame([(0, 3.0)], "k long, amt double"),
+        marker_timeout=0.3,
+        **CLAUSES,
+    )
+    assert n == 2 and mt.committed_versions(root) == [0, 2]
+    rows = _drain(
+        spark, root, str(tmp_path / "c"), str(tmp_path / "l")
+    )
+    assert rows == [
+        (0, 0.0, "update_preimage", 2),
+        (0, 3.0, "update_postimage", 2),
+    ]
