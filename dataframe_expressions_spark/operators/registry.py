@@ -117,23 +117,26 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # fronting test recomputes the same derivation).  CORRECTNESS_r11 came
 # back 50/50, leaving the vintage distribution r6:34 r7:50 r8:50 r9:50
 # r10:50 r11:50 — so, per the r11 VERDICT plan (item 5):
-# slots  1- 5: the round-12 additions (dsl_table_write,
-#              stream_table_source, table_merge_concurrent,
-#              table_multicol_skipping, table_time_travel_ts — all
-#              zero evidence),
-# slots  6-39: the FULL 34-id r6 tail (emb_matryoshka_audit ...
+# slots  1- 7: the round-12 additions (dsl_table_write,
+#              stream_table_source, table_clone_shallow,
+#              table_merge_concurrent, table_multicol_skipping,
+#              table_restore, table_time_travel_ts — all zero
+#              evidence),
+# slots  8-41: the FULL 34-id r6 tail (emb_matryoshka_audit ...
 #              window_yoy_delta),
-# slots 40-50: the alphabetical head (11 of 50) of the r7 block
-#              (agg_approx_distinct ... dedup_exact).
+# slots 42-50: the alphabetical head (9 of 50) of the r7 block
+#              (agg_approx_distinct ... data_temporal_split).
 # If CORRECTNESS_r12 comes back 50/50 the oldest remaining evidence is
-# the 39-id r7 tail — front any round-13 additions, then that tail
+# the 41-id r7 tail — front any round-13 additions, then that tail
 # (derive programmatically from the committed CORRECTNESS files, as
 # always).
 DRIVER_WINDOW_PRIORITY: tuple = (
     "dsl_table_write",
     "stream_table_source",
+    "table_clone_shallow",
     "table_merge_concurrent",
     "table_multicol_skipping",
+    "table_restore",
     "table_time_travel_ts",
     "emb_matryoshka_audit",
     "feature_hashing",
@@ -178,8 +181,6 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "count_agg",
     "data_epoch_shuffle",
     "data_temporal_split",
-    "dedup_band_calibration",
-    "dedup_exact",
 )
 
 

@@ -773,6 +773,151 @@ def stream_feed_consume(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 # ---------------------------------------------------------------------------
+# metadata-only operations: RESTORE and SHALLOW CLONE
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_restore",
+    _merged_cte("WHERE o_custkey % 16 IN (4, 5)") + """
+    SELECT c_custkey, c_name, acctbal, n_orders FROM merged
+    """,
+)
+def table_restore(spark: SparkSession, sf_dir: str) -> SDF:
+    """RESTORE TABLE AS A NEW COMMIT (round 12 — Delta ``RESTORE ...
+    VERSION AS OF`` on the commit log): v1 merges an unwanted change
+    set (buckets {6,7}), v2 = ``restore_table(root, 0)`` reverts the
+    table's CONTENT to v0 with ZERO data movement — the restore
+    commit's manifest IS v0's manifest, by reference — and v3 then
+    merges the intended change set (buckets {4,5}) ON TOP of the
+    restored state.  The returned frame is the v3 read-back; the
+    oracle is v0 + the intended changes ONLY, so a restore that
+    failed to revert the unwanted merge (or reverted too much)
+    hash-mismatches.  History is never rewritten: v1 (the mistake)
+    stays time-travelable, which the unit test asserts along with the
+    manifest identity v2 ≡ v0 (zero bytes copied).
+
+    Scale: on a bucketed 100 TB table the restore writes ONE marker —
+    the same metadata-only cost as Delta's RESTORE (add/remove file
+    actions), priced by the manifest indirection the bucketed MERGE
+    already maintains; vacuum's manifest-awareness keeps the
+    referenced files alive while any kept version needs them."""
+    from ..sources.mergetable import (
+        commit_bucketed,
+        latest_version,
+        merge_into_bucketed,
+        read_bucketed,
+        restore_table,
+    )
+
+    root = _table_root(sf_dir, "custrest_v1")
+    clauses = dict(
+        matched_update={
+            "acctbal": "t.acctbal + s.rev",
+            "n_orders": "t.n_orders + s.n_o",
+        },
+        not_matched_insert={
+            "c_name": "'NEW'",
+            "acctbal": "s.rev",
+            "n_orders": "s.n_o",
+        },
+    )
+    m16 = F.col("o_custkey") % 16
+    if (latest_version(root) or -1) < 3:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        commit_bucketed(
+            _customer_v0(spark, sf_dir), root, 0, on="c_custkey",
+            n_buckets=16, hashed=False, meta={"op": "create"},
+        )
+        merge_into_bucketed(  # the MISTAKE: v1
+            spark, root,
+            _order_changes(spark, sf_dir, where=m16.isin(6, 7)),
+            meta={"op": "merge-unwanted"}, **clauses,
+        )
+        restore_table(spark, root, 0, meta={"reason": "revert"})  # v2
+        merge_into_bucketed(  # the intended merge: v3
+            spark, root,
+            _order_changes(spark, sf_dir, where=m16.isin(4, 5)),
+            meta={"op": "merge-intended"}, **clauses,
+        )
+    return read_bucketed(spark, root, 3)
+
+
+@query(
+    "table_clone_shallow",
+    _merged_cte("WHERE o_custkey % 16 IN (6, 7, 8, 9)") + """
+    SELECT c_custkey, c_name, acctbal, n_orders FROM merged
+    """,
+)
+def table_clone_shallow(spark: SparkSession, sf_dir: str) -> SDF:
+    """SHALLOW CLONE (round 12 — Delta ``CREATE TABLE ... SHALLOW
+    CLONE``): the source ledger accrues v0 + a merge of buckets
+    {6,7}; ``clone_shallow`` forks an INDEPENDENT table whose v0
+    manifest references the source's physical files — zero bytes
+    copied, one marker written — and a further merge of buckets
+    {8,9} lands in the CLONE only: its touched buckets are rewritten
+    under the clone root while untouched entries keep pointing into
+    the source, and the source itself is never modified (asserted in
+    the unit test down to physical paths).  The returned frame is the
+    clone's read-back; the oracle is the combined change set, so a
+    clone that missed source state or leaked its own merge back
+    hash-mismatches.
+
+    Scale: cloning a 100 TB table costs one marker write — the
+    dev/test/experiment fork primitive.  The Delta caveat applies
+    verbatim and is documented loudly: vacuum on the SOURCE does not
+    know about clones, so source vacuum can delete files a clone
+    still references; clone-side vacuum is safe (cross-root entries
+    are never swept)."""
+    import os
+
+    from ..sources.mergetable import (
+        clone_shallow,
+        commit_bucketed,
+        latest_version,
+        merge_into_bucketed,
+        read_bucketed,
+    )
+
+    root = _table_root(sf_dir, "custclone_v1")
+    src, dst = os.path.join(root, "src"), os.path.join(root, "clone")
+    clauses = dict(
+        matched_update={
+            "acctbal": "t.acctbal + s.rev",
+            "n_orders": "t.n_orders + s.n_o",
+        },
+        not_matched_insert={
+            "c_name": "'NEW'",
+            "acctbal": "s.rev",
+            "n_orders": "s.n_o",
+        },
+    )
+    m16 = F.col("o_custkey") % 16
+    if (latest_version(dst) or -1) < 1:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        commit_bucketed(
+            _customer_v0(spark, sf_dir), src, 0, on="c_custkey",
+            n_buckets=16, hashed=False, meta={"op": "create"},
+        )
+        merge_into_bucketed(
+            spark, src,
+            _order_changes(spark, sf_dir, where=m16.isin(6, 7)),
+            meta={"op": "merge-src"}, **clauses,
+        )
+        clone_shallow(spark, src, dst)
+        merge_into_bucketed(  # lands in the CLONE only
+            spark, dst,
+            _order_changes(spark, sf_dir, where=m16.isin(8, 9)),
+            meta={"op": "merge-clone"}, **clauses,
+        )
+    return read_bucketed(spark, dst, 1)
+
+
+# ---------------------------------------------------------------------------
 # the table as a streaming source
 # ---------------------------------------------------------------------------
 

@@ -122,6 +122,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "MergeConflictError",
     "bucket_expr",
+    "clone_shallow",
     "commit_bucketed",
     "commit_meta",
     "commit_mor_delete",
@@ -137,6 +138,7 @@ __all__ = [
     "merge_into_bucketed_exclusive",
     "read_bucketed",
     "read_version",
+    "restore_table",
     "table_changes",
     "vacuum",
     "version_as_of",
@@ -2058,6 +2060,144 @@ def commit_snapshot_exclusive(
         )
     os.unlink(mtmp)
     return n
+
+
+# ---------------------------------------------------------------------------
+# metadata-only table operations: RESTORE and SHALLOW CLONE (round 12)
+# ---------------------------------------------------------------------------
+
+
+def restore_table(
+    spark: SparkSession,
+    root: str,
+    to_version: int,
+    meta: Optional[dict] = None,
+) -> int:
+    """RESTORE TABLE to an older committed version AS A NEW COMMIT
+    (Delta ``RESTORE TABLE ... TO VERSION AS OF`` reduced to its
+    commit-log essence): history is never rewritten — the restore is
+    version ``latest+1`` whose CONTENT is ``to_version``'s, so the
+    mistake and its correction are both permanently auditable and
+    time-travelable.
+
+    Bucketed tables restore with ZERO data movement: the new commit's
+    manifest IS the target version's manifest (immutable files,
+    by-reference — the same indirection bucket-scoped MERGE uses), and
+    the bucket spec + file statistics carry over verbatim.  Vacuum's
+    manifest-awareness already protects the referenced dirs for as
+    long as the restore commit is kept.  Plain tables have no manifest
+    indirection, so their restore is an honest copy-on-write
+    re-snapshot of the target's content (documented cost, not hidden).
+
+    Returns the committed version number."""
+    base = latest_version(root)
+    if base is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    tmeta = commit_meta(root, to_version)  # raises if not committed
+    n = base + 1
+    payload_meta = {
+        "op": "restore",
+        "restored_from": to_version,
+        **(meta or {}),
+    }
+    man = tmeta.get("manifest")
+    if man is None:
+        # plain snapshot or a merge-on-read delete version: both
+        # restore as an honest re-snapshot of the RESOLVED content
+        # (read_version stacks the MoR anti-join chain) — the copy is
+        # the documented cost of restoring without manifest indirection
+        commit_snapshot(
+            read_version(spark, root, to_version), root, n,
+            meta=payload_meta,
+        )
+        return n
+    _clear_uncommitted_snapshot(root, n)
+    os.makedirs(os.path.join(root, f"v{n}"), exist_ok=True)
+    payload = {
+        "manifest": dict(man),
+        "bucket": tmeta.get("bucket"),
+        "base_version": base,
+        **payload_meta,
+    }
+    if tmeta.get("file_stats"):
+        payload["file_stats"] = tmeta["file_stats"]
+    _write_marker(root, n, payload)
+    return n
+
+
+def clone_shallow(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    n: Optional[int] = None,
+    meta: Optional[dict] = None,
+) -> int:
+    """SHALLOW CLONE of a bucketed table (Delta ``CREATE TABLE ...
+    SHALLOW CLONE``): ``dst_root`` becomes an independent table whose
+    v0 manifest REFERENCES the source version's physical files —
+    zero bytes copied, one marker written.  Merges into the clone
+    rewrite only their touched buckets (the untouched entries keep
+    pointing into the source), and the SOURCE is never affected by
+    anything the clone does: the fork point is the manifest, exactly
+    the bucketed-MERGE indirection applied across table roots.
+
+    THE DELTA CAVEAT APPLIES VERBATIM: the clone borrows the source's
+    files without the source knowing.  ``vacuum`` on the SOURCE only
+    protects dirs referenced by the source's OWN kept manifests, so
+    vacuuming the source can delete files a clone still references —
+    same contract as Delta shallow clones (their docs say exactly
+    this).  Clone-side vacuum is safe: cross-root entries normalize
+    outside ``v<k>`` and are never swept by the clone.
+
+    Plain (manifest-less) tables cannot be shallow-cloned — copy them
+    with ``commit_snapshot(read_version(...), dst_root, 0)``.
+
+    Returns the clone's committed version number (0)."""
+    smeta = commit_meta(src_root, n)
+    man = smeta.get("manifest")
+    if man is None:
+        raise ValueError(
+            "shallow clone requires a bucketed source (manifest "
+            "indirection is the zero-copy machinery) — plain tables: "
+            "commit_snapshot(read_version(...), dst_root, 0)"
+        )
+    if "mor_base" in smeta:
+        raise ValueError(
+            "shallow clone of a merge-on-read delete version is not "
+            "supported — compact_mor the source first"
+        )
+    if latest_version(dst_root) is not None:
+        raise ValueError(f"clone target {dst_root} already has commits")
+    os.makedirs(os.path.join(dst_root, "_commits"), exist_ok=True)
+    os.makedirs(os.path.join(dst_root, "v0"), exist_ok=True)
+    rel_src = os.path.relpath(
+        os.path.abspath(src_root), os.path.abspath(dst_root)
+    )
+    new_man = {
+        b: os.path.normpath(os.path.join(rel_src, rel))
+        for b, rel in man.items()
+    }
+    payload = {
+        "manifest": new_man,
+        "bucket": smeta.get("bucket"),
+        "op": "clone-shallow",
+        "cloned_from": {
+            "root": os.path.abspath(src_root),
+            "version": smeta.get("version"),
+        },
+        **(meta or {}),
+    }
+    stats = smeta.get("file_stats")
+    if stats:
+        payload["file_stats"] = {
+            "key": stats["key"],
+            "files": {
+                os.path.normpath(os.path.join(rel_src, rel)): mm
+                for rel, mm in stats["files"].items()
+            },
+        }
+    _write_marker(dst_root, 0, payload)
+    return 0
 
 
 # ---------------------------------------------------------------------------

@@ -2136,3 +2136,128 @@ def test_feed_since_spans_version_gaps(spark, tmp_path):
     ]
     with pytest.raises(FileNotFoundError, match="not committed"):
         feed_since(spark, root, 2, on="k")
+
+
+# ---------------------------------------------------------------------------
+# RESTORE and SHALLOW CLONE (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_restore_bucketed_is_metadata_only_and_auditable(spark, tmp_path):
+    """Bucketed RESTORE commits a new version whose manifest IS the
+    target's (zero data copied), content reverts exactly, the mistake
+    version stays time-travelable, and a later merge chains on top of
+    the restored state."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    _mk_occ_base(spark, root)
+    mt.merge_into_bucketed(
+        spark, root, _occ_chg(spark, [0, 8], 5.0), **_OCC_CLAUSES
+    )
+    n = mt.restore_table(spark, root, 0)
+    assert n == 2
+    m2, m0 = mt.commit_meta(root, 2), mt.commit_meta(root, 0)
+    assert m2["manifest"] == m0["manifest"]  # by-reference, zero copy
+    assert m2["restored_from"] == 0 and m2["op"] == "restore"
+    assert not [
+        f
+        for f in os.listdir(os.path.join(root, "v2"))
+        if f.endswith(".parquet")
+    ]  # no data written
+    got = {r.k: r.val for r in mt.read_bucketed(spark, root, 2).collect()}
+    assert got == {k: 0.0 for k in range(40)}  # v0 content exact
+    # the mistake is still auditable
+    got1 = {r.k: r.val for r in mt.read_bucketed(spark, root, 1).collect()}
+    assert got1[0] == 5.0 and got1[8] == 5.0
+    # history continues on the restored state
+    mt.merge_into_bucketed(
+        spark, root, _occ_chg(spark, [1], 7.0), **_OCC_CLAUSES
+    )
+    got3 = {r.k: r.val for r in mt.read_bucketed(spark, root, 3).collect()}
+    assert got3[0] == 0.0 and got3[1] == 7.0  # mistake gone, merge in
+    # vacuum keeps v0's files while the restore references them
+    mt.vacuum(root, keep=2)  # keeps v2 (restore) and v3
+    got2 = {r.k: r.val for r in mt.read_bucketed(spark, root, 2).collect()}
+    assert got2 == {k: 0.0 for k in range(40)}
+
+
+def test_restore_plain_table_copies_and_mor_raises(spark, tmp_path):
+    """Plain tables restore as an honest re-snapshot; MoR targets
+    raise with a pointer to compact_mor."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "plain")
+    mt.commit_snapshot(
+        spark.createDataFrame([(1, "a")], "k long, v string"), root, 0
+    )
+    mt.commit_snapshot(
+        spark.createDataFrame([(1, "b")], "k long, v string"), root, 1
+    )
+    n = mt.restore_table(spark, root, 0)
+    assert n == 2
+    assert [r.v for r in mt.read_version(spark, root, 2).collect()] == ["a"]
+    # a MoR delete version restores via the RESOLVED content (the
+    # anti-join chain is materialized by the honest-copy path)
+    mt.commit_mor_delete(spark, root, "k = 1", on="k")
+    n2 = mt.restore_table(spark, root, 3)
+    assert mt.read_version(spark, root, n2).count() == 0  # all deleted
+
+
+def test_clone_shallow_forks_without_touching_source(spark, tmp_path):
+    """A shallow clone is one marker: its manifest references the
+    source's physical files; merges into the clone rewrite only their
+    touched buckets under the CLONE root, the source is bit-for-bit
+    unaffected, and clone-side vacuum never sweeps source files."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _mk_occ_base(spark, src)
+    mt.merge_into_bucketed(
+        spark, src, _occ_chg(spark, [0], 5.0), **_OCC_CLAUSES
+    )
+    assert mt.clone_shallow(spark, src, dst) == 0
+    cmeta = mt.commit_meta(dst, 0)
+    assert cmeta["op"] == "clone-shallow"
+    assert cmeta["cloned_from"]["version"] == 1
+    # every manifest entry resolves to a path under the SOURCE
+    for rel in cmeta["manifest"].values():
+        assert os.path.realpath(os.path.join(dst, rel)).startswith(
+            os.path.realpath(src)
+        )
+    # clone content == source content at the fork
+    src_rows = sorted(
+        tuple(r) for r in mt.read_bucketed(spark, src).collect()
+    )
+    assert (
+        sorted(tuple(r) for r in mt.read_bucketed(spark, dst).collect())
+        == src_rows
+    )
+    # diverge the clone; source must not move
+    src_latest = mt.latest_version(src)
+    mt.merge_into_bucketed(
+        spark, dst, _occ_chg(spark, [1], 7.0), **_OCC_CLAUSES
+    )
+    assert mt.latest_version(src) == src_latest
+    assert (
+        sorted(tuple(r) for r in mt.read_bucketed(spark, src).collect())
+        == src_rows
+    )
+    got = {r.k: r.val for r in mt.read_bucketed(spark, dst).collect()}
+    assert got[0] == 5.0 and got[1] == 7.0
+    # clone vacuum is safe: source files survive
+    mt.vacuum(dst, keep=1)
+    assert (
+        sorted(tuple(r) for r in mt.read_bucketed(spark, src).collect())
+        == src_rows
+    )
+    # guardrails
+    with pytest.raises(ValueError, match="already has commits"):
+        mt.clone_shallow(spark, src, dst)
+    plain = str(tmp_path / "plain")
+    mt.commit_snapshot(
+        spark.createDataFrame([(1,)], "k long"), plain, 0
+    )
+    with pytest.raises(ValueError, match="bucketed source"):
+        mt.clone_shallow(spark, plain, str(tmp_path / "dst2"))
