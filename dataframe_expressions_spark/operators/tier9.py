@@ -908,7 +908,7 @@ def table_clone_shallow(spark: SparkSession, sf_dir: str) -> SDF:
             _order_changes(spark, sf_dir, where=m16.isin(6, 7)),
             meta={"op": "merge-src"}, **clauses,
         )
-        clone_shallow(spark, src, dst)
+        clone_shallow(src, dst)
         merge_into_bucketed(  # lands in the CLONE only
             spark, dst,
             _order_changes(spark, sf_dir, where=m16.isin(8, 9)),

@@ -152,15 +152,28 @@ class MergeConflictError(RuntimeError):
     the caller may re-invoke (fresh retries) or give up."""
 
 
+def _is_fence_marker(root: str, n: int) -> bool:
+    """True when version ``n``'s marker slot holds a FENCE tombstone —
+    published by an OCC writer that declared a stalled claimant dead
+    (see ``merge_into_bucketed_exclusive``).  A fence is not a commit:
+    it exists purely to make the declared-dead writer's own late
+    marker publish FAIL (if-absent link against an occupied slot)
+    instead of silently landing a version the chain already skipped."""
+    try:
+        with open(os.path.join(root, "_commits", str(n))) as fh:
+            return bool(json.load(fh).get("fenced"))
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        return False
+
+
 def committed_versions(root: str) -> "list[int]":
     """Every COMMITTED version (marker present AND snapshot dir
-    present), ascending.  The version sequence may have GAPS: a dead
-    OCC claimant's orphan dir occupies a number that never commits
-    (skipped by ``merge_into_bucketed_exclusive``), and vacuum's MoR
-    chain promotion can drop an interior version while keeping its
-    neighbors — consumers that walk commit HISTORY must therefore pair
-    consecutive COMMITTED versions, never ``n`` and ``n+1``
-    (round-12 review)."""
+    present AND not a fence tombstone), ascending.  The version
+    sequence may have GAPS: a fenced dead-claimant slot never commits,
+    and vacuum's MoR chain promotion can drop an interior version
+    while keeping its neighbors — consumers that walk commit HISTORY
+    must therefore pair consecutive COMMITTED versions, never ``n``
+    and ``n+1`` (round-12 review)."""
     commits_dir = os.path.join(root, "_commits")
     if not os.path.isdir(commits_dir):
         return []
@@ -169,6 +182,7 @@ def committed_versions(root: str) -> "list[int]":
         for name in os.listdir(commits_dir)
         if name.isdigit()
         and os.path.isdir(os.path.join(root, f"v{int(name)}"))
+        and not _is_fence_marker(root, int(name))
     )
 
 
@@ -211,14 +225,9 @@ def version_as_of(root: str, ts) -> int:
     listing + marker reads — no data touched."""
     if hasattr(ts, "timestamp"):
         ts = ts.timestamp()
-    commits_dir = os.path.join(root, "_commits")
-    if not os.path.isdir(commits_dir):
+    committed = committed_versions(root)
+    if not committed:
         raise FileNotFoundError(f"no committed version under {root}")
-    committed = sorted(
-        int(x)
-        for x in os.listdir(commits_dir)
-        if x.isdigit() and os.path.isdir(os.path.join(root, f"v{int(x)}"))
-    )
     best = None
     for m in committed:
         if _marker_committed_at(root, m) <= ts:
@@ -409,7 +418,15 @@ def commit_meta(root: str, n: Optional[int] = None) -> dict:
     if not os.path.exists(marker):
         raise FileNotFoundError(f"version {n} is not committed in {root}")
     with open(marker) as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    if meta.get("fenced"):
+        # a fence tombstone is NOT a commit (see _is_fence_marker) —
+        # resolving it as one would serve a dead claimant's orphan data
+        raise FileNotFoundError(
+            f"version {n} of {root} is a fence tombstone (dead OCC "
+            "claimant), not a committed version"
+        )
+    return meta
 
 
 def _write_marker(root: str, n: int, payload: Optional[dict]) -> None:
@@ -763,10 +780,10 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
     commits_dir = os.path.join(root, "_commits")
     if not os.path.isdir(commits_dir):
         return []
-    committed = sorted(
-        int(n) for n in os.listdir(commits_dir)
-        if n.isdigit() and os.path.isdir(os.path.join(root, f"v{int(n)}"))
-    )
+    # canonical committed list (fence tombstones excluded — a fenced
+    # slot must neither consume a keep= slot nor be protected as a
+    # kept version; its dir is swept as an orphan below)
+    committed = committed_versions(root)
     drop = committed[:-keep] if len(committed) > keep else []
     kept_versions = [n for n in committed if n not in drop]
     # MoR chain closure (round 11): a kept merge-on-read delete version
@@ -849,7 +866,12 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
             and name[1:].isdigit()
             and name not in kept
             and os.path.isdir(path)
-            and not os.path.exists(os.path.join(commits_dir, name[1:]))
+            and (
+                not os.path.exists(os.path.join(commits_dir, name[1:]))
+                # a FENCED slot's dir is a dead claimant's orphan: the
+                # fence marker itself is swept with it (round 12)
+                or _is_fence_marker(root, int(name[1:]))
+            )
             and not any(
                 r == name or r.startswith(name + "/") for r in referenced
             )
@@ -864,6 +886,11 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
                 default=0.0,
             )
             if superseded_age > 3600:
+                if _is_fence_marker(root, k):
+                    try:
+                        os.unlink(os.path.join(commits_dir, str(k)))
+                    except FileNotFoundError:
+                        pass
                 shutil.rmtree(path, ignore_errors=True)
     return drop
 
@@ -1770,8 +1797,14 @@ def feed_since(
     This is the incremental-consumer contract: a downstream pipeline
     remembers the last version it processed and calls
     ``feed_since(root, last_seen)`` to get exactly the missed changes,
-    in commit order, exactly once (versions are immutable, so the feed
-    for a given range is deterministic forever).
+    in commit order, exactly once.  Determinism caveat: versions are
+    immutable, so a range's feed is deterministic ONCE THE COMMITTED
+    SET between its endpoints is final — a claimant still inside its
+    claim→publish window can fill a gap AFTER a first read of the
+    range, changing how the cumulative diff splits into steps (fenced
+    gaps are final by construction; the streaming source pins the
+    chain in its checkpointed offsets for exactly this reason).  The
+    CUMULATIVE state change over the range is identical either way.
 
     Commit kinds compose transparently: plain COW snapshots and MERGE
     commits diff directly, MERGE-ON-READ delete commits resolve through
@@ -1799,6 +1832,16 @@ def feed_since(
             f"feed_since base version {since_version} of {root} is not "
             "committed (vacuumed, or never existed) — an exact feed "
             "from it cannot be produced"
+        )
+    if to_version not in all_vs:
+        # an explicitly-requested upper bound that is not committed
+        # must not silently truncate: a consumer that advances its
+        # cursor to the to_version it ASKED for would permanently skip
+        # whatever lands in between (round-12 review)
+        raise FileNotFoundError(
+            f"feed_since to_version {to_version} of {root} is not "
+            "committed — pass a committed version (or omit it for "
+            "latest)"
         )
     # pair consecutive COMMITTED versions, never n and n+1: the
     # sequence may have gaps (skipped dead-claimant OCC orphans; MoR
@@ -2054,6 +2097,13 @@ def commit_snapshot_exclusive(
         os.link(mtmp, marker)  # atomic if-absent publish
     except FileExistsError:
         os.unlink(mtmp)
+        if _is_fence_marker(root, n):
+            raise RuntimeError(
+                f"fenced out: this writer stalled longer than a rival "
+                f"OCC writer's marker_timeout between claiming v{n} "
+                "and publishing, and was declared dead — the commit "
+                "did NOT land; retry"
+            )
         raise RuntimeError(
             f"commit protocol violation: marker {n} appeared under a "
             f"snapshot owned by this writer in {root}"
@@ -2105,10 +2155,20 @@ def restore_table(
         # plain snapshot or a merge-on-read delete version: both
         # restore as an honest re-snapshot of the RESOLVED content
         # (read_version stacks the MoR anti-join chain) — the copy is
-        # the documented cost of restoring without manifest indirection
+        # the documented cost of restoring without manifest
+        # indirection.  The target's statistics specs carry over so
+        # skipping SURVIVES the restore (round-12 review: dropping
+        # them silently broke key_range/ranges reads on the new
+        # latest); a Z-ORDER layout is not reconstructed — stats_cols
+        # are re-recorded on the restored files, with the weaker
+        # selectivity of the stats_key (or unordered) layout.
+        fs = tmeta.get("file_stats") or {}
+        fsc = tmeta.get("file_stats_cols") or {}
         commit_snapshot(
             read_version(spark, root, to_version), root, n,
             meta=payload_meta,
+            stats_key=fs.get("key"),
+            stats_cols=fsc.get("cols"),
         )
         return n
     _clear_uncommitted_snapshot(root, n)
@@ -2126,7 +2186,6 @@ def restore_table(
 
 
 def clone_shallow(
-    spark: SparkSession,
     src_root: str,
     dst_root: str,
     n: Optional[int] = None,
@@ -2152,7 +2211,9 @@ def clone_shallow(
     Plain (manifest-less) tables cannot be shallow-cloned — copy them
     with ``commit_snapshot(read_version(...), dst_root, 0)``.
 
-    Returns the clone's committed version number (0)."""
+    Pure metadata work (marker JSON + path arithmetic): no
+    SparkSession is involved, which is the whole point of a shallow
+    clone.  Returns the clone's committed version number (0)."""
     smeta = commit_meta(src_root, n)
     man = smeta.get("manifest")
     if man is None:
@@ -2231,6 +2292,31 @@ def _await_commit_meta(
             if time.time() >= deadline:
                 return None
             time.sleep(0.05)
+
+
+def _publish_fence(root: str, n: int) -> bool:
+    """Atomically occupy version ``n``'s marker slot with a fence
+    tombstone (if-absent ``os.link``, the same primitive real markers
+    publish with).  True on success; False when a real marker won the
+    race (the claimant was alive after all)."""
+    import threading
+    import time
+
+    marker = os.path.join(root, "_commits", str(n))
+    ftmp = f"{marker}.fence{os.getpid()}-{threading.get_ident()}"
+    with open(ftmp, "w") as fh:
+        fh.write(
+            json.dumps(
+                {"fenced": True, "version": n, "fenced_at": time.time()}
+            )
+        )
+    try:
+        os.link(ftmp, marker)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(ftmp)
 
 
 def merge_into_bucketed_exclusive(
@@ -2407,6 +2493,14 @@ def merge_into_bucketed_exclusive(
             os.link(mtmp, marker)  # atomic if-absent publish
         except FileExistsError:
             os.unlink(mtmp)
+            if _is_fence_marker(root, n):
+                raise MergeConflictError(
+                    f"fenced out: this writer stalled longer than a "
+                    f"rival's marker_timeout between claiming v{n} and "
+                    f"publishing its marker, and was declared dead — "
+                    f"the commit did NOT land (table state unchanged "
+                    "by it); retry the merge"
+                )
             raise RuntimeError(
                 f"commit protocol violation: marker {n} appeared under "
                 f"a snapshot owned by this writer in {root}"
@@ -2451,14 +2545,24 @@ def _claim_merge_version(
                     shutil.rmtree(tmp, ignore_errors=True)
                     raise
                 # lost the claim: fall through and check version n
+        if _is_fence_marker(root, n):
+            # a previous writer already declared this claimant dead and
+            # fenced the slot: permanent gap, skip it
+            n += 1
+            continue
         m_meta = _await_commit_meta(root, n, marker_timeout)
         if m_meta is None:
-            # dead claimant (marker never appeared): SKIP the orphaned
-            # version number — its dir stays invisible to readers, and
-            # once WE commit past it, vacuum's superseded horizon can
-            # sweep it.  newest_meta is unchanged: the orphan
-            # contributed no committed state to rebase onto.
-            n += 1
+            # dead claimant (marker never appeared): FENCE the slot
+            # before skipping it — the if-absent fence link guarantees
+            # that if the claimant was merely stalled, its own later
+            # marker publish FAILS LOUDLY instead of silently landing a
+            # version the chain has already skipped (round-12 review:
+            # the unfenced skip turned a slow writer's "success" into a
+            # lost update).  If the fence link LOSES, the claimant
+            # published in the window after all: loop back un-advanced
+            # and read its marker like any rival's.
+            if _publish_fence(root, n):
+                n += 1  # fenced: permanent gap; vacuum sweeps it later
             continue
         rival_spec = m_meta.get("bucket") or {}
         if rival_spec.get("expr") != spec["expr"]:

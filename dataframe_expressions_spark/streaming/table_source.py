@@ -7,13 +7,21 @@ replacing driver-side foreachBatch polling with checkpointed offsets.
 
 Design — each piece priced for 100 TB:
 
-* **Offsets are versions.**  ``initialOffset`` = the caller's starting
-  version (``start_version`` option, default 0 = feed everything after
-  v0); ``latestOffset`` = the table's current committed version, read
-  from one directory listing.  Spark checkpoints ``{"version": n}`` per
-  batch, so restart recovery replays exactly the outstanding range —
-  and because table versions are IMMUTABLE, a replayed range is
-  deterministic forever: exactly-once without a transactional sink.
+* **Offsets are versions, with the committed chain PINNED.**
+  ``initialOffset`` = the caller's starting version (``start_version``
+  option, default 0 = feed everything after v0); ``latestOffset`` =
+  the table's current committed version PLUS the committed-version
+  chain up to it.  Spark checkpoints the offset per batch, so restart
+  recovery replays exactly the outstanding range — and because
+  versions are immutable AND the chain rides in the offset, a replayed
+  batch re-plans exactly the original diff steps even if a stalled
+  claimant fills a version gap after the first planning: exactly-once
+  without a transactional sink.  Retention caveat (standard for every
+  log-backed source): offsets must not outlive vacuum — a start offset
+  with no committed version at or before it raises loudly, and a
+  vacuumed INTERIOR version folds its step into the surrounding pair's
+  diff (cumulative state change identical; at-least-once only if the
+  checkpoint itself predates the retained history).
 * **Partitions are (commit step, bucket) diffs.**  ``partitions(start,
   end)`` plans one input partition per commit step per CHANGED bucket
   (manifest fast path: identical manifest entry ⇒ identical immutable
@@ -352,25 +360,51 @@ def _make_source_class():
             return {"version": self.start}
 
         def latestOffset(self):
+            from ..sources.mergetable import committed_versions
+
             n = _latest_version(self.root)
-            return {"version": self.start if n is None else max(n, self.start)}
+            if n is None:
+                return {"version": self.start}
+            v = max(n, self.start)
+            # the offset PINS the committed chain up to it (round-12
+            # review): a stalled claimant can fill a gap AFTER this
+            # batch is planned, and an unpinned replay would then split
+            # the same (start, end] range into DIFFERENT diff steps —
+            # breaking the deterministic-replay contract.  With the
+            # chain in the checkpointed offset, a replayed batch plans
+            # exactly the original pairs.
+            return {
+                "version": v,
+                "chain": [c for c in committed_versions(self.root) if c <= v],
+            }
 
         def partitions(self, start, end):
             from ..sources.mergetable import committed_versions
 
             # pair consecutive COMMITTED versions inside the offset
-            # range: the sequence may have gaps (skipped dead-claimant
-            # OCC orphans, vacuum's MoR chain promotion) and a
-            # v->v+1 walk would raise on the first one (round-12
-            # review).  The chain is anchored at the newest committed
-            # version <= start (normally start itself), so a gap's
-            # changes fold into the surrounding pair's diff.
-            all_vs = committed_versions(self.root)
+            # range: the sequence may have gaps (fenced dead-claimant
+            # OCC slots, vacuum's MoR chain promotion) and a v->v+1
+            # walk would raise on the first one (round-12 review).
+            # The chain comes from the END offset when present (pinned
+            # at plan time — see latestOffset); legacy offsets fall
+            # back to the live listing.
             s, e = start["version"], end["version"]
+            all_vs = end.get("chain")
+            if all_vs is None:
+                all_vs = committed_versions(self.root)
             base = max((v for v in all_vs if v <= s), default=None)
-            chain = ([base] if base is not None else []) + [
-                v for v in all_vs if s < v <= e
-            ]
+            if base is None:
+                # no committed anchor at or before the start offset:
+                # the checkpoint predates the table's retention —
+                # refuse loudly rather than silently skip the
+                # unanchored steps (round-12 review)
+                raise ValueError(
+                    f"stream start offset version {s} of {self.root} "
+                    "predates retention (no committed version at or "
+                    "before it) — reset the checkpoint or re-seed the "
+                    "consumer"
+                )
+            chain = [base] + [v for v in all_vs if s < v <= e]
             parts = []
             for a, b in zip(chain, chain[1:]):
                 for p in _step_partitions(self.root, a, b):

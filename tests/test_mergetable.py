@@ -2060,10 +2060,12 @@ def test_multicol_stats_guardrails(spark, tmp_path):
 
 def test_occ_merge_skips_dead_claimant_orphan(spark, tmp_path):
     """A marker-less v<n> dir from a crashed claimant must not wedge
-    OCC merges: after marker_timeout the claimant is treated as dead,
-    its version number is SKIPPED (dir left invisible; vacuum sweeps it
-    once superseded+aged), the merge commits past it, and base_version
-    records the newest COMMITTED version — not the skipped number."""
+    OCC merges: after marker_timeout the claimant is declared dead and
+    its slot FENCED (so a merely-stalled claimant's late publish fails
+    loudly instead of landing silently), the merge commits past it,
+    and base_version records the newest COMMITTED version — not the
+    fenced number.  Vacuum sweeps the fence marker and orphan dir once
+    superseded+aged."""
     import dataframe_expressions_spark.sources.mergetable as mt
 
     root = str(tmp_path / "tbl")
@@ -2075,9 +2077,30 @@ def test_occ_merge_skips_dead_claimant_orphan(spark, tmp_path):
     )
     assert n == 2
     meta = mt.commit_meta(root, 2)
-    assert meta["base_version"] == 0  # NOT 1 (skipped orphan)
+    assert meta["base_version"] == 0  # NOT 1 (fenced orphan)
     assert meta["read_base"] == 0
     assert mt.latest_version(root) == 2
+    # the slot is FENCED, not merely skipped: the tombstone marker
+    # blocks the claimant's late publish (FileExistsError on its
+    # if-absent link) and is invisible to every reader
+    assert mt._is_fence_marker(root, 1)
+    assert mt.committed_versions(root) == [0, 2]
+    with pytest.raises(FileNotFoundError, match="fence"):
+        mt.commit_meta(root, 1)
+    with pytest.raises(FileNotFoundError):
+        mt.read_version(spark, root, 1)
+    late = os.path.join(root, "_commits", "1.late")
+    with open(late, "w") as fh:
+        fh.write("{}")
+    with pytest.raises(FileExistsError):
+        os.link(late, os.path.join(root, "_commits", "1"))
+    os.unlink(late)
+    # the feed spans the fenced gap (consecutive committed pairs)
+    stamps = {
+        r._commit_version
+        for r in mt.feed_since(spark, root, 0, on="k").collect()
+    }
+    assert stamps == {2}
     got = {
         r.k: r.val
         for r in mt.read_bucketed(spark, root).collect()
@@ -2097,6 +2120,7 @@ def test_occ_merge_skips_dead_claimant_orphan(spark, tmp_path):
             _json.dump(d, fh)
     mt.vacuum(root, keep=10)
     assert not os.path.isdir(os.path.join(root, "v1"))  # finally swept
+    assert not os.path.exists(os.path.join(root, "_commits", "1"))
 
 
 def test_feed_since_spans_version_gaps(spark, tmp_path):
@@ -2197,6 +2221,22 @@ def test_restore_plain_table_copies_and_mor_raises(spark, tmp_path):
     n = mt.restore_table(spark, root, 0)
     assert n == 2
     assert [r.v for r in mt.read_version(spark, root, 2).collect()] == ["a"]
+    # stats specs carry through a plain restore so skipping survives
+    roots = str(tmp_path / "stats")
+    mt.commit_snapshot(
+        spark.createDataFrame([(k, k * 2) for k in range(100)],
+                              "k long, y long"),
+        roots, 0, n_files=4, stats_key="k", stats_cols=["y"],
+    )
+    mt.commit_snapshot(
+        spark.createDataFrame([(1, 1)], "k long, y long"), roots, 1,
+    )
+    n2 = mt.restore_table(spark, roots, 0)
+    pruned = mt.read_version(spark, roots, n2, key_range=(10, 20))
+    assert pruned.count() == 11 and len(pruned.inputFiles()) < 4
+    assert mt.read_version(
+        spark, roots, n2, ranges={"y": (0, 10)}
+    ).count() == 6
     # a MoR delete version restores via the RESOLVED content (the
     # anti-join chain is materialized by the honest-copy path)
     mt.commit_mor_delete(spark, root, "k = 1", on="k")
@@ -2217,7 +2257,7 @@ def test_clone_shallow_forks_without_touching_source(spark, tmp_path):
     mt.merge_into_bucketed(
         spark, src, _occ_chg(spark, [0], 5.0), **_OCC_CLAUSES
     )
-    assert mt.clone_shallow(spark, src, dst) == 0
+    assert mt.clone_shallow(src, dst) == 0
     cmeta = mt.commit_meta(dst, 0)
     assert cmeta["op"] == "clone-shallow"
     assert cmeta["cloned_from"]["version"] == 1
@@ -2254,10 +2294,10 @@ def test_clone_shallow_forks_without_touching_source(spark, tmp_path):
     )
     # guardrails
     with pytest.raises(ValueError, match="already has commits"):
-        mt.clone_shallow(spark, src, dst)
+        mt.clone_shallow(src, dst)
     plain = str(tmp_path / "plain")
     mt.commit_snapshot(
         spark.createDataFrame([(1,)], "k long"), plain, 0
     )
     with pytest.raises(ValueError, match="bucketed source"):
-        mt.clone_shallow(spark, plain, str(tmp_path / "dst2"))
+        mt.clone_shallow(plain, str(tmp_path / "dst2"))

@@ -100,7 +100,14 @@ def main() -> int:
             need = max(0, EXTRA_SAMPLES - max(0, len(runs.get(q, [])) - 1))
             for _ in range(need + 1):
                 t = time.perf_counter()
-                qs[q].fn(spark, sf_dir).collect()
+                # identical statistic to bench.py's _run_one: noop sink
+                # (JVM-side full evaluation, no Python driver transfer)
+                # — a collect() here would mix incomparable samples and
+                # mis-flag large-result queries forever (round-12
+                # review)
+                qs[q].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 runs.setdefault(q, []).append(
                     round(time.perf_counter() - t, 4)
                 )
