@@ -2301,3 +2301,46 @@ def test_clone_shallow_forks_without_touching_source(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bucketed source"):
         mt.clone_shallow(plain, str(tmp_path / "dst2"))
+
+
+def test_fence_race_lost_reads_rival_like_normal(spark, tmp_path,
+                                                 monkeypatch):
+    """If the claimant publishes its marker in the window between the
+    await timeout and the fence link, the fence LOSES the if-absent
+    race and the OCC writer must fall back to reading the rival's
+    marker like any other — rebasing on a disjoint write-set rather
+    than fencing a live commit."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    _mk_occ_base(spark, root)
+    # a rival's claimed-but-unpublished snapshot at v1, bucket 1 only
+    rv = spark.createDataFrame([(1, 7.0)], "k long, amt double")
+    mt.merge_into_bucketed(spark, root, rv, **_OCC_CLAUSES)
+    marker1 = os.path.join(root, "_commits", "1")
+    stash = marker1 + ".stash"
+    os.rename(marker1, stash)  # marker "not yet published"
+
+    orig_await = mt._await_commit_meta
+
+    def timeout_then_publish(root_, m, timeout):
+        got = orig_await(root_, m, 0.2)
+        if got is None and os.path.exists(stash):
+            os.rename(stash, marker1)  # rival publishes JUST in time
+        return got
+
+    monkeypatch.setattr(mt, "_await_commit_meta", timeout_then_publish)
+    n = mt.merge_into_bucketed_exclusive(
+        spark, root, _occ_chg(spark, [0], 5.0),
+        marker_timeout=0.2, **_OCC_CLAUSES,
+    )
+    assert n == 2
+    assert not mt._is_fence_marker(root, 1)  # the live commit survived
+    assert mt.committed_versions(root) == [0, 1, 2]
+    got = {
+        r.k: r.val
+        for r in mt.read_bucketed(spark, root).collect()
+        if r.val != 0.0
+    }
+    assert got == {0: 5.0, 1: 7.0}  # both writers present (rebase)
+    assert mt.commit_meta(root, 2)["base_version"] == 1
