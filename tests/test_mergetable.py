@@ -2344,3 +2344,38 @@ def test_fence_race_lost_reads_rival_like_normal(spark, tmp_path,
     }
     assert got == {0: 5.0, 1: 7.0}  # both writers present (rebase)
     assert mt.commit_meta(root, 2)["base_version"] == 1
+
+
+def test_change_feed_across_restore_emits_the_revert(spark, tmp_path):
+    """A RESTORE is an ordinary commit to the feed: consumers see the
+    revert as changes (Delta CDF semantics), so downstream state
+    maintained by signed deltas tracks the restored table exactly."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    _mk_occ_base(spark, root, n_keys=8)
+    mt.merge_into_bucketed(
+        spark, root, _occ_chg(spark, [0, 21], 5.0), **_OCC_CLAUSES
+    )
+    mt.restore_table(spark, root, 0)
+    rows = sorted(
+        (r.k, r.val, r.change_type, r._commit_version)
+        for r in mt.feed_since(spark, root, 0, on="k").collect()
+    )
+    assert rows == sorted([
+        (0, 0.0, "update_preimage", 1),
+        (0, 0.0, "update_postimage", 2),   # revert back to v0 value
+        (0, 5.0, "update_postimage", 1),
+        (0, 5.0, "update_preimage", 2),
+        (21, 5.0, "insert", 1),
+        (21, 5.0, "delete", 2),            # the v1 insert is reverted
+    ])
+    # the signed-delta fold over the whole feed nets to ZERO — the
+    # materialized-view identity holds across the restore
+    import collections
+
+    net = collections.Counter()
+    for k, val, ct, _ in rows:
+        sign = 1 if ct in ("insert", "update_postimage") else -1
+        net[k] += sign * val
+    assert all(abs(v) < 1e-12 for v in net.values())
