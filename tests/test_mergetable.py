@@ -4,6 +4,7 @@ semantics."""
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import pytest
@@ -1900,6 +1901,251 @@ def test_occ_merge_genuinely_concurrent_writers(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# OCC maintenance commits (round 13, r12 VERDICT item 1): RESTORE,
+# compaction and MoR deletes go through the claim + if-absent protocol
+# ---------------------------------------------------------------------------
+
+
+@contextlib.contextmanager
+def _marker_replacement_sentinel():
+    """Trip loudly if ANY code path attempts a replace-semantics rename
+    onto an EXISTING commit marker while the context is active — the
+    exact silent-lost-update primitive round 13 removes from the
+    maintenance commits (a published marker must never be replaced;
+    the only legal publish against an occupied slot is the if-absent
+    ``os.link``, which raises FileExistsError by construction)."""
+    real = os.rename
+    attempts: list = []
+
+    def guarded(src, dst, *a, **kw):
+        d = str(dst)
+        if os.sep + "_commits" + os.sep in d and os.path.exists(d):
+            attempts.append((str(src), d))
+            raise AssertionError(f"marker replacement attempted: {d}")
+        return real(src, dst, *a, **kw)
+
+    os.rename = guarded
+    try:
+        yield attempts
+    finally:
+        os.rename = real
+
+
+def test_occ_restore_racing_merge_both_land(spark, tmp_path):
+    """RESTORE racing a live OCC merge in genuinely concurrent threads:
+    both MUST commit as consecutive versions with neither marker
+    replaced.  Whichever lands last determines latest — restore-last
+    reverts to v0 content with the merge auditable below it;
+    merge-last means the merge detected the restore (write-set-less
+    commit = conservative conflict), recomputed from it, and applied
+    its changes on top of the restored content."""
+    import threading
+
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    _mk_occ_base(spark, root)
+    results, errors = {}, []
+    barrier = threading.Barrier(2)
+
+    def merger():
+        try:
+            chg = _occ_chg(spark, [0, 8], 5.0)
+            barrier.wait(timeout=120)
+            results["merge"] = mt.merge_into_bucketed_exclusive(
+                spark, root, chg, meta={"writer": "merge"}, **_OCC_CLAUSES
+            )
+        except Exception as e:  # noqa: BLE001 - surfaced via the assert
+            errors.append(("merge", repr(e)))
+
+    def restorer():
+        try:
+            barrier.wait(timeout=120)
+            results["restore"] = mt.restore_table(
+                spark, root, 0, meta={"writer": "restore"}
+            )
+        except Exception as e:  # noqa: BLE001 - surfaced via the assert
+            errors.append(("restore", repr(e)))
+
+    with _marker_replacement_sentinel() as attempts:
+        threads = [
+            threading.Thread(target=merger),
+            threading.Thread(target=restorer),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+    assert not errors, errors
+    assert not attempts, attempts
+    assert sorted(results.values()) == [1, 2], results
+    # each op's marker content is its own — neither replaced the other's
+    for tag, n in results.items():
+        assert mt.commit_meta(root, n)["writer"] == tag
+    merge_n, restore_n = results["merge"], results["restore"]
+    mmeta, rmeta = mt.commit_meta(root, merge_n), mt.commit_meta(root, restore_n)
+    assert mmeta["touched_buckets"] == ["0"]
+    assert rmeta["restored_from"] == 0
+    nonzero = {
+        r.k: r.val
+        for r in mt.read_bucketed(spark, root).collect()
+        if r.val != 0.0
+    }
+    if restore_n > merge_n:
+        # restore landed last: latest reverts to v0; the merge's commit
+        # stays in history, time-travelable below the restore
+        assert nonzero == {}
+        at_merge = {
+            r.k: r.val
+            for r in mt.read_bucketed(spark, root, merge_n).collect()
+            if r.val != 0.0
+        }
+        assert at_merge == {0: 5.0, 8: 5.0}
+        assert rmeta["base_version"] == merge_n
+    else:
+        # merge landed last: it saw the restore and recomputed from it
+        assert nonzero == {0: 5.0, 8: 5.0}
+        assert mmeta["read_base"] == restore_n
+
+
+def test_occ_compact_racing_merge_both_land(spark, tmp_path):
+    """Bucket compaction racing a live OCC merge in genuinely
+    concurrent threads: overlapping write-sets (the merge's bucket is
+    fragmented too) force one side to recompute, but both MUST commit
+    as consecutive versions, no marker is ever replaced, and the final
+    content is exactly base + merge (compaction is content-neutral —
+    the change feed's compaction step is EMPTY)."""
+    import threading
+
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    # fragmented base: 24 range partitions over 8 modulo buckets ⇒ ~3
+    # files per bucket dir, per-file key stats recorded
+    from dataframe_expressions_spark.sources.mergetable import (
+        commit_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(k, 0.0) for k in range(40)], "k long, val double"
+    )
+    commit_bucketed(
+        df, root, 0, on="k", n_buckets=8, hashed=False,
+        stats_key="k", n_files=24,
+    )
+    results, errors = {}, []
+    barrier = threading.Barrier(2)
+
+    def merger():
+        try:
+            chg = _occ_chg(spark, [0, 8], 5.0)
+            barrier.wait(timeout=120)
+            results["merge"] = mt.merge_into_bucketed_exclusive(
+                spark, root, chg, meta={"writer": "merge"}, **_OCC_CLAUSES
+            )
+        except Exception as e:  # noqa: BLE001 - surfaced via the assert
+            errors.append(("merge", repr(e)))
+
+    def compacter():
+        try:
+            barrier.wait(timeout=120)
+            results["compact"] = mt.compact_buckets(
+                spark, root, max_files=1, meta={"writer": "compact"}
+            )
+        except Exception as e:  # noqa: BLE001 - surfaced via the assert
+            errors.append(("compact", repr(e)))
+
+    with _marker_replacement_sentinel() as attempts:
+        threads = [
+            threading.Thread(target=merger),
+            threading.Thread(target=compacter),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+    assert not errors, errors
+    assert not attempts, attempts
+    assert sorted(results.values()) == [1, 2], results
+    for tag, n in results.items():
+        assert mt.commit_meta(root, n)["writer"] == tag
+    # content: base + merge, regardless of landing order
+    got = {
+        r.k: r.val
+        for r in mt.read_bucketed(spark, root).collect()
+        if r.val != 0.0
+    }
+    assert got == {0: 5.0, 8: 5.0}
+    assert mt.read_bucketed(spark, root).count() == 40
+    # the compaction's OCC metadata chains correctly
+    cmeta = mt.commit_meta(root, results["compact"])
+    assert set(cmeta["compacted_buckets"]) <= {str(b) for b in range(8)}
+    if results["compact"] > results["merge"]:
+        # compact landed last: it recomputed from (or rebased onto) the
+        # merge — every bucket dir it rewrote is now one file, and the
+        # range-skipping stats still cover the whole manifest
+        man = cmeta["manifest"]
+        for b in cmeta["compacted_buckets"]:
+            d = os.path.join(root, man[b])
+            n_parquet = sum(
+                1 for x in os.listdir(d) if x.endswith(".parquet")
+            )
+            assert n_parquet == 1, (b, man[b])
+    # the change feed sees ONLY the merge's changes: the compaction
+    # step diffs as empty (identical content, differing manifests)
+    changed = {
+        r.k
+        for r in mt.feed_since(spark, root, 0).collect()
+    }
+    assert changed == {0, 8}
+    # key_range skipping still works over the final mixed manifest
+    sel = mt.read_bucketed(spark, root, key_range=(0, 4)).collect()
+    assert {r.k for r in sel} == {0, 1, 2, 3, 4}
+
+
+def test_mor_delete_recomputes_on_intervening_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A MoR delete racing a plain OCC snapshot writer recomputes its
+    key set from the new latest: ``mor_base`` records the rival's
+    version (never a stale base — the anti-join applies to the version
+    directly below), and the delete predicate is evaluated over the
+    RIVAL's content."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.createDataFrame([(1, 10), (2, -5)], "k long, x long"),
+        root, 0,
+    )
+    fired = {"n": 0}
+    orig = mt._claim_slot
+
+    def hooked(root_, base, bmeta, tmp, timeout, policy):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # rival snapshot lands AFTER our keys were computed from
+            # v0, BEFORE our claim — it adds a new negative-x row
+            mt.commit_snapshot_exclusive(
+                spark.createDataFrame(
+                    [(1, 10), (2, -5), (3, -7)], "k long, x long"
+                ),
+                root_,
+            )
+        return orig(root_, base, bmeta, tmp, timeout, policy)
+
+    monkeypatch.setattr(mt, "_claim_slot", hooked)
+    with _marker_replacement_sentinel() as attempts:
+        n = mt.commit_mor_delete(spark, root, "x < 0", on="k")
+    assert not attempts, attempts
+    assert n == 2 and fired["n"] == 1
+    meta = mt.commit_meta(root, 2)
+    assert meta["mor_base"] == 1  # recomputed from the rival, not v0
+    got = sorted(r.k for r in mt.read_version(spark, root).collect())
+    assert got == [1]  # keys 2 AND 3 deleted — the rival's row was seen
+
+
+# ---------------------------------------------------------------------------
 # timestamp time travel (round 12, r11 VERDICT item 3)
 # ---------------------------------------------------------------------------
 
@@ -2064,8 +2310,8 @@ def test_occ_merge_skips_dead_claimant_orphan(spark, tmp_path):
     its slot FENCED (so a merely-stalled claimant's late publish fails
     loudly instead of landing silently), the merge commits past it,
     and base_version records the newest COMMITTED version — not the
-    fenced number.  Vacuum sweeps the fence marker and orphan dir once
-    superseded+aged."""
+    fenced number.  Vacuum sweeps the orphan dir once superseded+aged
+    but keeps the fence MARKER permanently (round 13)."""
     import dataframe_expressions_spark.sources.mergetable as mt
 
     root = str(tmp_path / "tbl")
@@ -2120,7 +2366,20 @@ def test_occ_merge_skips_dead_claimant_orphan(spark, tmp_path):
             _json.dump(d, fh)
     mt.vacuum(root, keep=10)
     assert not os.path.isdir(os.path.join(root, "v1"))  # finally swept
-    assert not os.path.exists(os.path.join(root, "_commits", "1"))
+    # the fence MARKER is permanent (round 13, r12 ADVICE): were vacuum
+    # to unlink it, a claimant stalled past the horizon could if-absent
+    # link its marker into the re-opened slot and report success for a
+    # version whose data was just deleted — the lost update the fence
+    # exists to prevent.  A late publish must STILL fail after vacuum:
+    assert mt._is_fence_marker(root, 1)
+    late2 = os.path.join(root, "_commits", "1.late2")
+    with open(late2, "w") as fh:
+        fh.write("{}")
+    with pytest.raises(FileExistsError):
+        os.link(late2, os.path.join(root, "_commits", "1"))
+    os.unlink(late2)
+    # and the fenced slot stays invisible to every reader
+    assert mt.committed_versions(root) == [0, 2]
 
 
 def test_feed_since_spans_version_gaps(spark, tmp_path):
