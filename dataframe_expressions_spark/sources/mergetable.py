@@ -672,6 +672,25 @@ def _collect_bucket_file_stats(
     return out
 
 
+def _collect_bucket_file_stats_multi(
+    root: str, rel_dirs: "Sequence[str]", cols: "List[str]"
+) -> Dict[str, dict]:
+    """Per-file per-column footer ``[min, max]`` over a column LIST for
+    every parquet file under the given bucket directories — the
+    bucketed-layout counterpart of the ``stats_cols`` collection, so
+    multi-column conjunction skipping composes with bucket pruning
+    (round 13)."""
+    out: Dict[str, dict] = {}
+    for rel in rel_dirs:
+        d = os.path.join(root, rel)
+        for fname in sorted(os.listdir(d)):
+            if fname.endswith(".parquet"):
+                out[f"{rel}/{fname}"] = _file_minmax_multi(
+                    os.path.join(d, fname), cols
+                )
+    return out
+
+
 def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
                     n_files: int = 8,
                     stats_key: Optional[str] = None,
@@ -1164,6 +1183,8 @@ def commit_bucketed(
     hashed: bool = True,
     stats_key: Optional[str] = None,
     n_files: int = 8,
+    stats_cols: Optional[Sequence[str]] = None,
+    zorder_by: Optional[Sequence[str]] = None,
 ) -> None:
     """Publish ``df`` as version ``n`` of a BUCKETED table: the snapshot
     is laid out as one directory per key bucket
@@ -1192,9 +1213,26 @@ def commit_bucketed(
     Hashed mode tolerates NULLs (murmur3 of NULL is a constant seed,
     an ordinary bucket).
 
+    MULTI-COLUMN statistics + Z-ORDER (round 13, r12 VERDICT item 2):
+    ``stats_cols=[c1, c2, ...]`` records per-file footer min/max for
+    EVERY listed column across all bucket dirs under the marker's
+    ``file_stats_cols``, and ``read_bucketed(ranges={c: (lo, hi)})``
+    prunes files on the CONJUNCTION — composing with bucket pruning.
+    ``zorder_by=(a, b)`` lays each bucket out by the Morton
+    interleave of the pair (within-bucket Z-order), which is what
+    keeps BOTH dimensions' per-file ranges tight; the spec rides in
+    the bucket metadata so merges and compactions preserve the layout
+    and refresh/carry the stats.  ``zorder_by`` and ``stats_key`` are
+    exclusive layouts, exactly as on plain snapshots.
+
     Scale: the write shuffles once on the bucket id (plus the stats-key
     range dimension when given — ``n_files`` bounds total write tasks);
     file count per bucket is a layout knob, not a format change."""
+    if zorder_by:
+        if len(zorder_by) != 2:
+            raise ValueError("zorder_by takes exactly two columns")
+        if stats_key:
+            raise ValueError("zorder_by and stats_key are exclusive layouts")
     os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
     snap = os.path.join(root, f"v{n}")
     marker = os.path.join(root, "_commits", str(n))
@@ -1205,7 +1243,8 @@ def commit_bucketed(
         tmp = f"{snap}.tmp{os.getpid()}"
         (
             _shape_bucketed_write(
-                df.withColumn(_BUCKET_COL, F.expr(expr)), stats_key, n_files
+                df.withColumn(_BUCKET_COL, F.expr(expr)), stats_key,
+                n_files, zorder_by,
             )
             .write.mode("overwrite")
             .partitionBy(_BUCKET_COL)
@@ -1228,6 +1267,8 @@ def commit_bucketed(
             "hashed": hashed,
             "expr": expr,
             "stats_key": stats_key,
+            "stats_cols": list(stats_cols) if stats_cols else None,
+            "zorder_by": list(zorder_by) if zorder_by else None,
         },
         **(meta or {}),
     }
@@ -1238,19 +1279,67 @@ def commit_bucketed(
                 root, sorted(man.values()), stats_key
             ),
         }
+    if stats_cols:
+        payload["file_stats_cols"] = {
+            "cols": list(stats_cols),
+            "files": _collect_bucket_file_stats_multi(
+                root, sorted(man.values()), list(stats_cols)
+            ),
+        }
     _write_marker(root, n, payload)
 
 
 def _shape_bucketed_write(
-    df_with_bucket: SDF, stats_key: Optional[str], n_files: int
+    df_with_bucket: SDF,
+    stats_key: Optional[str],
+    n_files: int,
+    zorder_by: Optional[Sequence[str]] = None,
 ) -> SDF:
     """Write layout for bucketed snapshots: range-partition on (bucket,
     stats_key) + sort within, so each bucket's files carry disjoint
-    stats-key ranges (skippable); plain bucket repartition otherwise."""
+    stats-key ranges (skippable); or (round 13) range-partition on
+    (bucket, Morton(z1, z2)) so each bucket's files stay tight on BOTH
+    Z-dimensions at once — the commit_snapshot ``zorder_by`` layout
+    composed WITH bucketing; plain bucket repartition otherwise."""
+    if zorder_by:
+        zc = "_mt_zval"
+        z = _morton2(F.col(zorder_by[0]), F.col(zorder_by[1]))
+        return (
+            df_with_bucket.withColumn(zc, z)
+            .repartitionByRange(n_files, F.col(_BUCKET_COL), F.col(zc))
+            .sortWithinPartitions(_BUCKET_COL, zc)
+            .drop(zc)
+        )
     if stats_key:
         return df_with_bucket.repartitionByRange(
             n_files, F.col(_BUCKET_COL), F.col(stats_key)
         ).sortWithinPartitions(_BUCKET_COL, stats_key)
+    return df_with_bucket.repartition(F.col(_BUCKET_COL))
+
+
+def _shape_bucket_rewrite(df_with_bucket: SDF, spec: dict) -> SDF:
+    """Rewrite layout for bucket-scoped commits (MERGE, compaction):
+    repartition on the bucket id, preserving the table's recorded sort
+    discipline — stats-key sort or within-bucket Z-order — so the
+    refreshed per-file statistics of rewritten buckets stay as tight
+    as the original commit's (round 13: previously only stats_key
+    survived a rewrite; a Z-ordered bucket silently lost its layout on
+    first merge)."""
+    zb = spec.get("zorder_by")
+    if spec.get("stats_key"):
+        return df_with_bucket.repartition(
+            F.col(_BUCKET_COL)
+        ).sortWithinPartitions(_BUCKET_COL, spec["stats_key"])
+    if zb:
+        zc = "_mt_zval"
+        return (
+            df_with_bucket.withColumn(
+                zc, _morton2(F.col(zb[0]), F.col(zb[1]))
+            )
+            .repartition(F.col(_BUCKET_COL))
+            .sortWithinPartitions(_BUCKET_COL, zc)
+            .drop(zc)
+        )
     return df_with_bucket.repartition(F.col(_BUCKET_COL))
 
 
@@ -1261,6 +1350,7 @@ def read_bucketed(
     key_equals: Optional[dict] = None,
     key_range: Optional["tuple"] = None,
     as_of=None,
+    ranges: Optional[dict] = None,
 ) -> SDF:
     """Read a bucketed table at version ``n`` (latest committed when
     omitted; ``as_of=<epoch seconds | datetime>`` resolves the version
@@ -1290,7 +1380,18 @@ def read_bucketed(
     version dirs the manifest references — the complement of
     ``read_version``'s min/max file skipping for range predicates.
     The key set must be exactly the table's bucket key (a subset cannot
-    determine the bucket)."""
+    determine the bucket).
+
+    ``ranges={col: (lo, hi), ...}`` (round 13) is the MULTI-COLUMN
+    conjunction skip for BUCKETED tables: when the table was committed
+    with ``stats_cols`` (ideally with the within-bucket ``zorder_by``
+    layout that makes both dimensions selective), files are pruned on
+    the conjunction of inclusive range predicates — composing with
+    ``key_equals`` bucket pruning, residuals always applied.
+    ``ranges`` and ``key_range`` are alternative stats families;
+    passing both raises."""
+    if ranges and key_range:
+        raise ValueError("read_bucketed takes ranges= or key_range=, not both")
     if as_of is not None:
         if n is not None:
             raise ValueError("read_bucketed takes n= or as_of=, not both")
@@ -1332,6 +1433,54 @@ def read_bucketed(
             F.col(c).eqNullSafe(F.lit(v).cast(dtypes[c]))
             for c, v in key_equals.items()
         ]
+    if ranges:
+        stats_c = meta.get("file_stats_cols")
+        if not stats_c:
+            raise ValueError(
+                f"bucketed version of {root} has no multi-column file "
+                "statistics — commit with stats_cols= to enable ranges "
+                "reads"
+            )
+        unknown = sorted(set(ranges) - set(stats_c["cols"]))
+        if unknown:
+            raise ValueError(
+                f"ranges constrain column(s) {unknown} with no recorded "
+                f"statistics (recorded: {stats_c['cols']})"
+            )
+        for c, (lo, hi) in ranges.items():
+            first = next(
+                (
+                    per.get(c)
+                    for per in stats_c["files"].values()
+                    if per and per.get(c) is not None
+                ),
+                None,
+            )
+            if first is not None:
+                _check_range_types(
+                    {"key": c, "files": {"_": first}}, lo, hi, (lo, hi)
+                )
+        sel_dirs = tuple(man_sel.values())
+        keep = []
+        for rel, per_col in stats_c["files"].items():
+            if rel.rsplit("/", 1)[0] not in sel_dirs:
+                continue
+            ok = True
+            for c, (lo, hi) in ranges.items():
+                mm = (per_col or {}).get(c)
+                if mm is not None and (mm[1] < lo or mm[0] > hi):
+                    ok = False
+                    break
+            if ok:
+                keep.append(os.path.join(root, rel))
+        if not keep:
+            return sample.limit(0)
+        df = spark.read.parquet(*keep)
+        for c, (lo, hi) in ranges.items():
+            df = df.where(F.col(c).between(F.lit(lo), F.lit(hi)))
+        for r in residuals:
+            df = df.where(r)
+        return df
     if key_range is None:
         paths = [
             os.path.join(root, man_sel[b])
@@ -1496,15 +1645,12 @@ def merge_into_bucketed(
         )
         if not os.path.isdir(snap):
             tmp = f"{snap}.tmp{os.getpid()}"
-            shaped = merged.withColumn(_BUCKET_COL, F.expr(expr)).repartition(
-                F.col(_BUCKET_COL)
+            # rewritten buckets keep the table's recorded sort layout
+            # (stats-key sort or within-bucket Z-order) so refreshed
+            # stats stay as tight as the original commit's
+            shaped = _shape_bucket_rewrite(
+                merged.withColumn(_BUCKET_COL, F.expr(expr)), spec
             )
-            if spec.get("stats_key"):
-                # keep rewritten buckets sorted on the stats key so their
-                # refreshed min/max stay as tight as the original commit's
-                shaped = shaped.sortWithinPartitions(
-                    _BUCKET_COL, spec["stats_key"]
-                )
             shaped.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(
                 tmp
             )
@@ -1532,14 +1678,13 @@ def merge_into_bucketed(
         "touched_buckets": sorted(touched_set),
         **(meta or {}),
     }
-    if spec.get("stats_key"):
-        # carry the stats spec forward (round 11): fresh footer min/max
-        # for rewritten buckets, recorded entries for by-reference ones —
-        # so read_bucketed(key_range=...) keeps working across merges,
-        # as the commit_bucketed docstring promises
-        payload["file_stats"] = _carried_bucket_stats(
-            root, bmeta, new_man, sorted(written.values()), spec["stats_key"]
-        )
+    # carry every recorded stats family forward (round 11 / round 13):
+    # fresh footer min/max for rewritten buckets, recorded entries for
+    # by-reference ones — so key_range= AND ranges= reads keep working
+    # across merges, as the commit_bucketed docstring promises
+    _apply_carried_stats(
+        payload, root, bmeta, new_man, sorted(written.values()), spec
+    )
     _write_marker(root, n_new, payload)
     return n_new
 
@@ -2026,7 +2171,6 @@ def compact_buckets(
         frag = {b: rel for b, rel in man.items() if _nfiles(rel) > max_files}
         if not frag:
             return base
-        stats_key = spec.get("stats_key")
         df = spark.read.parquet(
             *[os.path.join(root, rel) for rel in frag.values()]
         )
@@ -2034,10 +2178,9 @@ def compact_buckets(
         # data column, so re-derive it from the table's own expression
         # (deterministic on the key — the same routing that put the
         # rows there)
-        dfb = df.withColumn(_BUCKET_COL, F.expr(spec["expr"]))
-        shaped = dfb.repartition(F.col(_BUCKET_COL))
-        if stats_key:
-            shaped = shaped.sortWithinPartitions(_BUCKET_COL, stats_key)
+        shaped = _shape_bucket_rewrite(
+            df.withColumn(_BUCKET_COL, F.expr(spec["expr"])), spec
+        )
         tmp = os.path.join(
             root,
             f".tmpc{os.getpid()}-{threading.get_ident()}-{base}-{attempts}",
@@ -2091,11 +2234,10 @@ def compact_buckets(
             "compacted_buckets": sorted(frag),
             **(meta or {}),
         }
-        if stats_key:
-            payload["file_stats"] = _carried_bucket_stats(
-                root, newest_meta, new_man, sorted(written.values()),
-                stats_key,
-            )
+        _apply_carried_stats(
+            payload, root, newest_meta, new_man,
+            sorted(written.values()), spec,
+        )
         _publish_exclusive(root, n, payload, exc=MergeConflictError)
         return n
 
@@ -2137,6 +2279,66 @@ def _carried_bucket_stats(
             "buckets with stats_key) before stats-carrying commits"
         )
     return {"key": stats_key, "files": files}
+
+
+def _carried_bucket_stats_cols(
+    root: str,
+    base_meta: dict,
+    new_man: Dict[str, str],
+    rewritten_rel_dirs: "Sequence[str]",
+    cols: "List[str]",
+) -> dict:
+    """``file_stats_cols`` carry for a bucketed commit that rewrote
+    SOME buckets (round 13): fresh multi-column footer min/max for the
+    rewritten directories, base-marker entries carried forward for
+    by-reference ones — the multi-column twin of
+    ``_carried_bucket_stats``, with the same every-dir-covered
+    invariant (conjunction pruning iterates the stats map only)."""
+    old = (base_meta.get("file_stats_cols") or {}).get("files", {})
+    kept_dirs = set(new_man.values()) - set(rewritten_rel_dirs)
+    files = {
+        rel: mm
+        for rel, mm in old.items()
+        if rel.rsplit("/", 1)[0] in kept_dirs
+    }
+    files.update(
+        _collect_bucket_file_stats_multi(root, rewritten_rel_dirs, cols)
+    )
+    covered = {rel.rsplit("/", 1)[0] for rel in files}
+    gap = sorted(set(new_man.values()) - covered)
+    if gap:
+        raise ValueError(
+            f"carried multi-column statistics cover no files in "
+            f"manifest dir(s) {gap} — the base marker's "
+            "file_stats_cols are incomplete; recommit the base with "
+            "stats_cols before stats-carrying commits"
+        )
+    return {"cols": list(cols), "files": files}
+
+
+def _apply_carried_stats(
+    payload: dict,
+    root: str,
+    base_meta: dict,
+    new_man: Dict[str, str],
+    rewritten_rel_dirs: "Sequence[str]",
+    spec: dict,
+) -> None:
+    """Attach whichever file-statistics families the table's bucket
+    spec records (``stats_key`` → ``file_stats``, ``stats_cols`` →
+    ``file_stats_cols``) to a bucket-scoped commit's payload — ONE
+    call site per commit kind so a new stats family can never again
+    land in some rewrite paths only."""
+    if spec.get("stats_key"):
+        payload["file_stats"] = _carried_bucket_stats(
+            root, base_meta, new_man, rewritten_rel_dirs,
+            spec["stats_key"],
+        )
+    if spec.get("stats_cols"):
+        payload["file_stats_cols"] = _carried_bucket_stats_cols(
+            root, base_meta, new_man, rewritten_rel_dirs,
+            list(spec["stats_cols"]),
+        )
 
 
 def commit_snapshot_exclusive(
@@ -2321,6 +2523,8 @@ def restore_table(
     }
     if tmeta.get("file_stats"):
         payload["file_stats"] = tmeta["file_stats"]
+    if tmeta.get("file_stats_cols"):
+        payload["file_stats_cols"] = tmeta["file_stats_cols"]
     _publish_exclusive(root, n, payload)
     return n
 
@@ -2395,6 +2599,15 @@ def clone_shallow(
             "files": {
                 os.path.normpath(os.path.join(rel_src, rel)): mm
                 for rel, mm in stats["files"].items()
+            },
+        }
+    stats_c = smeta.get("file_stats_cols")
+    if stats_c:
+        payload["file_stats_cols"] = {
+            "cols": stats_c["cols"],
+            "files": {
+                os.path.normpath(os.path.join(rel_src, rel)): mm
+                for rel, mm in stats_c["files"].items()
             },
         }
     _write_marker(dst_root, 0, payload)
@@ -2595,13 +2808,9 @@ def merge_into_bucketed_exclusive(
             root,
             f".tmpm{os.getpid()}-{threading.get_ident()}-{base}-{attempts}",
         )
-        shaped = merged.withColumn(_BUCKET_COL, F.expr(expr)).repartition(
-            F.col(_BUCKET_COL)
+        shaped = _shape_bucket_rewrite(
+            merged.withColumn(_BUCKET_COL, F.expr(expr)), spec
         )
-        if spec.get("stats_key"):
-            shaped = shaped.sortWithinPartitions(
-                _BUCKET_COL, spec["stats_key"]
-            )
         shaped.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(tmp)
         written_names = {
             x.split("=", 1)[1]
@@ -2654,14 +2863,10 @@ def merge_into_bucketed_exclusive(
             "touched_buckets": sorted(touched_set),
             **(meta or {}),
         }
-        if spec.get("stats_key"):
-            payload["file_stats"] = _carried_bucket_stats(
-                root,
-                newest_meta,
-                new_man,
-                sorted(written.values()),
-                spec["stats_key"],
-            )
+        _apply_carried_stats(
+            payload, root, newest_meta, new_man,
+            sorted(written.values()), spec,
+        )
         _publish_exclusive(root, n, payload, exc=MergeConflictError)
         return n
 
