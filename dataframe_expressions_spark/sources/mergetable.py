@@ -761,6 +761,58 @@ def _kept_manifest_refs(root: str, versions: Sequence[int]) -> "set[str]":
     return refs
 
 
+def _registered_clone_refs(root: str) -> "set[str]":
+    """Root-relative data paths referenced by the committed manifests
+    of REGISTERED shallow clones (round 13, r12 VERDICT item 5 — the
+    best-effort closure of the documented Delta caveat):
+    ``clone_shallow`` appends each clone's absolute root to the
+    source's ``_clones`` registry, and vacuum unions the referenced
+    dirs of every REACHABLE registered clone — transitively, since a
+    clone-of-a-clone's manifest can point straight into the original
+    source's dirs while registering only at the middle root.
+
+    Residual risk (documented, same shape as Delta's): a clone root
+    that is UNREACHABLE at vacuum time (unmounted volume, moved
+    directory, cross-store clone) contributes nothing — its files can
+    still be vacuumed away underneath it.  The registry narrows the
+    caveat from "every clone, always" to "clones the source cannot
+    see", at the cost of one registry line per clone and O(clones ×
+    versions) driver-side marker reads per vacuum."""
+    rootabs = os.path.abspath(root)
+    refs: "set[str]" = set()
+    seen = {rootabs}
+    queue = [rootabs]
+    while queue:
+        reg = os.path.join(queue.pop(), "_clones")
+        if not os.path.isfile(reg):
+            continue
+        try:
+            with open(reg) as fh:
+                lines = fh.read().splitlines()
+        except OSError:
+            continue
+        for line in lines:
+            c = os.path.abspath(line.strip())
+            if not line.strip() or c in seen:
+                continue
+            seen.add(c)
+            if not os.path.isdir(c):
+                continue  # unreachable clone root: residual risk
+            queue.append(c)
+            for n in committed_versions(c):
+                try:
+                    meta = commit_meta(c, n)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    continue
+                for rel in (meta.get("manifest") or {}).values():
+                    p = os.path.abspath(os.path.join(c, rel))
+                    if p.startswith(rootabs + os.sep):
+                        refs.add(
+                            os.path.normpath(os.path.relpath(p, rootabs))
+                        )
+    return refs
+
+
 def vacuum(root: str, keep: int = 1) -> "list[int]":
     """Drop committed versions below the retention horizon, keeping the
     newest ``keep`` (the latest is always kept).  Deletion order per
@@ -823,7 +875,12 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
             frontier.append(b)
     drop = [n for n in drop if n not in kept_set]
     kept_versions = sorted(kept_set & set(committed))
-    referenced = _kept_manifest_refs(root, kept_versions)
+    # CLONE-AWARE (round 13): dirs referenced by reachable registered
+    # clones survive exactly like dirs referenced by our own kept
+    # manifests — see _registered_clone_refs for the residual risk
+    referenced = _kept_manifest_refs(
+        root, kept_versions
+    ) | _registered_clone_refs(root)
     for n in drop:
         # Tolerate a concurrent vacuum having unlinked the marker first:
         # single-writer is the documented discipline, but every other
@@ -2544,13 +2601,19 @@ def clone_shallow(
     anything the clone does: the fork point is the manifest, exactly
     the bucketed-MERGE indirection applied across table roots.
 
-    THE DELTA CAVEAT APPLIES VERBATIM: the clone borrows the source's
-    files without the source knowing.  ``vacuum`` on the SOURCE only
-    protects dirs referenced by the source's OWN kept manifests, so
-    vacuuming the source can delete files a clone still references —
-    same contract as Delta shallow clones (their docs say exactly
-    this).  Clone-side vacuum is safe: cross-root entries normalize
-    outside ``v<k>`` and are never swept by the clone.
+    THE DELTA CAVEAT, NARROWED (round 13, r12 VERDICT item 5): the
+    clone registers itself in the source's ``_clones`` registry
+    BEFORE its marker is written, and source-side ``vacuum`` unions
+    the referenced dirs of every REACHABLE registered clone
+    (transitively — a clone-of-a-clone's manifest points straight
+    into the source), so vacuuming the source keeps every dir a
+    visible clone's kept manifests reference.  The residual risk is
+    exactly the unreachable-root case: a clone on an unmounted
+    volume / moved directory / different store contributes nothing
+    at vacuum time and can still lose files underneath it — Delta's
+    verbatim caveat, reduced to clones the source cannot see.
+    Clone-side vacuum is safe: cross-root entries normalize outside
+    ``v<k>`` and are never swept by the clone.
 
     Plain (manifest-less) tables cannot be shallow-cloned — copy them
     with ``commit_snapshot(read_version(...), dst_root, 0)``.
@@ -2610,6 +2673,12 @@ def clone_shallow(
                 for rel, mm in stats_c["files"].items()
             },
         }
+    # register BEFORE the marker (round 13): a crash between the two
+    # leaves a harmless stale registry line (no commits → no refs),
+    # never an unprotected live clone.  O_APPEND one-line write —
+    # concurrent clones interleave whole lines.
+    with open(os.path.join(src_root, "_clones"), "a") as fh:
+        fh.write(os.path.abspath(dst_root) + "\n")
     _write_marker(dst_root, 0, payload)
     return 0
 

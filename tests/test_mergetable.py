@@ -2745,3 +2745,57 @@ def test_change_feed_across_restore_emits_the_revert(spark, tmp_path):
         sign = 1 if ct in ("insert", "update_postimage") else -1
         net[k] += sign * val
     assert all(abs(v) < 1e-12 for v in net.values())
+
+
+def test_vacuum_keeps_registered_clone_references(spark, tmp_path):
+    """Clone-aware source retention (round 13, r12 VERDICT item 5):
+    source-side vacuum keeps every dir a REACHABLE registered clone's
+    kept manifests reference — transitively through clones of clones
+    — while an UNREACHABLE clone root (the documented residual risk)
+    protects nothing."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    def build(src):
+        df = spark.createDataFrame(
+            [(k, 0.0) for k in range(16)], "k long, val double"
+        )
+        mt.commit_bucketed(df, src, 0, on="k", n_buckets=4, hashed=False)
+        mt.merge_into_bucketed(  # v1 rewrites bucket 0 only
+            spark, src,
+            spark.createDataFrame([(0, 5.0)], "k long, amt double"),
+            matched_update={"val": "t.val + s.amt"},
+            not_matched_insert={"val": "s.amt"},
+        )
+
+    # scenario A: live registered clone chain protects the fork point
+    src = str(tmp_path / "src")
+    build(src)
+    c1 = str(tmp_path / "c1")
+    mt.clone_shallow(src, c1, n=0)  # clone AT v0: references all v0 dirs
+    c2 = str(tmp_path / "c2")
+    mt.clone_shallow(c1, c2)  # grandclone registers at c1, refs src dirs
+    reg = open(os.path.join(src, "_clones")).read().splitlines()
+    assert reg == [os.path.abspath(c1)]
+    dropped = mt.vacuum(src, keep=1)
+    assert dropped == [0]
+    # bucket 0's v0 dir is referenced ONLY by the clones (src's v1
+    # manifest rewrote it) — clone-aware vacuum keeps it
+    assert os.path.isdir(os.path.join(src, "v0", "_mt_bucket=0"))
+    got1 = {r.k: r.val for r in mt.read_bucketed(spark, c1).collect()}
+    got2 = {r.k: r.val for r in mt.read_bucketed(spark, c2).collect()}
+    assert got1 == {k: 0.0 for k in range(16)}  # pristine fork content
+    assert got2 == got1
+
+    # scenario B: the same layout with the clone root MOVED AWAY before
+    # vacuum — unreachable registry line protects nothing (residual
+    # risk documented in clone_shallow/_registered_clone_refs)
+    src2 = str(tmp_path / "src2")
+    build(src2)
+    c3 = str(tmp_path / "c3")
+    mt.clone_shallow(src2, c3, n=0)
+    os.rename(c3, str(tmp_path / "c3_moved"))
+    mt.vacuum(src2, keep=1)
+    assert not os.path.isdir(os.path.join(src2, "v0", "_mt_bucket=0"))
+    # src2's own latest is intact either way
+    got = {r.k: r.val for r in mt.read_bucketed(spark, src2).collect()}
+    assert got[0] == 5.0 and len(got) == 16
