@@ -1600,6 +1600,53 @@ class Lowerer:
         )
         return LFrame(mt.read_version(spark, root, n))
 
+    def _call_changes(
+        self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
+    ) -> Any:
+        """``frame.changes(root, since=<version>, to=None, on=None)`` —
+        the INCREMENTAL READ verb (round 13, r12 VERDICT item 8,
+        completing the DSL's table surface: snapshot reads bind via
+        select_from, writes via write_table/merge_into, and now the
+        change feed reads via this).  The frame becomes the table's
+        CHANGE DATA FEED over ``(since, to]`` — ``feed_since``'s exact
+        contract: one row per change, updates with both images,
+        ``change_type`` + ``_commit_version`` columns, empty frame for
+        a caught-up consumer — so a captured curation pipeline can be
+        INCREMENTAL end-to-end: filter/aggregate the feed with ordinary
+        captured expressions and land the result with the write verbs.
+        The parent frame supplies the session only (same convention as
+        the write verbs, whose result is the committed read-back, not
+        the parent's rows); row identity vs a direct ``feed_since``
+        call is asserted in tests/test_lowering.py."""
+        if not isinstance(parent, LFrame):
+            raise LoweringError(".changes() applies to event frames")
+        root = args[0] if args else kwargs.pop("root", None)
+        if len(args) > 1 or not isinstance(root, str):
+            raise LoweringError(
+                ".changes() takes (root_path, since=, to=, on=)"
+            )
+        since = kwargs.pop("since", None)
+        to = kwargs.pop("to", None)
+        on = kwargs.pop("on", None)
+        if kwargs:
+            raise LoweringError(
+                f".changes() got unexpected kwargs: {sorted(kwargs)}"
+            )
+        if isinstance(since, bool) or not isinstance(since, int):
+            raise LoweringError(
+                ".changes() since= must be a literal committed version "
+                "(int) — the consumer's cursor"
+            )
+        if to is not None and (isinstance(to, bool) or not isinstance(to, int)):
+            raise LoweringError(".changes() to= must be an int version")
+        from ..sources import mergetable as mt
+
+        return LFrame(
+            mt.feed_since(
+                parent.df.sparkSession, root, since, to_version=to, on=on
+            )
+        )
+
     def _call_window(
         self, parent_node: Node, parent: Any, args: tuple, kwargs: dict
     ) -> Any:

@@ -148,7 +148,11 @@ class DataFrame(Node):
 
     # -- attribute projection (reference: DataFrame.py __getattr__) -----
     def __getattr__(self, name: str) -> "DataFrame":
-        if name.startswith("_"):
+        # underscore names are Python machinery, not data columns —
+        # EXCEPT the change feed's `_commit_version` stamp (round 13:
+        # the .changes() verb makes the feed a first-class DSL frame,
+        # and incremental pipelines filter on the consumer cursor)
+        if name.startswith("_") and name != "_commit_version":
             raise AttributeError(name)
         from . import alias  # late import: avoid cycle
 
