@@ -24,6 +24,18 @@ UP, anchor-to-anchor:
    (test_bench_anchor_covers_every_registered_id) then holds the file
    to full registry coverage.
 
+HOST-DRIFT CANARY (round 13, r12 VERDICT item 7): the round-12 anchor
+analysis burned real effort distinguishing a broad +12% host slowdown
+from a code regression.  A FIXED 5-id canary block — one id per plan
+family (scan+filter, shuffle agg, window, Arrow cogroup, streaming) —
+now runs FIRST in every anchor session, 3 samples each, min taken, and
+its median ratio against the previous anchor's canary is recorded in
+the anchor JSON as ``canary.ratio_vs_prev``.  Reading rule (documented
+in BASELINE.md): the canary ids' code never changes in a round unless
+said so, so ``ratio_vs_prev`` IS the host-drift number — a round's
+per-id anchor-to-anchor ratios are read DIVIDED by it; "host moved" is
+one number instead of an investigation.
+
 Usage:  python tools/make_anchor.py <round_number> [note]
 """
 
@@ -32,6 +44,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -40,6 +53,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RERUN_RATIO = 1.3
 EXTRA_SAMPLES = 2
 MAX_LOAD = 0.5
+# one id per plan family; changing this set breaks anchor-to-anchor
+# canary comparability, so extend only by APPENDING and note the round
+CANARY_IDS = (
+    "filter_mask",          # parquet scan + pushed filter
+    "agg_groupby",          # hash-partial shuffle aggregate
+    "window_top_movers",    # window exchange + sort
+    "grouped_map_pandas",   # Arrow worker-pool round trip
+    "stream_tumbling",      # micro-batch streaming engine
+)
+CANARY_SAMPLES = 3
 
 
 def _round_num(path: str) -> int:
@@ -53,7 +76,61 @@ def _newest_committed_anchor() -> tuple[str, dict]:
         return "", {}
     best = max(cands, key=_round_num)
     with open(best) as fh:
-        return os.path.basename(best), json.load(fh).get("queries", {})
+        return os.path.basename(best), json.load(fh)
+
+
+def _run_canary(prev_name: str, prev_anchor: dict) -> dict:
+    """The host-drift canary: CANARY_IDS sampled CANARY_SAMPLES times
+    each in a dedicated session (min taken — one-sided noise), ratioed
+    per-id against the previous anchor's canary block (falling back to
+    its main per-query values for anchors predating the canary)."""
+    sys.path.insert(0, REPO)
+    from dataframe_expressions_spark.operators.registry import load_all
+    from dataframe_expressions_spark.session import get_spark
+
+    spark = get_spark("anchor-canary")
+    qs = load_all()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    vals: dict = {}
+    for q in CANARY_IDS:
+        samples = []
+        for _ in range(CANARY_SAMPLES):
+            t = time.perf_counter()
+            qs[q].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.append(round(time.perf_counter() - t, 4))
+        vals[q] = round(min(samples), 4)
+        print(f"canary {q}: min {vals[q]} over {sorted(samples)}")
+    spark.stop()
+    prev_can = (prev_anchor.get("canary") or {}).get("queries") or {}
+    basis = f"canary block of {prev_name}"
+    if not prev_can:
+        prev_can = prev_anchor.get("queries") or {}
+        basis = f"main per-query values of {prev_name} (pre-canary anchor)"
+    per_id = {
+        q: round(vals[q] / prev_can[q], 3)
+        for q in CANARY_IDS
+        if prev_can.get(q)
+    }
+    ratio = round(statistics.median(per_id.values()), 3) if per_id else None
+    out = {
+        "ids": list(CANARY_IDS),
+        "queries": vals,
+        "per_id_ratio": per_id,
+        "ratio_vs_prev": ratio,
+        "basis": basis if per_id else "no previous anchor",
+    }
+    print(f"canary ratio vs prev: {ratio} (per-id {per_id})")
+    return out
+
+
+def _await_idle(max_wait: float = 180.0) -> None:
+    """Let the canary session's load drain before bench.py starts —
+    the bench-contamination rule applies to our own canary too."""
+    t0 = time.time()
+    while os.getloadavg()[0] >= MAX_LOAD and time.time() - t0 < max_wait:
+        time.sleep(5)
 
 
 def main() -> int:
@@ -69,8 +146,11 @@ def main() -> int:
             "be generated on a strictly idle machine"
         )
         return 1
-    prev_name, prev = _newest_committed_anchor()
+    prev_name, prev_anchor = _newest_committed_anchor()
+    prev = prev_anchor.get("queries", {})
     t0 = time.time()
+    canary = _run_canary(prev_name, prev_anchor)
+    _await_idle()
     subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                    check=True, cwd=REPO)
     with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
@@ -130,6 +210,7 @@ def main() -> int:
                 "noise (each value is now the min over >=3 samples)"
             )
     anchor = {
+        "canary": canary,
         "load1_at_start": detail.get("load1_at_start", round(load1, 2)),
         "note": (
             f"round-{round_n} full-protocol anchor via tools/"
@@ -137,7 +218,9 @@ def main() -> int:
             f"registered queries at sf{detail.get('sf')} on an idle "
             f"machine; anchor-to-anchor outliers (> {RERUN_RATIO}x of "
             f"{prev_name or 'none'}) re-sampled in-process and "
-            f"anchored at their min ({len(flagged)} flagged). "
+            f"anchored at their min ({len(flagged)} flagged); canary "
+            f"host-drift ratio vs prev = {canary.get('ratio_vs_prev')} "
+            "(read per-id ratios divided by it — BASELINE.md rule). "
             + note_extra
         ).strip(),
         "passes_completed": detail.get("passes_completed"),
