@@ -112,75 +112,72 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # If CORRECTNESS_r06 comes back 50/50, every id has a driver-green row,
 # none older than r2.
 #
-# ROUND-12 WINDOW.  Derived programmatically from the committed
+# ROUND-13 WINDOW.  Derived programmatically from the committed
 # CORRECTNESS_r0*.json files (latest round each id has a row; the
-# fronting test recomputes the same derivation).  CORRECTNESS_r11 came
-# back 50/50, leaving the vintage distribution r6:34 r7:50 r8:50 r9:50
-# r10:50 r11:50 — so, per the r11 VERDICT plan (item 5):
-# slots  1- 7: the round-12 additions (dsl_table_write,
-#              stream_table_source, table_clone_shallow,
-#              table_merge_concurrent, table_multicol_skipping,
-#              table_restore, table_time_travel_ts — all zero
-#              evidence),
-# slots  8-41: the FULL 34-id r6 tail (emb_matryoshka_audit ...
-#              window_yoy_delta),
-# slots 42-50: the alphabetical head (9 of 50) of the r7 block
-#              (agg_approx_distinct ... data_temporal_split).
-# If CORRECTNESS_r12 comes back 50/50 the oldest remaining evidence is
-# the 41-id r7 tail — front any round-13 additions, then that tail
+# fronting test recomputes the same derivation).  CORRECTNESS_r12 came
+# back 50/50, leaving the vintage distribution r7:41 r8:50 r9:50
+# r10:50 r11:50 r12:50 — so, per the r12 VERDICT plan (item 6):
+# slots  1- 2: the round-13 additions (dsl_changes_feed,
+#              table_bucketed_zorder — zero evidence),
+# slots  3-43: the FULL 41-id r7 tail (dedup_band_calibration ...
+#              text_token_bpe_merge),
+# slots 44-50: the alphabetical head (7 of 50) of the r8 block
+#              (agg_freq_items ... cogrouped_asof_pandas).
+# If CORRECTNESS_r13 comes back 50/50 the oldest remaining evidence is
+# the 43-id r8 tail — front any round-14 additions, then that tail
 # (derive programmatically from the committed CORRECTNESS files, as
 # always).
 DRIVER_WINDOW_PRIORITY: tuple = (
-    "dsl_table_write",
-    "stream_table_source",
-    "table_clone_shallow",
-    "table_merge_concurrent",
-    "table_multicol_skipping",
-    "table_restore",
-    "table_time_travel_ts",
-    "emb_matryoshka_audit",
-    "feature_hashing",
-    "feature_target_encode",
-    "filter_lambda",
-    "filter_mask",
-    "graph_triangle_count",
-    "join_full_outer",
-    "join_left_semi_anti",
-    "join_outer",
-    "join_runtime_bloom",
-    "multimodal_chunk_dedup",
-    "nested_count_cut",
-    "nested_filter_agg",
-    "nested_minmax_agg",
-    "pipeline_embedding_curation",
-    "pipeline_multimodal_corpus",
-    "project_scalar",
-    "rank_fusion_hybrid",
-    "scan_csv_quarantine",
-    "sessionize_paths",
-    "sim_search_ivf_pq",
-    "sim_search_recall_audit",
-    "sql_parameterized",
-    "stats_autocorr_lag",
-    "stats_benford_digit",
-    "stats_cusum_changepoint",
-    "stats_gini_revenue",
-    "stats_psi_drift",
-    "stats_trend_mann_kendall",
-    "text_ngram_novelty",
-    "user_func_udf",
-    "window_interval_merge",
-    "window_top_movers",
-    "window_yoy_delta",
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "agg_quantiles",
-    "agg_stats",
-    "arith_ops",
-    "bool_ops",
-    "count_agg",
-    "data_epoch_shuffle",
-    "data_temporal_split",
+    "dsl_changes_feed",
+    "table_bucketed_zorder",
+    "dedup_band_calibration",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "dq_duplicate_cluster_stats",
+    "dq_snapshot_drift",
+    "emb_centroid",
+    "emb_ivf_balance_audit",
+    "emb_whitening",
+    "explode_unnest",
+    "funnel_time_bounded",
+    "graph_common_neighbors",
+    "join_bucketed",
+    "math_funcs",
+    "multimodal_framesample",
+    "multimodal_meta",
+    "multimodal_resize",
+    "nested_topn_slice",
+    "nested_two_level",
+    "pipeline_clean_corpus",
+    "pivot_wide",
+    "rank_mmr",
+    "rank_ndcg_audit",
+    "sample_content_hash",
+    "sample_importance_softdedup",
+    "scalar_subquery_rewrite",
+    "scan_csv",
+    "scan_json",
+    "scan_orc",
+    "sim_search_ivf",
+    "stats_bootstrap_ci",
+    "stats_seasonal_decompose",
+    "stats_theil_sen_trend",
+    "stats_xi_correlation",
+    "text_line_dedup",
+    "text_perplexity_bucket",
+    "text_quality_model",
+    "text_token_bpe_apply",
+    "text_token_bpe_merge",
+    "agg_freq_items",
+    "agg_hll_rollup",
+    "agg_skew_twophase",
+    "anomaly_zscore",
+    "array_map_json_funcs",
+    "cdc_upsert_compact",
+    "cogrouped_asof_pandas",
 )
 
 
