@@ -441,6 +441,18 @@ def _write_marker(root: str, n: int, payload: Optional[dict]) -> None:
     own snapshot write and attach ITS marker to THIS call's data
     (round-10 ADVICE: silent data loss in stream_table_upsert)."""
     marker = os.path.join(root, "_commits", str(n))
+    if _is_fence_marker(root, n):
+        # a fence tombstone is PERMANENT (round 13): replacing it with
+        # a real marker would re-open the dead-claimant slot this
+        # fence exists to close — and worse, a caller whose orphan dir
+        # survived at v<n> would attach this marker to THAT stale data
+        # (the silent-wrong-data class).  No code path may replace a
+        # published marker, fences included.
+        raise RuntimeError(
+            f"version {n} of {root} is a fenced dead-claimant slot — "
+            "its number is permanently retired; commit under the next "
+            "free version (the OCC paths skip fences automatically)"
+        )
     mtmp = f"{marker}.tmp{os.getpid()}"
     with open(mtmp, "w") as fh:
         fh.write(_marker_json(n, payload))
@@ -723,6 +735,16 @@ def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
     os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
     snap = os.path.join(root, f"v{n}")
     marker = os.path.join(root, "_commits", str(n))
+    if _is_fence_marker(root, n):
+        # the early-return below must never read a fence as "already
+        # committed" — the caller's data would silently never land
+        # (round-13 review); the slot number is permanently retired
+        raise RuntimeError(
+            f"version {n} of {root} is a fenced dead-claimant slot — "
+            "its number is permanently retired; pick the next free "
+            "version (or use commit_snapshot_exclusive, which skips "
+            "fences automatically)"
+        )
     if os.path.exists(marker) and os.path.isdir(snap):
         return  # already committed
     if not os.path.isdir(snap):
@@ -1293,6 +1315,14 @@ def commit_bucketed(
     os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
     snap = os.path.join(root, f"v{n}")
     marker = os.path.join(root, "_commits", str(n))
+    if _is_fence_marker(root, n):
+        # same guard as commit_snapshot (round-13 review): a fence is
+        # not a commit, and reading it as one silently drops the write
+        raise RuntimeError(
+            f"version {n} of {root} is a fenced dead-claimant slot — "
+            "its number is permanently retired; pick the next free "
+            "version"
+        )
     if os.path.exists(marker) and os.path.isdir(snap):
         return  # already committed
     expr = bucket_expr(on, n_buckets, hashed)
@@ -1675,6 +1705,13 @@ def merge_into_bucketed(
     source, sample = _cast_source_to_table(spark, root, man, keys, source)
     touched_set = _touched_buckets(source, expr, keys)
     n_new = base + 1
+    while _is_fence_marker(root, n_new):
+        # fenced dead-claimant slots above the latest commit (a fencer
+        # that crashed before publishing its own commit) are
+        # permanently retired — skip them exactly like the OCC claim
+        # loop does (round-13 review: writing here would attach a
+        # marker to the dead claimant's orphan data)
+        n_new += 1
     # a marker-less orphan at n_new (crashed merge OR crashed
     # compaction) may hold foreign buckets — reusing it would trip the
     # stray-bucket guard forever and wedge the table (round-11 review);
@@ -2567,10 +2604,17 @@ def restore_table(
     os.makedirs(tmp)
     with open(os.path.join(tmp, "_mt_restore"), "w") as fh:
         json.dump({"op": "restore", "restored_from": to_version}, fh)
-    claimed = _claim_slot(
-        root, base, commit_meta(root, base), tmp,
-        marker_timeout, lambda m_meta: True,
-    )
+    try:
+        claimed = _claim_slot(
+            root, base, commit_meta(root, base), tmp,
+            marker_timeout, lambda m_meta: True,
+        )
+    except BaseException:
+        # same belt as every other _claim_slot caller (round-13
+        # review): an interrupt inside the claim wait must not leak
+        # the placeholder temp (vacuum deliberately ignores non-v<n>)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     n, newest_meta = claimed  # never None: the policy always rebases
     payload = {
         "manifest": dict(man),

@@ -297,8 +297,13 @@ def _read_rel_frame(root: str, rel_dirs: List[str], columns: List[str]):
         return pd.DataFrame({c: [] for c in columns})
     tbls = []
     for f in files:
-        present = [c for c in columns if c in pq.read_schema(f).names]
-        t = pq.read_table(f, columns=present)
+        # one ParquetFile handle = ONE footer read for both the schema
+        # probe and the column-pruned load (round-13 review: read_schema
+        # + read_table paid two footer round-trips per file per task)
+        pf = pq.ParquetFile(f)
+        names = pf.schema_arrow.names
+        present = [c for c in columns if c in names]
+        t = pf.read(columns=present)
         for c in columns:
             if c not in present:
                 t = t.append_column(c, pa.nulls(t.num_rows))
@@ -314,6 +319,25 @@ def _read_rel_frame(root: str, rel_dirs: List[str], columns: List[str]):
     return tbl.to_pandas(types_mapper=mapper)
 
 
+def _split_on_keys(df, kdf, keys: List[str]) -> tuple:
+    """``(hits, remainder)`` of ``df`` against ``kdf``'s key set — the
+    ONE pandas merge/indicator idiom shared by the MoR anti-join
+    (_read_side keeps the remainder) and the delete-step emission
+    (_delete_rows needs both), so the dtype- and NA-matching-sensitive
+    join semantics can never diverge between the two (round-13
+    review).  pandas merge matches NA keys on both sides, mirroring
+    ``read_version``'s eqNullSafe anti-join."""
+    m = df.merge(
+        kdf.drop_duplicates(),
+        on=list(keys),
+        how="left",
+        indicator="_mt_del_ind",
+    )
+    hits = m[m["_mt_del_ind"] == "both"].drop(columns="_mt_del_ind")
+    rem = m[m["_mt_del_ind"] == "left_only"].drop(columns="_mt_del_ind")
+    return hits, rem
+
+
 def _read_side(
     root: str,
     rel_dirs: List[str],
@@ -322,22 +346,13 @@ def _read_side(
 ):
     """One side of a diff as a pandas frame, with the MoR delete chain
     (if any) anti-joined away — the executor-side twin of
-    ``read_version``'s stacked NULL-SAFE broadcast anti-joins (pandas
-    merge matches NA keys on both sides, mirroring eqNullSafe)."""
+    ``read_version``'s stacked NULL-SAFE broadcast anti-joins."""
     df = _read_rel_frame(root, rel_dirs, columns)
     for rel, keys in dels or ():
         kdf = _read_rel_frame(root, [rel], list(keys))
         if kdf.empty or df.empty:
             continue
-        m = df.merge(
-            kdf.drop_duplicates(),
-            on=list(keys),
-            how="left",
-            indicator="_mt_del_ind",
-        )
-        df = m[m["_mt_del_ind"] == "left_only"].drop(
-            columns="_mt_del_ind"
-        )
+        _, df = _split_on_keys(df, kdf, list(keys))
     return df
 
 
@@ -478,10 +493,14 @@ def _make_source_class():
         def latestOffset(self):
             from ..sources.mergetable import committed_versions
 
-            n = _latest_version(self.root)
-            if n is None:
+            # ONE commit-log listing serves both the latest version
+            # and the segment pin (round-13 review: _latest_version +
+            # committed_versions each relisted _commits and parsed
+            # every marker — 2 × O(commits) per trigger poll)
+            committed = committed_versions(self.root)
+            if not committed:
                 return {"version": self.start}
-            v = max(n, self.start)
+            v = max(committed[-1], self.start)
             # the offset pins the committed-chain SEGMENT since the
             # previous poll plus the anchor at its base (round 13,
             # r12 VERDICT item 4) — O(new commits) per offset instead
@@ -491,7 +510,6 @@ def _make_source_class():
             # time cannot re-split a replayed batch's diff steps,
             # because partitions() reads the chain from the
             # checkpointed end offset, never the live listing.
-            committed = committed_versions(self.root)
             since = (
                 self._last_pin if self._last_pin is not None else self.start
             )
@@ -579,18 +597,7 @@ def _make_source_class():
                 kdf = _read_rel_frame(self.root, [rel], list(dkeys))
                 if kdf.empty or pre.empty:
                     continue
-                m = pre.merge(
-                    kdf.drop_duplicates(),
-                    on=list(dkeys),
-                    how="left",
-                    indicator="_mt_del_ind",
-                )
-                hit = m[m["_mt_del_ind"] == "both"].drop(
-                    columns="_mt_del_ind"
-                )
-                pre = m[m["_mt_del_ind"] == "left_only"].drop(
-                    columns="_mt_del_ind"
-                )
+                hit, pre = _split_on_keys(pre, kdf, list(dkeys))
                 yield from _frame_rows(hit, self.columns, "delete", cv)
 
         def commit(self, end):

@@ -2799,3 +2799,53 @@ def test_vacuum_keeps_registered_clone_references(spark, tmp_path):
     # src2's own latest is intact either way
     got = {r.k: r.val for r in mt.read_bucketed(spark, src2).collect()}
     assert got[0] == 5.0 and len(got) == 16
+
+
+def test_single_writer_paths_respect_fences(spark, tmp_path):
+    """Permanent fences (round 13) must be honored by the SINGLE-WRITER
+    numbered paths too (round-13 review): commit_snapshot /
+    commit_bucketed raise on a fenced slot instead of silently reading
+    the fence as 'already committed' (the caller's data would never
+    land), _write_marker refuses to replace a fence outright, and
+    merge_into_bucketed skips fenced slots above latest exactly like
+    the OCC claim loop."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    # plain table: fence at slot 1 (a fencer that crashed before its
+    # own commit landed, so latest stays 0)
+    root = str(tmp_path / "plain")
+    df = spark.createDataFrame([(1, 10)], "k long, x long")
+    commit_snapshot(df, root, 0)
+    assert mt._publish_fence(root, 1)
+    with pytest.raises(RuntimeError, match="retired"):
+        commit_snapshot(df, root, 1)
+    with pytest.raises(RuntimeError, match="retired"):
+        mt._write_marker(root, 1, {})
+    # the fence marker's content is untouched by the refused attempts
+    assert mt._is_fence_marker(root, 1)
+    commit_snapshot(df, root, 2)  # next free slot works
+    assert mt.committed_versions(root) == [0, 2]
+
+    # bucketed table: merge_into_bucketed skips the fenced slot
+    rootb = str(tmp_path / "bucketed")
+    _mk_occ_base(spark, rootb)
+    assert mt._publish_fence(rootb, 1)
+    # a dead claimant's orphan data under the fenced slot must never
+    # be adopted
+    os.makedirs(os.path.join(rootb, "v1"), exist_ok=True)
+    n = mt.merge_into_bucketed(
+        spark, rootb, _occ_chg(spark, [0], 5.0), **_OCC_CLAUSES
+    )
+    assert n == 2
+    assert mt._is_fence_marker(rootb, 1)
+    got = {
+        r.k: r.val
+        for r in mt.read_bucketed(spark, rootb).collect()
+        if r.val != 0.0
+    }
+    assert got == {0: 5.0}
+    with pytest.raises(RuntimeError, match="retired"):
+        mt.commit_bucketed(
+            spark.createDataFrame([(1, 0.0)], "k long, val double"),
+            rootb, 1, on="k", n_buckets=8, hashed=False,
+        )

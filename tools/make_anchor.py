@@ -125,12 +125,17 @@ def _run_canary(prev_name: str, prev_anchor: dict) -> dict:
     return out
 
 
-def _await_idle(max_wait: float = 180.0) -> None:
+def _await_idle(max_wait: float = 180.0) -> bool:
     """Let the canary session's load drain before bench.py starts —
-    the bench-contamination rule applies to our own canary too."""
+    the bench-contamination rule applies to our own canary too.
+    Returns False (caller ABORTS) if the host is still loaded after
+    ``max_wait``: proceeding would commit a contaminated anchor whose
+    canary block then poisons every future round's host-drift
+    denominator (round-13 review — same hard gate as startup)."""
     t0 = time.time()
     while os.getloadavg()[0] >= MAX_LOAD and time.time() - t0 < max_wait:
         time.sleep(5)
+    return os.getloadavg()[0] < MAX_LOAD
 
 
 def main() -> int:
@@ -150,7 +155,14 @@ def main() -> int:
     prev = prev_anchor.get("queries", {})
     t0 = time.time()
     canary = _run_canary(prev_name, prev_anchor)
-    _await_idle()
+    if not _await_idle():
+        print(
+            f"REFUSING: load1 {os.getloadavg()[0]:.2f} still >= "
+            f"{MAX_LOAD} after the canary drain window — aborting "
+            "before bench.py (a contaminated anchor would poison the "
+            "canary denominator for every future round)"
+        )
+        return 1
     subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                    check=True, cwd=REPO)
     with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
