@@ -117,13 +117,13 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # fronting test recomputes the same derivation).  CORRECTNESS_r12 came
 # back 50/50, leaving the vintage distribution r7:41 r8:50 r9:50
 # r10:50 r11:50 r12:50 — so, per the r12 VERDICT plan (item 6):
-# slots  1- 3: the round-13 additions (dsl_changes_feed,
-#              table_bucketed_zorder, table_maintenance_concurrent —
-#              zero evidence),
-# slots  4-44: the FULL 41-id r7 tail (dedup_band_calibration ...
+# slots  1- 4: the round-13 additions (dsl_changes_feed,
+#              table_bucketed_zorder, table_maintenance_concurrent,
+#              table_optimize_zorder — zero evidence),
+# slots  5-45: the FULL 41-id r7 tail (dedup_band_calibration ...
 #              text_token_bpe_merge),
-# slots 45-50: the alphabetical head (6 of 50) of the r8 block
-#              (agg_freq_items ... cdc_upsert_compact).
+# slots 46-50: the alphabetical head (5 of 50) of the r8 block
+#              (agg_freq_items ... array_map_json_funcs).
 # If CORRECTNESS_r13 comes back 50/50 the oldest remaining evidence is
 # the 43-id r8 tail — front any round-14 additions, then that tail
 # (derive programmatically from the committed CORRECTNESS files, as
@@ -132,6 +132,7 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "dsl_changes_feed",
     "table_bucketed_zorder",
     "table_maintenance_concurrent",
+    "table_optimize_zorder",
     "dedup_band_calibration",
     "dedup_exact",
     "dedup_keep_best",
@@ -178,7 +179,6 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "agg_skew_twophase",
     "anomaly_zscore",
     "array_map_json_funcs",
-    "cdc_upsert_compact",
 )
 
 

@@ -1347,6 +1347,71 @@ def table_multicol_skipping(spark: SparkSession, sf_dir: str) -> SDF:
 
 
 @query(
+    "table_optimize_zorder",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_custkey BETWEEN 40 AND 119
+      AND date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+            BETWEEN 1096 AND 1460
+    GROUP BY o_orderpriority
+    """,
+)
+def table_optimize_zorder(spark: SparkSession, sf_dir: str) -> SDF:
+    """OPTIMIZE ... ZORDER BY as an OCC maintenance commit (round 13):
+    v0 commits orders in ARRIVAL order (no layout, no statistics — the
+    shape every append-ingested fact table has), v1 =
+    ``optimize_zorder(root, ("o_custkey", "o_day"))`` rewrites the
+    resolved content by the Morton interleave of the pair and records
+    multi-column per-file min/max, all through the OCC claim +
+    if-absent publish (any rival commit forces a recompute — never a
+    replaced marker).  The read is ``read_version(ranges=...)`` on the
+    optimized version; the oracle is the same 2-predicate filter on
+    the original table, so a row lost or duplicated by the rewrite
+    hash-mismatches, and the before/after inputFiles() contrast (v0
+    cannot ranges-read at all; v1 prunes per dimension) is asserted in
+    tests/test_mergetable.py.
+
+    Scale: the one-rewrite-shuffle cost is the Delta OPTIMIZE ZORDER
+    trade exactly — paid once, amortized over every later 2-d
+    predicate read touching O(matching cells) files; content is
+    provably unchanged (the change feed's optimize step is empty), so
+    the pass can run on a schedule against live OCC ingest."""
+    from ..sources.mergetable import (
+        commit_snapshot,
+        latest_version,
+        optimize_zorder,
+        read_version,
+    )
+
+    root = _table_root(sf_dir, "ordzopt_v1", tables=("orders",))
+    if (latest_version(root) or -1) < 0:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_custkey",
+            "o_orderdate",
+            "o_totalprice",
+            "o_orderpriority",
+        ).withColumn(
+            "o_day", F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        )
+        # arrival order: no stats, no layout — deliberately unoptimized
+        commit_snapshot(orders, root, 0, meta={"op": "create"}, n_files=16)
+    if (latest_version(root) or -1) < 1:
+        optimize_zorder(spark, root, ("o_custkey", "o_day"), n_files=16)
+    back = read_version(
+        spark, root, ranges={"o_custkey": (40, 119), "o_day": (1096, 1460)}
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
     "table_bucketed_zorder",
     """
     WITH merged AS (

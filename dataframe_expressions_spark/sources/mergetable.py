@@ -136,6 +136,7 @@ __all__ = [
     "merge_into",
     "merge_into_bucketed",
     "merge_into_bucketed_exclusive",
+    "optimize_zorder",
     "read_bucketed",
     "read_version",
     "restore_table",
@@ -1953,6 +1954,109 @@ def compact_mor(
                     "compacted_from": base,
                     **(meta or {}),
                 },
+            ),
+            exc=MergeConflictError,
+        )
+        return n
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    root: str,
+    cols: Sequence[str],
+    meta: Optional[dict] = None,
+    n_files: int = 8,
+    max_retries: int = 5,
+    marker_timeout: float = 30.0,
+) -> int:
+    """OPTIMIZE ... ZORDER BY for plain tables (round 13 — the
+    layout-maintenance verb Delta ships): rewrite the RESOLVED latest
+    state (MoR delete chains fold in, like ``compact_mor``) as a new
+    version laid out by the Morton interleave of the two given
+    columns, recording multi-column per-file min/max — so
+    ``read_version(ranges=)`` becomes selective on BOTH dimensions for
+    a table that was ingested in arrival order.  Content is unchanged
+    (the change feed's step is empty); history stays time-travelable.
+
+    Commits through the OCC protocol: the rewrite derives from the
+    base version, so ANY intervening rival is a conflict — recompute
+    from the new latest and retry the claim (if-absent publish; a
+    published rival marker is never replaced), raising
+    ``MergeConflictError`` after ``max_retries``.
+
+    Scale: this is the periodic maintenance pass that turns an
+    append-ordered 100 TB fact table into a 2-d-skippable one — cost
+    is ONE full rewrite shuffle (range partition on the interleave),
+    amortized over every subsequent (c1, c2) predicate read touching
+    O(matching cells) files instead of everything.  Bucketed tables
+    take the layout at commit time instead
+    (``commit_bucketed(zorder_by=...)``, preserved by every bucket
+    rewrite) — re-bucketing a live table is a format migration, not a
+    maintenance flag, so this verb refuses them.
+
+    Returns the committed version number."""
+    import threading
+
+    zcols = list(cols)
+    if len(zcols) != 2:
+        raise ValueError("optimize_zorder takes exactly two columns")
+    attempts = 0
+    while True:
+        base = latest_version(root)
+        if base is None:
+            raise FileNotFoundError(f"no committed version under {root}")
+        if commit_meta(root, base).get("manifest") is not None:
+            raise ValueError(
+                "optimize_zorder applies to plain tables — bucketed "
+                "tables take zorder_by at commit time "
+                "(commit_bucketed), and every bucket rewrite preserves "
+                "it"
+            )
+        cur = read_version(spark, root, base)
+        missing = [c for c in zcols if c not in cur.columns]
+        if missing:
+            raise ValueError(
+                f"zorder column(s) {missing} not on the table"
+            )
+        tmp = os.path.join(
+            root,
+            f".tmpz{os.getpid()}-{threading.get_ident()}-{base}-{attempts}",
+        )
+        _shape_for_write(cur, n_files, None, zorder_by=zcols).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            claimed = _claim_slot(
+                root, base, commit_meta(root, base), tmp,
+                marker_timeout, lambda m_meta: False,
+            )
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        if claimed is None:
+            attempts += 1
+            if attempts > max_retries:
+                raise MergeConflictError(
+                    f"concurrent OPTIMIZE ZORDER on {root} aborted "
+                    f"after {max_retries} retries: every attempt found "
+                    "an intervening commit"
+                )
+            continue
+        n, _ = claimed
+        _publish_exclusive(
+            root,
+            n,
+            _stats_payload(
+                root,
+                n,
+                None,
+                {
+                    "op": "optimize_zorder",
+                    "zordered_from": base,
+                    "zorder_by": zcols,
+                    **(meta or {}),
+                },
+                stats_cols=zcols,
             ),
             exc=MergeConflictError,
         )

@@ -2849,3 +2849,95 @@ def test_single_writer_paths_respect_fences(spark, tmp_path):
             spark.createDataFrame([(1, 0.0)], "k long, val double"),
             rootb, 1, on="k", n_buckets=8, hashed=False,
         )
+
+
+def test_optimize_zorder_makes_ranges_selective(spark, tmp_path):
+    """OPTIMIZE ZORDER (round 13): an arrival-ordered plain table
+    cannot ranges-read at all; after optimize_zorder the content is
+    IDENTICAL (empty change-feed step), both dimensions prune
+    (inputFiles proper subset), MoR chains resolve into the rewrite,
+    and a rival commit mid-claim forces a recompute — never a
+    replaced marker."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    rows = [(k, k % 64, (k // 64) % 64, float(k)) for k in range(4096)]
+    import random
+
+    rng = random.Random(13)
+    rng.shuffle(rows)  # arrival order: interleaved on both dims
+    df = spark.createDataFrame(rows, "k long, x long, y long, val double")
+    commit_snapshot(df, root, 0, n_files=16)
+    with pytest.raises(ValueError, match="stats_cols"):
+        read_version(spark, root, 0, ranges={"x": (0, 15)})
+    # MoR delete folds into the optimize rewrite
+    mt.commit_mor_delete(spark, root, "k >= 4090", on="k")  # v1
+    with _marker_replacement_sentinel() as attempts:
+        n = mt.optimize_zorder(spark, root, ("x", "y"), n_files=16)
+    assert not attempts
+    assert n == 2
+    meta = mt.commit_meta(root, 2)
+    assert meta["op"] == "optimize_zorder"
+    assert meta["zordered_from"] == 1
+    # content identical to the resolved pre-state: the feed step from
+    # the MoR version to the optimized version is EMPTY
+    assert mt.feed_since(spark, root, 1, on="k").count() == 0
+    assert read_version(spark, root, 2).count() == 4090
+    all_files = set(read_version(spark, root, 2).inputFiles())
+    fx = read_version(spark, root, 2, ranges={"x": (0, 15)})
+    fy = read_version(spark, root, 2, ranges={"y": (0, 15)})
+    assert set(fx.inputFiles()) < all_files
+    assert set(fy.inputFiles()) < all_files
+    fxy = read_version(
+        spark, root, 2, ranges={"x": (0, 15), "y": (0, 15)}
+    )
+    got = sorted(r.k for r in fxy.collect())
+    assert got == sorted(
+        k for k in range(4090) if k % 64 < 16 and (k // 64) % 64 < 16
+    )
+    # guardrails: bucketed tables refuse; bad column; two cols exactly
+    with pytest.raises(ValueError, match="exactly two"):
+        mt.optimize_zorder(spark, root, ("x",))
+    with pytest.raises(ValueError, match="not on the table"):
+        mt.optimize_zorder(spark, root, ("x", "nope"))
+    rootb = str(tmp_path / "bucketed")
+    _mk_occ_base(spark, rootb)
+    with pytest.raises(ValueError, match="bucketed"):
+        mt.optimize_zorder(spark, rootb, ("k", "val"))
+
+
+def test_optimize_zorder_recomputes_on_rival(spark, tmp_path, monkeypatch):
+    """A rival snapshot landing between the optimize rewrite and its
+    claim forces a recompute from the new latest — the optimized
+    version reflects the RIVAL's content, and zordered_from records
+    it."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, 1, 1), (2, 2, 2)], "k long, x long, y long"
+        ),
+        root, 0, n_files=1,
+    )
+    fired = {"n": 0}
+    orig = mt._claim_slot
+
+    def hooked(root_, base, bmeta, tmp, timeout, policy):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            mt.commit_snapshot_exclusive(
+                spark.createDataFrame(
+                    [(1, 1, 1), (2, 2, 2), (3, 3, 3)],
+                    "k long, x long, y long",
+                ),
+                root_,
+            )
+        return orig(root_, base, bmeta, tmp, timeout, policy)
+
+    monkeypatch.setattr(mt, "_claim_slot", hooked)
+    n = mt.optimize_zorder(spark, root, ("x", "y"), n_files=1)
+    assert n == 2 and fired["n"] == 1
+    meta = mt.commit_meta(root, 2)
+    assert meta["zordered_from"] == 1  # recomputed from the rival
+    assert read_version(spark, root, 2).count() == 3  # rival's row seen
