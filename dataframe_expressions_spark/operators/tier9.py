@@ -649,14 +649,26 @@ def table_maintenance_concurrent(spark: SparkSession, sf_dir: str) -> SDF:
 
     from ..sources.mergetable import (
         commit_bucketed,
+        commit_meta,
+        committed_versions,
         compact_buckets,
-        latest_version,
         merge_into_bucketed_exclusive,
         read_bucketed,
     )
 
+    def _merge_landed(r: str) -> bool:
+        # the build is complete only when the MERGE committed — a run
+        # that died after the compaction commit but before the merge
+        # would otherwise leave a store whose latest is compacted-but-
+        # unmerged content, silently wrong on every rerun (round-13
+        # review: `latest >= 1` treated compact-only as fully built)
+        return any(
+            commit_meta(r, n).get("op") == "merge"
+            for n in committed_versions(r)
+        )
+
     root = _table_root(sf_dir, "custmaint_v1")
-    if (latest_version(root) or -1) < 1:
+    if not _merge_landed(root):
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)  # partial build: restart
@@ -706,6 +718,14 @@ def table_maintenance_concurrent(spark: SparkSession, sf_dir: str) -> SDF:
             t.start()
         for t in threads:
             t.join(timeout=600)
+        if any(t.is_alive() for t in threads):
+            # a silently-abandoned thread would let the read below see
+            # a mid-maintenance version (round-13 review) — and could
+            # commit AFTER this query returned
+            raise RuntimeError(
+                "maintenance race did not finish within the join "
+                "timeout — refusing to read a mid-maintenance version"
+            )
         if errors:
             raise errors[0]
     return read_bucketed(spark, root)
@@ -1387,7 +1407,7 @@ def table_optimize_zorder(spark: SparkSession, sf_dir: str) -> SDF:
     )
 
     root = _table_root(sf_dir, "ordzopt_v1", tables=("orders",))
-    if (latest_version(root) or -1) < 0:
+    if latest_version(root) is None:
         orders = load_table(spark, sf_dir, "orders").select(
             "o_custkey",
             "o_orderdate",

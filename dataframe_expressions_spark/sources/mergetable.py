@@ -2005,7 +2005,8 @@ def optimize_zorder(
         base = latest_version(root)
         if base is None:
             raise FileNotFoundError(f"no committed version under {root}")
-        if commit_meta(root, base).get("manifest") is not None:
+        bmeta = commit_meta(root, base)
+        if bmeta.get("manifest") is not None:
             raise ValueError(
                 "optimize_zorder applies to plain tables — bucketed "
                 "tables take zorder_by at commit time "
@@ -2027,7 +2028,7 @@ def optimize_zorder(
         ).parquet(tmp)
         try:
             claimed = _claim_slot(
-                root, base, commit_meta(root, base), tmp,
+                root, base, bmeta, tmp,
                 marker_timeout, lambda m_meta: False,
             )
         except BaseException:
