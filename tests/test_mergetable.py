@@ -2941,3 +2941,82 @@ def test_optimize_zorder_recomputes_on_rival(spark, tmp_path, monkeypatch):
     meta = mt.commit_meta(root, 2)
     assert meta["zordered_from"] == 1  # recomputed from the rival
     assert read_version(spark, root, 2).count() == 3  # rival's row seen
+
+
+def test_occ_three_way_maintenance_race(spark, tmp_path):
+    """Capstone for the round-13 protocol: a MERGE, a compaction and a
+    RESTORE all racing in genuinely concurrent threads.  Every op must
+    either commit or raise MergeConflictError loudly (bounded
+    retries); committed versions are consecutive-distinct; no
+    published marker is ever replaced; and the final latest is
+    CONSISTENT — exactly the fold of the committed ops in version
+    order (restore-last ⇒ v0 content; merge after restore ⇒ restore +
+    merge; compaction never changes content)."""
+    import threading
+
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(k, 0.0) for k in range(40)], "k long, val double"
+    )
+    mt.commit_bucketed(
+        df, root, 0, on="k", n_buckets=8, hashed=False,
+        stats_key="k", n_files=24,
+    )
+    results, errors = {}, []
+    barrier = threading.Barrier(3)
+
+    def run(tag, fn):
+        try:
+            barrier.wait(timeout=120)
+            results[tag] = fn()
+        except mt.MergeConflictError as e:
+            errors.append((tag, "conflict", repr(e)))  # loud is legal
+        except Exception as e:  # noqa: BLE001 - surfaced via asserts
+            errors.append((tag, "error", repr(e)))
+
+    ops = [
+        ("merge", lambda: mt.merge_into_bucketed_exclusive(
+            spark, root, _occ_chg(spark, [0, 8], 5.0),
+            meta={"writer": "merge"}, **_OCC_CLAUSES)),
+        ("compact", lambda: mt.compact_buckets(
+            spark, root, max_files=1, meta={"writer": "compact"})),
+        ("restore", lambda: mt.restore_table(
+            spark, root, 0, meta={"writer": "restore"})),
+    ]
+    with _marker_replacement_sentinel() as attempts:
+        threads = [
+            threading.Thread(target=run, args=(tag, fn))
+            for tag, fn in ops
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not any(t.is_alive() for t in threads)
+    assert not attempts, attempts
+    hard = [e for e in errors if e[1] == "error"]
+    assert not hard, hard
+    # every committed op landed at a distinct version with ITS marker
+    assert len(set(results.values())) == len(results)
+    for tag, n in results.items():
+        assert mt.commit_meta(root, n)["writer"] == tag, (tag, n)
+    # fold the committed ops in version order to predict final content
+    expect = {k: 0.0 for k in range(40)}
+    for tag, _n in sorted(results.items(), key=lambda kv: kv[1]):
+        if tag == "merge":
+            expect[0] = expect[0] + 5.0
+            expect[8] = expect[8] + 5.0
+        elif tag == "restore":
+            expect = {k: 0.0 for k in range(40)}
+        # compact: content-neutral
+    got = {r.k: r.val for r in mt.read_bucketed(spark, root).collect()}
+    assert got == expect, (results, errors)
+    # history stays auditable: each committed op time-travels
+    for tag, n in results.items():
+        assert mt.read_bucketed(spark, root, n).count() == 40
+    # range skipping still works over whatever manifest mix landed
+    sel = {r.k for r in mt.read_bucketed(
+        spark, root, key_range=(0, 4)).collect()}
+    assert sel == {0, 1, 2, 3, 4}
