@@ -29,8 +29,12 @@ the commit — a single-key PUT, atomic on S3/GCS/ABFS.  The reader logic
 (marker = truth) already implements that; the POSIX rename is just free
 extra tidiness.  Multi-writer version-number races need if-absent
 commit semantics — ``commit_snapshot_exclusive`` provides them (round
-11): the ``v<n>`` dir rename is the atomic claim locally, the marker is
-published with ``os.link`` (if-absent, unlike rename), and losers retry
+11; round 14 moved BOTH primitives onto the 3-op CommitStore in
+sources/commitstore.py): the version slot is claimed with an if-absent
+``_claims/<n>`` put, the marker is published with an if-absent
+``_commits/<n>`` put (each a single conditional PUT on an object
+store: S3 If-None-Match / GCS generation-match 0 / ABFS ETag; tmp +
+``os.link`` on the local backend), and losers retry
 with the next number, so concurrent writers land as consecutive
 versions with no lost COMMIT — both snapshots are durable and
 addressable.  That alone is NOT serializability: a MERGE that lost the
@@ -119,8 +123,11 @@ from pyspark.sql import DataFrame as SDF
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from .commitstore import CommitStoreMissing, commit_store_for
+
 __all__ = [
     "MergeConflictError",
+    "VersionVacuumedError",
     "bucket_expr",
     "clone_shallow",
     "commit_bucketed",
@@ -142,6 +149,7 @@ __all__ = [
     "restore_table",
     "table_changes",
     "vacuum",
+    "vacuum_horizon",
     "version_as_of",
 ]
 
@@ -153,6 +161,26 @@ class MergeConflictError(RuntimeError):
     the caller may re-invoke (fresh retries) or give up."""
 
 
+class VersionVacuumedError(FileNotFoundError):
+    """The requested version was swept by retention vacuum (round 14,
+    r13 VERDICT item 3): its number is at or below the vacuum
+    tombstone's horizon and it is no longer committed.  Subclasses
+    ``FileNotFoundError`` so existing absence handlers keep working;
+    exists so a reader pinned at an old version learns WHY it vanished
+    instead of a bare not-committed.
+
+    Reader-vs-vacuum contract (documented, tested with a barrier race
+    in tests/test_mergetable.py): resolving a swept version raises
+    this error loudly; a reader that resolved version ``n`` BEFORE a
+    concurrent vacuum swept it may fail mid-scan with Spark's own
+    file-not-found — loudly, never with wrong data (snapshots are
+    immutable; partial sweeps can only remove files, not alter them).
+    Long-running readers that need version ``n`` pinned across a
+    vacuum window must either hold retention wide enough (``keep=``)
+    or re-resolve and retry on this error — the same contract Delta
+    and Iceberg document for their retention sweepers."""
+
+
 def _is_fence_marker(root: str, n: int) -> bool:
     """True when version ``n``'s marker slot holds a FENCE tombstone —
     published by an OCC writer that declared a stalled claimant dead
@@ -161,9 +189,57 @@ def _is_fence_marker(root: str, n: int) -> bool:
     marker publish FAIL (if-absent link against an occupied slot)
     instead of silently landing a version the chain already skipped."""
     try:
-        with open(os.path.join(root, "_commits", str(n))) as fh:
-            return bool(json.load(fh).get("fenced"))
+        meta = json.loads(commit_store_for(root).read(f"_commits/{n}"))
+        return bool(meta.get("fenced"))
     except (FileNotFoundError, json.JSONDecodeError, OSError):
+        return False
+
+
+def vacuum_horizon(root: str) -> Optional[int]:
+    """The retention tombstone horizon: every version BELOW it that is
+    not committed was (or legally could have been) swept by vacuum.
+    ``None`` when no vacuum has ever dropped a version.  Tombstones
+    are immutable ``_vacuum/<seq>`` objects (put-if-absent, like every
+    coordination object — round 14); the horizon is their max."""
+    st = commit_store_for(root)
+    best: Optional[int] = None
+    for name in st.list("_vacuum"):
+        if not name.isdigit():
+            continue
+        try:
+            h = json.loads(st.read(f"_vacuum/{name}")).get("horizon")
+        except (FileNotFoundError, json.JSONDecodeError):
+            continue
+        if isinstance(h, int) and (best is None or h > best):
+            best = h
+    return best
+
+
+def _raise_missing_version(root: str, n: int) -> None:
+    """The one absence classifier for version reads: below the vacuum
+    tombstone's horizon the version was SWEPT (VersionVacuumedError —
+    the reader-vs-vacuum grace contract), otherwise it is simply not
+    committed."""
+    h = vacuum_horizon(root)
+    if h is not None and n < h:
+        raise VersionVacuumedError(
+            f"version {n} of {root} was swept by retention vacuum "
+            f"(tombstone horizon {h}: versions below it are gone); "
+            f"oldest retained committed version is "
+            f"{next(iter(committed_versions(root)), None)} — re-resolve "
+            "and retry, or widen vacuum keep= for long-pinned readers"
+        )
+    raise FileNotFoundError(f"version {n} is not committed in {root}")
+
+
+def _marker_exists(root: str, n: int) -> bool:
+    """Whether ANY object (real marker or fence) occupies version
+    ``n``'s marker slot — through the CommitStore, so fault-injection
+    backends see every existence probe the protocol makes."""
+    try:
+        commit_store_for(root).read(f"_commits/{n}")
+        return True
+    except CommitStoreMissing:
         return False
 
 
@@ -175,12 +251,9 @@ def committed_versions(root: str) -> "list[int]":
     while keeping its neighbors — consumers that walk commit HISTORY
     must therefore pair consecutive COMMITTED versions, never ``n``
     and ``n+1`` (round-12 review)."""
-    commits_dir = os.path.join(root, "_commits")
-    if not os.path.isdir(commits_dir):
-        return []
     return sorted(
         int(name)
-        for name in os.listdir(commits_dir)
+        for name in commit_store_for(root).list("_commits")
         if name.isdigit()
         and os.path.isdir(os.path.join(root, f"v{int(name)}"))
         and not _is_fence_marker(root, int(name))
@@ -291,9 +364,8 @@ def read_version(
         n = latest_version(root)
     if n is None:
         raise FileNotFoundError(f"no committed version under {root}")
-    marker = os.path.join(root, "_commits", str(n))
-    if not os.path.exists(marker):
-        raise FileNotFoundError(f"version {n} is not committed in {root}")
+    if not _marker_exists(root, n):
+        _raise_missing_version(root, n)
     snap = os.path.join(root, f"v{n}")
     meta = commit_meta(root, n)
     if "mor_base" in meta:
@@ -415,11 +487,10 @@ def commit_meta(root: str, n: Optional[int] = None) -> dict:
         n = latest_version(root)
     if n is None:
         raise FileNotFoundError(f"no committed version under {root}")
-    marker = os.path.join(root, "_commits", str(n))
-    if not os.path.exists(marker):
-        raise FileNotFoundError(f"version {n} is not committed in {root}")
-    with open(marker) as fh:
-        meta = json.load(fh)
+    try:
+        meta = json.loads(commit_store_for(root).read(f"_commits/{n}"))
+    except CommitStoreMissing:
+        _raise_missing_version(root, n)
     if meta.get("fenced"):
         # a fence tombstone is NOT a commit (see _is_fence_marker) —
         # resolving it as one would serve a dead claimant's orphan data
@@ -431,17 +502,17 @@ def commit_meta(root: str, n: Optional[int] = None) -> dict:
 
 
 def _write_marker(root: str, n: int, payload: Optional[dict]) -> None:
-    """Temp-write + rename the commit marker for version ``n`` — the
-    commit point.  Stamps ``version`` and ``committed_at`` (the latter
-    feeds vacuum's marker-relative orphan horizon: object stores have no
-    usable directory mtime).  Re-raises on rename failure: POSIX rename
-    over an existing file does not fail on a lost race, so any OSError
-    here is a REAL failure (EACCES, EXDEV, ENOSPC...).  Returning
-    as-if-committed would silently drop the commit — and worse, the
-    orphaned ``v<n>`` dir would make the NEXT commit for ``n`` skip its
-    own snapshot write and attach ITS marker to THIS call's data
+    """Publish the commit marker for version ``n`` — the commit point —
+    through the CommitStore's if-absent put (round 14: the last
+    replace-semantics marker rename is gone; EVERY marker publish in
+    the module, single-writer included, is now conditional).  Stamps
+    ``version`` and ``committed_at`` (the latter feeds vacuum's
+    marker-relative orphan horizon: object stores have no usable
+    directory mtime).  A lost put here is raised, never swallowed:
+    these are documented single-writer paths, so an occupied slot
+    means a protocol violation (two writers on a single-writer table),
+    and returning as-if-committed would silently drop the commit
     (round-10 ADVICE: silent data loss in stream_table_upsert)."""
-    marker = os.path.join(root, "_commits", str(n))
     if _is_fence_marker(root, n):
         # a fence tombstone is PERMANENT (round 13): replacing it with
         # a real marker would re-open the dead-claimant slot this
@@ -454,26 +525,66 @@ def _write_marker(root: str, n: int, payload: Optional[dict]) -> None:
             "its number is permanently retired; commit under the next "
             "free version (the OCC paths skip fences automatically)"
         )
-    mtmp = f"{marker}.tmp{os.getpid()}"
-    with open(mtmp, "w") as fh:
-        fh.write(_marker_json(n, payload))
-    try:
-        os.rename(mtmp, marker)
-    except OSError:
-        os.unlink(mtmp)
-        raise
+    import uuid
+
+    nonce = uuid.uuid4().hex
+    if commit_store_for(root).put_if_absent(
+        f"_commits/{n}", _marker_json(n, payload, writer_nonce=nonce).encode()
+    ):
+        return
+    # conditional-put ambiguity (round 14): a False may be a lost ack
+    # on OUR OWN landed put — read the occupant back before declaring
+    # a violation (same dance as _publish_exclusive)
+    occ = _read_occupant(root, n, 5.0)
+    if occ is not None and occ.get("writer_nonce") == nonce:
+        return
+    if occ is not None and occ.get("fenced"):
+        raise RuntimeError(
+            f"version {n} of {root} was fenced while this writer "
+            "was committing — the slot is permanently retired; "
+            "commit under the next free version"
+        )
+    raise RuntimeError(
+        f"marker {n} already exists in {root} — a published "
+        "marker is never replaced; this path is documented "
+        "single-writer (use the *_exclusive commits for "
+        "multi-writer tables)"
+    )
 
 
-def _marker_json(n: int, payload: Optional[dict]) -> str:
-    """The marker document — single source for BOTH publish primitives
-    (rename in ``_write_marker``, if-absent link in
-    ``commit_snapshot_exclusive``), so a schema addition like
-    ``committed_at`` can never again land in one path only."""
+def _read_occupant(root: str, n: int, timeout: float) -> Optional[dict]:
+    """The occupant of marker slot ``n``, polling up to ``timeout``
+    seconds — a put that reported "occupied" guarantees SOMETHING is
+    there, but on an eventually-consistent store it may not be
+    readable yet.  None when nothing became readable in time."""
     import time
 
-    return json.dumps(
-        {"version": n, "committed_at": time.time(), **(payload or {})}
-    )
+    deadline = time.time() + timeout
+    while True:
+        try:
+            return json.loads(commit_store_for(root).read(f"_commits/{n}"))
+        except (CommitStoreMissing, json.JSONDecodeError):
+            if time.time() >= deadline:
+                return None
+            time.sleep(0.05)
+
+
+def _marker_json(
+    n: int, payload: Optional[dict], writer_nonce: Optional[str] = None
+) -> str:
+    """The marker document — single source for BOTH publish paths
+    (single-writer ``_write_marker``, OCC ``_publish_exclusive``), so a
+    schema addition like ``committed_at`` can never again land in one
+    path only.  ``writer_nonce`` (OCC publishes) is the per-call id
+    that lets a publisher recognise its OWN marker after a lost-ack /
+    duplicated conditional put (round 14) — distinct from any
+    caller-supplied ``meta`` key."""
+    import time
+
+    doc = {"version": n, "committed_at": time.time(), **(payload or {})}
+    if writer_nonce is not None:
+        doc["writer_nonce"] = writer_nonce
+    return json.dumps(doc)
 
 
 def _shape_for_write(
@@ -735,7 +846,6 @@ def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
     makes 2-d pruning selective."""
     os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
     snap = os.path.join(root, f"v{n}")
-    marker = os.path.join(root, "_commits", str(n))
     if _is_fence_marker(root, n):
         # the early-return below must never read a fence as "already
         # committed" — the caller's data would silently never land
@@ -746,7 +856,7 @@ def commit_snapshot(df: SDF, root: str, n: int, meta: Optional[dict] = None,
             "version (or use commit_snapshot_exclusive, which skips "
             "fences automatically)"
         )
-    if os.path.exists(marker) and os.path.isdir(snap):
+    if _marker_exists(root, n) and os.path.isdir(snap):
         return  # already committed
     if not os.path.isdir(snap):
         tmp = f"{snap}.tmp{os.getpid()}"
@@ -898,6 +1008,32 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
             frontier.append(b)
     drop = [n for n in drop if n not in kept_set]
     kept_versions = sorted(kept_set & set(committed))
+    if drop:
+        # TOMBSTONE FIRST (round 14, r13 VERDICT item 3): before any
+        # deletion becomes visible, record the new horizon as an
+        # immutable _vacuum/<seq> object so a reader that finds a
+        # version gone can distinguish "vacuumed" (VersionVacuumedError
+        # with the horizon) from "never committed".  Horizon =
+        # smallest KEPT committed version; never lowered (a stale
+        # rival vacuum's smaller horizon is simply dominated by max).
+        horizon = kept_versions[0] if kept_versions else max(drop) + 1
+        prev = vacuum_horizon(root)
+        if prev is None or horizon > prev:
+            import time as _t
+
+            st = commit_store_for(root)
+            seq = max(
+                (int(x) for x in st.list("_vacuum") if x.isdigit()),
+                default=-1,
+            ) + 1
+            doc = json.dumps(
+                {"horizon": horizon, "at": _t.time(), "dropping": drop}
+            ).encode()
+            while not st.put_if_absent(f"_vacuum/{seq}", doc):
+                got = vacuum_horizon(root)
+                if got is not None and got >= horizon:
+                    break  # our put landed (lost ack) or a rival dominated
+                seq += 1  # rival vacuum took the slot: next one
     # CLONE-AWARE (round 13): dirs referenced by reachable registered
     # clones survive exactly like dirs referenced by our own kept
     # manifests — see _registered_clone_refs for the residual risk
@@ -912,6 +1048,13 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
         # ADVICE).  The marker-first ORDER is unchanged.
         try:
             os.unlink(os.path.join(commits_dir, str(n)))
+        except FileNotFoundError:
+            pass
+        try:
+            # the version's claim object (round 14) goes with its
+            # marker; deletion is maintenance, so the local backend's
+            # unlink is used directly, not a store op
+            os.unlink(os.path.join(root, "_claims", str(n)))
         except FileNotFoundError:
             pass
         snap_rel = f"v{n}"
@@ -996,6 +1139,39 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
                 # tiny JSON file and version numbers never reuse the
                 # slot, so keeping it forever costs nothing.
                 shutil.rmtree(path, ignore_errors=True)
+    # claim-object sweep (round 14): a _claims/<k> is garbage once its
+    # slot can never be honestly claimed again — FENCED (the permanent
+    # fence marker blocks the slot; the claim is redundant) or
+    # dead-writer (marker-less past the same superseded+aged horizon
+    # as orphan dirs).  Claims of COMMITTED versions ride along until
+    # vacuum drops their version (the marker blocks the slot anyway).
+    claims_dir = os.path.join(root, "_claims")
+    if os.path.isdir(claims_dir):
+        for name in os.listdir(claims_dir):
+            if not name.isdigit():
+                continue
+            k = int(name)
+            if _is_fence_marker(root, k):
+                removable = True
+            elif _marker_exists(root, k):
+                continue
+            else:
+                removable = (
+                    max(
+                        (
+                            now - _marker_committed_at(root, m)
+                            for m in kept_versions
+                            if m > k
+                        ),
+                        default=0.0,
+                    )
+                    > 3600
+                )
+            if removable:
+                try:
+                    os.unlink(os.path.join(claims_dir, name))
+                except FileNotFoundError:
+                    pass
     return drop
 
 
@@ -1237,9 +1413,8 @@ def _clear_uncommitted_snapshot(root: str, n: int) -> None:
     orphan at a never-superseded version number), wedging the table
     (round-11 review).  A marker-less dir is invisible to every reader
     and these paths are documented single-writer, so removal is safe."""
-    marker = os.path.join(root, "_commits", str(n))
     snap = os.path.join(root, f"v{n}")
-    if os.path.isdir(snap) and not os.path.exists(marker):
+    if os.path.isdir(snap) and not _marker_exists(root, n):
         shutil.rmtree(snap, ignore_errors=True)
         if os.path.isdir(snap):
             # A partially-failed removal must not fall through: the
@@ -1315,7 +1490,6 @@ def commit_bucketed(
             raise ValueError("zorder_by and stats_key are exclusive layouts")
     os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
     snap = os.path.join(root, f"v{n}")
-    marker = os.path.join(root, "_commits", str(n))
     if _is_fence_marker(root, n):
         # same guard as commit_snapshot (round-13 review): a fence is
         # not a commit, and reading it as one silently drops the write
@@ -1324,7 +1498,7 @@ def commit_bucketed(
             "its number is permanently retired; pick the next free "
             "version"
         )
-    if os.path.exists(marker) and os.path.isdir(snap):
+    if _marker_exists(root, n) and os.path.isdir(snap):
         return  # already committed
     expr = bucket_expr(on, n_buckets, hashed)
     if not os.path.isdir(snap):
@@ -2548,21 +2722,23 @@ def commit_snapshot_exclusive(
     stats_key: Optional[str] = None,
     stats_cols: Optional[Sequence[str]] = None,
     zorder_by: Optional[Sequence[str]] = None,
+    marker_timeout: float = 30.0,
 ) -> int:
     """MULTI-WRITER commit (round 11, r10 VERDICT item 4): publish
     ``df`` as the NEXT version, with an if-absent claim instead of a
     caller-chosen version number — closing the version-number race the
     module docstring documents for ``commit_snapshot``.
 
-    Protocol: the snapshot is written ONCE to a writer-private temp dir;
-    the writer then claims the smallest unclaimed version by renaming
-    the temp to ``v<n>`` — POSIX rename onto an existing non-empty
-    directory FAILS, so the rename is itself an atomic if-absent claim —
-    retrying with ``n+1`` while the claim loses.  Only the ``v<n>``
-    owner then publishes marker ``n``, via ``os.link`` (hard-link is
-    atomic if-absent on POSIX, unlike rename which overwrites); a
-    FileExistsError there would mean a foreign marker points at OUR
-    data and is raised as corruption, never swallowed.
+    Protocol: the snapshot is written ONCE to a writer-private temp
+    dir; the writer then claims the smallest unclaimed version through
+    ``_claim_slot`` (round 14: an if-absent ``_claims/<n>`` put on the
+    CommitStore — the same loop and primitive every OCC commit kind
+    uses), advancing past committed rivals unconditionally (a snapshot
+    replace conflicts with no write-set) and fencing claimants silent
+    past ``marker_timeout``.  Only the claim winner materializes
+    ``v<n>`` and publishes marker ``n`` via the store's conditional
+    put; a lost publish is disambiguated by writer nonce and never
+    swallowed (see ``_publish_exclusive``).
 
     Two writers racing the same next version therefore both land, as
     ``v_n`` and ``v_{n+1}``, each marker describing its own writer's
@@ -2579,11 +2755,14 @@ def commit_snapshot_exclusive(
     rename and marker, an invisible orphan swept by vacuum's
     superseded-version horizon.
 
-    Object-store note: there the rename-claim does not exist; the
-    marker PUT carries the if-absent semantics instead (S3
-    If-None-Match, GCS x-goog-if-generation-match: 0, ABFS ETag) — the
-    retry loop is unchanged, only the primitive differs.  This is the
-    local-filesystem analogue of Delta's LogStore contract.
+    Object-store note (round 14): claim and publish are BOTH single
+    conditional puts on the CommitStore (S3 If-None-Match, GCS
+    x-goog-if-generation-match: 0, ABFS ETag); the only POSIX-specific
+    step left is the local backend's uncontended temp→``v<n>`` rename,
+    which an object-store backend replaces by uploading the data files
+    under their final prefix before claiming — they stay invisible
+    until the marker references them.  This is Delta's LogStore
+    contract behind a 3-op interface (sources/commitstore.py).
 
     Returns the committed version number."""
     os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
@@ -2591,29 +2770,23 @@ def commit_snapshot_exclusive(
     _shape_for_write(df, n_files, stats_key, zorder_by).write.mode(
         "overwrite"
     ).parquet(tmp)
-    commits_dir = os.path.join(root, "_commits")
-    taken = {int(x) for x in os.listdir(commits_dir) if x.isdigit()}
+    st = commit_store_for(root)
+    taken = {int(x) for x in st.list("_commits") if x.isdigit()}
+    taken |= {int(x) for x in st.list("_claims") if x.isdigit()}
     taken |= {
         int(x[1:])
         for x in os.listdir(root)
         if x.startswith("v") and x[1:].isdigit()
     }
-    n = max(taken, default=-1) + 1
-    while True:
-        snap = os.path.join(root, f"v{n}")
-        marker = os.path.join(commits_dir, str(n))
-        if os.path.isdir(snap) or os.path.exists(marker):
-            n += 1
-            continue
-        try:
-            os.rename(tmp, snap)
-            break
-        except OSError:
-            if os.path.isdir(snap) or os.path.exists(marker):
-                n += 1  # lost the claim: someone else owns v<n> now
-                continue
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise  # real failure (EACCES, EXDEV...), not a lost race
+    # round 14: the claim is _claim_slot's if-absent _claims/<n> put —
+    # the SAME loop every OCC commit kind uses (previously an inline
+    # rename-race loop here).  Snapshot-replace semantics never
+    # conflict with a rival's write-set, so the policy is
+    # always-rebase: advance past any committed rival.
+    n, _ = _claim_slot(
+        root, max(taken, default=-1), {}, tmp, marker_timeout,
+        lambda m_meta: True,
+    )
     _publish_exclusive(
         root, n, _stats_payload(root, n, stats_key, meta, stats_cols)
     )
@@ -2857,6 +3030,12 @@ def _await_commit_meta(
 
     deadline = time.time() + timeout
     while True:
+        if _is_fence_marker(root, m):
+            # the slot got fenced while we awaited (commit_meta reads
+            # a fence as not-committed, which would burn the whole
+            # timeout): report dead-claimant immediately — the
+            # caller's own fence attempt loses and it skips the slot
+            return None
         try:
             return commit_meta(root, m)
         except (FileNotFoundError, json.JSONDecodeError):
@@ -2867,64 +3046,80 @@ def _await_commit_meta(
 
 def _publish_fence(root: str, n: int) -> bool:
     """Atomically occupy version ``n``'s marker slot with a fence
-    tombstone (if-absent ``os.link``, the same primitive real markers
-    publish with).  True on success; False when a real marker won the
-    race (the claimant was alive after all)."""
-    import threading
+    tombstone (the CommitStore's if-absent put — the same primitive
+    real markers publish with).  True on success; False when a real
+    marker (or a rival's fence) won the race.  A lost-ack False is
+    harmless here: the caller loops back, reads the slot, and finds it
+    fenced — fences carry no writer identity because every fence of a
+    slot is equivalent."""
     import time
 
-    marker = os.path.join(root, "_commits", str(n))
-    ftmp = f"{marker}.fence{os.getpid()}-{threading.get_ident()}"
-    with open(ftmp, "w") as fh:
-        fh.write(
-            json.dumps(
-                {"fenced": True, "version": n, "fenced_at": time.time()}
-            )
-        )
-    try:
-        os.link(ftmp, marker)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(ftmp)
+    return commit_store_for(root).put_if_absent(
+        f"_commits/{n}",
+        json.dumps(
+            {"fenced": True, "version": n, "fenced_at": time.time()}
+        ).encode(),
+    )
 
 
 def _publish_exclusive(
     root: str, n: int, payload: dict, exc: type = RuntimeError
 ) -> None:
     """Publish version ``n``'s marker with atomic IF-ABSENT semantics
-    (``os.link`` — the one publish primitive every OCC commit kind
-    shares; round 13 brought the maintenance commits onto it too, so
-    NO code path can replace a published marker).  A FileExistsError
-    here is never swallowed: a fence tombstone means this writer was
+    (the CommitStore put — the one publish primitive every OCC commit
+    kind shares; round 13 brought the maintenance commits onto it too,
+    so NO code path can replace a published marker).
+
+    A lost put is never swallowed blindly — but on a conditional-put
+    store it is AMBIGUOUS (round 14): "someone else occupies the slot"
+    and "my own put landed but the ack was lost/duplicated by a
+    transport retry" report identically.  The marker therefore carries
+    a per-call ``writer_nonce``; on a lost put the occupant is read
+    back (polling briefly — visibility may lag the put on an
+    eventually-consistent store) and classified: OUR nonce → the
+    publish succeeded, return; a fence tombstone → this writer was
     declared dead mid-publish (raised as ``exc`` — the commit did NOT
     land; the caller may retry); any other occupant means a foreign
     marker points at OUR claimed snapshot, which is protocol
     corruption."""
-    import threading
+    import time
+    import uuid
 
-    marker = os.path.join(root, "_commits", str(n))
-    mtmp = f"{marker}.tmpx{os.getpid()}-{threading.get_ident()}"
-    with open(mtmp, "w") as fh:
-        fh.write(_marker_json(n, payload))
-    try:
-        os.link(mtmp, marker)  # atomic if-absent publish
-    except FileExistsError:
-        os.unlink(mtmp)
-        if _is_fence_marker(root, n):
-            raise exc(
-                f"fenced out: this writer stalled longer than a rival "
-                f"OCC writer's marker_timeout between claiming v{n} "
-                "and publishing its marker, and was declared dead — "
-                "the commit did NOT land (table state unchanged by "
-                "it); retry"
-            )
-        raise RuntimeError(
-            f"commit protocol violation: marker {n} appeared under a "
-            f"snapshot owned by this writer in {root}"
+    nonce = uuid.uuid4().hex
+    st = commit_store_for(root)
+    if st.put_if_absent(
+        f"_commits/{n}", _marker_json(n, payload, writer_nonce=nonce).encode()
+    ):
+        return
+    deadline = time.time() + 5.0
+    while True:
+        try:
+            occ = json.loads(st.read(f"_commits/{n}"))
+            break
+        except (CommitStoreMissing, json.JSONDecodeError):
+            # put reported "occupied" but the occupant is not readable
+            # yet: visibility lag; it MUST appear (possibly our own)
+            if time.time() >= deadline:
+                raise RuntimeError(
+                    f"commit protocol violation: marker slot {n} of "
+                    f"{root} reported occupied but no occupant became "
+                    "readable"
+                )
+            time.sleep(0.05)
+    if occ.get("writer_nonce") == nonce:
+        return  # our own earlier put landed; only the ack was lost
+    if occ.get("fenced"):
+        raise exc(
+            f"fenced out: this writer stalled longer than a rival "
+            f"OCC writer's marker_timeout between claiming v{n} "
+            "and publishing its marker, and was declared dead — "
+            "the commit did NOT land (table state unchanged by "
+            "it); retry"
         )
-    os.unlink(mtmp)
+    raise RuntimeError(
+        f"commit protocol violation: marker {n} appeared under a "
+        f"snapshot owned by this writer in {root}"
+    )
 
 
 def merge_into_bucketed_exclusive(
@@ -2951,8 +3146,10 @@ def merge_into_bucketed_exclusive(
        base's touched buckets, writing the rewritten buckets to a
        writer-private temp dir (clauses and layout identical to
        ``merge_into_bucketed``);
-    2. claim the next version by atomic ``os.rename`` of the temp to
-       ``v<n>`` (POSIX rename onto an existing dir fails = if-absent);
+    2. claim the next version with an if-absent ``_claims/<n>`` put on
+       the CommitStore (round 14 — conditional put, object-store
+       ready); the claim winner then materializes ``v<n>`` from the
+       temp, uncontended;
     3. on claim loss at ``n``, read the INTERVENING commit's marker
        (awaiting it briefly if the rival is mid-publish) and compare
        write-sets: its recorded ``touched_buckets`` (merges) /
@@ -2970,7 +3167,7 @@ def merge_into_bucketed_exclusive(
          up to ``max_retries`` times, then raise ``MergeConflictError``
          (the table is never corrupted — no marker was published);
 
-    4. publish the marker if-absent (``os.link``), recording
+    4. publish the marker if-absent (the CommitStore put), recording
        ``read_base`` (the version the merge was computed from),
        ``base_version`` (the version it chains after) and
        ``touched_buckets`` (this writer's write-set, which is what
@@ -3089,6 +3286,50 @@ def merge_into_bucketed_exclusive(
         return n
 
 
+def _claim_exists(root: str, n: int) -> bool:
+    """Whether a claim object occupies ``_claims/<n>`` — the
+    conditional-put twin of ``_marker_exists``."""
+    try:
+        commit_store_for(root).read(f"_claims/{n}")
+        return True
+    except CommitStoreMissing:
+        return False
+
+
+def _try_claim(root: str, n: int) -> bool:
+    """Attempt to win version ``n``'s claim object — ONE conditional
+    put of ``_claims/<n>`` (round 14: the slot claim is a store put,
+    no longer a POSIX directory rename, so it runs on any backend with
+    put-if-absent).  A lost put is disambiguated by reading the
+    occupant back and comparing the per-call ``writer_nonce`` (the
+    lost-ack case: our put landed, the transport said otherwise).
+
+    If the occupant stays unreadable past the poll deadline the claim
+    is CONSERVATIVELY reported lost; if it was in fact ours, the slot
+    simply wedges until a rival (or we ourselves, looping) fences it —
+    an orphaned claim costs one skipped version number, never a wrong
+    table state."""
+    import time
+    import uuid
+
+    st = commit_store_for(root)
+    nonce = uuid.uuid4().hex
+    doc = json.dumps(
+        {"version": n, "writer_nonce": nonce, "claimed_at": time.time()}
+    ).encode()
+    if st.put_if_absent(f"_claims/{n}", doc):
+        return True
+    deadline = time.time() + 2.0
+    while time.time() < deadline:
+        try:
+            occ = json.loads(st.read(f"_claims/{n}"))
+        except (CommitStoreMissing, json.JSONDecodeError):
+            time.sleep(0.05)
+            continue
+        return occ.get("writer_nonce") == nonce
+    return False
+
+
 def _claim_slot(
     root: str,
     base: int,
@@ -3098,43 +3339,50 @@ def _claim_slot(
     on_rival,
 ):
     """The generic OCC claim loop (round 13 — ONE loop for every
-    OCC-published commit kind): rename ``tmp`` to the first free
-    ``v<n>`` above ``base``, consulting ``on_rival(m_meta)`` for every
-    intervening COMMITTED rival along the way.  ``on_rival`` returns
-    True to REBASE past the rival (its metadata becomes the
-    ``newest_meta`` the caller chains after) or False to ABORT with a
-    conflict; it may also raise (e.g. an unresolvable bucket-spec
-    change).  Fencing of dead claimants is shared: a marker-less
-    ``v<n>`` whose writer stays silent past ``marker_timeout`` gets a
-    fence tombstone so its late publish fails loudly instead of
-    silently landing below this commit.
+    OCC-published commit kind): win the first free version slot above
+    ``base`` via an if-absent ``_claims/<n>`` put (round 14 — through
+    the CommitStore, so the claim works on conditional-put object
+    stores; the subsequent ``tmp`` → ``v<n>`` rename is UNCONTENDED
+    data materialization by the claim winner, not a coordination
+    primitive), consulting ``on_rival(m_meta)`` for every intervening
+    COMMITTED rival along the way.  ``on_rival`` returns True to
+    REBASE past the rival (its metadata becomes the ``newest_meta``
+    the caller chains after) or False to ABORT with a conflict; it may
+    also raise (e.g. an unresolvable bucket-spec change).  Fencing of
+    dead claimants is shared: a claimed slot whose writer stays silent
+    past ``marker_timeout`` gets a fence tombstone so its late publish
+    fails loudly instead of silently landing below this commit.  A
+    bare ``v<n>`` dir without claim or marker is treated as a claimed
+    slot too (a pre-round-14 orphan, or a single-writer path's dir):
+    await → fence → skip, same as before.
 
     Returns ``(n, newest_meta)`` on a successful claim (``newest_meta``
     is ``bmeta`` when nothing intervened), or ``None`` on conflict
     (``tmp`` removed; the caller recomputes from the new base)."""
-    commits_dir = os.path.join(root, "_commits")
     newest_meta = bmeta
     n = base + 1
     while True:
         snap = os.path.join(root, f"v{n}")
-        marker = os.path.join(commits_dir, str(n))
-        if not (os.path.isdir(snap) or os.path.exists(marker)):
-            try:
-                os.rename(tmp, snap)
-                return n, newest_meta
-            except OSError:
-                if not (
-                    os.path.isdir(snap) or os.path.exists(marker)
-                ):
-                    # real rename failure, not a lost race
-                    shutil.rmtree(tmp, ignore_errors=True)
-                    raise
-                # lost the claim: fall through and check version n
         if _is_fence_marker(root, n):
             # a previous writer already declared this claimant dead and
             # fenced the slot: permanent gap, skip it
             n += 1
             continue
+        if not (
+            _marker_exists(root, n)
+            or _claim_exists(root, n)
+            or os.path.isdir(snap)
+        ):
+            if _try_claim(root, n):
+                try:
+                    os.rename(tmp, snap)
+                except OSError:
+                    # the claim made this rename uncontended: any
+                    # failure is real (EACCES, EXDEV...), never a race
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    raise
+                return n, newest_meta
+            # lost the claim: fall through and check version n
         m_meta = _await_commit_meta(root, n, marker_timeout)
         if m_meta is None:
             # dead claimant (marker never appeared): FENCE the slot

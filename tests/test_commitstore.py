@@ -1,0 +1,323 @@
+"""CommitStore abstraction (round 14, r13 VERDICT item 1): the 3-op
+conditional-put coordination plane under the table format — unit
+semantics of both backends, protocol-level lost-ack/duplicate-put
+recovery, and the EXISTING OCC race matrix from test_mergetable.py
+re-driven against the fault-injection backend (object-store failure
+modes: lost acks, duplicated puts, lagged cross-client visibility)."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+import test_mergetable as tm
+from dataframe_expressions_spark.sources.commitstore import (
+    CommitStoreMissing,
+    FaultyCommitStore,
+    LocalFSCommitStore,
+    commit_store_for,
+    set_commit_store_factory,
+)
+
+
+# ---------------------------------------------------------------------------
+# store unit semantics
+# ---------------------------------------------------------------------------
+
+
+def test_local_store_put_if_absent_read_list(tmp_path):
+    st = LocalFSCommitStore(str(tmp_path))
+    assert st.list("_commits") == []
+    with pytest.raises(CommitStoreMissing):
+        st.read("_commits/0")
+    # CommitStoreMissing must BE a FileNotFoundError: every marker-read
+    # handler in mergetable treats absence as FileNotFoundError
+    assert issubclass(CommitStoreMissing, FileNotFoundError)
+    assert st.put_if_absent("_commits/0", b'{"version": 0}') is True
+    assert st.put_if_absent("_commits/0", b'{"version": 99}') is False
+    assert json.loads(st.read("_commits/0"))["version"] == 0  # loser no-op
+    assert st.put_if_absent("_claims/1", b"{}") is True
+    assert st.list("_commits") == ["0"]
+    assert st.list("_claims") == ["1"]
+    # no temp litter from either the winning or the losing put
+    assert set(os.listdir(tmp_path / "_commits")) == {"0"}
+
+
+def test_faulty_store_ack_loss_lands_but_reports_false(tmp_path):
+    st = FaultyCommitStore(LocalFSCommitStore(str(tmp_path)), ack_loss_every=1)
+    assert st.put_if_absent("_commits/0", b'{"a": 1}') is False  # ack lost...
+    assert json.loads(st.read("_commits/0")) == {"a": 1}  # ...but it LANDED
+    assert st.stats["ack_lost"] == 1
+    # a genuinely-lost race still reports False and never clobbers
+    assert st.put_if_absent("_commits/0", b'{"a": 2}') is False
+    assert json.loads(st.read("_commits/0")) == {"a": 1}
+
+
+def test_faulty_store_duplicated_put_is_noop(tmp_path):
+    st = FaultyCommitStore(LocalFSCommitStore(str(tmp_path)), dup_every=1)
+    assert st.put_if_absent("_commits/0", b'{"a": 1}') is True
+    assert st.stats["duplicated"] == 1  # second delivery no-opped inside
+    assert json.loads(st.read("_commits/0")) == {"a": 1}
+
+
+def test_faulty_store_lag_hides_from_other_threads_only(tmp_path):
+    st = FaultyCommitStore(LocalFSCommitStore(str(tmp_path)), lag=0.4)
+    done = threading.Event()
+
+    def writer():
+        assert st.put_if_absent("_commits/0", b"{}") is True
+        # read-your-writes: the creating client sees it immediately
+        assert st.read("_commits/0") == b"{}"
+        assert st.list("_commits") == ["0"]
+        done.set()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    t.join(timeout=30)
+    assert done.is_set()
+    # another client: invisible inside the lag window...
+    hidden_read = hidden_list = False
+    try:
+        st.read("_commits/0")
+    except CommitStoreMissing:
+        hidden_read = True
+    hidden_list = "0" not in st.list("_commits")
+    assert hidden_read and hidden_list
+    # ...and visible once the lag elapses (polling, as the protocol does)
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        try:
+            if st.read("_commits/0") == b"{}" and "0" in st.list("_commits"):
+                break
+        except CommitStoreMissing:
+            pass
+        time.sleep(0.05)
+    else:
+        pytest.fail("object never became visible after the lag window")
+
+
+# ---------------------------------------------------------------------------
+# factory plumbing + fault-plan fixture
+# ---------------------------------------------------------------------------
+
+
+def _install(plan_kwargs):
+    """Install a per-root-cached faulty-store factory; return the cache."""
+    stores: dict = {}
+    lock = threading.Lock()
+
+    def factory(root: str):
+        with lock:
+            if root not in stores:
+                stores[root] = FaultyCommitStore(
+                    LocalFSCommitStore(root), **plan_kwargs
+                )
+            return stores[root]
+
+    set_commit_store_factory(factory)
+    return stores
+
+
+_PLANS = {
+    # every other successful put loses its ack — the retried-PUT
+    # ambiguity; nonce read-back must recover every one
+    "ack_loss": dict(ack_loss_every=2),
+    # every other put is delivered twice — exactly-once delivery of the
+    # put itself must not be load-bearing anywhere
+    "dup": dict(dup_every=2),
+    # both at once, interleaved phases
+    "combo": dict(ack_loss_every=3, dup_every=2),
+}
+
+
+@pytest.fixture(params=sorted(_PLANS))
+def faulty_store(request):
+    stores = _install(_PLANS[request.param])
+    try:
+        yield stores
+    finally:
+        set_commit_store_factory(None)
+    assert isinstance(
+        commit_store_for("/nonexistent-probe"), LocalFSCommitStore
+    )
+
+
+@pytest.fixture
+def laggy_store():
+    stores = _install(dict(lag=0.15))
+    try:
+        yield stores
+    finally:
+        set_commit_store_factory(None)
+
+
+# ---------------------------------------------------------------------------
+# protocol-level recovery from the conditional-put ambiguity
+# ---------------------------------------------------------------------------
+
+
+def test_single_writer_commits_survive_total_ack_loss(spark, tmp_path):
+    """With EVERY put's ack lost, commit_snapshot / commit_bucketed /
+    single-writer merge still commit exactly once: _write_marker reads
+    the occupant back and recognises its own writer_nonce."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    _install(dict(ack_loss_every=1))
+    try:
+        root = str(tmp_path / "plain")
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        mt.commit_snapshot(df, root, 0)
+        assert mt.latest_version(root) == 0
+        broot = str(tmp_path / "bkt")
+        tm._mk_occ_base(spark, broot)
+        mt.merge_into_bucketed(
+            spark, broot, tm._occ_chg(spark, [0], 5.0), **tm._OCC_CLAUSES
+        )
+        assert mt.latest_version(broot) == 1
+    finally:
+        set_commit_store_factory(None)
+
+
+def test_exclusive_commit_survives_total_ack_loss(spark, tmp_path):
+    """commit_snapshot_exclusive under 100% lost acks: claim AND
+    publish both land via nonce read-back; exactly one version per
+    call, markers describe the right data."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    stores = _install(dict(ack_loss_every=1))
+    try:
+        root = str(tmp_path / "tbl")
+        os.makedirs(root, exist_ok=True)
+        for i in range(3):
+            df = spark.createDataFrame([(i, f"w{i}")], "k long, v string")
+            n = mt.commit_snapshot_exclusive(df, root, meta={"i": i})
+            assert n == i
+            assert mt.commit_meta(root, n)["i"] == i
+        assert mt.committed_versions(root) == [0, 1, 2]
+        assert stores[root].stats["ack_lost"] >= 6  # claims + markers
+    finally:
+        set_commit_store_factory(None)
+
+
+def test_occ_merge_survives_total_ack_loss(spark, tmp_path):
+    """The full OCC MERGE path (claim, fence checks, publish) under
+    100% lost acks — the hardest single-writer-visible fault plan."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    tm._mk_occ_base(spark, root)  # built on the clean store
+    _install(dict(ack_loss_every=1))
+    try:
+        n = mt.merge_into_bucketed_exclusive(
+            spark, root, tm._occ_chg(spark, [0, 8], 5.0), **tm._OCC_CLAUSES
+        )
+        assert n == 1
+        got = {
+            r.k: r.val
+            for r in mt.read_bucketed(spark, root).collect()
+            if r.val != 0.0
+        }
+        assert got == {0: 5.0, 8: 5.0}
+    finally:
+        set_commit_store_factory(None)
+
+
+def test_occ_merge_under_cross_client_lag(spark, tmp_path, laggy_store):
+    """Two genuinely concurrent OCC merges when every object is
+    invisible to the OTHER writer for 0.15 s after creation: the claim
+    collision surfaces as a lost put (not a visible occupant), the
+    loser's await loop polls the rival's marker into view, and both
+    commits land with no lost update."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    tm._mk_occ_base(spark, root)
+    time.sleep(0.3)  # let v0 settle into cross-client visibility
+    results, errors = {}, []
+    barrier = threading.Barrier(2)
+
+    def writer(tag, keys, amt):
+        try:
+            chg = tm._occ_chg(spark, keys, amt)
+            barrier.wait(timeout=120)
+            results[tag] = mt.merge_into_bucketed_exclusive(
+                spark, root, chg, meta={"writer": tag}, **tm._OCC_CLAUSES
+            )
+        except Exception as e:  # noqa: BLE001 - surfaced via the assert
+            errors.append((tag, repr(e)))
+
+    threads = [
+        threading.Thread(target=writer, args=("a", [0, 8, 16], 5.0)),
+        threading.Thread(target=writer, args=("b", [1, 9, 17], 7.0)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert sorted(results.values()) == [1, 2], results
+    # let the last writer's marker settle into CROSS-client visibility:
+    # this main thread is a third client, and reading inside the lag
+    # window legitimately resolves the PREVIOUS version (eventual
+    # consistency gives stale-but-correct reads, never wrong data)
+    time.sleep(0.3)
+    got = {
+        r.k: r.val
+        for r in mt.read_bucketed(spark, root).collect()
+        if r.val != 0.0
+    }
+    assert got == {0: 5.0, 8: 5.0, 16: 5.0, 1: 7.0, 9: 7.0, 17: 7.0}
+
+
+# ---------------------------------------------------------------------------
+# the EXISTING race matrix, re-driven against the fault-injection store
+# (r13 VERDICT item 1's done-bar).  Each scenario's own asserts run
+# unchanged: lost acks and duplicate deliveries may change the path
+# taken, never the committed outcome.
+# ---------------------------------------------------------------------------
+
+
+def test_matrix_exclusive_concurrent_writers(spark, tmp_path, faulty_store):
+    tm.test_exclusive_commit_concurrent_writers_no_lost_update(
+        spark, tmp_path
+    )
+
+
+def test_matrix_occ_merge_concurrent_writers(spark, tmp_path, faulty_store):
+    tm.test_occ_merge_genuinely_concurrent_writers(spark, tmp_path)
+
+
+def test_matrix_dead_claimant_fenced(spark, tmp_path, faulty_store):
+    tm.test_occ_merge_skips_dead_claimant_orphan(spark, tmp_path)
+
+
+def test_matrix_restore_racing_merge(spark, tmp_path, faulty_store):
+    tm.test_occ_restore_racing_merge_both_land(spark, tmp_path)
+
+
+def test_matrix_compact_racing_merge(spark, tmp_path, faulty_store):
+    tm.test_occ_compact_racing_merge_both_land(spark, tmp_path)
+
+
+def test_matrix_three_way_maintenance_race(spark, tmp_path, faulty_store):
+    tm.test_occ_three_way_maintenance_race(spark, tmp_path)
+
+
+def test_matrix_fence_race_lost_reads_rival(
+    spark, tmp_path, faulty_store, monkeypatch
+):
+    tm.test_fence_race_lost_reads_rival_like_normal(
+        spark, tmp_path, monkeypatch
+    )
+
+
+def test_matrix_vacuum_concurrent_unlink(
+    spark, tmp_path, faulty_store, monkeypatch
+):
+    tm.test_vacuum_idempotent_under_concurrent_marker_unlink(
+        spark, tmp_path, monkeypatch
+    )

@@ -228,8 +228,17 @@ def test_vacuum_retention_and_orphan_sweep(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "_commits", "1"))
     assert not os.path.isdir(os.path.join(root, "v2"))  # superseded orphan
     assert os.path.isdir(os.path.join(root, "v8"))  # in-flight commit kept
-    with pytest.raises(FileNotFoundError, match="not committed"):
+    # round 14: a vacuumed version fails with the CLASSIFIED error
+    # (still a FileNotFoundError subclass) carrying the tombstone
+    # horizon — the reader-vs-vacuum grace contract
+    from dataframe_expressions_spark.sources.mergetable import (
+        VersionVacuumedError,
+        vacuum_horizon,
+    )
+
+    with pytest.raises(VersionVacuumedError, match="vacuum"):
         read_version(spark, root, 0)
+    assert vacuum_horizon(root) == 3
     # keep >= committed count: no-op
     assert vacuum(root, keep=5) == []
     with pytest.raises(ValueError, match="keep"):
@@ -320,35 +329,40 @@ def test_merge_schema_evolution(spark, tmp_path):
 def test_failed_marker_rename_raises_and_retry_commits(
     spark, tmp_path, monkeypatch
 ):
-    """Round-10 ADVICE: the MARKER rename path must re-raise like the
-    snapshot path — returning as-if-committed silently drops the commit,
-    and the orphaned v<n> dir would make the NEXT commit_snapshot(n)
-    skip its snapshot write and attach ITS marker (and batch_id) to THIS
-    call's data.  A retry after the failure succeeds normally (the
-    orphaned dir holds the same version's data)."""
+    """Round-10 ADVICE: a REAL IO failure in the marker publish must
+    re-raise like the snapshot path — returning as-if-committed
+    silently drops the commit, and the orphaned v<n> dir would make the
+    NEXT commit_snapshot(n) skip its snapshot write and attach ITS
+    marker (and batch_id) to THIS call's data.  A retry after the
+    failure succeeds normally (the orphaned dir holds the same
+    version's data).  Round 14: the publish primitive is the
+    CommitStore's if-absent put (``os.link`` on the local backend), so
+    the simulated ENOSPC hits the link."""
     import os as _os
 
     root = str(tmp_path / "tbl")
     v0 = spark.createDataFrame([(1, "a")], "k long, v string")
     commit_snapshot(v0, root, 0)
 
-    real_rename = _os.rename
+    real_link = _os.link
 
-    def failing_marker_rename(src, dst):
-        if "_commits" in dst.replace("\\", "/") and dst.endswith("1"):
+    def failing_marker_link(src, dst, **kw):
+        if "_commits" in str(dst).replace("\\", "/") and str(dst).endswith(
+            os.sep + "1"
+        ):
             raise OSError("simulated ENOSPC")
-        return real_rename(src, dst)
+        return real_link(src, dst, **kw)
 
-    monkeypatch.setattr(_os, "rename", failing_marker_rename)
+    monkeypatch.setattr(_os, "link", failing_marker_link)
     v1 = spark.createDataFrame([(1, "a2")], "k long, v string")
     with pytest.raises(OSError, match="ENOSPC"):
         commit_snapshot(v1, root, 1, meta={"batch_id": 7})
-    monkeypatch.setattr(_os, "rename", real_rename)
+    monkeypatch.setattr(_os, "link", real_link)
     # not committed: no marker, no visible version, no marker temp litter
     assert latest_version(root) == 0
     assert not os.path.exists(os.path.join(root, "_commits", "1"))
     assert not any(
-        n.startswith("1.tmp")
+        n.startswith("1.")
         for n in os.listdir(os.path.join(root, "_commits"))
     )
     # retry commits the SAME data with the retry's metadata
@@ -602,9 +616,13 @@ def test_bucketed_merge_chain_and_vacuum_keeps_referenced_buckets(
     got = sorted(tuple(r) for r in read_bucketed(spark, root, 2).collect())
     assert got == want
     # and the vacuumed versions themselves are gone as versions
-    with pytest.raises(FileNotFoundError, match="not committed"):
+    from dataframe_expressions_spark.sources.mergetable import (
+        VersionVacuumedError,
+    )
+
+    with pytest.raises(VersionVacuumedError, match="vacuum"):
         read_bucketed(spark, root, 0)
-    with pytest.raises(FileNotFoundError, match="not committed"):
+    with pytest.raises(VersionVacuumedError, match="vacuum"):
         read_bucketed(spark, root, 1)
 
 
@@ -3020,3 +3038,78 @@ def test_occ_three_way_maintenance_race(spark, tmp_path):
     sel = {r.k for r in mt.read_bucketed(
         spark, root, key_range=(0, 4)).collect()}
     assert sel == {0, 1, 2, 3, 4}
+
+
+# ---------------------------------------------------------------------------
+# reader vs vacuum grace contract (round 14, r13 VERDICT item 3)
+# ---------------------------------------------------------------------------
+
+
+def test_reader_vs_vacuum_grace_contract(spark, tmp_path):
+    """A reader racing a concurrent retention vacuum must either
+    succeed or fail LOUDLY — never return wrong data — and once a
+    version is swept, resolving it raises VersionVacuumedError carrying
+    the tombstone horizon (not a bare not-committed).  Barrier-raced
+    like the r13 maintenance tests: the reader resolves version 0 to a
+    DataFrame BEFORE the sweep, then collects while vacuum deletes it."""
+    import threading
+
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    for n in range(3):
+        commit_snapshot(
+            spark.createDataFrame(
+                [(k, n) for k in range(200)], "k long, ver long"
+            ),
+            root,
+            n,
+            n_files=8,
+        )
+    outcomes, errors = {}, []
+    barrier = threading.Barrier(2)
+
+    def reader():
+        try:
+            df = read_version(spark, root, 0)  # resolved pre-sweep
+            barrier.wait(timeout=60)
+            rows = df.collect()  # races the sweep
+            outcomes["reader"] = {(r.k, r.ver) for r in rows}
+        except BaseException as e:  # noqa: BLE001 - loud is the contract
+            outcomes["reader"] = e
+
+    def sweeper():
+        try:
+            barrier.wait(timeout=60)
+            outcomes["dropped"] = mt.vacuum(root, keep=1)
+        except Exception as e:  # noqa: BLE001 - surfaced via the assert
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=reader),
+               threading.Thread(target=sweeper)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert outcomes["dropped"] == [0, 1]
+    got = outcomes["reader"]
+    if isinstance(got, set):
+        # the reader won the race: it must have read the REAL v0
+        assert got == {(k, 0) for k in range(200)}
+    else:
+        # the reader lost: loudly, with an exception — never silently
+        # partial data (Spark surfaces the missing files it resolved)
+        assert isinstance(got, BaseException)
+    # post-race contract: the swept version now raises the CLASSIFIED
+    # error with the horizon, on both resolution surfaces
+    with pytest.raises(mt.VersionVacuumedError, match="horizon 2"):
+        read_version(spark, root, 0)
+    with pytest.raises(mt.VersionVacuumedError, match="vacuum"):
+        mt.commit_meta(root, 1)
+    assert mt.vacuum_horizon(root) == 2
+    # the retained version is untouched
+    assert read_version(spark, root, 2).count() == 200
+    # a FRESH vacuum with nothing to drop never lowers the horizon
+    assert mt.vacuum(root, keep=5) == []
+    assert mt.vacuum_horizon(root) == 2
