@@ -112,73 +112,72 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # If CORRECTNESS_r06 comes back 50/50, every id has a driver-green row,
 # none older than r2.
 #
-# ROUND-13 WINDOW.  Derived programmatically from the committed
+# ROUND-14 WINDOW.  Derived programmatically from the committed
 # CORRECTNESS_r0*.json files (latest round each id has a row; the
-# fronting test recomputes the same derivation).  CORRECTNESS_r12 came
-# back 50/50, leaving the vintage distribution r7:41 r8:50 r9:50
-# r10:50 r11:50 r12:50 — so, per the r12 VERDICT plan (item 6):
-# slots  1- 4: the round-13 additions (dsl_changes_feed,
-#              table_bucketed_zorder, table_maintenance_concurrent,
-#              table_optimize_zorder — zero evidence),
-# slots  5-45: the FULL 41-id r7 tail (dedup_band_calibration ...
-#              text_token_bpe_merge),
-# slots 46-50: the alphabetical head (5 of 50) of the r8 block
-#              (agg_freq_items ... array_map_json_funcs).
-# If CORRECTNESS_r13 comes back 50/50 the oldest remaining evidence is
-# the 43-id r8 tail — front any round-14 additions, then that tail
+# fronting test recomputes the same derivation).  CORRECTNESS_r13 came
+# back 50/50, leaving the vintage distribution r8:45 r9:50 r10:50
+# r11:50 r12:50 r13:50 — so, per the r13 VERDICT plan (item 5):
+# slots  1- 2: the round-14 additions (stream_dsl_changes,
+#              stream_writers_concurrent — zero evidence),
+# slots  3-47: the FULL 45-id r8 tail (cdc_upsert_compact ...
+#              window_range_frame),
+# slots 48-50: the alphabetical head (3 of 50) of the r9 block
+#              (agg_approx_topk, agg_filter_clause, agg_grouping_sets).
+# If CORRECTNESS_r14 comes back 50/50 the oldest remaining evidence is
+# the 47-id r9 tail — front any round-15 additions, then that tail
 # (derive programmatically from the committed CORRECTNESS files, as
 # always).
 DRIVER_WINDOW_PRIORITY: tuple = (
-    "dsl_changes_feed",
-    "table_bucketed_zorder",
-    "table_maintenance_concurrent",
-    "table_optimize_zorder",
-    "dedup_band_calibration",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dedup_near_minhash",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "dq_duplicate_cluster_stats",
-    "dq_snapshot_drift",
-    "emb_centroid",
-    "emb_ivf_balance_audit",
-    "emb_whitening",
-    "explode_unnest",
-    "funnel_time_bounded",
-    "graph_common_neighbors",
-    "join_bucketed",
-    "math_funcs",
-    "multimodal_framesample",
-    "multimodal_meta",
-    "multimodal_resize",
-    "nested_topn_slice",
-    "nested_two_level",
-    "pipeline_clean_corpus",
-    "pivot_wide",
-    "rank_mmr",
-    "rank_ndcg_audit",
-    "sample_content_hash",
-    "sample_importance_softdedup",
-    "scalar_subquery_rewrite",
-    "scan_csv",
-    "scan_json",
-    "scan_orc",
-    "sim_search_ivf",
-    "stats_bootstrap_ci",
-    "stats_seasonal_decompose",
-    "stats_theil_sen_trend",
-    "stats_xi_correlation",
-    "text_line_dedup",
-    "text_perplexity_bucket",
-    "text_quality_model",
-    "text_token_bpe_apply",
-    "text_token_bpe_merge",
-    "agg_freq_items",
-    "agg_hll_rollup",
-    "agg_skew_twophase",
-    "anomaly_zscore",
-    "array_map_json_funcs",
+    "stream_dsl_changes",
+    "stream_writers_concurrent",
+    "cdc_upsert_compact",
+    "cogrouped_asof_pandas",
+    "cohort_retention",
+    "compact_small_files",
+    "dedup_components",
+    "dedup_incremental",
+    "dq_langid_confusion",
+    "ewma_smooth",
+    "funnel_conversion",
+    "graph_common_neighbors_sampled",
+    "grouped_map_pandas",
+    "join_asof",
+    "join_range_theta",
+    "join_salted",
+    "json_variant_extract",
+    "kmeans_lloyd",
+    "map_funcs",
+    "mapinarrow_token_stats",
+    "scan_parquet",
+    "seq_pack_fill",
+    "session_window",
+    "sessionize_batch",
+    "sim_search_lsh",
+    "sink_partitioned",
+    "sink_zorder",
+    "sql_interface",
+    "stats_ols_trend",
+    "stream_dedup",
+    "stream_dedup_watermarked",
+    "stream_dsl_filter",
+    "stream_foreach_batch_sink",
+    "stream_sliding_session",
+    "stream_stateful_count",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_tumbling",
+    "stream_watermark_late",
+    "text_lang_id",
+    "text_ngram_freq",
+    "text_quality",
+    "text_token_bpe",
+    "unpivot_long",
+    "window_ntile_pct",
+    "window_range_frame",
+    "agg_approx_topk",
+    "agg_filter_clause",
+    "agg_grouping_sets",
 )
 
 

@@ -1617,17 +1617,32 @@ class Lowerer:
         The parent frame supplies the session only (same convention as
         the write verbs, whose result is the committed read-back, not
         the parent's rows); row identity vs a direct ``feed_since``
-        call is asserted in tests/test_lowering.py."""
+        call is asserted in tests/test_lowering.py.
+
+        ``stream=True`` (round 14, r13 VERDICT item 4) binds the
+        STREAMING twin instead: the table's change feed as a
+        Structured Streaming source (streaming/table_source.py, offset
+        = commit version, checkpointed) starting AFTER version
+        ``since`` — so the same captured pipeline runs as an
+        incremental micro-batch job end-to-end, Delta's
+        ``readStream``-on-a-table reachable from the DSL.  ``to=`` is
+        rejected in stream mode (the upper bound is the checkpointed
+        offset, advancing forever); ``on=`` maps to the source's
+        ``keys`` option (plain snapshots only — bucketed tables derive
+        keys from their spec).  Row identity vs the raw stream source
+        and plan identity of captured transforms over it are asserted
+        in tests/test_lowering.py."""
         if not isinstance(parent, LFrame):
             raise LoweringError(".changes() applies to event frames")
         root = args[0] if args else kwargs.pop("root", None)
         if len(args) > 1 or not isinstance(root, str):
             raise LoweringError(
-                ".changes() takes (root_path, since=, to=, on=)"
+                ".changes() takes (root_path, since=, to=, on=, stream=)"
             )
         since = kwargs.pop("since", None)
         to = kwargs.pop("to", None)
         on = kwargs.pop("on", None)
+        stream = kwargs.pop("stream", False)
         if kwargs:
             raise LoweringError(
                 f".changes() got unexpected kwargs: {sorted(kwargs)}"
@@ -1637,6 +1652,26 @@ class Lowerer:
                 ".changes() since= must be a literal committed version "
                 "(int) — the consumer's cursor"
             )
+        if stream:
+            if to is not None:
+                raise LoweringError(
+                    ".changes(stream=True) takes no to= — a stream's "
+                    "upper bound is its checkpointed offset"
+                )
+            from ..streaming.table_source import (
+                register_table_stream_source,
+            )
+
+            spark = parent.df.sparkSession
+            reader = (
+                spark.readStream.format(register_table_stream_source(spark))
+                .option("root", root)
+                .option("start_version", str(since))
+            )
+            if on is not None:
+                keys = [on] if isinstance(on, str) else list(on)
+                reader = reader.option("keys", ",".join(keys))
+            return LFrame(reader.load())
         if to is not None and (isinstance(to, bool) or not isinstance(to, int)):
             raise LoweringError(".changes() to= must be an int version")
         from ..sources import mergetable as mt

@@ -1625,3 +1625,75 @@ def test_changes_verb_is_feed_since(spark, tmp_path):
         select_from({d: v0}, d.changes(root, since=0, nope=1))
     with pytest.raises(LoweringError, match="takes"):
         select_from({d: v0}, d.changes(123, since=0))
+
+
+def test_changes_stream_binds_table_stream_source(spark, tmp_path):
+    """.changes(stream=True) (round 14, r13 VERDICT item 4) binds the
+    STREAMING table source: the lowered frame IS a streaming DataFrame
+    with the feed schema, drains row-identical to the raw
+    readStream.format(...) twin under identical captured transforms,
+    carries IDENTICAL analyzed plans (modulo expression ids), and
+    guards its arguments."""
+    import re
+
+    import dataframe_expressions_spark.sources.mergetable as mt
+    from dataframe_expressions_spark.plans.lowering import (
+        LoweringError,
+        select_from,
+    )
+    from dataframe_expressions_spark.streaming.table_source import (
+        register_table_stream_source,
+    )
+    from dataframe_expressions_spark.streaming.windows import run_to_memory
+
+    root = str(tmp_path / "tbl")
+    v0 = spark.createDataFrame(
+        [(k, float(k)) for k in range(8)], "k long, val double"
+    )
+    mt.commit_bucketed(v0, root, 0, on="k", n_buckets=2, hashed=False)
+    mt.merge_into_bucketed(
+        spark, root,
+        spark.createDataFrame([(0, 5.0), (9, 7.0)], "k long, amt double"),
+        matched_update={"val": "t.val + s.amt"},
+        not_matched_insert={"val": "s.amt"},
+    )
+
+    d = DataFrame()
+    feed = d.changes(root, since=0, stream=True)
+    post = feed[feed.change_type != "update_preimage"]
+    out = select_from(
+        {d: v0}, post, k=feed.k, val=feed.val,
+        kind=feed.change_type, ver=feed._commit_version,
+    )
+    assert out.isStreaming
+
+    fmt = register_table_stream_source(spark)
+    raw = (
+        spark.readStream.format(fmt)
+        .option("root", root).option("start_version", "0").load()
+    )
+    twin = raw.where(F.col("change_type") != "update_preimage").select(
+        F.col("k").alias("k"), F.col("val").alias("val"),
+        F.col("change_type").alias("kind"),
+        F.col("_commit_version").alias("ver"),
+    )
+    # plan identity (modulo expression ids): the DSL adds NOTHING to
+    # the raw source pipeline — same source relation, same filter,
+    # same projection
+    norm = lambda df: re.sub(  # noqa: E731
+        r"@[0-9a-f]+",
+        "@X",
+        re.sub(r"#\d+", "#N", df._jdf.queryExecution().analyzed().toString()),
+    )
+    assert norm(out) == norm(twin)
+    # row identity after a full drain
+    got = sorted(tuple(r) for r in run_to_memory(out, "append").collect())
+    want = sorted(tuple(r) for r in run_to_memory(twin, "append").collect())
+    assert got == want
+    assert got == [(0, 5.0, "update_postimage", 1), (9, 7.0, "insert", 1)]
+
+    # guardrails: to= contradicts a stream; since= still required
+    with pytest.raises(LoweringError, match="to="):
+        select_from({d: v0}, d.changes(root, since=0, to=1, stream=True))
+    with pytest.raises(LoweringError, match="since="):
+        select_from({d: v0}, d.changes(root, stream=True))

@@ -3113,3 +3113,136 @@ def test_reader_vs_vacuum_grace_contract(spark, tmp_path):
     # a FRESH vacuum with nothing to drop never lowers the horizon
     assert mt.vacuum(root, keep=5) == []
     assert mt.vacuum_horizon(root) == 2
+
+
+# ---------------------------------------------------------------------------
+# two concurrent streaming writers, one table (round 14, r13 VERDICT item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_dual_writers_replay_and_rebase_compose(spark, tmp_path):
+    """The two exactly-once protocols COMPOSE: per-writer batch_id
+    guards (derived from the writers' own markers) and OCC claim/rebase
+    across writers.  A replayed batch never double-applies — even while
+    the OTHER writer lands a new batch concurrently — and no batch is
+    lost.  This is the unit face of the stream_writers_concurrent
+    query (operators/tier9.py)."""
+    import threading
+
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    evens = [k for k in range(20) if k % 2 == 0]
+    mt.commit_bucketed(
+        spark.createDataFrame(
+            [(k, 0) for k in evens], "user_id long, n_events long"
+        ),
+        root, 0, on="user_id", n_buckets=16, hashed=False,
+        meta={"op": "create"},
+    )
+
+    def seen_batch(tag):
+        return max(
+            (
+                m.get("batch_id", -1)
+                for m in (
+                    mt.commit_meta(root, n)
+                    for n in mt.committed_versions(root)
+                )
+                if m.get("writer") == tag
+            ),
+            default=-1,
+        )
+
+    def apply_batch(tag, batch_id, counts):
+        if seen_batch(tag) >= batch_id:
+            return False  # replay skipped
+        chg = spark.createDataFrame(
+            [(k, int(n)) for k, n in counts.items()],
+            "user_id long, bn long",
+        )
+        mt.merge_into_bucketed_exclusive(
+            spark, root, chg,
+            matched_update={"n_events": "t.n_events + s.bn"},
+            not_matched_insert={"n_events": "s.bn"},
+            meta={"writer": tag, "batch_id": batch_id},
+        )
+        return True
+
+    def content():
+        return {
+            r.user_id: r.n_events
+            for r in mt.read_bucketed(spark, root).collect()
+        }
+
+    # phase 1: both writers' batch 0, genuinely concurrent (disjoint
+    # parities → disjoint modulo buckets → the rebase path)
+    even_b0, odd_b0 = {0: 2, 2: 1, 8: 3}, {1: 1, 3: 2, 9: 1}
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def run(tag, batch_id, counts):
+        try:
+            barrier.wait(timeout=60)
+            apply_batch(tag, batch_id, counts)
+        except Exception as e:  # noqa: BLE001 - surfaced via the assert
+            errors.append((tag, repr(e)))
+
+    ts = [threading.Thread(target=run, args=("even", 0, even_b0)),
+          threading.Thread(target=run, args=("odd", 0, odd_b0))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not errors, errors
+    after_p1 = content()
+    expect = {k: 0 for k in evens}
+    for d in (even_b0, odd_b0):
+        for k, n in d.items():
+            expect[k] = expect.get(k, 0) + n
+    assert after_p1 == expect
+    v_after_p1 = mt.latest_version(root)
+
+    # phase 2: a pure replay of even batch 0 — guard skips, no commit
+    assert apply_batch("even", 0, even_b0) is False
+    assert mt.latest_version(root) == v_after_p1
+    assert content() == expect
+
+    # phase 3: the replay races the OTHER writer's NEW batch — the new
+    # batch must land exactly once, the replay must still skip
+    odd_b1 = {1: 4, 5: 1}
+    errors2 = []
+    barrier2 = threading.Barrier(2)
+
+    def run2(fn):
+        try:
+            barrier2.wait(timeout=60)
+            fn()
+        except Exception as e:  # noqa: BLE001 - surfaced via the assert
+            errors2.append(repr(e))
+
+    ts2 = [
+        threading.Thread(
+            target=run2, args=(lambda: apply_batch("even", 0, even_b0),)
+        ),
+        threading.Thread(
+            target=run2, args=(lambda: apply_batch("odd", 1, odd_b1),)
+        ),
+    ]
+    for t in ts2:
+        t.start()
+    for t in ts2:
+        t.join(timeout=120)
+    assert not errors2, errors2
+    for k, n in odd_b1.items():
+        expect[k] = expect.get(k, 0) + n
+    assert content() == expect
+    # no lost batch, no duplicate application: each writer's marker
+    # batch_ids are unique and complete
+    ids = {"even": [], "odd": []}
+    for n in mt.committed_versions(root):
+        m = mt.commit_meta(root, n)
+        if m.get("writer"):
+            ids[m["writer"]].append(m["batch_id"])
+    assert sorted(ids["even"]) == [0]
+    assert sorted(ids["odd"]) == [0, 1]
