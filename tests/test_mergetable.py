@@ -3246,3 +3246,60 @@ def test_stream_dual_writers_replay_and_rebase_compose(spark, tmp_path):
             ids[m["writer"]].append(m["batch_id"])
     assert sorted(ids["even"]) == [0]
     assert sorted(ids["odd"]) == [0, 1]
+
+
+def test_occ_merge_strict_check_runs_once_across_retries(
+    spark, tmp_path, monkeypatch
+):
+    """strict_source_keys under the OCC path (round 14, r13 sweep
+    note): the dup guard scans the SOURCE, which never changes across
+    conflict retries — so it must run ONCE per MERGE call, not once
+    per attempt.  Forced through a full RECOMPUTE retry (overlapping
+    rival) with a counting hook; the guard still rejects an actually
+    duplicated source up front."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "tbl")
+    _mk_occ_base(spark, root)
+    calls = {"n": 0}
+    real_check = mt._assert_unique_source_keys
+
+    def counting(source, keys):
+        calls["n"] += 1
+        return real_check(source, keys)
+
+    monkeypatch.setattr(mt, "_assert_unique_source_keys", counting)
+    fired = {"n": 0}
+    orig = mt._claim_merge_version
+
+    def hooked(root_, base, bmeta, touched, spec, tmp, timeout):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # OVERLAPPING rival (same bucket 0): forces abort-and-rerun
+            mt.merge_into_bucketed(
+                spark, root_, _occ_chg(spark, [16], 3.0), **_OCC_CLAUSES
+            )
+        return orig(root_, base, bmeta, touched, spec, tmp, timeout)
+
+    monkeypatch.setattr(mt, "_claim_merge_version", hooked)
+    n = mt.merge_into_bucketed_exclusive(
+        spark, root, _occ_chg(spark, [0, 8], 5.0),
+        strict_source_keys=True, **_OCC_CLAUSES,
+    )
+    assert n == 2 and fired["n"] == 1
+    assert calls["n"] == 1  # one guard scan despite the retry
+    got = {
+        r.k: r.val
+        for r in mt.read_bucketed(spark, root).collect()
+        if r.val != 0.0
+    }
+    assert got == {0: 5.0, 8: 5.0, 16: 3.0}
+
+    # the guard itself still bites: duplicate source keys refused
+    dup = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0)], "k long, amt double"
+    )
+    with pytest.raises(ValueError, match="duplicate join key"):
+        mt.merge_into_bucketed_exclusive(
+            spark, root, dup, strict_source_keys=True, **_OCC_CLAUSES
+        )
