@@ -208,8 +208,12 @@ class FaultyCommitStore(CommitStore):
             with self._lock:
                 self._born[key] = (time.monotonic(), threading.get_ident())
         if created and self.dup_every and seq % self.dup_every == 0:
-            # transport retried an already-successful PUT: must no-op
-            assert self.inner.put_if_absent(key, data) is False
+            # transport retried an already-successful PUT: must no-op.
+            # (side effect OUTSIDE the assert — under `python -O`
+            # asserts vanish entirely, and the fault would silently
+            # never be injected; round-14 review)
+            second = self.inner.put_if_absent(key, data)
+            assert second is False
             with self._lock:
                 self.stats["duplicated"] += 1
         if created and self.ack_loss_every and seq % self.ack_loss_every == 0:

@@ -243,6 +243,21 @@ def _marker_exists(root: str, n: int) -> bool:
         return False
 
 
+def _marker_state(root: str, n: int) -> "tuple[bool, bool]":
+    """(occupied, fenced) for version ``n``'s marker slot in ONE store
+    read (round-14 review: the OCC claim loop probed the same key
+    twice per slot — fence check, then existence — doubling billable
+    GETs on an object-store backend's hottest coordination path)."""
+    try:
+        doc = commit_store_for(root).read(f"_commits/{n}")
+    except CommitStoreMissing:
+        return False, False
+    try:
+        return True, bool(json.loads(doc).get("fenced"))
+    except (json.JSONDecodeError, OSError):
+        return True, False
+
+
 def committed_versions(root: str) -> "list[int]":
     """Every COMMITTED version (marker present AND snapshot dir
     present AND not a fence tombstone), ascending.  The version
@@ -1156,7 +1171,7 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
             elif _marker_exists(root, k):
                 continue
             else:
-                removable = (
+                dead = (
                     max(
                         (
                             now - _marker_committed_at(root, m)
@@ -1167,6 +1182,18 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
                     )
                     > 3600
                 )
+                if not dead:
+                    continue
+                # FENCE before removing a dead writer's claim (round-14
+                # review): with the claim gone and the marker slot
+                # EMPTY, the stalled claimant's late _publish_exclusive
+                # put would SUCCEED — landing a version the chain
+                # skipped, the exact silent late-publish the fence
+                # mechanism closes.  A lost fence race means the
+                # claimant published after all: keep everything.
+                if not _publish_fence(root, k):
+                    continue
+                removable = True
             if removable:
                 try:
                     os.unlink(os.path.join(claims_dir, name))
@@ -2439,10 +2466,17 @@ def feed_since(
         )
     all_vs = committed_versions(root)
     if since_version not in all_vs:
+        # classify, don't guess (round-14 review): below the vacuum
+        # tombstone's horizon this raises VersionVacuumedError — the
+        # cursor-holding consumer's documented re-resolve-and-retry
+        # case — instead of a bare not-committed
+        h = vacuum_horizon(root)
+        if h is not None and since_version < h:
+            _raise_missing_version(root, since_version)
         raise FileNotFoundError(
             f"feed_since base version {since_version} of {root} is not "
-            "committed (vacuumed, or never existed) — an exact feed "
-            "from it cannot be produced"
+            "committed (never existed, or a fenced/promoted gap) — an "
+            "exact feed from it cannot be produced"
         )
     if to_version not in all_vs:
         # an explicitly-requested upper bound that is not committed
@@ -3093,7 +3127,6 @@ def _publish_exclusive(
     land; the caller may retry); any other occupant means a foreign
     marker points at OUR claimed snapshot, which is protocol
     corruption."""
-    import time
     import uuid
 
     nonce = uuid.uuid4().hex
@@ -3102,21 +3135,16 @@ def _publish_exclusive(
         f"_commits/{n}", _marker_json(n, payload, writer_nonce=nonce).encode()
     ):
         return
-    deadline = time.time() + 5.0
-    while True:
-        try:
-            occ = json.loads(st.read(f"_commits/{n}"))
-            break
-        except (CommitStoreMissing, json.JSONDecodeError):
-            # put reported "occupied" but the occupant is not readable
-            # yet: visibility lag; it MUST appear (possibly our own)
-            if time.time() >= deadline:
-                raise RuntimeError(
-                    f"commit protocol violation: marker slot {n} of "
-                    f"{root} reported occupied but no occupant became "
-                    "readable"
-                )
-            time.sleep(0.05)
+    # put reported "occupied": the occupant MUST become readable
+    # (possibly our own put, under visibility lag) — one shared poll
+    # helper with _write_marker, so the dance cannot drift
+    occ = _read_occupant(root, n, 5.0)
+    if occ is None:
+        raise RuntimeError(
+            f"commit protocol violation: marker slot {n} of "
+            f"{root} reported occupied but no occupant became "
+            "readable"
+        )
     if occ.get("writer_nonce") == nonce:
         return  # our own earlier put landed; only the ack was lost
     if occ.get("fenced"):
@@ -3382,13 +3410,14 @@ def _claim_slot(
     n = base + 1
     while True:
         snap = os.path.join(root, f"v{n}")
-        if _is_fence_marker(root, n):
+        occupied, fenced = _marker_state(root, n)  # one read per slot
+        if fenced:
             # a previous writer already declared this claimant dead and
             # fenced the slot: permanent gap, skip it
             n += 1
             continue
         if not (
-            _marker_exists(root, n)
+            occupied
             or _claim_exists(root, n)
             or os.path.isdir(snap)
         ):

@@ -3110,6 +3110,11 @@ def test_reader_vs_vacuum_grace_contract(spark, tmp_path):
     assert mt.vacuum_horizon(root) == 2
     # the retained version is untouched
     assert read_version(spark, root, 2).count() == 200
+    # the cursor surface gets the same classification (round-14
+    # review): a feed consumer whose since-version was swept learns
+    # to re-resolve, not to suspect a bogus cursor
+    with pytest.raises(mt.VersionVacuumedError, match="vacuum"):
+        mt.feed_since(spark, root, 0, on="k")
     # a FRESH vacuum with nothing to drop never lowers the horizon
     assert mt.vacuum(root, keep=5) == []
     assert mt.vacuum_horizon(root) == 2
@@ -3303,3 +3308,46 @@ def test_occ_merge_strict_check_runs_once_across_retries(
         mt.merge_into_bucketed_exclusive(
             spark, root, dup, strict_source_keys=True, **_OCC_CLAUSES
         )
+
+
+def test_vacuum_fences_dead_claim_before_sweeping_it(spark, tmp_path):
+    """Round-14 review: sweeping a dead writer's marker-less claim
+    object WITHOUT fencing the slot would leave the marker slot empty
+    — the stalled claimant's late publish would then SUCCEED, landing
+    a version the chain skipped (the silent late-publish the fence
+    mechanism exists to close).  Vacuum must fence first, then sweep
+    the claim; the late publish still fails loudly afterwards."""
+    import json as _json
+    import time as _time
+
+    import dataframe_expressions_spark.sources.mergetable as mt
+    from dataframe_expressions_spark.sources.commitstore import (
+        commit_store_for,
+    )
+
+    root = str(tmp_path / "tbl")
+    for n in (0, 1, 3):
+        commit_snapshot(
+            spark.createDataFrame([(n,)], "k long"), root, n
+        )
+    # a dead claimant's claim at slot 2 (crashed between claim-put and
+    # snapshot materialization: no dir, no marker)
+    assert commit_store_for(root).put_if_absent(
+        "_claims/2",
+        _json.dumps({"version": 2, "writer_nonce": "deadbeef"}).encode(),
+    )
+    # slot 2 is superseded by v3, aged past the 1 h horizon (forge the
+    # committed_at the writers recorded — the only clock vacuum reads)
+    mk = os.path.join(root, "_commits", "3")
+    meta = _json.load(open(mk))
+    meta["committed_at"] = _time.time() - 7200
+    _json.dump(meta, open(mk, "w"))
+
+    assert mt.vacuum(root, keep=10) == []  # nothing dropped...
+    # ...but the dead claim is swept AND its slot permanently fenced
+    assert not os.path.exists(os.path.join(root, "_claims", "2"))
+    assert mt._is_fence_marker(root, 2)
+    # the stalled claimant's late publish fails loudly, never lands
+    with pytest.raises(RuntimeError, match="fenced"):
+        mt._publish_exclusive(root, 2, {"late": True})
+    assert mt.committed_versions(root) == [0, 1, 3]

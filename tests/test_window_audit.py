@@ -465,6 +465,11 @@ def _is_global_window(window_node_text: str) -> bool:
     if not m:
         return False
     spec = m.group(1).rstrip(", ")
+    if not spec:
+        # no partition AND no order terms — e.g. a bare global count
+        # over W.partitionBy() (stats_theil_sen_trend's n_pairs):
+        # still a single-task global window, so IN scope
+        return True
     # paren-aware top-level comma split (ORDER exprs may nest calls)
     parts, depth, cur = [], 0, []
     for ch in spec:
