@@ -117,12 +117,13 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # fronting test recomputes the same derivation).  CORRECTNESS_r13 came
 # back 50/50, leaving the vintage distribution r8:45 r9:50 r10:50
 # r11:50 r12:50 r13:50 — so, per the r13 VERDICT plan (item 5):
-# slots  1- 2: the round-14 additions (stream_dsl_changes,
-#              stream_writers_concurrent — zero evidence),
-# slots  3-47: the FULL 45-id r8 tail (cdc_upsert_compact ...
+# slots  1- 3: the round-14 additions (stream_dsl_changes,
+#              stream_writers_concurrent, table_vacuum_retention —
+#              zero evidence),
+# slots  4-48: the FULL 45-id r8 tail (cdc_upsert_compact ...
 #              window_range_frame),
-# slots 48-50: the alphabetical head (3 of 50) of the r9 block
-#              (agg_approx_topk, agg_filter_clause, agg_grouping_sets).
+# slots 49-50: the alphabetical head (2 of 50) of the r9 block
+#              (agg_approx_topk, agg_filter_clause).
 # If CORRECTNESS_r14 comes back 50/50 the oldest remaining evidence is
 # the 47-id r9 tail — front any round-15 additions, then that tail
 # (derive programmatically from the committed CORRECTNESS files, as
@@ -130,6 +131,7 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 DRIVER_WINDOW_PRIORITY: tuple = (
     "stream_dsl_changes",
     "stream_writers_concurrent",
+    "table_vacuum_retention",
     "cdc_upsert_compact",
     "cogrouped_asof_pandas",
     "cohort_retention",
@@ -177,7 +179,6 @@ DRIVER_WINDOW_PRIORITY: tuple = (
     "window_range_frame",
     "agg_approx_topk",
     "agg_filter_clause",
-    "agg_grouping_sets",
 )
 
 

@@ -1225,6 +1225,103 @@ def stream_writers_concurrent(spark: SparkSession, sf_dir: str) -> SDF:
     )
 
 
+@query(
+    "table_vacuum_retention",
+    _merged_cte("WHERE o_custkey % 16 IN (1, 2, 3)") + """
+    SELECT c_custkey, c_name, acctbal, n_orders,
+           CAST(2 AS BIGINT) AS horizon,
+           CAST(2 AS BIGINT) AS n_retained
+    FROM merged
+    """,
+)
+def table_vacuum_retention(spark: SparkSession, sf_dir: str) -> SDF:
+    """RETENTION VACUUM WITH THE GRACE CONTRACT, driver-checkable
+    (round 14, r13 VERDICT item 3's query face): the ledger accrues
+    v0 + three bucket-scoped MERGEs, ``vacuum(keep=2)`` drops v0/v1 —
+    publishing the ``_vacuum/<seq>`` tombstone BEFORE any deletion —
+    and the query SELF-CHECKS the contract on every call: the
+    tombstone horizon must read 2, exactly the two newest versions
+    must remain committed, resolving a swept version must raise
+    ``VersionVacuumedError`` (the classified error, not a bare
+    not-committed), and the LATEST version must read back complete.
+    The returned frame is that read-back with the horizon and
+    retained-count stamped as columns, so the oracle hash covers both
+    the surviving content (manifest-aware vacuum must keep v2/v3's
+    by-reference bucket dirs alive even though they physically live
+    under dropped version directories) and the tombstone state.
+
+    Scale: vacuum is driver-side marker JSON + unreferenced-dir
+    deletes — no data read; the tombstone is one conditional put.  At
+    100 TB this is the nightly retention job running against pinned
+    readers: the horizon gives them a loud, classified failure and a
+    documented re-resolve contract instead of a mid-scan
+    FileNotFoundError mystery (tests/test_mergetable.py barrier-races
+    exactly that)."""
+    from ..sources.mergetable import (
+        VersionVacuumedError,
+        commit_bucketed,
+        committed_versions,
+        latest_version,
+        merge_into_bucketed,
+        read_bucketed,
+        vacuum,
+        vacuum_horizon,
+    )
+
+    root = _table_root(sf_dir, "custvac_v1")
+    clauses = dict(
+        matched_update={
+            "acctbal": "t.acctbal + s.rev",
+            "n_orders": "t.n_orders + s.n_o",
+        },
+        not_matched_insert={
+            "c_name": "'NEW'",
+            "acctbal": "s.rev",
+            "n_orders": "s.n_o",
+        },
+    )
+    m16 = F.col("o_custkey") % 16
+    if (latest_version(root) or -1) < 3:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        commit_bucketed(
+            _customer_v0(spark, sf_dir), root, 0, on="c_custkey",
+            n_buckets=16, hashed=False, meta={"op": "create"},
+        )
+        for i in (1, 2, 3):
+            merge_into_bucketed(
+                spark, root,
+                _order_changes(spark, sf_dir, where=m16 == i),
+                meta={"op": f"merge-{i}"}, **clauses,
+            )
+        vacuum(root, keep=2)
+    # the grace contract, re-checked on EVERY call (cheap: marker
+    # JSON only) — a regression in any leg fails the driver run loudly
+    if vacuum_horizon(root) != 2:
+        raise RuntimeError(
+            f"vacuum tombstone horizon is {vacuum_horizon(root)}, not 2"
+        )
+    if committed_versions(root) != [2, 3]:
+        raise RuntimeError(
+            f"retention kept {committed_versions(root)}, expected [2, 3]"
+        )
+    try:
+        read_bucketed(spark, root, 0)
+    except VersionVacuumedError:
+        pass  # the classified error — the contract
+    else:
+        raise RuntimeError(
+            "reading vacuumed v0 did not raise VersionVacuumedError"
+        )
+    return read_bucketed(spark, root, 3).select(
+        "c_custkey", "c_name", "acctbal", "n_orders",
+        F.lit(2).cast("long").alias("horizon"),
+        F.lit(len(committed_versions(root))).cast("long")
+        .alias("n_retained"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # metadata-only operations: RESTORE and SHALLOW CLONE
 # ---------------------------------------------------------------------------
