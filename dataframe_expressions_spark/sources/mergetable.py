@@ -7,7 +7,15 @@ Delta's ``_delta_log`` and Iceberg's metadata tree, reduced to its
 commit-protocol essence):
 
     <root>/
-      _commits/<n>     -- commit marker for version n (JSON metadata)
+      _commits/<n>     -- commit marker for version n (JSON metadata);
+                          fence tombstones occupy the same keyspace
+      _claims/<n>      -- version-slot claim object (round 14): the
+                          if-absent put that wins the right to
+                          materialize v<n>; tiny JSON, swept by vacuum
+      _vacuum/<seq>    -- retention tombstones-with-horizon (round 14):
+                          immutable, published BEFORE any deletion;
+                          readers of swept versions get
+                          VersionVacuumedError with max(horizon)
       v<n>/            -- immutable parquet snapshot for version n
 
 Commit protocol (crash-safe, concurrent-safe):
