@@ -1281,7 +1281,23 @@ def table_vacuum_retention(spark: SparkSession, sf_dir: str) -> SDF:
         },
     )
     m16 = F.col("o_custkey") % 16
-    if (latest_version(root) or -1) < 3:
+
+    def _contract_intact() -> bool:
+        # Rebuild unless the FULL post-vacuum contract holds, not just
+        # latest>=3: a driver killed between merge-3 and vacuum leaves
+        # latest==3 with no tombstone, and a latest-only sentinel would
+        # then skip the rebuild and fail the horizon check below forever
+        # (write-once store — nothing else ever heals it).
+        try:
+            return (
+                (latest_version(root) or -1) >= 3
+                and vacuum_horizon(root) == 2
+                and committed_versions(root) == [2, 3]
+            )
+        except Exception:
+            return False
+
+    if not _contract_intact():
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)

@@ -195,11 +195,15 @@ def _is_fence_marker(root: str, n: int) -> bool:
     (see ``merge_into_bucketed_exclusive``).  A fence is not a commit:
     it exists purely to make the declared-dead writer's own late
     marker publish FAIL (if-absent link against an occupied slot)
-    instead of silently landing a version the chain already skipped."""
+    instead of silently landing a version the chain already skipped.
+
+    Thin wrapper over ``_marker_state`` (round-14 review: one shared
+    marker parser, so fence-format changes land in exactly one place);
+    keeps this helper's historical swallow-everything contract — a
+    store I/O error reads as "not a fence"."""
     try:
-        meta = json.loads(commit_store_for(root).read(f"_commits/{n}"))
-        return bool(meta.get("fenced"))
-    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        return _marker_state(root, n)[1]
+    except OSError:
         return False
 
 
@@ -243,12 +247,11 @@ def _raise_missing_version(root: str, n: int) -> None:
 def _marker_exists(root: str, n: int) -> bool:
     """Whether ANY object (real marker or fence) occupies version
     ``n``'s marker slot — through the CommitStore, so fault-injection
-    backends see every existence probe the protocol makes."""
-    try:
-        commit_store_for(root).read(f"_commits/{n}")
-        return True
-    except CommitStoreMissing:
-        return False
+    backends see every existence probe the protocol makes.  Thin
+    wrapper over ``_marker_state`` (shared parser); unlike
+    ``_is_fence_marker`` a non-missing store I/O error PROPAGATES,
+    matching this helper's historical contract."""
+    return _marker_state(root, n)[0]
 
 
 def _marker_state(root: str, n: int) -> "tuple[bool, bool]":
@@ -1152,6 +1155,21 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
                 default=0.0,
             )
             if superseded_age > 3600:
+                if not _is_fence_marker(root, k):
+                    # fence BEFORE the rmtree (round-14 review): the
+                    # marker slot is empty here, so a stalled
+                    # claimant's late _publish_exclusive could still
+                    # land between this delete and the claim sweep's
+                    # fence below (or after a vacuum crash between the
+                    # two) — a marker pointing at data this very
+                    # rmtree removed, the silent lost update the fence
+                    # mechanism exists to prevent.  Fence-first closes
+                    # the window; a LOST fence race means the claimant
+                    # published after all — keep the dir (it is now a
+                    # committed version this vacuum's committed-set
+                    # snapshot predates).
+                    if not _publish_fence(root, k):
+                        continue
                 # the fence MARKER is kept PERMANENTLY (round-13, r12
                 # ADVICE): unlinking it would re-open the slot for a
                 # claimant stalled past the horizon — its if-absent
@@ -3238,7 +3256,7 @@ def merge_into_bucketed_exclusive(
     import threading
 
     attempts = 0
-    checked_keys: "Optional[List[str]]" = None
+    checked_keys: "Optional[List[Tuple[str, str]]]" = None
     while True:
         base = latest_version(root)
         if base is None:
@@ -3252,13 +3270,24 @@ def merge_into_bucketed_exclusive(
             )
         keys, expr = list(spec["on"]), spec["expr"]
         src, sample = _cast_source_to_table(spark, root, man, keys, source)
-        if strict_source_keys and checked_keys != keys:
-            # once per MERGE call, not per conflict retry (round 14):
-            # the source never changes across retries, so re-running
-            # the dup guard was a pure extra scan of the change set —
-            # at 100 TB change sets, the one the r13 sweep priced
+        # memo on (name, CAST TYPE), not names alone (round-14 review):
+        # a conflict retry re-casts the source to the NEW base's key
+        # types, and a retyped key (e.g. DOUBLE -> BIGINT) can collapse
+        # distinct source keys into duplicates — re-validate whenever
+        # the cast changes, skip only true repeats.
+        src_key_sig = [
+            (f.name, f.dataType.simpleString())
+            for f in src.schema.fields
+            if f.name in keys
+        ]
+        if strict_source_keys and checked_keys != src_key_sig:
+            # once per (MERGE call, key cast), not per conflict retry
+            # (round 14): the source never changes across retries, so
+            # re-running the dup guard was a pure extra scan of the
+            # change set — at 100 TB change sets, the one the r13
+            # sweep priced
             _assert_unique_source_keys(src, keys)
-            checked_keys = keys
+            checked_keys = src_key_sig
         touched_set = _touched_buckets(src, expr, keys)
         tgt_paths = [
             os.path.join(root, man[b])

@@ -3351,3 +3351,93 @@ def test_vacuum_fences_dead_claim_before_sweeping_it(spark, tmp_path):
     with pytest.raises(RuntimeError, match="fenced"):
         mt._publish_exclusive(root, 2, {"late": True})
     assert mt.committed_versions(root) == [0, 1, 3]
+
+
+def test_vacuum_fences_orphan_dir_slot_before_rmtree(spark, tmp_path):
+    """Round-14 review (tail pass): the ORPHAN-DIR sweep had the same
+    late-publish hole the claim sweep closed — rmtree'ing a marker-less
+    aged v<k> while the marker slot was still EMPTY.  A stalled
+    claimant publishing in the window between the rmtree and the claim
+    sweep's fence (or after a vacuum crash between the two) would land
+    a marker pointing at just-deleted data: a silent lost update.
+    Vacuum must fence the slot BEFORE deleting the dir; this test
+    asserts the ordering white-box by checking the fence is already
+    present at rmtree time."""
+    import json as _json
+    import shutil as _shutil
+    import time as _time
+
+    import dataframe_expressions_spark.sources.mergetable as mt
+    from dataframe_expressions_spark.sources.commitstore import (
+        commit_store_for,
+    )
+
+    root = str(tmp_path / "tbl")
+    for n in (0, 1, 3):
+        commit_snapshot(
+            spark.createDataFrame([(n,)], "k long"), root, n
+        )
+    # a claimant that died between its snapshot rename and its marker
+    # publish: claim present, v2 dir present, marker slot EMPTY
+    assert commit_store_for(root).put_if_absent(
+        "_claims/2",
+        _json.dumps({"version": 2, "writer_nonce": "deadbeef"}).encode(),
+    )
+    spark.createDataFrame([(99,)], "k long").write.parquet(
+        os.path.join(root, "v2")
+    )
+    # superseded by v3 and aged past the 1 h orphan horizon
+    mk = os.path.join(root, "_commits", "3")
+    meta = _json.load(open(mk))
+    meta["committed_at"] = _time.time() - 7200
+    _json.dump(meta, open(mk, "w"))
+
+    fenced_at_rmtree = {}
+    real_rmtree = _shutil.rmtree
+
+    def spying_rmtree(path, *a, **kw):
+        if os.path.basename(str(path)) == "v2":
+            fenced_at_rmtree["v2"] = mt._is_fence_marker(root, 2)
+        return real_rmtree(path, *a, **kw)
+
+    mt.shutil.rmtree = spying_rmtree
+    try:
+        assert mt.vacuum(root, keep=10) == []
+    finally:
+        mt.shutil.rmtree = real_rmtree
+    # the dir was swept, and the fence was ALREADY up when it happened
+    assert fenced_at_rmtree == {"v2": True}
+    assert not os.path.exists(os.path.join(root, "v2"))
+    assert not os.path.exists(os.path.join(root, "_claims", "2"))
+    # the stalled claimant's late publish fails loudly, never lands
+    with pytest.raises(RuntimeError, match="fenced"):
+        mt._publish_exclusive(root, 2, {"late": True})
+    assert mt.committed_versions(root) == [0, 1, 3]
+
+
+def test_vacuum_retention_query_self_heals_partial_build(spark):
+    """Round-14 review (tail pass): table_vacuum_retention's rebuild
+    sentinel was latest<3 only, so a driver killed between merge-3 and
+    vacuum left latest==3 with no tombstone — every later call skipped
+    the rebuild and failed the horizon contract check FOREVER (the
+    write-once store never heals itself).  The sentinel now re-checks
+    the full post-vacuum contract and rebuilds on any violation."""
+    import shutil as _shutil
+
+    from dataframe_expressions_spark.operators.registry import load_all
+    from dataframe_expressions_spark.operators.tier9 import _table_root
+
+    q = load_all()["table_vacuum_retention"]
+    df1 = q.fn(spark, SF_SMOKE).orderBy("c_custkey")
+    rows1 = [tuple(r) for r in df1.collect()]
+
+    # simulate the crash-before-vacuum state: tombstones gone, commits
+    # and data as the merges left them (here: post-vacuum commits — the
+    # horizon probe is the contract leg that must trip the rebuild)
+    root = _table_root(SF_SMOKE, "custvac_v1")
+    _shutil.rmtree(os.path.join(root, "_vacuum"))
+
+    # the query must self-heal (rebuild + re-vacuum), not raise
+    df2 = q.fn(spark, SF_SMOKE).orderBy("c_custkey")
+    rows2 = [tuple(r) for r in df2.collect()]
+    assert rows1 == rows2
