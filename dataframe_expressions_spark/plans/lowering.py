@@ -1669,7 +1669,29 @@ class Lowerer:
                 .option("start_version", str(since))
             )
             if on is not None:
-                keys = [on] if isinstance(on, str) else list(on)
+                # validate BEFORE joining (round 15, r14 ADVICE): a
+                # non-string non-iterable (on=5) must raise
+                # LoweringError, not escape as a raw TypeError, and a
+                # key containing "," would silently corrupt the
+                # comma-joined keys option — mirror the batch-path
+                # argument guards (.asof_join / feed_since style).
+                if isinstance(on, str):
+                    keys = [on]
+                elif isinstance(on, (list, tuple)):
+                    keys = list(on)
+                else:
+                    raise LoweringError(
+                        ".changes() on= must be a column name or a "
+                        "list/tuple of column names"
+                    )
+                if not keys or not all(
+                    isinstance(k, str) and k and "," not in k for k in keys
+                ):
+                    raise LoweringError(
+                        ".changes() on= keys must be non-empty column "
+                        "names without ',' (the stream option is "
+                        "comma-joined)"
+                    )
                 reader = reader.option("keys", ",".join(keys))
             return LFrame(reader.load())
         if to is not None and (isinstance(to, bool) or not isinstance(to, int)):

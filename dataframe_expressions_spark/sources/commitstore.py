@@ -91,6 +91,20 @@ class CommitStore:
         unordered; empty when the prefix has no objects."""
         raise NotImplementedError
 
+    def delete(self, key: str) -> None:
+        """OPTIONAL maintenance op (round 15, r14 ADVICE): remove the
+        object at ``key``; absence is a no-op.  Deletion is never a
+        coordination primitive — only vacuum uses it, to retire
+        markers/claims whose versions fell out of retention — but a
+        non-local backend's coordination objects live in ITS keyspace,
+        so vacuum must route deletes through the store or maintenance
+        silently stops working the day a real object-store backend is
+        installed (the round-14 asymmetry).  Backends that cannot
+        delete may leave this unimplemented: ``mergetable`` falls back
+        to the local-filesystem unlink, preserving the pre-round-15
+        behavior for the default backend."""
+        raise NotImplementedError
+
 
 class LocalFSCommitStore(CommitStore):
     """POSIX filesystem backend: the primitives the pre-round-14 code
@@ -137,6 +151,12 @@ class LocalFSCommitStore(CommitStore):
             return os.listdir(self._path(prefix))
         except (FileNotFoundError, NotADirectoryError):
             return []
+
+    def delete(self, key: str) -> None:
+        try:
+            os.unlink(self._path(key))
+        except FileNotFoundError:
+            pass
 
 
 class FaultyCommitStore(CommitStore):
@@ -232,6 +252,15 @@ class FaultyCommitStore(CommitStore):
         if not self.lag:
             return names
         return [n for n in names if not self._hidden(f"{prefix}/{n}")]
+
+    def delete(self, key: str) -> None:
+        # retire the visibility bookkeeping with the object (round 15,
+        # r14 ADVICE: a vacuumed key's stale _born entry would hide any
+        # FUTURE object at the same key from other threads for `lag`
+        # seconds — wrong, since that object is a fresh creation)
+        self.inner.delete(key)
+        with self._lock:
+            self._born.pop(key, None)
 
 
 # ---------------------------------------------------------------------------

@@ -207,37 +207,60 @@ def _is_fence_marker(root: str, n: int) -> bool:
         return False
 
 
+def _vacuum_tombstones(root: str) -> "tuple[Optional[int], set[int]]":
+    """One pass over the ``_vacuum/<seq>`` tombstones: ``(max horizon,
+    union of every tombstone's ``dropping`` list)``.  The horizon
+    classifies wholesale sweeps; the dropping union classifies
+    MID-HISTORY drops the horizon cannot see (round 15, r14 ADVICE:
+    MoR chain closure can promote an ancestor BELOW a dropped version
+    into the kept set — e.g. committed [0,1,2,3], keep=2, v2 based on
+    v0 keeps [0,2,3] and drops [1], pinning the horizon at 0 — so v1's
+    sweep is recorded only by its tombstone's dropping list)."""
+    st = commit_store_for(root)
+    best: Optional[int] = None
+    dropped: "set[int]" = set()
+    for name in st.list("_vacuum"):
+        if not name.isdigit():
+            continue
+        try:
+            doc = json.loads(st.read(f"_vacuum/{name}"))
+        except (FileNotFoundError, json.JSONDecodeError):
+            continue
+        h = doc.get("horizon")
+        if isinstance(h, int) and (best is None or h > best):
+            best = h
+        dropped.update(
+            d for d in (doc.get("dropping") or []) if isinstance(d, int)
+        )
+    return best, dropped
+
+
 def vacuum_horizon(root: str) -> Optional[int]:
     """The retention tombstone horizon: every version BELOW it that is
     not committed was (or legally could have been) swept by vacuum.
     ``None`` when no vacuum has ever dropped a version.  Tombstones
     are immutable ``_vacuum/<seq>`` objects (put-if-absent, like every
     coordination object — round 14); the horizon is their max."""
-    st = commit_store_for(root)
-    best: Optional[int] = None
-    for name in st.list("_vacuum"):
-        if not name.isdigit():
-            continue
-        try:
-            h = json.loads(st.read(f"_vacuum/{name}")).get("horizon")
-        except (FileNotFoundError, json.JSONDecodeError):
-            continue
-        if isinstance(h, int) and (best is None or h > best):
-            best = h
-    return best
+    return _vacuum_tombstones(root)[0]
 
 
 def _raise_missing_version(root: str, n: int) -> None:
     """The one absence classifier for version reads: below the vacuum
-    tombstone's horizon the version was SWEPT (VersionVacuumedError —
-    the reader-vs-vacuum grace contract), otherwise it is simply not
+    tombstone's horizon, OR named in a tombstone's ``dropping`` list
+    (mid-history drops under MoR chain promotion — round 15, r14
+    ADVICE), the version was SWEPT (VersionVacuumedError — the
+    reader-vs-vacuum grace contract); otherwise it is simply not
     committed."""
-    h = vacuum_horizon(root)
-    if h is not None and n < h:
+    h, dropped = _vacuum_tombstones(root)
+    if (h is not None and n < h) or n in dropped:
+        why = (
+            f"tombstone horizon {h}: versions below it are gone"
+            if h is not None and n < h
+            else "named in a retention tombstone's dropped list"
+        )
         raise VersionVacuumedError(
             f"version {n} of {root} was swept by retention vacuum "
-            f"(tombstone horizon {h}: versions below it are gone); "
-            f"oldest retained committed version is "
+            f"({why}); oldest retained committed version is "
             f"{next(iter(committed_versions(root)), None)} — re-resolve "
             "and retry, or widen vacuum keep= for long-pinned readers"
         )
@@ -267,6 +290,23 @@ def _marker_state(root: str, n: int) -> "tuple[bool, bool]":
         return True, bool(json.loads(doc).get("fenced"))
     except (json.JSONDecodeError, OSError):
         return True, False
+
+
+def _store_delete(root: str, key: str) -> None:
+    """Vacuum's deletion primitive for COORDINATION objects (markers,
+    claims): route through the table's CommitStore so a non-local
+    backend's keyspace is maintained by the backend itself (round 15,
+    r14 ADVICE — direct unlinks could never retire objects a real
+    object-store backend holds).  Backends without ``delete`` fall
+    back to the local unlink, the pre-round-15 behavior.  Absence is a
+    no-op either way (vacuum races stay idempotent)."""
+    try:
+        commit_store_for(root).delete(key)
+    except NotImplementedError:
+        try:
+            os.unlink(os.path.join(root, *key.split("/")))
+        except FileNotFoundError:
+            pass
 
 
 def committed_versions(root: str) -> "list[int]":
@@ -1039,12 +1079,20 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
         # deletion becomes visible, record the new horizon as an
         # immutable _vacuum/<seq> object so a reader that finds a
         # version gone can distinguish "vacuumed" (VersionVacuumedError
-        # with the horizon) from "never committed".  Horizon =
-        # smallest KEPT committed version; never lowered (a stale
-        # rival vacuum's smaller horizon is simply dominated by max).
+        # with the horizon + dropped list) from "never committed".
+        # Horizon = smallest KEPT committed version; never lowered (a
+        # stale rival vacuum's smaller horizon is simply dominated by
+        # max).  Published whenever there are NEW drops, not only when
+        # the horizon advances (round 15, r14 ADVICE): MoR chain
+        # promotion can keep an ancestor BELOW a dropped version, so a
+        # mid-history drop may not move the horizon at all — its sweep
+        # is recorded solely by this tombstone's `dropping` list, which
+        # _raise_missing_version also consults.
         horizon = kept_versions[0] if kept_versions else max(drop) + 1
-        prev = vacuum_horizon(root)
-        if prev is None or horizon > prev:
+        prev_h, prev_dropped = _vacuum_tombstones(root)
+        if prev_h is not None and prev_h > horizon:
+            horizon = prev_h
+        if prev_h is None or horizon > prev_h or not set(drop) <= prev_dropped:
             import time as _t
 
             st = commit_store_for(root)
@@ -1056,9 +1104,13 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
                 {"horizon": horizon, "at": _t.time(), "dropping": drop}
             ).encode()
             while not st.put_if_absent(f"_vacuum/{seq}", doc):
-                got = vacuum_horizon(root)
-                if got is not None and got >= horizon:
-                    break  # our put landed (lost ack) or a rival dominated
+                got_h, got_dropped = _vacuum_tombstones(root)
+                if (
+                    got_h is not None
+                    and got_h >= horizon
+                    and set(drop) <= got_dropped
+                ):
+                    break  # our put landed (lost ack) or rivals cover us
                 seq += 1  # rival vacuum took the slot: next one
     # CLONE-AWARE (round 13): dirs referenced by reachable registered
     # clones survive exactly like dirs referenced by our own kept
@@ -1067,22 +1119,16 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
         root, kept_versions
     ) | _registered_clone_refs(root)
     for n in drop:
-        # Tolerate a concurrent vacuum having unlinked the marker first:
+        # Tolerate a concurrent vacuum having deleted the marker first:
         # single-writer is the documented discipline, but every other
         # path in this module stays idempotent under races, and a bare
-        # unlink would abort THIS vacuum partway through (round-10
-        # ADVICE).  The marker-first ORDER is unchanged.
-        try:
-            os.unlink(os.path.join(commits_dir, str(n)))
-        except FileNotFoundError:
-            pass
-        try:
-            # the version's claim object (round 14) goes with its
-            # marker; deletion is maintenance, so the local backend's
-            # unlink is used directly, not a store op
-            os.unlink(os.path.join(root, "_claims", str(n)))
-        except FileNotFoundError:
-            pass
+        # delete failure would abort THIS vacuum partway through
+        # (round-10 ADVICE).  The marker-first ORDER is unchanged;
+        # round 15 routes the deletes through the CommitStore (local
+        # unlink fallback) so non-local backends stay maintainable.
+        _store_delete(root, f"_commits/{n}")
+        # the version's claim object (round 14) goes with its marker
+        _store_delete(root, f"_claims/{n}")
         snap_rel = f"v{n}"
         snap = os.path.join(root, snap_rel)
         if not any(
@@ -1221,10 +1267,7 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
                     continue
                 removable = True
             if removable:
-                try:
-                    os.unlink(os.path.join(claims_dir, name))
-                except FileNotFoundError:
-                    pass
+                _store_delete(root, f"_claims/{name}")
     return drop
 
 
@@ -3461,13 +3504,25 @@ def _claim_slot(
             if _try_claim(root, n):
                 try:
                     os.rename(tmp, snap)
+                    return n, newest_meta
                 except OSError:
-                    # the claim made this rename uncontended: any
-                    # failure is real (EACCES, EXDEV...), never a race
-                    shutil.rmtree(tmp, ignore_errors=True)
-                    raise
-                return n, newest_meta
-            # lost the claim: fall through and check version n
+                    if not os.path.isdir(snap):
+                        # the claim made this rename uncontended among
+                        # CLAIMING writers: a failure with no rival dir
+                        # is real (EACCES, EXDEV...), never a race
+                        shutil.rmtree(tmp, ignore_errors=True)
+                        raise
+                    # v<n> appeared between the isdir probe and the
+                    # rename: a SINGLE-WRITER commit (caller-chosen n,
+                    # no claim) landed in the window.  Mixed usage is a
+                    # documented protocol violation, but the
+                    # pre-round-14 loop degraded gracefully (lost race,
+                    # retry at n+1) and aborting here would regress
+                    # that (round 15, r14 ADVICE) — fall through to
+                    # the rival path: await its marker, consult
+                    # on_rival, keep tmp for the next slot.
+            # lost the claim (or a claimless rival took the dir): fall
+            # through and check version n
         m_meta = _await_commit_meta(root, n, marker_timeout)
         if m_meta is None:
             # dead claimant (marker never appeared): FENCE the slot

@@ -16,6 +16,7 @@ import pytest
 
 import test_mergetable as tm
 from dataframe_expressions_spark.sources.commitstore import (
+    CommitStore,
     CommitStoreMissing,
     FaultyCommitStore,
     LocalFSCommitStore,
@@ -321,3 +322,123 @@ def test_matrix_vacuum_concurrent_unlink(
     tm.test_vacuum_idempotent_under_concurrent_marker_unlink(
         spark, tmp_path, monkeypatch
     )
+
+
+# ---------------------------------------------------------------------------
+# the optional delete op (round 15, r14 ADVICE): vacuum's maintenance
+# deletes route through the store, so a non-local backend's keyspace
+# does not go stale the day one is installed
+# ---------------------------------------------------------------------------
+
+
+def test_local_store_delete_removes_and_tolerates_absence(tmp_path):
+    st = LocalFSCommitStore(str(tmp_path))
+    assert st.put_if_absent("_claims/3", b"{}")
+    st.delete("_claims/3")
+    with pytest.raises(CommitStoreMissing):
+        st.read("_claims/3")
+    st.delete("_claims/3")  # absence is a no-op
+    st.delete("_claims/never-existed")
+
+
+def test_faulty_store_delete_clears_visibility_bookkeeping(tmp_path):
+    """A deleted key's stale _born entry must not lag-hide a FUTURE
+    object re-created at the same key (it is a fresh creation by
+    whoever makes it next)."""
+    st = FaultyCommitStore(LocalFSCommitStore(str(tmp_path)), lag=30.0)
+    assert st.put_if_absent("_vacuum/0", b"{}")
+    assert "_vacuum/0" in st._born
+    st.delete("_vacuum/0")
+    assert "_vacuum/0" not in st._born
+    # re-creation from ANOTHER thread is immediately visible to us:
+    # out-of-band per the _born contract, not hidden by the old entry
+    done = threading.Event()
+
+    def recreate():
+        st.inner.put_if_absent("_vacuum/0", b"fresh")
+        done.set()
+
+    threading.Thread(target=recreate).start()
+    assert done.wait(5.0)
+    assert st.read("_vacuum/0") == b"fresh"
+
+
+def test_vacuum_routes_coordination_deletes_through_store(spark, tmp_path):
+    """vacuum retires markers and claims via CommitStore.delete when
+    the backend implements it (falling back to the local unlink only
+    for delete-less backends) — asserted with a recording wrapper."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    deleted: list = []
+
+    class RecordingStore(CommitStore):
+        def __init__(self, root):
+            self.inner = LocalFSCommitStore(root)
+
+        def put_if_absent(self, key, data):
+            return self.inner.put_if_absent(key, data)
+
+        def read(self, key):
+            return self.inner.read(key)
+
+        def list(self, prefix):
+            return self.inner.list(prefix)
+
+        def delete(self, key):
+            deleted.append(key)
+            self.inner.delete(key)
+
+    stores: dict = {}
+    set_commit_store_factory(
+        lambda root: stores.setdefault(root, RecordingStore(root))
+    )
+    try:
+        root = str(tmp_path / "deltbl")
+        for n in range(3):
+            mt.commit_snapshot(
+                spark.createDataFrame([(n,)], "k long"), root, n
+            )
+        assert mt.vacuum(root, keep=1) == [0, 1]
+    finally:
+        set_commit_store_factory(None)
+    assert "_commits/0" in deleted and "_commits/1" in deleted
+    assert "_claims/0" in deleted and "_claims/1" in deleted
+    # the markers are really gone and the store classifies the sweep
+    assert mt.committed_versions(root) == [2]
+    with pytest.raises(mt.VersionVacuumedError):
+        mt.read_version(spark, root, 0)
+
+
+def test_deleteless_backend_falls_back_to_local_unlink(spark, tmp_path):
+    """A backend that leaves delete() unimplemented keeps the
+    pre-round-15 behavior: vacuum unlinks the local file directly."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    class NoDeleteStore(CommitStore):
+        def __init__(self, root):
+            self.inner = LocalFSCommitStore(root)
+
+        def put_if_absent(self, key, data):
+            return self.inner.put_if_absent(key, data)
+
+        def read(self, key):
+            return self.inner.read(key)
+
+        def list(self, prefix):
+            return self.inner.list(prefix)
+
+    stores: dict = {}
+    set_commit_store_factory(
+        lambda root: stores.setdefault(root, NoDeleteStore(root))
+    )
+    try:
+        root = str(tmp_path / "nodel")
+        for n in range(2):
+            mt.commit_snapshot(
+                spark.createDataFrame([(n,)], "k long"), root, n
+            )
+        assert mt.vacuum(root, keep=1) == [0]
+        assert mt.committed_versions(root) == [1]
+        assert not os.path.exists(os.path.join(root, "_commits", "0"))
+    finally:
+        set_commit_store_factory(None)

@@ -1697,3 +1697,14 @@ def test_changes_stream_binds_table_stream_source(spark, tmp_path):
         select_from({d: v0}, d.changes(root, since=0, to=1, stream=True))
     with pytest.raises(LoweringError, match="since="):
         select_from({d: v0}, d.changes(root, stream=True))
+    # on= validation (round 15, r14 ADVICE): a non-string non-iterable
+    # must be a LoweringError, not a raw TypeError, and a comma in a
+    # key would silently corrupt the comma-joined keys option
+    with pytest.raises(LoweringError, match="on= must be"):
+        select_from({d: v0}, d.changes(root, since=0, on=5, stream=True))
+    with pytest.raises(LoweringError, match="comma-joined"):
+        select_from(
+            {d: v0}, d.changes(root, since=0, on=["k,val"], stream=True)
+        )
+    with pytest.raises(LoweringError, match="comma-joined"):
+        select_from({d: v0}, d.changes(root, since=0, on=[], stream=True))

@@ -3441,3 +3441,108 @@ def test_vacuum_retention_query_self_heals_partial_build(spark):
     df2 = q.fn(spark, SF_SMOKE).orderBy("c_custkey")
     rows2 = [tuple(r) for r in df2.collect()]
     assert rows1 == rows2
+
+
+def test_mid_history_drop_classified_as_vacuumed(spark, tmp_path):
+    """Round-15 (r14 ADVICE): MoR chain promotion can keep an ancestor
+    BELOW a dropped version, pinning the tombstone horizon under the
+    drop — committed [0,1,2,3] with v2 based on v0 and keep=2 keeps
+    [0,2,3] and drops [1].  Reading the swept v1 must classify as
+    VersionVacuumedError via the tombstone's `dropping` list (the
+    horizon, stuck at 0, cannot see it), and a never-committed version
+    must stay a plain not-committed."""
+    import json as _json
+
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "midhist")
+    for n in range(4):
+        commit_snapshot(
+            spark.createDataFrame([(n, float(n))], "k long, v double"),
+            root,
+            n,
+        )
+    # give v2 the chain-promotion shape: a mor_base pointing at v0
+    # (raw marker edit — the test forges the history shape, the
+    # protocol under test is vacuum's classification)
+    mpath = os.path.join(root, "_commits", "2")
+    doc = _json.loads(open(mpath).read())
+    doc["mor_base"] = 0
+    os.unlink(mpath)
+    open(mpath, "w").write(_json.dumps(doc))
+
+    import dataframe_expressions_spark.sources.mergetable as mtmod
+
+    assert mtmod.vacuum(root, keep=2) == [1]
+    assert mtmod.committed_versions(root) == [0, 2, 3]
+    # the horizon is pinned at the smallest kept version (0) — the
+    # mid-history drop classifies through the dropping list alone
+    assert mtmod.vacuum_horizon(root) == 0
+    with pytest.raises(mt.VersionVacuumedError, match="dropped list"):
+        read_version(spark, root, 1)
+    # never-committed versions are NOT misclassified as vacuumed
+    with pytest.raises(FileNotFoundError, match="not committed") as ei:
+        read_version(spark, root, 7)
+    assert not isinstance(ei.value, mt.VersionVacuumedError)
+    # a SECOND vacuum with the same retention publishes nothing new
+    # (drop set already covered): tombstone count is stable
+    n_tomb = len(os.listdir(os.path.join(root, "_vacuum")))
+    assert mtmod.vacuum(root, keep=2) == []
+    assert len(os.listdir(os.path.join(root, "_vacuum"))) == n_tomb
+
+
+def test_claim_slot_degrades_on_claimless_rival_dir(spark, tmp_path,
+                                                    monkeypatch):
+    """Round-15 (r14 ADVICE): a single-writer commit (caller-chosen n,
+    no claim) can materialize v<n> between _claim_slot's isdir probe
+    and its post-claim rename.  The loop must degrade to the lost-race
+    path (await the rival's marker, consult on_rival, retry at n+1) —
+    not abort the whole commit, which is what raising the OSError did
+    after the round-14 port."""
+    import json as _json
+    import time as _time
+
+    import dataframe_expressions_spark.sources.mergetable as mt
+
+    root = str(tmp_path / "clash")
+    commit_snapshot(
+        spark.createDataFrame([(1, 1.0)], "k long, v double"), root, 0
+    )
+    bmeta = mt.commit_meta(root, 0)
+
+    # our writer's staged snapshot
+    tmp = os.path.join(root, ".tmp-claimant")
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "part-0.parquet"), "w").write("stub")
+
+    real_try_claim = mt._try_claim
+    injected = {"done": False}
+
+    def racing_try_claim(r, n):
+        won = real_try_claim(r, n)
+        if won and not injected["done"]:
+            injected["done"] = True
+            # the claimless rival lands v<n> + marker in the window
+            # between the claim win and the rename
+            snap = os.path.join(r, f"v{n}")
+            os.makedirs(snap)
+            open(os.path.join(snap, "part-0.parquet"), "w").write("rival")
+            open(os.path.join(r, "_commits", str(n)), "w").write(
+                _json.dumps({"committed_at": _time.time(), "rival": True})
+            )
+        return won
+
+    monkeypatch.setattr(mt, "_try_claim", racing_try_claim)
+    seen_rivals = []
+    got = mt._claim_slot(
+        root, 0, bmeta, tmp, marker_timeout=10.0,
+        on_rival=lambda m: seen_rivals.append(m) or True,
+    )
+    assert got is not None
+    n, newest = got
+    # the rival kept v1; we landed on the next slot with its meta
+    assert n == 2
+    assert [m.get("rival") for m in seen_rivals] == [True]
+    assert newest.get("rival") is True
+    assert os.path.isdir(os.path.join(root, "v2"))
+    assert not os.path.exists(tmp)
