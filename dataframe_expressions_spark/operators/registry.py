@@ -112,73 +112,72 @@ PY_POOL_EXTRA_IDS: frozenset = frozenset({
 # If CORRECTNESS_r06 comes back 50/50, every id has a driver-green row,
 # none older than r2.
 #
-# ROUND-14 WINDOW.  Derived programmatically from the committed
+# ROUND-15 WINDOW.  Derived programmatically from the committed
 # CORRECTNESS_r0*.json files (latest round each id has a row; the
-# fronting test recomputes the same derivation).  CORRECTNESS_r13 came
-# back 50/50, leaving the vintage distribution r8:45 r9:50 r10:50
-# r11:50 r12:50 r13:50 — so, per the r13 VERDICT plan (item 5):
-# slots  1- 3: the round-14 additions (stream_dsl_changes,
-#              stream_writers_concurrent, table_vacuum_retention —
+# fronting test recomputes the same derivation).  CORRECTNESS_r14 came
+# back 50/50, leaving the vintage distribution r9:48 r10:50 r11:50
+# r12:50 r13:50 r14:50 — so, per the r14 VERDICT plan (item 5):
+# slot      1: the round-15 addition (table_checkpoint_resolve —
 #              zero evidence),
-# slots  4-48: the FULL 45-id r8 tail (cdc_upsert_compact ...
-#              window_range_frame),
-# slots 49-50: the alphabetical head (2 of 50) of the r9 block
-#              (agg_approx_topk, agg_filter_clause).
-# If CORRECTNESS_r14 comes back 50/50 the oldest remaining evidence is
-# the 47-id r9 tail — front any round-15 additions, then that tail
+# slots  2-49: the FULL 48-id r9 tail (agg_grouping_sets ...
+#              udtf_sentence_split),
+# slot     50: the alphabetical head (1 of 50) of the r10 block
+#              (agg_bitmap_distinct).
+# If CORRECTNESS_r15 comes back 50/50 the oldest remaining evidence is
+# the 49-id r10 tail — front any round-16 additions, then that tail
 # (derive programmatically from the committed CORRECTNESS files, as
 # always).
 DRIVER_WINDOW_PRIORITY: tuple = (
-    "stream_dsl_changes",
-    "stream_writers_concurrent",
-    "table_vacuum_retention",
-    "cdc_upsert_compact",
-    "cogrouped_asof_pandas",
-    "cohort_retention",
-    "compact_small_files",
-    "dedup_components",
-    "dedup_incremental",
-    "dq_langid_confusion",
-    "ewma_smooth",
-    "funnel_conversion",
-    "graph_common_neighbors_sampled",
-    "grouped_map_pandas",
-    "join_asof",
-    "join_range_theta",
-    "join_salted",
-    "json_variant_extract",
-    "kmeans_lloyd",
-    "map_funcs",
-    "mapinarrow_token_stats",
-    "scan_parquet",
-    "seq_pack_fill",
-    "session_window",
-    "sessionize_batch",
-    "sim_search_lsh",
-    "sink_partitioned",
-    "sink_zorder",
-    "sql_interface",
-    "stats_ols_trend",
-    "stream_dedup",
-    "stream_dedup_watermarked",
-    "stream_dsl_filter",
-    "stream_foreach_batch_sink",
-    "stream_sliding_session",
-    "stream_stateful_count",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stream_left_outer",
-    "stream_tumbling",
-    "stream_watermark_late",
-    "text_lang_id",
-    "text_ngram_freq",
-    "text_quality",
-    "text_token_bpe",
-    "unpivot_long",
-    "window_ntile_pct",
-    "window_range_frame",
-    "agg_approx_topk",
-    "agg_filter_clause",
+    "table_checkpoint_resolve",
+    "agg_grouping_sets",
+    "decontam_ngram",
+    "dedup_containment",
+    "dedup_cross_source",
+    "dedup_fuzzy_edit",
+    "dedup_semantic",
+    "dedup_substring_spans",
+    "dq_constraints",
+    "emb_norm_quantize",
+    "emb_pq_codebook",
+    "graph_pagerank",
+    "hist_totalprice",
+    "join_lateral",
+    "join_null_safe",
+    "mixture_sample",
+    "observe_metrics",
+    "pipeline_pretrain_corpus",
+    "profile_columns",
+    "reshape_transpose",
+    "sample_stratified",
+    "scan_xml",
+    "schema_evolution_merge",
+    "sink_sorted_skipping",
+    "sql_group_by_all",
+    "sql_pipe_syntax",
+    "sql_recursive_cte",
+    "stats_ab_welch",
+    "stats_corr_matrix",
+    "stats_ols_regression",
+    "stats_winsorize",
+    "stream_dsl_session",
+    "stream_dsl_tumbling",
+    "string_collation",
+    "text_chunk_windows",
+    "text_pii_scrub",
+    "text_zipf_audit",
+    "tfidf_top_terms",
+    "timeseries_gapfill",
+    "tpch_q13_cust_order_dist",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q21_late_supplier",
+    "tpch_q22_idle_customers",
+    "tpch_q4_late_exists",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "udtf_sentence_split",
+    "agg_bitmap_distinct",
 )
 
 

@@ -1338,6 +1338,158 @@ def table_vacuum_retention(spark: SparkSession, sf_dir: str) -> SDF:
     )
 
 
+@query(
+    "table_checkpoint_resolve",
+    """
+    WITH rev AS (
+      SELECT o_custkey AS k,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey,
+           CAST(CAST(c.c_acctbal AS DECIMAL(38,6))
+                + COALESCE(rev.rev, CAST(0 AS DECIMAL(38,6)))
+                AS DOUBLE) AS acctbal,
+           CAST(12 AS BIGINT) AS latest_ver,
+           CAST(13 AS BIGINT) AS n_committed,
+           CAST(12 AS BIGINT) AS ck_through,
+           (SELECT COUNT(*) FROM customer) AS v0_rows
+    FROM customer c LEFT JOIN rev ON rev.k = c.c_custkey
+    """,
+)
+def table_checkpoint_resolve(spark: SparkSession, sf_dir: str) -> SDF:
+    """COMMIT-LOG CHECKPOINTING, driver-checkable (round 15, r14
+    VERDICT item 1's query face): a ledger accrues THIRTEEN commits —
+    v0 is the customer base, each later v<n> the base plus the decimal
+    revenue of the order slice ``o_orderkey % 12 < n`` — crossing the
+    ``CHECKPOINT_EVERY`` cadence (a ``_checkpoints/<seq>`` summary
+    lands automatically at v10) and finishing with an explicit
+    ``write_checkpoint`` through v12.  The query SELF-CHECKS resolution
+    equivalence on every call: the checkpointed resolver
+    (``committed_versions``, one checkpoint read + O(tail) markers)
+    must agree exactly with an inline raw full marker walk, timestamp
+    time travel must resolve to v12 through the checkpoint's
+    ``committed_at`` records, and a checkpoint-range version (v0) must
+    read back with the full row count.  The returned frame is the v12
+    read-back with the log facts stamped as columns, so the oracle
+    hash covers both the data and the resolution state.
+
+    Scale (the whole point): every version resolve and change-feed
+    poll on a long-lived table reads ONE checkpoint object plus the
+    marker tail (≤ ~2×CHECKPOINT_EVERY tiny JSON reads) instead of one
+    marker per historical commit — on a table with 10k commits that is
+    the difference between 3 store round-trips and 10k per resolve,
+    exactly Delta's every-10-commits checkpoint trick applied to this
+    log (tests/test_checkpoint.py pins the op counts with a counting
+    CommitStore on a 300-commit table)."""
+    import json as _json
+    import os
+    import time as _time
+
+    from ..sources.mergetable import (
+        _latest_checkpoint,
+        commit_snapshot,
+        committed_versions,
+        latest_version,
+        read_version,
+        version_as_of,
+        write_checkpoint,
+    )
+
+    root = _table_root(sf_dir, "custckpt_v1")
+    base = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").cast("decimal(38,6)").alias("acctbal"),
+        )
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def _state(n: int) -> SDF:
+        rev = (
+            orders.where(F.col("o_orderkey") % 12 < n)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                .alias("rev")
+            )
+        )
+        return (
+            base.join(rev, base.c_custkey == rev.k, "left")
+            .select(
+                "c_custkey",
+                (
+                    F.col("acctbal")
+                    + F.coalesce(
+                        F.col("rev"), F.lit(0).cast("decimal(38,6)")
+                    )
+                ).cast("decimal(38,6)").alias("acctbal"),
+            )
+        )
+
+    def _contract_intact() -> bool:
+        try:
+            ck = _latest_checkpoint(root)
+            return (
+                (latest_version(root) or -1) >= 12
+                and committed_versions(root) == list(range(13))
+                and ck is not None
+                and ck["through_version"] == 12
+            )
+        except Exception:
+            return False
+
+    if not _contract_intact():
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        for n in range(13):
+            commit_snapshot(
+                _state(n), root, n, meta={"op": f"fold-{n}"}
+            )
+        write_checkpoint(root)  # cover the tail past the v10 cadence
+
+    # resolution equivalence, re-checked on EVERY call: checkpointed
+    # resolver vs the raw full marker walk (the pre-checkpoint truth)
+    raw: list = []
+    cdir = os.path.join(root, "_commits")
+    for name in os.listdir(cdir):
+        if not name.isdigit():
+            continue
+        n = int(name)
+        if not os.path.isdir(os.path.join(root, f"v{n}")):
+            continue
+        try:
+            doc = _json.loads(open(os.path.join(cdir, name)).read())
+        except (OSError, ValueError):
+            continue
+        if doc.get("fenced"):
+            continue
+        raw.append(n)
+    ck_committed = committed_versions(root)
+    if sorted(raw) != ck_committed:
+        raise RuntimeError(
+            f"checkpointed resolution {ck_committed} != raw marker "
+            f"walk {sorted(raw)}"
+        )
+    if version_as_of(root, _time.time() + 3600) != 12:
+        raise RuntimeError(
+            "timestamp time travel through the checkpoint did not "
+            "resolve to the latest version"
+        )
+    ck = _latest_checkpoint(root)
+    v0_rows = read_version(spark, root, 0).count()  # checkpoint range
+    return read_version(spark, root, 12).select(
+        "c_custkey",
+        F.col("acctbal").cast("double").alias("acctbal"),
+        F.lit(12).cast("long").alias("latest_ver"),
+        F.lit(len(ck_committed)).cast("long").alias("n_committed"),
+        F.lit(int(ck["through_version"])).cast("long").alias("ck_through"),
+        F.lit(v0_rows).cast("long").alias("v0_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # metadata-only operations: RESTORE and SHALLOW CLONE
 # ---------------------------------------------------------------------------

@@ -16,6 +16,11 @@ commit-protocol essence):
                           immutable, published BEFORE any deletion;
                           readers of swept versions get
                           VersionVacuumedError with max(horizon)
+      _checkpoints/<seq> -- commit-log checkpoints (round 15): slim
+                          immutable summaries of the committed set
+                          written every CHECKPOINT_EVERY commits, so
+                          resolution reads O(tail) markers; purely a
+                          cache (vacuum retires stale ones)
       v<n>/            -- immutable parquet snapshot for version n
 
 Commit protocol (crash-safe, concurrent-safe):
@@ -144,6 +149,8 @@ __all__ = [
     "commit_snapshot",
     "commit_snapshot_exclusive",
     "committed_versions",
+    "CHECKPOINT_EVERY",
+    "write_checkpoint",
     "compact_buckets",
     "compact_mor",
     "latest_version",
@@ -309,6 +316,204 @@ def _store_delete(root: str, key: str) -> None:
             pass
 
 
+# ---------------------------------------------------------------------------
+# commit-log checkpointing (round 15, r14 VERDICT item 1): the
+# _checkpoints/<seq> summary objects that make version resolution read
+# O(tail) markers instead of O(versions)
+# ---------------------------------------------------------------------------
+
+# a checkpoint is written (best-effort, by the committing writer) every
+# time a published version number crosses a multiple of this — Delta's
+# every-10-commits checkpoint cadence, applied to this log.  The tail a
+# resolver walks is therefore bounded by ~2×CHECKPOINT_EVERY markers
+# even on a table with thousands of commits.
+CHECKPOINT_EVERY = 10
+
+
+def _latest_checkpoint(root: str) -> Optional[dict]:
+    """The newest READABLE ``_checkpoints/<seq>`` summary, or ``None``.
+    Checkpoints are an advisory CACHE of the marker log — a missing,
+    lagged, or torn checkpoint degrades resolution to the full marker
+    walk, never to a wrong answer — so an unreadable newest object
+    simply falls back to the next-newest (one list + typically one
+    read)."""
+    st = commit_store_for(root)
+    for s in sorted(
+        (int(x) for x in st.list("_checkpoints") if x.isdigit()),
+        reverse=True,
+    ):
+        try:
+            doc = json.loads(st.read(f"_checkpoints/{s}"))
+        except (FileNotFoundError, json.JSONDecodeError):
+            continue
+        if isinstance(doc.get("through_version"), int) and isinstance(
+            doc.get("info"), dict
+        ):
+            doc["_seq"] = s
+            return doc
+    return None
+
+
+def _log_state(root: str) -> "tuple[list[int], dict]":
+    """ONE shared resolution of the commit log: ``(committed versions
+    ascending, {version: info})`` from the newest checkpoint plus the
+    marker TAIL (versions above the checkpoint's ``through_version``).
+
+    Store-op cost: one ``list`` of ``_checkpoints``, one checkpoint
+    read, one ``list`` of ``_commits``, and one marker read PER TAIL
+    VERSION — O(tail), never O(versions).  Without a checkpoint the
+    whole log is the tail (the pre-round-15 behavior).
+
+    Vacuum/fence awareness: a checkpointed version counts only while
+    its marker is still LISTED (vacuum deletes markers first, so a
+    dropped version disappears from resolution no matter how stale the
+    checkpoint); fenced slots were never recorded as committed by the
+    checkpoint writer, and tail fences are read and skipped exactly as
+    before.  For checkpointed versions the snapshot-dir probe is
+    SKIPPED — the checkpoint writer verified it at write time, and
+    immutable snapshots only vanish via vacuum, which the marker
+    listing already reflects (on an object store the probe would be a
+    billable LIST per version, the exact cost this layer removes).
+
+    ``info[n]`` is the checkpoint's slim per-version record
+    (``committed_at``, ``mor_base``/``op`` when present, manifest/stats
+    digests) for checkpointed versions, and the FULL marker document
+    for tail versions — both carry what resolution needs; full
+    metadata always comes from ``commit_meta`` (one marker read)."""
+    st = commit_store_for(root)
+    present = {int(x) for x in st.list("_commits") if x.isdigit()}
+    ck = _latest_checkpoint(root)
+    committed: "list[int]" = []
+    info: dict = {}
+    through = -1
+    if ck:
+        through = ck["through_version"]
+        for n in ck.get("committed", ()):
+            if isinstance(n, int) and n in present:
+                committed.append(n)
+                info[n] = ck["info"].get(str(n)) or {}
+    for n in sorted(p for p in present if p > through):
+        try:
+            doc = json.loads(st.read(f"_commits/{n}"))
+        except (CommitStoreMissing, json.JSONDecodeError):
+            continue  # racing vacuum took it, or a torn write: skip
+        if doc.get("fenced"):
+            continue
+        if not os.path.isdir(os.path.join(root, f"v{n}")):
+            continue  # crashed writer's marker-less twin rule, inverted
+        committed.append(n)
+        info[n] = doc
+    return sorted(committed), info
+
+
+def _slim_info(root: str, n: int, doc: dict) -> dict:
+    """The per-version record a checkpoint stores: exactly what
+    RESOLUTION consumes (``committed_at`` for timestamp time travel,
+    ``mor_base`` for chain walks, ``op`` for history display) plus
+    tamper-evident digests of the manifest and file statistics — the
+    full documents stay in the markers, which remain authoritative."""
+    import hashlib
+
+    ca = doc.get("committed_at")
+    slim: dict = {
+        # the marker doc in hand is the committed_at source; only
+        # pre-field markers fall back to the mtime resolver (one
+        # extra read for legacy markers, zero on the common path)
+        "committed_at": (
+            float(ca)
+            if isinstance(ca, (int, float))
+            else _marker_committed_at(root, n)
+        )
+    }
+    for k in ("mor_base", "op", "batch_id"):
+        if k in doc:
+            slim[k] = doc[k]
+    for field, tag in (
+        ("manifest", "manifest_sha256"),
+        ("file_stats", "stats_sha256"),
+        ("file_stats_cols", "stats_cols_sha256"),
+    ):
+        if doc.get(field) is not None:
+            slim[tag] = hashlib.sha256(
+                json.dumps(doc[field], sort_keys=True).encode()
+            ).hexdigest()
+    return slim
+
+
+def write_checkpoint(root: str, force: bool = False) -> Optional[int]:
+    """Publish a ``_checkpoints/<seq>`` summary of the commit log
+    through the current latest committed version — the maintenance op
+    that bounds every later resolver's marker reads to the tail.
+
+    OCC-published like every coordination object (put-if-absent on the
+    next free sequence number; a lost put re-reads the newest
+    checkpoint and stands down when a rival — or our own lost-acked
+    put — already covers our ``through_version``).  Returns the
+    sequence number written, or ``None`` when an existing checkpoint
+    already covers the log (including the our-own-lost-ack case).
+    ``force=True`` publishes even when covered — vacuum uses it to
+    refresh a checkpoint whose records include freshly-swept versions
+    (a document-size bound, not a correctness need).
+
+    Cost: O(tail) marker reads to resolve the log (the previous
+    checkpoint is REUSED — its slim records carry forward without
+    re-reading their markers) + one conditional put of a document that
+    is O(versions × ~100 bytes): list membership and digests, never
+    manifests or stats, so a 10k-commit table's checkpoint is ~1 MB
+    where its markers total far more."""
+    committed, info = _log_state(root)
+    if not committed:
+        return None
+    through = committed[-1]
+    st = commit_store_for(root)
+    ck = _latest_checkpoint(root)
+    if ck and ck["through_version"] >= through and not force:
+        return None
+    doc = {
+        "through_version": through,
+        "committed": committed,
+        "info": {
+            str(n): (
+                info[n]
+                if ck and n <= ck["through_version"]
+                else _slim_info(root, n, info[n])
+            )
+            for n in committed
+        },
+    }
+    import time as _t
+
+    doc["written_at"] = _t.time()
+    data = json.dumps(doc).encode()
+    seq = max(
+        (int(x) for x in st.list("_checkpoints") if x.isdigit()),
+        default=-1,
+    ) + 1
+    while not st.put_if_absent(f"_checkpoints/{seq}", data):
+        rival = _latest_checkpoint(root)
+        if rival is not None and rival["through_version"] >= through:
+            return None  # our put landed (lost ack) or a rival covers us
+        seq += 1
+    return seq
+
+
+def _maybe_checkpoint(root: str, n: int) -> None:
+    """The committing writer's cadence hook: checkpoint when the
+    version number crosses a multiple of ``CHECKPOINT_EVERY``.
+    Modulo on the VERSION NUMBER, not a commits-since counter — it
+    needs no extra state or store reads on the common path, and fenced
+    gaps merely stretch one interval (the tail stays O(interval)).
+    Best-effort: the commit already LANDED when this runs, so a store
+    hiccup here must not turn a durable commit into a caller-visible
+    failure — the next multiple retries."""
+    if n <= 0 or n % CHECKPOINT_EVERY:
+        return
+    try:
+        write_checkpoint(root)
+    except (OSError, json.JSONDecodeError):
+        pass
+
+
 def committed_versions(root: str) -> "list[int]":
     """Every COMMITTED version (marker present AND snapshot dir
     present AND not a fence tombstone), ascending.  The version
@@ -316,14 +521,11 @@ def committed_versions(root: str) -> "list[int]":
     and vacuum's MoR chain promotion can drop an interior version
     while keeping its neighbors — consumers that walk commit HISTORY
     must therefore pair consecutive COMMITTED versions, never ``n``
-    and ``n+1`` (round-12 review)."""
-    return sorted(
-        int(name)
-        for name in commit_store_for(root).list("_commits")
-        if name.isdigit()
-        and os.path.isdir(os.path.join(root, f"v{int(name)}"))
-        and not _is_fence_marker(root, int(name))
-    )
+    and ``n+1`` (round-12 review).
+
+    Round 15: resolved from the newest checkpoint + marker tail
+    (``_log_state``) — O(tail) store reads on a long log."""
+    return _log_state(root)[0]
 
 
 def latest_version(root: str) -> Optional[int]:
@@ -365,18 +567,30 @@ def version_as_of(root: str, ts) -> int:
     listing + marker reads — no data touched."""
     if hasattr(ts, "timestamp"):
         ts = ts.timestamp()
-    committed = committed_versions(root)
+    committed, info = _log_state(root)
     if not committed:
         raise FileNotFoundError(f"no committed version under {root}")
+
+    def at(m: int) -> float:
+        # checkpointed records always carry committed_at (the
+        # checkpoint writer resolved the mtime fallback at write
+        # time); tail records may predate the field — fall back to
+        # the per-marker resolver (round 15: one _log_state pass, no
+        # per-version marker re-reads on the checkpointed range)
+        v = info.get(m, {}).get("committed_at")
+        return float(v) if isinstance(v, (int, float)) else (
+            _marker_committed_at(root, m)
+        )
+
     best = None
     for m in committed:
-        if _marker_committed_at(root, m) <= ts:
+        if at(m) <= ts:
             best = m  # committed ascending: keep the newest qualifying
     if best is None:
         raise ValueError(
             f"no version of {root} was committed at or before "
             f"timestamp {ts} (earliest commit is "
-            f"{_marker_committed_at(root, committed[0]) if committed else None})"
+            f"{at(committed[0]) if committed else None})"
         )
     return best
 
@@ -597,12 +811,14 @@ def _write_marker(root: str, n: int, payload: Optional[dict]) -> None:
     if commit_store_for(root).put_if_absent(
         f"_commits/{n}", _marker_json(n, payload, writer_nonce=nonce).encode()
     ):
+        _maybe_checkpoint(root, n)
         return
     # conditional-put ambiguity (round 14): a False may be a lost ack
     # on OUR OWN landed put — read the occupant back before declaring
     # a violation (same dance as _publish_exclusive)
     occ = _read_occupant(root, n, 5.0)
     if occ is not None and occ.get("writer_nonce") == nonce:
+        _maybe_checkpoint(root, n)
         return
     if occ is not None and occ.get("fenced"):
         raise RuntimeError(
@@ -1268,6 +1484,29 @@ def vacuum(root: str, keep: int = 1) -> "list[int]":
                 removable = True
             if removable:
                 _store_delete(root, f"_claims/{name}")
+    # checkpoint maintenance (round 15): checkpoints are an advisory
+    # cache, so this is pure housekeeping — (a) when versions were
+    # dropped and a checkpoint exists, publish a refreshed summary so
+    # the live checkpoint stops carrying records for swept versions
+    # (resolution is already correct without this: _log_state
+    # intersects with the marker listing — this bounds the DOCUMENT
+    # size on long-retention tables); (b) retire every checkpoint
+    # older than the newest readable one (a resolver racing the delete
+    # falls back to the next-newest or the full marker walk, never a
+    # wrong answer).
+    st = commit_store_for(root)
+    if drop and _latest_checkpoint(root) is not None:
+        try:
+            write_checkpoint(root, force=True)
+        except (OSError, json.JSONDecodeError):
+            pass
+    ck = _latest_checkpoint(root)
+    if ck is not None:
+        for s_old in sorted(
+            int(x) for x in st.list("_checkpoints") if x.isdigit()
+        ):
+            if s_old < ck["_seq"]:
+                _store_delete(root, f"_checkpoints/{s_old}")
     return drop
 
 
@@ -3203,6 +3442,7 @@ def _publish_exclusive(
     if st.put_if_absent(
         f"_commits/{n}", _marker_json(n, payload, writer_nonce=nonce).encode()
     ):
+        _maybe_checkpoint(root, n)
         return
     # put reported "occupied": the occupant MUST become readable
     # (possibly our own put, under visibility lag) — one shared poll
@@ -3215,6 +3455,7 @@ def _publish_exclusive(
             "readable"
         )
     if occ.get("writer_nonce") == nonce:
+        _maybe_checkpoint(root, n)
         return  # our own earlier put landed; only the ack was lost
     if occ.get("fenced"):
         raise exc(
