@@ -1708,3 +1708,121 @@ def test_changes_stream_binds_table_stream_source(spark, tmp_path):
         )
     with pytest.raises(LoweringError, match="comma-joined"):
         select_from({d: v0}, d.changes(root, since=0, on=[], stream=True))
+
+
+# ---------------------------------------------------------------------------
+# table maintenance verbs (round 15, r14 VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_maintenance_verbs_effect_identical_to_direct_calls(spark, tmp_path):
+    """vacuum / optimize_zorder / compact_buckets / restore_table from
+    the DSL are row- and effect-identical to the direct mergetable
+    kernels: same version chains, same retention state, same layout
+    metadata — the verbs are delegation at the memoized action
+    boundary, nothing more."""
+    import dataframe_expressions_spark.sources.mergetable as mt
+    from dataframe_expressions_spark.plans.lowering import select_from
+
+    probe = spark.createDataFrame([(0,)], "z long")  # session carrier
+
+    # --- vacuum: twin plain tables, three commits, keep=1
+    ra, rb = str(tmp_path / "va"), str(tmp_path / "vb")
+    for root in (ra, rb):
+        for n in range(3):
+            mt.commit_snapshot(
+                spark.createDataFrame([(n, float(n))], "k long, v double"),
+                root,
+                n,
+            )
+    dropped = mt.vacuum(ra, keep=1)
+    d = DataFrame()
+    back = select_from({d: probe}, d.vacuum(rb, keep=1))
+    assert dropped == [0, 1]
+    assert mt.committed_versions(rb) == mt.committed_versions(ra) == [2]
+    assert mt.vacuum_horizon(rb) == mt.vacuum_horizon(ra) == 2
+    # the verb returns the latest read-back
+    assert [tuple(r) for r in back.collect()] == [(2, 2.0)]
+
+    # --- optimize_zorder: twin plain tables, same layout commit
+    za, zb = str(tmp_path / "za"), str(tmp_path / "zb")
+    rows = spark.createDataFrame(
+        [(i % 7, i // 7, float(i)) for i in range(50)],
+        "x long, y long, val double",
+    )
+    for root in (za, zb):
+        mt.commit_snapshot(rows, root, 0)
+    na = mt.optimize_zorder(spark, za, ["x", "y"], n_files=4)
+    backz = select_from(
+        {d: probe}, d.optimize_zorder(zb, by=("x", "y"), n_files=4)
+    )
+    nb = mt.latest_version(zb)
+    assert (na, nb) == (1, 1)
+    ma, mb = mt.commit_meta(za, 1), mt.commit_meta(zb, 1)
+    assert mb["zorder_by"] == ma["zorder_by"] == ["x", "y"]
+    assert sorted(tuple(r) for r in backz.collect()) == sorted(
+        tuple(r) for r in rows.collect()
+    )
+
+    # --- compact_buckets + restore_table: twin bucketed tables
+    ca, cb = str(tmp_path / "ca"), str(tmp_path / "cb")
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in range(16)], "k long, val double"
+    )
+    chg = spark.createDataFrame([(1, 9.0), (2, 9.0)], "k long, amt double")
+    clauses = dict(
+        matched_update={"val": "t.val + s.amt"},
+        not_matched_insert={"val": "s.amt"},
+    )
+    for root in (ca, cb):
+        mt.commit_bucketed(base, root, 0, on="k", n_buckets=4, hashed=False)
+        mt.merge_into_bucketed(spark, root, chg, **clauses)
+    na = mt.compact_buckets(spark, ca, max_files=1)
+    backc = select_from({d: probe}, d.compact_buckets(cb, max_files=1))
+    nb = mt.latest_version(cb)
+    assert na == nb
+    assert sorted(mt.commit_meta(cb, nb).get("compacted_buckets", [])) == \
+        sorted(mt.commit_meta(ca, na).get("compacted_buckets", []))
+    assert sorted(tuple(r) for r in backc.collect()) == sorted(
+        tuple(r) for r in mt.read_bucketed(spark, ca, na).collect()
+    )
+
+    ra2 = mt.restore_table(spark, ca, 0)
+    backr = select_from({d: probe}, d.restore_table(cb, to=0))
+    assert mt.latest_version(cb) == ra2
+    assert sorted(tuple(r) for r in backr.collect()) == sorted(
+        tuple(r) for r in base.collect()
+    )
+    assert mt.commit_meta(cb, ra2)["restored_from"] == \
+        mt.commit_meta(ca, ra2)["restored_from"]
+
+
+def test_maintenance_verbs_guardrails(spark, tmp_path):
+    """The maintenance verbs guard their arguments with LoweringErrors
+    (never raw TypeErrors) and apply to event frames only."""
+    from dataframe_expressions_spark.plans.lowering import (
+        LoweringError,
+        select_from,
+    )
+
+    probe = spark.createDataFrame([(0,)], "z long")
+    d = DataFrame()
+    root = str(tmp_path / "g")
+    with pytest.raises(LoweringError, match="keep= must be"):
+        select_from({d: probe}, d.vacuum(root, keep=0))
+    with pytest.raises(LoweringError, match="keep= must be"):
+        select_from({d: probe}, d.vacuum(root, keep="all"))
+    with pytest.raises(LoweringError, match="unexpected kwargs"):
+        select_from({d: probe}, d.vacuum(root, nope=1))
+    with pytest.raises(LoweringError, match="no committed version"):
+        select_from({d: probe}, d.vacuum(root, keep=1))
+    with pytest.raises(LoweringError, match="by= must be a pair"):
+        select_from({d: probe}, d.optimize_zorder(root, by=("x",)))
+    with pytest.raises(LoweringError, match="by= must be a pair"):
+        select_from({d: probe}, d.optimize_zorder(root, by=5))
+    with pytest.raises(LoweringError, match="to= must be"):
+        select_from({d: probe}, d.restore_table(root, to="old"))
+    with pytest.raises(LoweringError, match="takes"):
+        select_from({d: probe}, d.compact_buckets(123))
+    with pytest.raises(LoweringError, match="applies to event frames"):
+        select_from({d: probe}, d.z.vacuum(root))
