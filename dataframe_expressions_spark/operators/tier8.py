@@ -119,11 +119,22 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> SDF:
     Scale: the ×64 replicate expansion happens map-side (posexplode of
     a literal sequence) and collapses immediately into per-task partial
     aggregates — the one shuffle carries ≤ 64 rows per task regardless
-    of corpus size; ranking the 64 replicate means is an
-    aggregate-sized window.  At 100 TB this is exactly the plan you
+    of corpus size; the CI order statistics and the SE moments come out
+    of ONE aggregate over the 64 replicate means (a sorted 64-struct
+    array — aggregate-sized).  At 100 TB this is exactly the plan you
     want: no row-level resample materialization, no skew (64 uniform
     groups)."""
-    o = load_table(spark, sf_dir, "orders")
+    from ..functions import dedup as D
+
+    # spread BEFORE the ×64 expansion (round 15): the one-row-group
+    # testdata parquet scans as a single task, so the 9.6M-row
+    # explode + per-row weight/DECIMAL work ran on 1 of 32 cores
+    # (measured 4.8 s at sf0.1; guide §2.5 input skew — "one huge
+    # unsplittable file ... repartition immediately after the read").
+    # spread() is gated on input file count, so a real multi-file lake
+    # skips the exchange entirely; what is shuffled here is the
+    # pre-explosion (orderkey, totalprice) pair — never the ×B rows.
+    o = D.spread(load_table(spark, sf_dir, "orders"))
     u = (
         (
             ((F.col("o_orderkey") * _BOOT_B + F.col("b")) % 2147483647)
@@ -151,15 +162,19 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> SDF:
             6,
         ).alias("m")
     )
-    ranked = means.select(
-        # global window [aggregate-sized]: rank over the 64 replicate means
-        # (inventoried in tests/test_window_audit.py)
-        "m", F.row_number().over(W.orderBy("m", "b")).alias("rn")
-    )
-    lo = ranked.where(F.col("rn") == 2).select(F.col("m").alias("ci_lo"))
-    hi = ranked.where(F.col("rn") == _BOOT_B - 1).select(
-        F.col("m").alias("ci_hi")
-    )
+    # ONE aggregation over the 64 replicate means yields the order
+    # statistics AND the SE moments (round 15: the previous
+    # window+filter+filter+agg shape referenced `means` from four
+    # sibling subtrees, and Catalyst planned the ×B explode+aggregate
+    # THREE times — 4 parquet scans / 3 Generate nodes in the physical
+    # plan, 4.8 s executed at sf0.1 for a query whose post-aggregate
+    # state is 64 rows; guide §1.2 "don't compute things you throw
+    # away" / §2.4 duplicated subtrees).  collect_list+array_sort over
+    # (m, b) structs reproduces the row_number(ORDER BY m, b) ranking
+    # exactly — struct ordering is lexicographic by field position —
+    # so element_at(.., 2) / element_at(.., B-1) ARE rank 2 / rank B-1,
+    # and the aggregate stays aggregate-sized (B=64 structs).
+    #
     # sm2 folds round(m*m, 6) as a double cast to DECIMAL(38,6) — the
     # round-then-DECIMAL-fold pattern from emb_whitening.  A raw
     # DECIMAL(38,6)*DECIMAL(38,6) product is the documented cross-engine
@@ -169,7 +184,10 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> SDF:
     # divergence sat below the 6dp rounding).  Rounding the IEEE double
     # product to 6dp BEFORE the decimal cast makes both engines fold the
     # exact same decimals by construction (r7 ADVICE).
+    ms = F.array_sort(F.collect_list(F.struct("m", "b")))
     spread = means.agg(
+        F.element_at(ms, 2)["m"].alias("ci_lo"),
+        F.element_at(ms, _BOOT_B - 1)["m"].alias("ci_hi"),
         F.sum(F.col("m").cast("decimal(38,6)")).alias("sm"),
         F.sum(F.round(F.col("m") * F.col("m"), 6).cast("decimal(38,6)")).alias(
             "sm2"
@@ -185,9 +203,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> SDF:
     )
     b = float(_BOOT_B)
     return (
-        pt.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
-        .crossJoin(F.broadcast(spread))
+        pt.crossJoin(F.broadcast(spread))
         .select(
             "point_est",
             "n_rows",

@@ -96,10 +96,6 @@ INVENTORY = {
         "two sites: cumsum and argmax over the DAILY rollup "
         "(localCheckpointed, days-cardinality)",
     ),
-    ("tier8.py", "stats_bootstrap_ci"): (
-        "aggregate-sized",
-        "rank over the 64 replicate means",
-    ),
     ("tier8.py", "stats_seasonal_decompose"): (
         "aggregate-sized",
         "+-3-day rolling mean over the DAILY rollup",
@@ -546,7 +542,7 @@ def test_aggregate_sized_windows_take_aggregate_input(spark, qid):
         # (partition columns print bare).  Exchange-based detection is
         # unreliable: AQE can satisfy AllTuples by coalescing a hash
         # exchange to one partition instead of inserting
-        # Exchange SinglePartition (stats_bootstrap_ci does).
+        # Exchange SinglePartition.
         if not _is_global_window(ents[i][1]):
             continue
         checked += 1
