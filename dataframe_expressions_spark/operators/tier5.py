@@ -729,28 +729,60 @@ def grouped_map_pandas(spark: SparkSession, sf_dir: str) -> SDF:
         "user_id", epoch_us("ts").alias("t")
     )
 
+    # SALT-BUCKETED grouped map (round 15): grouping by raw user_id
+    # shipped ~1500 one-user pandas frames per executor — ~2.5 ms of
+    # frame-construction overhead per group dominated the stage (3.8 s
+    # at sf0.1 for 100k rows; guide §4.2: hand WHOLE BATCHES to
+    # vectorized code).  The group key is now a deterministic hash
+    # bucket of user_id (SPARK-38388-safe — no rand()), sized to the
+    # cluster so each applyInPandas call sees many users and the
+    # per-user logic runs as ONE C-speed pandas groupby.  The operative
+    # 100 TB constraint improves too: a TASK now holds corpus/N_BUCKETS
+    # rows instead of needing every single user to be small, and
+    # N_BUCKETS scales with the cluster's parallelism.
+    n_buckets = spark.sparkContext.defaultParallelism * 8
+
     def gap_stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        t = pdf["t"].sort_values().to_numpy()
-        if len(t) < 2:
+        if pdf.empty:
             return pd.DataFrame(
                 columns=["user_id", "n_events", "span_us",
                          "max_gap_us", "min_gap_us"]
             )
-        gaps = t[1:] - t[:-1]
-        return pd.DataFrame(
+        pdf = pdf.sort_values(["user_id", "t"], kind="mergesort")
+        uid = pdf["user_id"]
+        g = pdf.groupby("user_id", sort=False, dropna=False)["t"]
+        gaps = pdf["t"].diff()
+        gaps[uid.ne(uid.shift())] = None
+        gg = gaps.groupby(uid.to_numpy(), sort=False)
+        out = pd.DataFrame(
             {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(t)],
-                "span_us": [int(t[-1] - t[0])],
-                "max_gap_us": [int(gaps.max())],
-                "min_gap_us": [int(gaps.min())],
+                "n_events": g.size(),
+                "span_us": g.max() - g.min(),
+                "max_gap_us": gg.max(),
+                "min_gap_us": gg.min(),
             }
         )
+        out = out[out["n_events"] >= 2].reset_index(names="user_id")
+        return out.astype("int64")[
+            ["user_id", "n_events", "span_us", "max_gap_us", "min_gap_us"]
+        ]
 
-    return ev.groupBy("user_id").applyInPandas(
-        gap_stats,
-        schema="user_id long, n_events long, span_us long, "
-        "max_gap_us long, min_gap_us long",
+    # Explicit repartition on the bucket key: AQE coalesces this tiny
+    # shuffle to ONE post-shuffle partition, which serializes every
+    # pandas group through a single worker; a user-specified
+    # repartition pins the width, and the groupBy on the same key
+    # reuses the partitioning (ClusteredDistribution satisfied — one
+    # exchange total, guide §2.4).
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
+    width = spark.sparkContext.defaultParallelism
+    return (
+        ev.repartition(width, bucket)
+        .groupBy(bucket)
+        .applyInPandas(
+            gap_stats,
+            schema="user_id long, n_events long, span_us long, "
+            "max_gap_us long, min_gap_us long",
+        )
     )
 
 
@@ -779,7 +811,6 @@ def cogrouped_asof_pandas(spark: SparkSession, sf_dir: str) -> SDF:
     hash shuffle on user_id for both sides, Arrow-batched; each user's
     two frames meet in memory — state bounded per key, never global.
     Purchases with no preceding view are dropped (inner as-of)."""
-    import numpy as np
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
@@ -790,28 +821,48 @@ def cogrouped_asof_pandas(spark: SparkSession, sf_dir: str) -> SDF:
         "user_id", epoch_us("ts").alias("vt")
     )
 
+    # SALT-BUCKETED cogroup (round 15, the grouped_map_pandas change's
+    # two-input twin): cogrouping on raw user_id paid the per-group
+    # Arrow/pandas frame overhead ~1500 times per side (3.8 s at
+    # sf0.1); both sides now cogroup on the same deterministic hash
+    # bucket of user_id, so each call sees many users and the per-user
+    # as-of merge runs as ONE vectorized pandas merge_asof(by=user_id)
+    # — C-speed, identical inner-asof semantics (backward search,
+    # exact matches allowed, no-view buys dropped).  State per task is
+    # corpus/N_BUCKETS instead of one user's history; N_BUCKETS scales
+    # with cluster parallelism.
+    n_buckets = spark.sparkContext.defaultParallelism * 8
+
     def asof(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        cols = ["user_id", "event_id", "buy_t", "last_view_t"]
         if left.empty or right.empty:
-            return pd.DataFrame(
-                columns=["user_id", "event_id", "buy_t", "last_view_t"]
-            )
-        vt = np.sort(right["vt"].to_numpy())
-        bt = left["bt"].to_numpy()
-        # index of the last view at-or-before each buy; 0 → no such view
-        idx = np.searchsorted(vt, bt, side="right")
-        keep = idx > 0
+            return pd.DataFrame(columns=cols)
+        merged = pd.merge_asof(
+            left.sort_values("bt", kind="mergesort"),
+            right.sort_values("vt", kind="mergesort"),
+            left_on="bt",
+            right_on="vt",
+            by="user_id",
+            direction="backward",
+        ).dropna(subset=["vt"])
         return pd.DataFrame(
             {
-                "user_id": left["user_id"].to_numpy()[keep],
-                "event_id": left["event_id"].to_numpy()[keep],
-                "buy_t": bt[keep],
-                "last_view_t": vt[idx[keep] - 1],
+                "user_id": merged["user_id"].astype("int64"),
+                "event_id": merged["event_id"].astype("int64"),
+                "buy_t": merged["bt"].astype("int64"),
+                "last_view_t": merged["vt"].astype("int64"),
             }
         )
 
+    # Explicit repartition on the bucket key (see grouped_map_pandas):
+    # AQE otherwise coalesces the tiny cogroup shuffles to one
+    # partition and serializes the pandas stage through one worker.
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
+    width = spark.sparkContext.defaultParallelism
     return (
-        buys.groupBy("user_id")
-        .cogroup(views.groupBy("user_id"))
+        buys.repartition(width, bucket)
+        .groupBy(bucket)
+        .cogroup(views.repartition(width, bucket).groupBy(bucket))
         .applyInPandas(
             asof,
             schema="user_id long, event_id long, buy_t long, last_view_t long",
@@ -3639,21 +3690,32 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> SDF:
         )
     ).localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nn = F.broadcast(deg.agg(F.count(F.lit(1)).cast("double").alias("n")))
     # Size the loop's shuffle width to the EDGE list (same formula family
-    # as connected_components) and PIN it with explicit repartitions:
-    # left to AQE, the small-bytes shuffle coalesces the whole
-    # join+DECIMAL-fold iteration into ONE task (measured 4-6 s/round at
-    # sf0.1 vs <1 s at 8-way).  The (src, dst, d) relation is
-    # materialized once — the checkpoint keeps its hash partitioning, so
-    # each round shuffles only the O(nodes) rank table, never the edges.
+    # as connected_components): left to AQE, the small-bytes shuffle
+    # coalesces the whole join+DECIMAL-fold iteration into ONE task
+    # (measured 4-6 s/round at sf0.1 vs <1 s at 8-way).  The
+    # (src, dst, d) relation is materialized ONCE — the checkpoint keeps
+    # its hash partitioning, so each round shuffles only the O(nodes)
+    # rank table, never the edges.
     n_edges = e.count()
     parts = max(8, min(200, int(n_edges // 250_000) + 1))
-    r = deg.crossJoin(nn).select(
-        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r")
-    ).localCheckpoint(eager=True)
     ed = (
         e.join(deg, "src").repartition(parts, "src").localCheckpoint(eager=True)
+    )
+    nn = F.broadcast(
+        ed.agg(F.count_distinct(F.col("src")).cast("double").alias("n"))
+    )
+    # node degree table (nodes-sized), checkpointed once: each round's
+    # rank build re-attaches the node's out-degree so the DECIMAL
+    # contribution r/d is cast ONCE PER NODE on the broadcast side —
+    # the per-EDGE divide+cast-to-decimal(38,18) was the loop's hot
+    # per-task work (guide §2.3 narrow what flows per row; same cast on
+    # the same double → identical decimals, identical per-dst fold).
+    dnodes = ed.select("src", "d").distinct().localCheckpoint(eager=True)
+    r = dnodes.crossJoin(nn).select(
+        F.col("src").alias("node"),
+        (F.lit(1.0) / F.col("n")).alias("r"),
+        F.col("d"),
     )
     for _ in range(3):
         # ranks are O(nodes) — orders of magnitude below the edge list —
@@ -3662,23 +3724,34 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> SDF:
         # (SortMergeJoin re-sorted 1.2M edges every round: 3× slower).
         # At billion-node scale flip this to the co-partitioned shuffle
         # join on src; the edge partitioning is already pinned for it.
+        # No per-iteration localCheckpoint/repartition (round 15): each
+        # rank table is referenced exactly ONCE (the next round's
+        # broadcast build), so the 3-round lineage is a linear chain —
+        # every broadcast subtree executes once and the three
+        # eager-checkpoint driver round-trips plus three O(nodes)
+        # shuffles were pure overhead (guide §2.4 remove shuffles
+        # outright; rank determinism is unaffected — the per-dst fold
+        # stays DECIMAL(38,18)).  At hundreds of iterations, re-insert
+        # a lineage cut every ~20 rounds the way connected_components
+        # does.
+        rc = r.select(
+            "node", (F.col("r") / F.col("d")).cast("decimal(38,18)").alias("c")
+        )
         s = (
-            ed.join(F.broadcast(r), ed.src == F.col("node"))
+            ed.select("src", "dst")
+            .join(F.broadcast(rc), F.col("src") == F.col("node"))
             .groupBy("dst")
-            .agg(
-                F.sum((F.col("r") / F.col("d")).cast("decimal(38,18)"))
-                .cast("double")
-                .alias("s")
-            )
+            .agg(F.sum("c").cast("double").alias("s"))
         )
         r = (
             s.crossJoin(nn)
+            .join(F.broadcast(dnodes), s.dst == dnodes.src)
             .select(
                 F.col("dst").alias("node"),
-                (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s")).alias("r"),
+                (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s"))
+                .alias("r"),
+                F.col("d"),
             )
-            .repartition(parts, "node")
-            .localCheckpoint(eager=True)
         )
     return (
         r.orderBy(F.desc("r"), "node")

@@ -4572,28 +4572,39 @@ def dedup_band_calibration(spark: SparkSession, sf_dir: str) -> SDF:
             % _CAL_P,
         )
     )
-    shs = (
+    lanes = F.sequence(F.lit(0), F.lit(_CAL_LANES - 1))
+    init = F.array_repeat(F.lit(_CAL_P).cast("long"), _CAL_LANES)
+
+    def sig_of(sh):
+        return F.aggregate(
+            sh,
+            init,
+            lambda acc, h: F.zip_with(
+                acc,
+                lanes,
+                lambda m, i: F.least(
+                    m,
+                    ((2 * i.cast("long") + 1) * h
+                     + i.cast("long") * i.cast("long"))
+                    % _CAL_P,
+                ),
+            ),
+        )
+
+    # ONE checkpoint carrying BOTH the shingle sets (the verify's input)
+    # and the folded signature (round 15: shs and sigs were two eager
+    # checkpoints = two blocking actions over the same corpus pass; the
+    # signature fold is a per-row map over sh, so staging it in the same
+    # pass costs nothing extra and halves the driver round-trips).
+    base = (
         D.spread(th)
         .where(n >= 3)
         .select("id", shingle.alias("sh"))
+        .withColumn("sig", sig_of(F.col("sh")))
         .localCheckpoint(eager=True)
     )
-    lanes = F.sequence(F.lit(0), F.lit(_CAL_LANES - 1))
-    init = F.array_repeat(F.lit(_CAL_P).cast("long"), _CAL_LANES)
-    sig = F.aggregate(
-        F.col("sh"),
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            lanes,
-            lambda m, i: F.least(
-                m,
-                ((2 * i.cast("long") + 1) * h + i.cast("long") * i.cast("long"))
-                % _CAL_P,
-            ),
-        ),
-    )
-    sigs = shs.select("id", sig.alias("sig")).localCheckpoint(eager=True)
+    shs = base.select("id", "sh")
+    sigs = base.select("id", "sig")
 
     def band_buckets(bands: int, rows: int):
         cols = []
@@ -4604,26 +4615,39 @@ def dedup_band_calibration(spark: SparkSession, sf_dir: str) -> SDF:
             cols.append(acc)
         return F.array(*cols)
 
-    cands = []
-    for bands, rws in _CAL_CONFIGS:
-        banded = sigs.select(
-            "id", F.posexplode(band_buckets(bands, rws)).alias("band", "bucket")
+    # ONE banded self-join for all three configurations (round 15): the
+    # per-config loop ran three (band, bucket) self-joins, each behind
+    # its own eager checkpoint — three blocking driver actions and three
+    # shuffles where one suffices (guide §2.4 share one exchange).  The
+    # three banded representations union with a config id and self-join
+    # on (cfg, band, bucket); per-config candidate sets are identical to
+    # the per-config joins because cfg is part of the equi-key.
+    def _tag(ci: int):
+        return lambda v, idx: F.struct(
+            F.lit(ci).alias("cfg"),
+            idx.alias("band"),
+            v.alias("bucket"),
         )
-        left = banded.select("band", "bucket", F.col("id").alias("a"))
-        right = banded.select("band", "bucket", F.col("id").alias("b"))
-        cands.append(
-            left.join(right, ["band", "bucket"])
-            .where(F.col("a") < F.col("b"))
-            .select("a", "b")
-            .dropDuplicates(["a", "b"])
-            .localCheckpoint(eager=True)
-        )
-    pool = (
-        cands[0]
-        .unionAll(cands[1])
-        .unionAll(cands[2])
-        .dropDuplicates(["a", "b"])
+
+    all_bands = F.concat(
+        *[
+            F.transform(band_buckets(bands, rws), _tag(ci))
+            for ci, (bands, rws) in enumerate(_CAL_CONFIGS)
+        ]
     )
+    banded = sigs.select(
+        "id", F.explode(all_bands).alias("bb")
+    ).select("id", "bb.cfg", "bb.band", "bb.bucket")
+    left = banded.select("cfg", "band", "bucket", F.col("id").alias("a"))
+    right = banded.select("cfg", "band", "bucket", F.col("id").alias("b"))
+    cands = (
+        left.join(right, ["cfg", "band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("cfg", "a", "b")
+        .dropDuplicates(["cfg", "a", "b"])
+        .localCheckpoint(eager=True)
+    )
+    pool = cands.select("a", "b").dropDuplicates(["a", "b"])
     ver = (
         pool.join(
             shs.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a"
@@ -4633,24 +4657,45 @@ def dedup_band_calibration(spark: SparkSession, sf_dir: str) -> SDF:
         .select("a", "b")
         .localCheckpoint(eager=True)
     )
-    out = []
-    for (bands, rws), c in zip(_CAL_CONFIGS, cands):
-        nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        nv = ver.join(c, ["a", "b"], "left_semi").agg(
-            F.count(F.lit(1)).cast("long").alias("n_verified")
-        )
-        nm = ver.join(c, ["a", "b"], "left_anti").agg(
-            F.count(F.lit(1)).cast("long").alias("n_missed")
-        )
-        out.append(
-            nc.crossJoin(nv)
-            .crossJoin(nm)
-            .select(
-                F.lit(bands).cast("int").alias("bands"),
-                F.lit(rws).cast("int").alias("rows_per_band"),
-                "n_candidates",
-                "n_verified",
-                "n_missed",
+    # Counts per config in GROUPED aggregates over the one candidate
+    # table instead of nine scalar-aggregate subplans: n_missed is
+    # |ver| − |ver ∩ cand_cfg| (ver ⊆ pool by construction, so the old
+    # left_anti count equals the difference), which prices the recall
+    # gap without an anti-join per config.
+    nc = cands.groupBy("cfg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    nv = (
+        cands.join(ver, ["a", "b"])
+        .groupBy("cfg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+    )
+    nver = ver.agg(F.count(F.lit(1)).cast("long").alias("n_ver_total"))
+    bands_of = {ci: b for ci, (b, _) in enumerate(_CAL_CONFIGS)}
+    rows_of = {ci: r for ci, (_, r) in enumerate(_CAL_CONFIGS)}
+
+    def _map_lit(m):
+        expr = None
+        for k, v in m.items():
+            expr = (
+                F.when(F.col("cfg") == k, F.lit(v))
+                if expr is None
+                else expr.when(F.col("cfg") == k, F.lit(v))
             )
+        return expr
+
+    return (
+        nc.join(nv, "cfg", "left")
+        .crossJoin(F.broadcast(nver))
+        .select(
+            _map_lit(bands_of).cast("int").alias("bands"),
+            _map_lit(rows_of).cast("int").alias("rows_per_band"),
+            "n_candidates",
+            F.coalesce(F.col("n_verified"), F.lit(0)).cast("long")
+            .alias("n_verified"),
+            (
+                F.col("n_ver_total")
+                - F.coalesce(F.col("n_verified"), F.lit(0))
+            ).cast("long").alias("n_missed"),
         )
-    return out[0].unionAll(out[1]).unionAll(out[2])
+    )
