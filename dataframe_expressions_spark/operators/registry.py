@@ -70,6 +70,8 @@ PANDAS_PLAN_IDS: frozenset = frozenset({
     "udtf_sentence_split",
     "mapinarrow_token_stats",
     "text_quality_model",  # broadcast-weight Arrow scorer — MapInArrow by design
+    "emb_knn_graph",  # per-cell pair scoring — FlatMapGroupsInPandas
+    # with an exactness-preserving sequential-fold numpy kernel (r15)
     "rank_mmr",  # greedy MMR over the 20-row pre-rounded pool — one
     # FlatMapGroupsInPandas group by design (the sequential argmax chain
     # is inherently iterative; all heavy work is JVM-side)

@@ -2469,11 +2469,12 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> SDF:
     answer per-QUERY probes; this materializes the all-corpus graph.
 
     Scale: the pair generation is the SemDeDup bound — Σ|cell|² inside
-    label cells via one equi-join on the cell id, never corpus² — and
-    the per-vector top-k is a partitioned WindowGroupLimit (no global
-    sort).  Centroids are the DECIMAL-folded label means broadcast from
-    emb_centroid, so cell assignment and the emitted edges mirror
-    exactly in DuckDB."""
+    label cells, never corpus² — with each cell's vectors meeting in
+    one Arrow cogrouped batch whose pair matrix folds in C (see the
+    in-function exactness note), and the per-vector top-k is a
+    partitioned WindowGroupLimit (no global sort).  Centroids are the
+    DECIMAL-folded label means broadcast from emb_centroid, so cell
+    assignment and the emitted edges mirror exactly in DuckDB."""
     from ..functions import similarity as S
     from .tier3 import emb_centroid
 
@@ -2491,28 +2492,69 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> SDF:
         F.col("vec_id").alias("vid"),
         F.col("embedding").cast("array<double>").alias("vvec"),
     )
-    a = S.ivf_assign(x, cent).withColumn(
-        "nrm", F.sqrt(S.dot(F.col("vvec"), F.col("vvec")))
-    )
-    lhs = a.select(
-        F.col("vid").alias("src"), F.col("vvec").alias("lv"),
-        F.col("nrm").alias("ln"), "cell",
-    )
-    rhs = a.select(
-        F.col("vid").alias("dst"), F.col("vvec").alias("rv"),
-        F.col("nrm").alias("rn"), "cell",
-    )
-    p = (
-        lhs.join(rhs, "cell")
-        .where(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.round(
-                S.dot(F.col("lv"), F.col("rv")) / (F.col("ln") * F.col("rn")),
-                4,
-            ).alias("sim"),
+    a = S.ivf_assign(x, cent)
+
+    # Per-cell pair scoring vectorized through Arrow (round 15): the
+    # JVM cell self-join evaluated the zip_with+aggregate dot lambda
+    # interpretively per pair — Σ|cell|² ≈ 400k pairs × 64 dims ≈ 26M
+    # boxed lambda steps, ~5 s at sf0.1 (HOFs are CodegenFallback).
+    # Each cell's vectors now meet in ONE applyInPandas group and the
+    # pair matrix folds dimension-by-dimension in C (guide §4.2).
+    # EXACTNESS: the k-loop accumulates S += v[:,k]·v[:,k]ᵀ in
+    # ascending-dimension order with left association — bit-identical
+    # to the sequential aggregate fold (and DuckDB's
+    # list_inner_product); norms replay the same fold + sqrt; the
+    # divide dot/(nrm·nrm) uses the same operand order.  Rounding and
+    # the per-src top-3 WindowGroupLimit stay JVM-side, so the emitted
+    # sim values hit the same HALF_UP decimal rounding as before.
+    # Scale: the group is a CELL (the SemDeDup Σ|cell|² bound — the
+    # design constraint this operator always had); the row-block loop
+    # bounds per-task memory at 256×|cell| doubles.
+    import numpy as np
+    import pandas as pd
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=["src", "dst", "sim"]).astype(
+                {"src": "int64", "dst": "int64", "sim": "float64"}
+            )
+        vid = pdf["vid"].to_numpy()
+        A = np.stack(pdf["vvec"].to_numpy())  # (n, d)
+        d = A.shape[1]
+        # sequential left-fold norm: same order as aggregate(zip_with)
+        acc = np.zeros(n)
+        for k in range(d):
+            acc = acc + A[:, k] * A[:, k]
+        nrm = np.sqrt(acc)
+        out_src, out_dst, out_sim = [], [], []
+        for lo in range(0, n, 256):
+            hi = min(lo + 256, n)
+            S_blk = np.zeros((hi - lo, n))
+            for k in range(d):
+                S_blk = S_blk + np.outer(A[lo:hi, k], A[:, k])
+            sim = S_blk / np.outer(nrm[lo:hi], nrm)
+            src_idx, dst_idx = np.nonzero(
+                vid[lo:hi, None] != vid[None, :]
+            )
+            out_src.append(vid[lo + src_idx])
+            out_dst.append(vid[dst_idx])
+            out_sim.append(sim[src_idx, dst_idx])
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(out_src),
+                "dst": np.concatenate(out_dst),
+                "sim": np.concatenate(out_sim),
+            }
         )
+
+    width = spark.sparkContext.defaultParallelism
+    p = (
+        a.select("vid", "cell", "vvec")
+        .repartition(width, "cell")
+        .groupBy("cell")
+        .applyInPandas(cell_pairs, schema="src long, dst long, sim double")
+        .select("src", "dst", F.round("sim", 4).alias("sim"))
     )
     wr = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     return (
@@ -4150,17 +4192,15 @@ def text_token_bpe_merge(spark: SparkSession, sf_dir: str) -> SDF:
 
     The classic trainer trick makes this lake-scale: merges are learned
     over the WORD-FREQUENCY table, not the corpus — the corpus is
-    touched once (tokenize → explode → groupBy word), and every round
-    thereafter shuffles only vocabulary-sized data (Heaps'-law bounded,
-    ~|vocab| rows of (sequence, weight)).  Each round is one
-    pair-explode + groupBy + global top-1 (TakeOrderedAndProject) and
-    one broadcast-join replace; sequences re-checkpoint per round so
-    plans stay flat (the kmeans_lloyd/pagerank loop discipline).  The
-    merge application is a single JVM string replace per word: symbol
-    sequences ride as ␟-wrapped strings (see _BPE_SEP) so greedy
-    non-overlapping BPE application is literal-string replace — no
-    per-symbol array churn, and DuckDB mirrors it with the identical
-    replace call."""
+    touched once (tokenize → explode → groupBy word), and the k-round
+    merge loop then runs over the collected vocabulary (Heaps'-law
+    bounded, sub-linear in corpus size) exactly the way production BPE
+    trainers are architected: distributed count, local merge loop (see
+    _bpe_learn's round-15 note).  The merge application is a single
+    string replace per word: symbol sequences ride as ␟-wrapped strings
+    (see _BPE_SEP) so greedy non-overlapping BPE application is
+    literal-string replace — no per-symbol array churn, and DuckDB
+    mirrors it with the identical replace call."""
     _, out = _bpe_learn(spark, sf_dir)
     res = out[0]
     for df in out[1:]:
@@ -4173,7 +4213,25 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
     for the algorithm and scale argument).  Returns (final word-sequence
     table after all merges, per-step merge-row DataFrames) so the
     trainer (text_token_bpe_merge) and the applier
-    (text_token_bpe_apply) stay one implementation."""
+    (text_token_bpe_apply) stay one implementation.
+
+    ROUND-15 architecture note: the merge loop itself now runs LOCALLY
+    over the collected word-frequency table — the standard production
+    BPE trainer split (distributed corpus count, single-process merge
+    loop over the vocabulary).  The pre-r15 shape ran each round as
+    Spark jobs (pair-explode aggregate + TakeOrdered + two eager
+    checkpoints); with a Heaps'-bounded vocabulary every one of those
+    ~16 driver round-trips moved kilobytes, and the loop cost was pure
+    job-scheduling latency (5.5 s across the two BPE ids at sf0.1 for
+    a 31-word vocabulary).  The collect is bounded by construction:
+    |vocab| rows of (word, n), sub-linear in corpus size — the same
+    boundedness argument the docstring always made for the per-round
+    shuffles, now priced at ONE transfer instead of 3 per round.  The
+    local loop replays the engine semantics exactly: pair counts are
+    integer sums, the arg-max tie-break is (pn DESC, l ASC, r ASC)
+    with codepoint string order (= UTF-8 binary order, both engines),
+    and the merge is the same greedy non-overlapping literal replace
+    on the ␟-wrapped sequence."""
     sep = F.lit(_BPE_SEP)
     docs = load_table(spark, sf_dir, "documents")
     words = (
@@ -4181,74 +4239,76 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    seqs = words.select(
-        "word",
-        F.array_join(
-            F.transform(F.split("word", ""), lambda c: F.concat(sep, c, sep)),
-            "",
-        ).alias("s"),
-        "n",
-    ).localCheckpoint(eager=True)
+    vocab = [
+        (r["word"], "".join(_BPE_SEP + c + _BPE_SEP for c in r["word"]),
+         int(r["n"]))
+        for r in words.collect()
+    ]
 
     out = []
+    steps = []
     for step in range(1, _BPE_MERGES + 1):
-        syms = F.split(
-            F.col("s").substr(F.lit(2), F.length("s") - 2),
-            _BPE_SEP + _BPE_SEP,
+        counts: dict = {}
+        for _, s, n in vocab:
+            syms = s[1:-1].split(_BPE_SEP + _BPE_SEP)
+            for i in range(len(syms) - 1):
+                pr = (syms[i], syms[i + 1])
+                counts[pr] = counts.get(pr, 0) + n
+        if not counts:
+            steps.append(None)
+            continue
+        (lft, rgt), pn = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
-        # guard single-symbol words: sequence(1, 0) would DESCEND
-        pair_arr = F.when(
-            F.size(syms) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(syms) - 1),
-                lambda i: F.struct(
-                    F.element_at(syms, i).alias("l"),
-                    F.element_at(syms, i + 1).alias("r"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-        top = (
-            seqs.select(F.explode(pair_arr).alias("pr"), "n")
-            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
-            .agg(F.sum("n").alias("pn"))
-            .orderBy(F.desc("pn"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .localCheckpoint(eager=True)
+        pat = _BPE_SEP + lft + _BPE_SEP + _BPE_SEP + rgt + _BPE_SEP
+        rep = _BPE_SEP + lft + rgt + _BPE_SEP
+        vocab = [(w, s.replace(pat, rep), n) for w, s, n in vocab]
+        n_syms = sum(
+            n * (len(s) - len(s.replace(_BPE_SEP, ""))) // 2
+            for _, s, n in vocab
         )
-        seqs = (
-            seqs.crossJoin(F.broadcast(top))
-            .select(
-                "word",
-                F.replace(
-                    F.col("s"),
-                    F.concat(sep, F.col("l"), sep, sep, F.col("r"), sep),
-                    F.concat(sep, F.col("l"), F.col("r"), sep),
-                ).alias("s"),
-                "n",
-            )
-            .localCheckpoint(eager=True)
-        )
-        n_syms = seqs.agg(
-            F.sum(
-                F.col("n")
-                * (
-                    F.length("s")
-                    - F.length(F.replace(F.col("s"), sep, F.lit("")))
+        steps.append((step, lft, rgt, pn, n_syms))
+    for st in steps:
+        if st is None:
+            out.append(
+                spark.range(0).select(
+                    F.lit(0).cast("int").alias("step"),
+                    F.lit("").alias("lft"),
+                    F.lit("").alias("rgt"),
+                    F.lit("").alias("merged"),
+                    F.lit(0).cast("long").alias("pair_n"),
+                    F.lit(0).cast("long").alias("corpus_symbols"),
                 )
-                / 2
             )
-            .cast("long")
-            .alias("corpus_symbols")
-        )
+            continue
+        step, lft, rgt, pn, n_syms = st
         out.append(
-            top.select(
+            spark.range(1).select(
                 F.lit(step).cast("int").alias("step"),
-                F.col("l").alias("lft"),
-                F.col("r").alias("rgt"),
-                F.concat("l", "r").alias("merged"),
-                F.col("pn").cast("long").alias("pair_n"),
-            ).crossJoin(n_syms)
+                F.lit(lft).alias("lft"),
+                F.lit(rgt).alias("rgt"),
+                F.lit(lft + rgt).alias("merged"),
+                F.lit(pn).cast("long").alias("pair_n"),
+                F.lit(n_syms).cast("long").alias("corpus_symbols"),
+            )
         )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    seqs = spark.createDataFrame(
+        vocab,
+        StructType(
+            [
+                StructField("word", StringType(), False),
+                StructField("s", StringType(), False),
+                StructField("n", LongType(), False),
+            ]
+        ),
+    )
     return seqs, out
 
 
