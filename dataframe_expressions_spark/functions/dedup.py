@@ -119,7 +119,10 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def hashed_shingle_sets(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_signature: int | None = None,
 ) -> DataFrame:
     """Distinct xxhash64 3-shingle sets per document: ``(id, sh)`` with
     ``sh: array<long>``, rows with empty sets dropped, eagerly
@@ -157,6 +160,14 @@ def hashed_shingle_sets(
         .otherwise(F.array().cast("array<long>"))
         .alias("sh"),
     ).where(F.size("sh") > 0)
+    if with_signature is not None:
+        # stage the minhash signature IN THE SAME checkpoint pass
+        # (round 15): the signature is a per-row fold over sh, so a
+        # caller that needs both (id, sh) for the verify and (id, sig)
+        # for the banding pays ONE eager action instead of two
+        sh = sh.withColumn(
+            "sig", minhash_signature(F.col("sh"), with_signature)
+        )
     return sh.localCheckpoint(eager=True)
 
 
@@ -210,18 +221,15 @@ def minhash_near_dup_pairs(
     else:
         rows = n_hashes // bands
     # shingle construction: see hashed_shingle_sets (shared, hash-set
-    # based, spread-materialized, eagerly checkpointed)
-    sh = hashed_shingle_sets(docs, id_col, text_col)
-    # Materialize the per-doc signature BEFORE banding: band_keys slices
-    # the signature 16 times and the candidate self-join consumes the
-    # banded plan on BOTH sides — an inline signature expression would be
-    # folded 16x per row and computed twice per join (the aggregate fold
-    # is opaque to Catalyst's slice-of-literal-array pruning, unlike the
-    # old per-lane array() form).  The signature table is tiny (one
-    # 32-long array per doc), so the checkpoint is ~free.
-    sigs = sh.select(
-        "id", minhash_signature(F.col("sh"), n_hashes).alias("sig")
-    ).localCheckpoint(eager=True)
+    # based, spread-materialized, eagerly checkpointed).  The minhash
+    # signature is materialized IN THE SAME checkpoint pass (the
+    # with_signature staging, round 15 — one eager action instead of
+    # two): band_keys slices the signature 16 times and the candidate
+    # self-join consumes the banded plan on BOTH sides, so the fold
+    # must sit behind a materialization barrier either way.
+    sh = hashed_shingle_sets(docs, id_col, text_col,
+                             with_signature=n_hashes)
+    sigs = sh.select("id", "sig")
     # banding/candidate generation carries ONLY (id, band, bucket) — the
     # shingle-hash arrays would otherwise ride the explode ×bands and the
     # dedup shuffle; they are re-joined just for the verify step

@@ -2397,14 +2397,23 @@ def agg_hll_audit(spark: SparkSession, sf_dir: str) -> SDF:
     implementation-defined and may legitimately change across Spark
     versions); the assertion IS the audit.
 
-    Scale: both sides are one shuffle — the exact distinct is the
-    expensive partial-distinct expand, the HLL side is the mergeable
-    sketch that replaces it at 100 TB; running them together is the
-    calibration pass that justifies the swap."""
+    Scale: TWO-PHASE — distinct (group, custkey) pairs first, then
+    count + sketch over the pairs (the agg_approx_distinct trick:
+    HyperLogLog is duplicate-insensitive, so the sketch over the
+    distinct pairs IS the sketch over the raw rows).  Spark's native
+    mixed distinct/non-distinct aggregate triples the input via Expand
+    before the shuffle (measured 1.6 s vs 0.55 s at sf0.1, round 15);
+    the pre-distinct shrinks the shuffle to the pair count AND keeps
+    both sides one plan."""
     orders = load_table(spark, sf_dir, "orders")
-    both = orders.groupBy("o_orderpriority").agg(
-        F.count_distinct("o_custkey").cast("bigint").alias("exact"),
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+    both = (
+        orders.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        )
     )
     # In-engine guard: a sketch >3x outside its rsd is a broken build.
     # The assertion rides the FILTER (assert_true yields NULL on
