@@ -72,6 +72,10 @@ PANDAS_PLAN_IDS: frozenset = frozenset({
     "text_quality_model",  # broadcast-weight Arrow scorer — MapInArrow by design
     "emb_knn_graph",  # per-cell pair scoring — FlatMapGroupsInPandas
     # with an exactness-preserving sequential-fold numpy kernel (r15)
+    "dedup_band_calibration",  # shingle/signature/band sketch — MapInArrow
+    # exact-int64 numpy replay of the portable minhash (r15)
+    "dedup_near_embedding",  # per-label pair cosine — FlatMapGroupsInPandas
+    # sequential-fold numpy kernel, r14 VERDICT item 3 planning fix (r15)
     "rank_mmr",  # greedy MMR over the 20-row pre-rounded pool — one
     # FlatMapGroupsInPandas group by design (the sequential argmax chain
     # is inherently iterative; all heavy work is JVM-side)

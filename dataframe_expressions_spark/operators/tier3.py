@@ -244,34 +244,65 @@ _COS = (
 )
 def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> SDF:
     """Exact near-dup pairs blocked by label (the class column plays the
-    IVF-cell role a clustering step would at scale)."""
-    emb = (
-        D.spread(load_table(spark, sf_dir, "embeddings"))
-        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
-        # norm ONCE per row, not once per pair: cosine(a,b) re-folds both
-        # self-dots for every candidate pair (3 full-dim folds, and the
-        # filter+project pair doubled it to 6); precomputing leaves ONE
-        # dot per pair — bit-identical (same fold order, same sqrt)
-        .withColumn("nrm", F.sqrt(S.dot(F.col("v"), F.col("v"))))
-        # a zero vector has no direction: drop it BEFORE pairing — under
-        # ANSI mode the 0/0 cosine otherwise kills the whole job on the
-        # first degenerate embedding (caught by the adversarial test)
-        .where(F.col("nrm") > 0)
+    IVF-cell role a clustering step would at scale).
+
+    Round 15 (r14 VERDICT item 3): the label-blocked self-join built a
+    nested-HOF cosine tree that the optimizer then DUPLICATED into the
+    pushed filter — ~0.8-1.0 s of driver-side Catalyst planning per call
+    (the executed jobs were ~0.5 s).  The per-label pair scoring now
+    runs through the same exactness-preserving applyInPandas kernel
+    shape as emb_knn_graph: the dot/norm fold accumulates
+    dimension-by-dimension in ascending order with left association
+    (bit-identical to aggregate(zip_with) and to DuckDB's
+    list_inner_product), sqrt/divide use the same operand order, the
+    zero-norm drop happens before pairing exactly as the JVM filter
+    did, and the >= 0.5 gate compares the same IEEE doubles.  Rounding
+    stays JVM-side.  The Catalyst tree shrinks to
+    scan -> repartition -> FlatMapGroupsInPandas -> project."""
+    import numpy as np
+    import pandas as pd
+
+    emb = D.spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = emb.select(
-        F.col("vec_id").alias("a"), F.col("label").alias("la"),
-        F.col("v").alias("va"), F.col("nrm").alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("b"), F.col("label").alias("lb"),
-        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
-    )
-    return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("a") < F.col("b")))
-        .withColumn(
-            "sim", S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+
+    def label_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(columns=["a", "b", "sim"]).astype(
+            {"a": "int64", "b": "int64", "sim": "float64"}
         )
-        .where(F.col("sim") >= 0.5)
+        vid = pdf["vec_id"].to_numpy()
+        A = np.stack(pdf["v"].to_numpy())
+        d = A.shape[1]
+        # sequential left-fold self-dot: same order as aggregate(zip_with)
+        acc = np.zeros(len(pdf))
+        for k in range(d):
+            acc = acc + A[:, k] * A[:, k]
+        nrm = np.sqrt(acc)
+        # zero vectors have no direction: drop BEFORE pairing (the old
+        # JVM filter; also keeps the 0/0 division out of the kernel)
+        keep = nrm > 0
+        vid, A, nrm = vid[keep], A[keep], nrm[keep]
+        n = len(vid)
+        if n < 2:
+            return empty
+        # pair legs ordered by vec_id so a < b matches the join predicate
+        order = np.argsort(vid, kind="stable")
+        vid, A, nrm = vid[order], A[order], nrm[order]
+        S_full = np.zeros((n, n))
+        for k in range(d):
+            S_full = S_full + np.outer(A[:, k], A[:, k])
+        sim = S_full / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(n, k=1)
+        pick = sim[ia, ib] >= 0.5
+        return pd.DataFrame(
+            {"a": vid[ia[pick]], "b": vid[ib[pick]], "sim": sim[ia, ib][pick]}
+        )
+
+    width = spark.sparkContext.defaultParallelism
+    return (
+        emb.repartition(width, "label")
+        .groupBy("label")
+        .applyInPandas(label_pairs, schema="a long, b long, sim double")
         .select("a", "b", F.round("sim", 4).alias("sim"))
     )
 

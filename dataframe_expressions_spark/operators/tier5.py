@@ -3679,31 +3679,39 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> SDF:
     double rank with a unique node tie-break; rounding happens after
     ranking."""
     lin = load_table(spark, sf_dir, "lineitem")
+    # The (s, p) projection is checkpointed (not the 2x-wider edge list):
+    # both edge directions derive from it narrowly, and the post-
+    # checkpoint count prices the loop's shuffle width without a second
+    # pass over lineitem (round 15 — the old shape materialized e, then
+    # aggregated degrees over it, then joined and REPARTITIONED it: two
+    # more edge-sized exchanges plus an extra eager checkpoint than the
+    # data needs).
     ps = lin.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     e = ps.select(
         F.col("s").alias("src"), (F.lit(1000000) + F.col("p")).alias("dst")
     ).unionAll(
         ps.select(
             (F.lit(1000000) + F.col("p")).alias("src"), F.col("s").alias("dst")
         )
-    ).localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    )
     # Size the loop's shuffle width to the EDGE list (same formula family
     # as connected_components): left to AQE, the small-bytes shuffle
     # coalesces the whole join+DECIMAL-fold iteration into ONE task
-    # (measured 4-6 s/round at sf0.1 vs <1 s at 8-way).  The
-    # (src, dst, d) relation is materialized ONCE — the checkpoint keeps
-    # its hash partitioning, so each round shuffles only the O(nodes)
-    # rank table, never the edges.
-    n_edges = e.count()
+    # (measured 4-6 s/round at sf0.1 vs <1 s at 8-way).
+    n_edges = 2 * ps.count()
     parts = max(8, min(200, int(n_edges // 250_000) + 1))
+    # Out-degree rides the SAME exchange that pins the loop's edge
+    # partitioning: count over a src-partitioned window instead of a
+    # separate degree aggregate + join (round 15, guide §2.4 — the old
+    # plan shuffled the edges once for deg, once for the join and once
+    # for the explicit repartition; this shuffles them exactly once and
+    # the checkpoint keeps the hash partitioning for every round).
     ed = (
-        e.join(deg, "src").repartition(parts, "src").localCheckpoint(eager=True)
-    )
-    nn = F.broadcast(
-        ed.agg(F.count_distinct(F.col("src")).cast("double").alias("n"))
+        e.repartition(parts, "src")
+        .withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src")))
+        .localCheckpoint(eager=True)
     )
     # node degree table (nodes-sized), checkpointed once: each round's
     # rank build re-attaches the node's out-degree so the DECIMAL
@@ -3712,6 +3720,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> SDF:
     # per-task work (guide §2.3 narrow what flows per row; same cast on
     # the same double → identical decimals, identical per-dst fold).
     dnodes = ed.select("src", "d").distinct().localCheckpoint(eager=True)
+    # |nodes| off the nodes-sized checkpoint, not a count_distinct pass
+    # over the full edge list (same value: dnodes is keyed by src).
+    nn = F.broadcast(
+        dnodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
     r = dnodes.crossJoin(nn).select(
         F.col("src").alias("node"),
         (F.lit(1.0) / F.col("n")).alias("r"),

@@ -4627,86 +4627,121 @@ def dedup_band_calibration(spark: SparkSession, sf_dir: str) -> SDF:
         "id", D.token_hashes(TX.tokens(F.col("text"))).alias("th")
     )
     n = F.size("th")
-    shingle = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: (
-                (
-                    F.element_at(F.col("th"), i) * 31
-                    + F.element_at(F.col("th"), i + 1)
+
+    # Shingle sets, 32-lane signature fold AND all 44 band buckets in ONE
+    # vectorized Arrow pass (round 15, guide §4.2): the HOF shape
+    # (transform over element_at triples, then aggregate+zip_with with a
+    # fresh 32-long accumulator per shingle, then 44 nested bucket folds
+    # built as a ~300-node Catalyst tree) is CodegenFallback — ~10M
+    # interpreted boxed steps plus ~0.5M array allocations at sf0.1, and
+    # the band expression tree alone cost ~1 s of driver analysis per
+    # call.  Every ingredient is exact int64 arithmetic on values < p
+    # (max intermediate 31·31·p ≈ 1e12, lane 63·p ≈ 6.3e10, bucket fold
+    # 131·p ≈ 1.3e11 — far inside both int64 and the JVM fold), so numpy
+    # replays it bit-for-bit; the shingle set is emitted SORTED-distinct
+    # (array_distinct kept first-occurrence order, but sh feeds only
+    # set-semantics consumers: the lane minimum and size(array_intersect)
+    # — both order-independent, verified by the unchanged oracle hash).
+    def _cal_sketch(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        p = _CAL_P
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("id")
+            thc = batch.column("th")
+            offs = thc.offsets.to_numpy(zero_copy_only=False)
+            vals = thc.values.to_numpy(zero_copy_only=False)
+            starts, ends = offs[:-1], offs[1:]
+            ntrip = (ends - starts - 2).astype(np.int64)  # all >= 1 (n >= 3)
+            nrows = len(ntrip)
+            tot = int(ntrip.sum())
+            doc_of = np.repeat(np.arange(nrows, dtype=np.int64), ntrip)
+            first = np.zeros(nrows, dtype=np.int64)
+            first[1:] = np.cumsum(ntrip)[:-1]
+            pos = (np.arange(tot, dtype=np.int64)
+                   - np.repeat(first, ntrip)
+                   + np.repeat(starts.astype(np.int64), ntrip))
+            sh_all = ((vals[pos] * 31 + vals[pos + 1]) * 31
+                      + vals[pos + 2]) % p
+            # distinct per doc: unique over (doc, shingle) keys — sorted,
+            # grouped by doc in ascending doc order
+            u = np.unique(doc_of * p + sh_all)
+            doc_u = u // p
+            sh_u = u % p
+            cnt = np.bincount(doc_u, minlength=nrows)
+            seg = np.zeros(nrows, dtype=np.int64)
+            seg[1:] = np.cumsum(cnt)[:-1]
+            sig = np.empty((nrows, _CAL_LANES), dtype=np.int64)
+            for i in range(_CAL_LANES):
+                sig[:, i] = np.minimum.reduceat(
+                    ((2 * i + 1) * sh_u + i * i) % p, seg
                 )
-                * 31
-                + F.element_at(F.col("th"), i + 2)
+            bk = np.empty((nrows, sum(b for b, _ in _CAL_CONFIGS)),
+                          dtype=np.int64)
+            col = 0
+            for bands, rows in _CAL_CONFIGS:
+                for b in range(bands):
+                    acc = np.zeros(nrows, dtype=np.int64)
+                    for k in range(rows):
+                        acc = (acc * 131 + sig[:, b * rows + k]) % p
+                    bk[:, col] = acc
+                    col += 1
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.ListArray.from_arrays(
+                        pa.array(np.concatenate(([0], np.cumsum(cnt))),
+                                 type=pa.int32()),
+                        pa.array(sh_u, type=pa.int64()),
+                    ),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(bk.reshape(-1), type=pa.int64()),
+                        bk.shape[1],
+                    ).cast(pa.list_(pa.int64())),
+                ],
+                names=["id", "sh", "bk"],
             )
-            % _CAL_P,
-        )
-    )
-    lanes = F.sequence(F.lit(0), F.lit(_CAL_LANES - 1))
-    init = F.array_repeat(F.lit(_CAL_P).cast("long"), _CAL_LANES)
 
-    def sig_of(sh):
-        return F.aggregate(
-            sh,
-            init,
-            lambda acc, h: F.zip_with(
-                acc,
-                lanes,
-                lambda m, i: F.least(
-                    m,
-                    ((2 * i.cast("long") + 1) * h
-                     + i.cast("long") * i.cast("long"))
-                    % _CAL_P,
-                ),
-            ),
-        )
-
-    # ONE checkpoint carrying BOTH the shingle sets (the verify's input)
-    # and the folded signature (round 15: shs and sigs were two eager
-    # checkpoints = two blocking actions over the same corpus pass; the
-    # signature fold is a per-row map over sh, so staging it in the same
-    # pass costs nothing extra and halves the driver round-trips).
+    # ONE checkpoint carrying the shingle sets (the verify's input) and
+    # the per-config band buckets; the signature never leaves the kernel.
     base = (
         D.spread(th)
         .where(n >= 3)
-        .select("id", shingle.alias("sh"))
-        .withColumn("sig", sig_of(F.col("sh")))
+        .mapInArrow(_cal_sketch, "id long, sh array<long>, bk array<long>")
         .localCheckpoint(eager=True)
     )
     shs = base.select("id", "sh")
-    sigs = base.select("id", "sig")
-
-    def band_buckets(bands: int, rows: int):
-        cols = []
-        for b in range(bands):
-            acc = F.lit(0).cast("long")
-            for k in range(rows):
-                acc = (acc * 131 + F.col("sig")[b * rows + k]) % _CAL_P
-            cols.append(acc)
-        return F.array(*cols)
 
     # ONE banded self-join for all three configurations (round 15): the
     # per-config loop ran three (band, bucket) self-joins, each behind
     # its own eager checkpoint — three blocking driver actions and three
     # shuffles where one suffices (guide §2.4 share one exchange).  The
-    # three banded representations union with a config id and self-join
-    # on (cfg, band, bucket); per-config candidate sets are identical to
-    # the per-config joins because cfg is part of the equi-key.
-    def _tag(ci: int):
-        return lambda v, idx: F.struct(
-            F.lit(ci).alias("cfg"),
-            idx.alias("band"),
-            v.alias("bucket"),
+    # flat bucket position maps back to (cfg, band) by the static config
+    # offsets; per-config candidate sets are identical to the per-config
+    # joins because cfg is part of the equi-key.
+    cfg_expr = None
+    band_expr = None
+    acc_off = 0
+    for ci, (bands, _rws) in enumerate(_CAL_CONFIGS):
+        upper = acc_off + bands
+        cond = F.col("pos") < upper
+        cfg_expr = (
+            F.when(cond, F.lit(ci))
+            if cfg_expr is None
+            else cfg_expr.when(cond, F.lit(ci))
         )
-
-    all_bands = F.concat(
-        *[
-            F.transform(band_buckets(bands, rws), _tag(ci))
-            for ci, (bands, rws) in enumerate(_CAL_CONFIGS)
-        ]
-    )
-    banded = sigs.select(
-        "id", F.explode(all_bands).alias("bb")
-    ).select("id", "bb.cfg", "bb.band", "bb.bucket")
+        band_expr = (
+            F.when(cond, F.col("pos") - F.lit(acc_off))
+            if band_expr is None
+            else band_expr.when(cond, F.col("pos") - F.lit(acc_off))
+        )
+        acc_off = upper
+    banded = base.select(
+        "id", F.posexplode("bk").alias("pos", "bucket")
+    ).select("id", cfg_expr.alias("cfg"), band_expr.alias("band"), "bucket")
     left = banded.select("cfg", "band", "bucket", F.col("id").alias("a"))
     right = banded.select("cfg", "band", "bucket", F.col("id").alias("b"))
     cands = (
@@ -4717,12 +4752,22 @@ def dedup_band_calibration(spark: SparkSession, sf_dir: str) -> SDF:
         .localCheckpoint(eager=True)
     )
     pool = cands.select("a", "b").dropDuplicates(["a", "b"])
+    # The verify only FILTERS at the threshold — the jaccard value is
+    # never emitted — and sh sets are distinct, so |union| =
+    # |a| + |b| − |inter| and  inter/union ≥ 1/2  ⟺  3·inter ≥ |a|+|b|:
+    # one array_intersect per pair instead of intersect + union hash-set
+    # builds, and an exact INTEGER comparison instead of a division
+    # (round 15 — the jaccard pass was ~40% of this query's build; the
+    # pool is ~162k pairs at sf0.1 because loose banding IS what the
+    # calibration prices).  Threshold generalization kept explicit:
+    # j ≥ t ⟺ (1+t)·inter ≥ t·(|a|+|b|) with t = 1/2 ⟹ 3·inter ≥ |a|+|b|.
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     ver = (
         pool.join(
             shs.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a"
         )
         .join(shs.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
-        .where(D.jaccard(F.col("sh_a"), F.col("sh_b")) >= _CAL_THRESHOLD)
+        .where(3 * inter >= F.size("sh_a") + F.size("sh_b"))
         .select("a", "b")
         .localCheckpoint(eager=True)
     )
