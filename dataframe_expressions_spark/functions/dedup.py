@@ -118,6 +118,50 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+def _np_xxh64():
+    """Vectorized numpy replay of Spark's XXH64 (seed 42): returns
+    (hash_long, hash_int, SEED) operating on uint64 arrays with wrapping
+    arithmetic.  BIT-FOR-BIT equality with F.xxhash64 over longs, ints
+    and element-chained arrays is pinned by
+    tests/test_dedup_kernels.py::test_numpy_xxh64_matches_spark."""
+    import numpy as np
+
+    u64 = np.uint64
+    P1, P2 = u64(0x9E3779B185EBCA87), u64(0xC2B2AE3D27D4EB4F)
+    P3, P4 = u64(0x165667B19E3779F9), u64(0x85EBCA77C2B2AE63)
+    P5, SEED = u64(0x27D4EB2F165667C5), u64(42)
+
+    def rotl(x, r):
+        r = u64(r)
+        return (x << r) | (x >> (u64(64) - r))
+
+    def fmix(h):
+        h ^= h >> u64(33)
+        h *= P2
+        h ^= h >> u64(29)
+        h *= P3
+        h ^= h >> u64(32)
+        return h
+
+    def hash_long(v, seed):
+        # uint64 wrap-around is the algorithm; silence numpy's overflow
+        # warnings so executor stderr stays clean under worker reuse
+        with np.errstate(over="ignore"):
+            h = seed + P5 + u64(8)
+            h ^= rotl(v * P2, 31) * P1
+            h = rotl(h, 27) * P1 + P4
+            return fmix(h)
+
+    def hash_int(v, seed):
+        with np.errstate(over="ignore"):
+            h = seed + P5 + u64(4)
+            h ^= u64(np.int64(v) & 0xFFFFFFFF) * P1
+            h = rotl(h, 23) * P2 + P3
+            return fmix(h)
+
+    return hash_long, hash_int, SEED
+
+
 def hashed_shingle_sets(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -145,29 +189,100 @@ def hashed_shingle_sets(
         F.col(id_col).alias("id"),
         F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("th"),
     )
-    n = F.size("th")
-    sh = spread(th).select(
-        "id",
-        F.when(
-            n >= 3,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n - 2),
-                    lambda i: F.xxhash64(F.slice(F.col("th"), i, 3)),
+    # Shingle hashing + the optional minhash fold run as ONE vectorized
+    # Arrow pass (round 15, guide §4.2): the HOF shape — one
+    # xxhash64(slice) per position, then aggregate+zip_with allocating a
+    # lane-array per shingle — is CodegenFallback (interpreted, boxed),
+    # and measured ~2 s per kernel call at sf0.1.  numpy replays Spark's
+    # XXH64 BIT-FOR-BIT (uint64 wrapping arithmetic; equality with
+    # F.xxhash64 over longs/ints/arrays is pinned by
+    # tests/test_dedup_kernels.py::test_numpy_xxh64_matches_spark), so
+    # shingle values, signature lanes and band keys are unchanged.  The
+    # per-token string hash stays JVM-side (one xxhash64 per token —
+    # variable-length UTF8 hashing is the one piece numpy can't
+    # vectorize cleanly) and rides the spread() exchange exactly as
+    # before.  The distinct shingle set is emitted SORTED (array_distinct
+    # kept first-occurrence order): sh feeds only set-semantics consumers
+    # — lane minima, size(array_intersect/union), band equi-keys — so
+    # every downstream value is identical, including against sh arrays
+    # persisted by the pre-r15 store builds.
+    sig_lanes = with_signature
+
+    def _sketch(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        hash_long, hash_int, SEED = _np_xxh64()
+
+        lane_seeds = (
+            [hash_int(i, SEED) for i in range(sig_lanes)] if sig_lanes else []
+        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("id")
+            thc = batch.column("th")
+            offs = thc.offsets.to_numpy(zero_copy_only=False)
+            vals = thc.values.to_numpy(zero_copy_only=False).view(np.uint64)
+            starts, ends = offs[:-1], offs[1:]
+            ntrip = (ends - starts - 2).astype(np.int64)  # all >= 1
+            nrows = len(ntrip)
+            tot = int(ntrip.sum())
+            doc_of = np.repeat(np.arange(nrows, dtype=np.int64), ntrip)
+            first = np.zeros(nrows, dtype=np.int64)
+            first[1:] = np.cumsum(ntrip)[:-1]
+            pos = (np.arange(tot, dtype=np.int64)
+                   - np.repeat(first, ntrip)
+                   + np.repeat(starts.astype(np.int64), ntrip))
+            # xxhash64(slice(th, i, 3)) = hashLong chained over the 3
+            # elements from seed 42 (Spark hashes arrays element-wise
+            # with the running hash)
+            h = hash_long(vals[pos], SEED)
+            h = hash_long(vals[pos + 1], h)
+            sh_all = hash_long(vals[pos + 2], h).view(np.int64)
+            # distinct per doc: lexsort + adjacent-dedupe (shingles span
+            # the full int64 range, so no scalar key-packing trick)
+            order = np.lexsort((sh_all, doc_of))
+            ds, ss = doc_of[order], sh_all[order]
+            keep = np.ones(len(ss), dtype=bool)
+            keep[1:] = (ds[1:] != ds[:-1]) | (ss[1:] != ss[:-1])
+            ds, ss = ds[keep], ss[keep]
+            cnt = np.bincount(ds, minlength=nrows)
+            seg = np.zeros(nrows, dtype=np.int64)
+            seg[1:] = np.cumsum(cnt)[:-1]
+            cols = [
+                ids,
+                pa.ListArray.from_arrays(
+                    pa.array(np.concatenate(([0], np.cumsum(cnt))),
+                             type=pa.int32()),
+                    pa.array(ss, type=pa.int64()),
+                ),
+            ]
+            names = ["id", "sh"]
+            if sig_lanes:
+                ss_u = ss.view(np.uint64)
+                sig = np.empty((nrows, sig_lanes), dtype=np.int64)
+                for i in range(sig_lanes):
+                    sig[:, i] = np.minimum.reduceat(
+                        hash_long(ss_u, lane_seeds[i]).view(np.int64), seg
+                    )
+                cols.append(
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(sig.reshape(-1), type=pa.int64()),
+                        sig_lanes,
+                    ).cast(pa.list_(pa.int64()))
                 )
-            ),
-        )
-        .otherwise(F.array().cast("array<long>"))
-        .alias("sh"),
-    ).where(F.size("sh") > 0)
-    if with_signature is not None:
-        # stage the minhash signature IN THE SAME checkpoint pass
-        # (round 15): the signature is a per-row fold over sh, so a
-        # caller that needs both (id, sh) for the verify and (id, sig)
-        # for the banding pays ONE eager action instead of two
-        sh = sh.withColumn(
-            "sig", minhash_signature(F.col("sh"), with_signature)
-        )
+                names.append("sig")
+            yield pa.record_batch(cols, names=names)
+
+    schema = "id long, sh array<long>" + (
+        ", sig array<long>" if sig_lanes else ""
+    )
+    sh = (
+        spread(th)
+        .where(F.size("th") >= 3)
+        .mapInArrow(_sketch, schema)
+    )
     return sh.localCheckpoint(eager=True)
 
 
@@ -402,7 +517,17 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("id"),
         token_hashes(tokens(F.col(text_col))).alias("hs"),
     )
-    with_hash = spread(hashed).select("id", _simhash_votes(F.col("hs")).alias("h"))
+    # Eager checkpoint (round 15): the chunk self-join consumes this
+    # frame on BOTH sides, and without a materialization barrier the
+    # whole upstream — spread, the interpreted rolling token-hash fold
+    # and the Arrow vote UDF — executed twice (plan showed two
+    # Exchange→ArrowEvalPython→Generate legs).  The (id, 8B) signature
+    # table materializes once; ~2x on the signature stage.
+    with_hash = (
+        spread(hashed)
+        .select("id", _simhash_votes(F.col("hs")).alias("h"))
+        .localCheckpoint(eager=True)
+    )
     chunks = with_hash.select(
         "id",
         "h",

@@ -76,6 +76,10 @@ PANDAS_PLAN_IDS: frozenset = frozenset({
     # exact-int64 numpy replay of the portable minhash (r15)
     "dedup_near_embedding",  # per-label pair cosine — FlatMapGroupsInPandas
     # sequential-fold numpy kernel, r14 VERDICT item 3 planning fix (r15)
+    "dsl_pipeline_near_dedup",  # live minhash kernel — MapInArrow
+    # (hashed_shingle_sets' exact-XXH64 numpy sketch pass, r15)
+    "dedup_incremental_minhash",  # batch-probe minhash kernel — MapInArrow
+    # (same sketch pass; the corpus side reads the parquet store)
     "rank_mmr",  # greedy MMR over the 20-row pre-rounded pool — one
     # FlatMapGroupsInPandas group by design (the sequential argmax chain
     # is inherently iterative; all heavy work is JVM-side)

@@ -318,10 +318,16 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> SDF:
     sketch computed over the distinct pairs is the SAME sketch as over
     the raw rows, so approx_count_distinct rides the second phase for
     free.  At 100 TB this is the difference between shuffling 3x the
-    fact table and shuffling its distinct keys."""
-    # single-row-group testdata scans serialize the partial-agg phase;
-    # spread() is a no-op on a properly-chunked lake (gated)
-    lin = spread(load_table(spark, sf_dir, "lineitem"))
+    fact table and shuffling its distinct keys.
+
+    Round 15: the spread() that parallelized the partial-agg phase cost
+    MORE than it saved here — a count-only partial aggregate collapses
+    600k rows to the ~60k distinct pairs inside the scan task for less
+    than the round-robin exchange of the full input costs (measured
+    1.2 s spread vs 0.49 s plain at sf0.1); on a real lake the scan
+    parallelizes by itself and the plain shape is exactly the map-side
+    partial-agg story the docstring describes."""
+    lin = load_table(spark, sf_dir, "lineitem")
     pairs = lin.groupBy("l_returnflag", "l_partkey").agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -2936,10 +2936,19 @@ def pipeline_multimodal_corpus(spark: SparkSession, sf_dir: str) -> SDF:
             lambda i: F.substring(F.col("img_bytes"), i * 64 + 1, F.lit(64)),
         ),
     ).otherwise(F.array().cast("array<binary>"))
-    ch = base.select("doc_id", F.explode(chunks).alias("chunk"))
+    # Ownership groups by the 8-byte xxhash64 chunk fingerprint, not the
+    # raw 64-byte binary chunk (round 15): the fingerprint is computed
+    # map-side inside the explode task, so the ownership shuffle carries
+    # (doc_id, 8B) — the multimodal_chunk_dedup / dedup_exact discipline
+    # this docstring already names as the production swap.  Grouping by
+    # hash equals grouping by value absent a 2^-64 collision (the same
+    # contract every fingerprint-keyed dedup id in this repo rides).
+    ch = base.select("doc_id", F.explode(chunks).alias("chunk")).select(
+        "doc_id", F.xxhash64("chunk").alias("ck")
+    )
     own = ch.withColumn(
         "dup",
-        F.min("doc_id").over(W.partitionBy("chunk")) < F.col("doc_id"),
+        F.min("doc_id").over(W.partitionBy("ck")) < F.col("doc_id"),
     )
     per = own.groupBy("doc_id").agg(
         (
@@ -2957,13 +2966,27 @@ def pipeline_multimodal_corpus(spark: SparkSession, sf_dir: str) -> SDF:
         "doc_id",
         ((F.col("width") >= 100) & (F.col("height") >= 100)).alias("meta_ok"),
     )
-    fl2 = fl.join(meta, "doc_id", "left").withColumn(
-        "k2", F.col("k1") & F.coalesce(F.col("meta_ok"), F.lit(False))
+    # Eager checkpoint (round 15): the frame-sample leg and the final
+    # flag join both consume fl2 — without a barrier the chunk-ownership
+    # window and the decode_meta Arrow stage executed twice.  The
+    # checkpoint carries ONLY the per-asset flags (8+8+3 bytes/row);
+    # the k2 survivors re-attach img_bytes from the base checkpoint
+    # rather than serializing the corpus binary a second time.
+    fl2 = (
+        fl.join(meta, "doc_id", "left")
+        .withColumn(
+            "k2", F.col("k1") & F.coalesce(F.col("meta_ok"), F.lit(False))
+        )
+        .select("doc_id", "n_bytes", "k1", "k2")
+        .localCheckpoint(eager=True)
     )
     # frame-sample only k2 survivors (real Arrow explode-shaped stage)
     frames = (
         MM.frame_sample(
-            fl2.where("k2").select("doc_id", "img_bytes"), every=128
+            fl2.where("k2").select("doc_id").join(
+                base.select("doc_id", "img_bytes"), "doc_id"
+            ),
+            every=128,
         )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("frames"))
@@ -3049,13 +3072,18 @@ def _incremental_sig_store(spark: SparkSession, sf_dir: str) -> str:
     sweep_stale_store_dirs(root, f"spark_graft_incsig_{key}_", out)
     if not os.path.exists(out):
         tmp = f"{out}.tmp{os.getpid()}"
+        # signature staged in the same Arrow kernel pass (round 15) —
+        # identical lane values to the standalone minhash_signature fold
         sh = D.hashed_shingle_sets(
             load_table(spark, sf_dir, "documents").where(
                 F.col("doc_id") % 20 != 0
-            )
+            ),
+            with_signature=32,
         )
-        sh.write.mode("overwrite").parquet(os.path.join(tmp, "sh"))
-        sigs = sh.select("id", D.minhash_signature(F.col("sh"), 32).alias("sig"))
+        sh.select("id", "sh").write.mode("overwrite").parquet(
+            os.path.join(tmp, "sh")
+        )
+        sigs = sh.select("id", "sig")
         sigs.select(
             "id", F.posexplode(D.band_keys(F.col("sig"), 32, 1)).alias(
                 "band", "bucket"
@@ -3127,14 +3155,18 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> SDF:
         F.col("id").alias("c"), F.col("sh").alias("csh")
     )
 
-    bsh = D.hashed_shingle_sets(
-        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
-    ).select(F.col("id").alias("b"), F.col("sh").alias("bsh"))
+    # batch signature staged in the same Arrow kernel pass (round 15) —
+    # identical lane values to the standalone minhash_signature fold
+    bsig = D.hashed_shingle_sets(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0),
+        with_signature=32,
+    )
+    bsh = bsig.select(F.col("id").alias("b"), F.col("sh").alias("bsh"))
 
-    bbands = bsh.select(
-        "b",
+    bbands = bsig.select(
+        F.col("id").alias("b"),
         F.posexplode(
-            D.band_keys(D.minhash_signature(F.col("bsh"), 32), 32, 1)
+            D.band_keys(F.col("sig"), 32, 1)
         ).alias("band", "bucket"),
     )
     cand = (

@@ -1254,12 +1254,17 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> SDF:
     ch = t.select(
         "doc_id", "source", F.explode(chunks).alias("c")
     ).select("doc_id", "source", F.col("c.chunk"), F.col("c.cnt"))
+    # Eager checkpoint (round 15): both the frequency aggregate and the
+    # flag join consume this frame — without a barrier the tokenize +
+    # chunk-slice + per-char interpreted fingerprint fold executed twice
+    # (plan showed two Scan→Generate→fingerprint legs).  The (doc_id,
+    # source, cnt, 8B f) table is chunk-count-sized and text-free.
     fp = ch.select(
         "doc_id",
         "source",
         "cnt",
         TX.char_fingerprint(F.col("chunk")).alias("f"),
-    )
+    ).localCheckpoint(eager=True)
     common = (
         fp.groupBy("f")
         .agg(F.countDistinct("doc_id").alias("nd"))
