@@ -958,7 +958,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> SDF:
     ranked BEFORE rounding with a unique (score DESC, term) tie-break."""
     docs = D.spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Eager checkpoint (round 15): df and the score join both consume
+    # tf, and without a barrier each leg re-ran the tokenize + explode
+    # + first shuffle (before plan: 2× Scan→Generate→HashAggregate).
+    # The (doc_id, term, tf) table is post-aggregation — distinct
+    # doc-term pairs, far narrower than the raw token explosion.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
     s = tf.join(df, "term").crossJoin(n).select(

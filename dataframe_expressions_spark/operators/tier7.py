@@ -93,7 +93,16 @@ def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> SDF:
     """Per-doc BM25 score frame (doc_id, score) — the Spark twin of
     ``_BM25_AGG_SQL``, shared by rank_bm25 and rank_fusion_hybrid."""
     docs = D.spread(load_table(spark, sf_dir, "documents"))
-    d = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    # Eager checkpoint (round 15): doc-length, corpus stats, the
+    # query-term postings and the document-frequency broadcast all
+    # derive from this tokenize pass, and without a barrier the regex
+    # tokenizer ran four times (before plan: 4 Scan→tokens legs).  The
+    # A/B also tried checkpointing only the two narrow derived tables
+    # (dl, tf — tokenize ×2): one token-array checkpoint measured
+    # faster and does strictly less corpus work.
+    d = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=True)
     dl = d.select("doc_id", F.size("toks").alias("dl"))
     st = F.broadcast(
         dl.agg(
@@ -232,6 +241,15 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> SDF:
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # Eager checkpoint (round 15): THREE consumers read this table — the
+    # bigram counts, the context counts re-aggregated from them, and the
+    # per-doc score join — and without a barrier each leg re-ran the
+    # tokenize + transform + explode corpus pass (before plan: 3×
+    # Scan→Generate).  Materializing the (doc_id, w1, w2) rows costs one
+    # pass over bigram-sized data vs three corpus re-reads; a probed
+    # second checkpoint on the vocab-sized counts measured SLOWER (AQE
+    # already reuses that exchange).
+    p = p.localCheckpoint(eager=True)
     c2 = p.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     t = c2.join(c1, "w1").select(
@@ -1547,6 +1565,12 @@ def dedup_minhash_audit(spark: SparkSession, sf_dir: str) -> SDF:
             for j in range(16)
         ]
     )
+    # Eager checkpoint (round 15): the estimate join consumes sig on
+    # BOTH pair sides under different join keys (a resp. b), so no
+    # exchange reuse applies and the whole sketch pipeline — token-fp
+    # shuffle, gram Horner HOF, explode + 16-lane min aggregate —
+    # executed twice.  The signature table is 128 bytes/doc.
+    sig = sig.localCheckpoint(eager=True)
     pairs = D.minhash_pairs_cached(spark, sf_dir, threshold=0.5)
     sa = sig.alias("sa")
     sb = sig.alias("sb")

@@ -1387,6 +1387,13 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> SDF:
         .cast("decimal(38,6)")
         .alias("sq"),
     )
+    # Eager checkpoint (round 15): the per-dim stats aggregate, the
+    # whitening join and (through them) the verify aggregate each
+    # re-ran the scan + posexplode + round/decimal projection — the
+    # before plan carried the Generate subtree three times.  The
+    # (vec_id, dim, x, sq) table materializes once; rows-per-vector ×
+    # dims but only 4 narrow columns wide.
+    d = d.localCheckpoint(eager=True)
     st = d.groupBy("dim").agg(
         F.count("*").cast("long").alias("n"),
         (
@@ -1779,7 +1786,12 @@ def sample_importance_softdedup(spark: SparkSession, sf_dir: str) -> SDF:
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
         "doc_id", "source", TX.char_fingerprint(F.col("text")).alias("f")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ eager checkpoint (round 15): the dup-count aggregate and the
+    # weight join both consume fp, and without a barrier each leg
+    # re-ran the per-character fingerprint fold over the full corpus
+    # text (before plan: two Scan→fingerprint legs).  The checkpoint
+    # row is (8B id, source, 8B f) — text-free.
     dup = fp.groupBy("f").agg(F.count(F.lit(1)).alias("dc"))
     w = fp.join(dup, "f").select(
         "source",
