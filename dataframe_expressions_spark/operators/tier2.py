@@ -243,8 +243,13 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> SDF:
 def agg_groupby(spark: SparkSession, sf_dir: str) -> SDF:
     """Scale: partial (map-side) aggregation collapses each input split to
     ≤|groups| rows before the shuffle — 100 TB in, kilobytes shuffled.
-    DECIMAL sums keep results bit-identical across partition counts."""
-    lin = load_table(spark, sf_dir, "lineitem")
+    DECIMAL sums keep results bit-identical across partition counts —
+    which is also why the gated spread() below is safe: five
+    BigDecimal(38,6) folds per row are heavy narrow compute, and the
+    single-row-group testdata scan otherwise runs them on 1 of N cores
+    (measured 1.2 s -> 0.8 s at sf0.1; on a multi-file lake spread() is
+    a no-op and the plain map-side story stands)."""
+    lin = spread(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))

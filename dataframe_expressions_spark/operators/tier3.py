@@ -1878,6 +1878,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> SDF:
             F.sqrt(S.dot(F.col("v"), F.col("v"))).alias("nrm"),
         )
     )
+    # NOT checkpointed (round-15 A/B): the pair join consumes `assigned`
+    # twice, but materializing the (vec_id, 64-double v, cid, nrm) rows
+    # measured ~0.1 s SLOWER than re-running the argmin pass at sf0.1 —
+    # the embedding payload (de)serializes three times for a barrier
+    # that only saves one map-side broadcast argmin.  Same break-even as
+    # the token_hash_shingles negative result: checkpoints win when the
+    # shared leg stacks shuffles/folds, not for one cheap map stage over
+    # a wide payload.
     a = assigned.select(
         F.col("cid"),
         F.col("vec_id").alias("a"),
