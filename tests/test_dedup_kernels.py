@@ -55,7 +55,7 @@ def _np_xxh64():
 
     def hash_int(v, seed):
         h = seed + P5 + u64(4)
-        h ^= u64(np.uint32(v)) * P1
+        h ^= u64(np.int64(v) & 0xFFFFFFFF) * P1
         h = rotl(h, 23) * P2 + P3
         return fmix(h)
 

@@ -311,7 +311,12 @@ def test_captured_groupby_plan_identical_to_tier2(spark, lineitem):
         avg_disc=d.l_discount.Sum() / d.Count(),
         count_order=d.Count(),
     )
-    dsl = select_from({d: lineitem}, g)
+    # agg_groupby spreads its scan before the decimal folds (round-15
+    # optimization); hand the DSL the same spread input so the assertion
+    # keeps comparing the LOWERED filter/groupby/agg subtree 1:1.
+    from dataframe_expressions_spark.functions.dedup import spread
+
+    dsl = select_from({d: spread(lineitem)}, g)
     twin = agg_groupby(spark, SF_SMOKE)
     assert dsl.sameSemantics(twin), (
         "DSL-captured groupby/agg must lower to the exact agg_groupby plan"
