@@ -1985,10 +1985,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> SDF:
         .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gh").alias("gh"))
     )
     g = g.localCheckpoint(eager=True)
+    # "appears in MORE THAN ONE doc" needs no distinct count:
+    # min(doc_id) != max(doc_id) is the same predicate and runs as one
+    # map-side-combined aggregate — the count_distinct spelling paid an
+    # extra (gh, doc_id)-keyed exchange + dedup phase (round 15, guide
+    # §2.3 aggregate before you shuffle).
     dup = (
         g.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .where(F.col("d0") != F.col("d1"))
         .select("gh")
     )
     p = g.join(dup, "gh", "left_semi").select("doc_id", "pos")

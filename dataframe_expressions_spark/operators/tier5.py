@@ -428,13 +428,27 @@ def tpch_q21_late_supplier(spark: SparkSession, sf_dir: str) -> SDF:
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    # Two-phase distinct (round 15, guide §2.3): the double
+    # countDistinct planned an Expand ×3 of the joined fact rows ahead
+    # of the shuffle.  Collapse to distinct (orderkey, suppkey) pairs
+    # first — partial aggregation shrinks them map-side — then count
+    # pairs; the second aggregate reuses the first one's partitioning
+    # (l_orderkey is a prefix of the pair key), so this is ONE exchange
+    # of narrow pair rows instead of a tripled fact shuffle.
+    # Equivalences: n_supp = |pairs|; n_late = |pairs with any late
+    # lineitem|; max(when(late, suppkey)) over rows = max over
+    # late-flagged pairs.
     lo = (
         lin.join(orders, lin.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("any_late"))
         .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.count_if(F.col("any_late")).alias("n_late"),
+            F.max(F.when(F.col("any_late"), F.col("l_suppkey"))).alias(
+                "late_supp"
+            ),
         )
         .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
@@ -2162,9 +2176,14 @@ def text_boilerplate_ngram(spark: SparkSession, sf_dir: str) -> SDF:
         .localCheckpoint(eager=True)
     )
     g = arr.select("doc_id", F.explode("sh").alias("gh"))
+    # df = plain count, not count_distinct: `sh` is array_distinct per
+    # doc, so the exploded (doc_id, gh) pairs are already unique — the
+    # distinct spelling paid a second aggregate phase (two exchanges /
+    # a (gh, doc_id)-keyed pre-dedup) for rows that cannot repeat
+    # (round 15, guide §2.3 aggregate before you shuffle).
     boiler = (
         g.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= 3)
         .select("gh")
     )
@@ -2252,9 +2271,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> SDF:
         .localCheckpoint(eager=True)
     )
     g0 = arr.select("doc_id", F.explode("sh").alias("gh"))
+    # df = plain count: (doc_id, gh) pairs are unique by construction
+    # (sh is array_distinct per doc) — see text_boilerplate_ngram.
     keep = (
         g0.groupBy("gh")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df").between(2, 20))
         .select("gh")
     )

@@ -727,7 +727,22 @@ def data_temporal_split(spark: SparkSession, sf_dir: str) -> SDF:
         .alias("day_no"),
         F.col("o_totalprice").cast("decimal(38,6)").alias("price"),
     )
-    span = o.agg(
+    # Pre-aggregate per DAY before the ×k fold expansion (round 15,
+    # guide §2.3): the fact table collapses to one row per day in a
+    # single map-side-combined pass, the span aggregate reads the tiny
+    # day table instead of re-scanning orders, and the fold cross join
+    # multiplies ~|days| rows, not the corpus.  Exactness: counts are
+    # integer sums of per-day counts; revenue re-groups an exact,
+    # associative DECIMAL(38,6) fold; min/max compose.
+    day = (
+        o.groupBy("day_no")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("price").alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    span = day.agg(
         F.min("day_no").alias("d0"), F.max("day_no").alias("d1")
     )
     folds = spark.range(1, _TS_FOLDS + 1).select(
@@ -744,7 +759,7 @@ def data_temporal_split(spark: SparkSession, sf_dir: str) -> SDF:
         ).alias("test_start"),
         (F.col("d0") + (F.col("fold") + 1) * F.floor(seg)).alias("test_end"),
     )
-    j = o.crossJoin(F.broadcast(bounds))
+    j = day.crossJoin(F.broadcast(bounds))
     in_train = F.col("day_no") < F.col("train_end")
     in_test = (F.col("day_no") >= F.col("test_start")) & (
         F.col("day_no") < F.col("test_end")
@@ -753,9 +768,15 @@ def data_temporal_split(spark: SparkSession, sf_dir: str) -> SDF:
         F.col("day_no") < F.col("test_start")
     )
     return j.groupBy("fold", "train_end", "test_start", "test_end").agg(
-        F.count_if(in_train).cast("long").alias("train_n"),
-        F.count_if(in_test).cast("long").alias("test_n"),
-        F.count_if(in_embargo).cast("long").alias("embargoed_n"),
+        F.sum(F.when(in_train, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("train_n"),
+        F.sum(F.when(in_test, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("test_n"),
+        F.sum(F.when(in_embargo, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("embargoed_n"),
         F.max(F.when(in_train, F.col("day_no"))).cast("long").alias(
             "max_train_day"
         ),
@@ -763,7 +784,7 @@ def data_temporal_split(spark: SparkSession, sf_dir: str) -> SDF:
             "min_test_day"
         ),
         F.round(
-            F.sum(F.when(in_test, F.col("price"))).cast("double"), 2
+            F.sum(F.when(in_test, F.col("p"))).cast("double"), 2
         ).alias("test_revenue"),
     )
 
