@@ -190,12 +190,22 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, vec_col: str = "vvec") -> D
         "csim",
         dot(F.col(vec_col), F.col("cvec")) / (F.col("_vn") * F.col("_cn")),
     )
-    w = W.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cell"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .drop("rk", "cvec", "csim", "_vn", "_cn")
+    # Per-vector argmax as a max_by AGGREGATE, not a row_number window
+    # (round 15, guide §2.3/§2.4): the broadcast NLJ emits each vector's
+    # |cells| scored rows contiguously, so the partial aggregate
+    # collapses them to ONE row per vector inside the map task — the
+    # window spelling shuffled the full (vector × cells) expansion
+    # (embedding payload included) and sorted it.  Ordering identical:
+    # max over (csim, -cell) ≡ ORDER BY csim DESC, cell ASC with rk=1
+    # (cell ids are distinct, so the order key has no full ties).
+    keep = [c for c in scored.columns if c not in ("cvec", "csim", "_vn", "_cn", "vid")]
+    best = scored.groupBy("vid").agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in keep]),
+            F.struct(F.col("csim"), (-F.col("cell")).alias("nc")),
+        ).alias("_b")
     )
+    return best.select("vid", *[F.col(f"_b.{c}").alias(c) for c in keep])
 
 
 def cosine_topk_ivf(
@@ -215,6 +225,14 @@ def cosine_topk_ivf(
     emb = embeddings.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vvec")
     )
+    # NOT checkpointed (round-15 A/B): `assigned` feeds both the query
+    # broadcast and the probe side, but materializing the (id, 64-double
+    # vec, cell, norm) rows measured ~0.3 s SLOWER than re-running the
+    # broadcast-argmax pipeline at sf0.1 — the embedding payload
+    # (de)serializes twice to save one map-side NLJ + partial-agg argmax
+    # (the dedup_semantic break-even: barriers win when the shared leg
+    # stacks shuffles/folds over narrow rows, not one map stage over a
+    # wide payload).
     assigned = ivf_assign(emb, centroids).withColumn(
         "vnrm", F.sqrt(dot(F.col("vvec"), F.col("vvec")))
     )
