@@ -2986,13 +2986,20 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> SDF:
         .distinct()
         .withColumn("is_cont", F.lit(True))
     )
+    # Eager checkpoint on the NARROW flag table (round 15, guide §1.3):
+    # the mixture thresholds (c3/r) and the final rollup (mx) both
+    # consume dc — un-staged, the exact-dedup window AND the decontam
+    # gram-explode + eval-join executed twice (once under c3, once under
+    # mx).  Only the columns the two consumers read are materialized
+    # (source, n_tok, pfp, k1–k3): flags, never the corpus.
     dc = (
         q.join(cont, "doc_id", "left")
         .withColumn(
             "k3",
             F.col("k2") & (F.col("source") != "src0") & F.col("is_cont").isNull(),
         )
-        .drop("is_cont")
+        .select("source", "n_tok", "pfp", "k1", "k2", "k3")
+        .localCheckpoint(eager=True)
     )
     c3 = dc.where(F.col("k3")).groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     min_n = c3.agg(F.min("n").alias("mn"))

@@ -1107,15 +1107,34 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> SDF:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Degree table checkpointed once (round 15, guide §1.3/§2.4): it is
+    # consumed THREE times (both orientation joins and n_nodes), and it
+    # is nodes-sized (≤ 4096 rows here — the mod-projection bound), so
+    # the barrier is trivial while each consumer re-ran the edge-union
+    # aggregate before.  Both orientation joins broadcast it explicitly:
+    # the checkpointed edge list has UnknownPartitioning, so the
+    # un-hinted joins shuffled the edges twice for a dimension that fits
+    # in one task.
     deg = (
         pr.select(F.col("lo").alias("node"))
         .unionAll(pr.select(F.col("hi").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
     )
     j = (
-        pr.join(deg.withColumnRenamed("node", "lo").withColumnRenamed("d", "d1"), "lo")
-        .join(deg.withColumnRenamed("node", "hi").withColumnRenamed("d", "d2"), "hi")
+        pr.join(
+            F.broadcast(
+                deg.withColumnRenamed("node", "lo").withColumnRenamed("d", "d1")
+            ),
+            "lo",
+        )
+        .join(
+            F.broadcast(
+                deg.withColumnRenamed("node", "hi").withColumnRenamed("d", "d2")
+            ),
+            "hi",
+        )
     )
     lo_first = (F.col("d1") < F.col("d2")) | (
         (F.col("d1") == F.col("d2")) & (F.col("lo") < F.col("hi"))
