@@ -3657,25 +3657,52 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> SDF:
             6,
         ).alias("m")
     )
-    dist = (
-        ex.join(F.broadcast(cent), ["label", "pos"])
-        .groupBy("vec_id")
-        .agg(
-            F.round(
-                F.sqrt(
-                    F.sum(
-                        ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
-                        .cast("decimal(38,12)")
-                    ).cast("double")
-                ),
-                6,
-            ).alias("dist")
-        )
+    # Distance to the centroid computed MAP-SIDE (round 15, guide §2.1):
+    # the old spelling joined the exploded (vec_id,label,pos,x) table —
+    # |emb|×64 rows — onto cent and re-aggregated by vec_id, so the
+    # posexplode ran TWICE (once under cent, once here) and the re-agg
+    # shuffled |emb|×64 rows back down.  Instead the per-label mean
+    # vector (labels-sized) is collected into one broadcast array and
+    # the fold runs as a zip_with over the original arrays.  Bit-
+    # identical: the per-term decimal(38,12) cast is unchanged and
+    # DECIMAL addition is exact + associative, so HOF-sequential order
+    # equals the SQL sum in any order; marr is sliced to len(v) so a
+    # ragged vector folds exactly its own positions, as the inner join
+    # on (label,pos) did.
+    ms = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform(F.col("pm"), lambda s: s["m"]).alias("marr"))
     )
-    f1 = base.join(dist, "vec_id", "left").withColumn(
-        "k2",
-        F.col("k1") & F.coalesce(F.col("dist") <= 1.01, F.lit(False)),
-    ).localCheckpoint(eager=True)
+    # Accumulator at decimal(25,12), NOT (38,12): adding two (38,12)s
+    # pushes precision past the 38 cap and Spark trims the SCALE
+    # (→ 38,11) — a per-step rounding the SQL sum never does.  At
+    # (25,12) the add is (26,12) — uncapped, scale intact — and every
+    # cast is exact: |x| < 0.6 in this table so each (x−m)² < 1.5 and
+    # the 64-term sum < 10², eleven orders of magnitude inside the
+    # 13 integer digits.  The per-term (38,12) cast stays first so the
+    # term values are bit-identical to the exploded spelling's.
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.slice(F.col("marr"), F.lit(1), F.size(F.col("v"))),
+            lambda x, m: ((x - m) * (x - m))
+            .cast("decimal(38,12)")
+            .cast("decimal(25,12)"),
+        ),
+        F.lit(0).cast("decimal(25,12)"),
+        lambda acc, t: (acc + t).cast("decimal(25,12)"),
+    )
+    f1 = (
+        base.join(F.broadcast(ms), "label", "left")
+        .withColumn("dist", F.round(F.sqrt(d2.cast("double")), 6))
+        .withColumn(
+            "k2",
+            F.col("k1") & F.coalesce(F.col("dist") <= 1.01, F.lit(False)),
+        )
+        .select("vec_id", "label", "v", "k1", "k2")
+        .localCheckpoint(eager=True)
+    )
 
     from ..functions import similarity as S
 
@@ -3742,8 +3769,18 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> SDF:
         .distinct()
         .withColumn("dropped", F.lit(True))
     )
-    f2 = f1.join(simdrop, "vec_id", "left").withColumn(
-        "k3", F.col("k2") & F.col("dropped").isNull()
+    # Narrow flag-table checkpoint (round 15, guide §1.3 — the
+    # pipeline_pretrain_corpus dc pattern): f2 is consumed TWICE (the
+    # cap broadcast build and the f3 window chain), and un-staged each
+    # consumer re-ran the simdrop PAIR JOIN.  Only the flags survive
+    # (vec_id, label, k1–k3) — the 64-dim payload stays behind in f1's
+    # checkpoint, so the barrier is trivial while the quadratic pair
+    # compare now runs once.
+    f2 = (
+        f1.join(simdrop, "vec_id", "left")
+        .withColumn("k3", F.col("k2") & F.col("dropped").isNull())
+        .select("vec_id", "label", "k1", "k2", "k3")
+        .localCheckpoint(eager=True)
     )
     cap = F.broadcast(
         f2.where("k3")

@@ -265,6 +265,83 @@ def test_embedding_curation_funnel_monotone(spark):
     assert s4["n_vecs"] % s4["n_labels"] == 0  # cap x labels exactly
 
 
+def test_embedding_curation_mapside_dist_matches_exploded_sum(spark):
+    """The round-15 map-side centroid-distance fold (zip_with over a
+    broadcast mean array, decimal(25,12) accumulator) must be
+    bit-identical to the exploded spelling it replaced: per-term
+    cast(.. as decimal(38,12)) then SUM grouped by vec_id.  The (25,12)
+    accumulator is the delicate part — a (38,12) acc would trip Spark's
+    precision cap and round the SCALE per step."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).where(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        > 0
+    )
+    ex = base.select(
+        "vec_id", "label", F.posexplode("v").alias("p0", "x")
+    ).select("vec_id", "label", (F.col("p0") + 1).alias("pos"), "x")
+    cent = ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    old = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))
+                        .cast("decimal(38,12)")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("dist")
+        )
+    )
+    ms = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "label", F.transform(F.col("pm"), lambda s: s["m"]).alias("marr")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.slice(F.col("marr"), F.lit(1), F.size(F.col("v"))),
+            lambda x, m: ((x - m) * (x - m))
+            .cast("decimal(38,12)")
+            .cast("decimal(25,12)"),
+        ),
+        F.lit(0).cast("decimal(25,12)"),
+        lambda acc, t: (acc + t).cast("decimal(25,12)"),
+    )
+    new = base.join(F.broadcast(ms), "label").select(
+        "vec_id", F.round(F.sqrt(d2.cast("double")), 6).alias("dist")
+    )
+    merged = old.alias("o").join(new.alias("n"), "vec_id", "full").select(
+        "vec_id", F.col("o.dist").alias("od"), F.col("n.dist").alias("nd")
+    )
+    bad = merged.where(
+        F.col("od").isNull()
+        | F.col("nd").isNull()
+        | (F.col("od") != F.col("nd"))
+    ).count()
+    assert bad == 0
+
+
 def test_recall_audit_bounds(spark):
     """Per query: n_exact = 10, hits never exceed either leg's size, and
     the LSH leg (same-bucket candidates only) is at most corpus-sized."""
