@@ -4856,47 +4856,61 @@ def dedup_band_calibration(spark: SparkSession, sf_dir: str) -> SDF:
     ).select("id", cfg_expr.alias("cfg"), band_expr.alias("band"), "bucket")
     left = banded.select("cfg", "band", "bucket", F.col("id").alias("a"))
     right = banded.select("cfg", "band", "bucket", F.col("id").alias("b"))
-    cands = (
-        left.join(right, ["cfg", "band", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("cfg", "a", "b")
-        .dropDuplicates(["cfg", "a", "b"])
-        .localCheckpoint(eager=True)
-    )
-    pool = cands.select("a", "b").dropDuplicates(["a", "b"])
+    # ONE pooled pair table for candidates AND verification (round 15,
+    # guide §2.4): the old shape checkpointed per-config candidates,
+    # deduped them AGAIN into the pool, verified the pool behind a
+    # second checkpoint, and re-joined cands⨝ver at exec — two barriers,
+    # three pair-sized exchanges and an exec join.  One groupBy(a, b)
+    # with collect_set(cfg) replaces both dropDuplicates (cfg membership
+    # becomes a ≤3-element set column), the verify flag lands on the
+    # SAME row, and every count below explodes the one checkpointed
+    # (a, b, cfgs, ok) table — per-config counts are identical because
+    # cfg ∈ cfgs ⟺ the pair was a cfg candidate, and ver ⊆ pool by
+    # construction.
+    #
     # The verify only FILTERS at the threshold — the jaccard value is
     # never emitted — and sh sets are distinct, so |union| =
     # |a| + |b| − |inter| and  inter/union ≥ 1/2  ⟺  3·inter ≥ |a|+|b|:
     # one array_intersect per pair instead of intersect + union hash-set
     # builds, and an exact INTEGER comparison instead of a division
-    # (round 15 — the jaccard pass was ~40% of this query's build; the
-    # pool is ~162k pairs at sf0.1 because loose banding IS what the
-    # calibration prices).  Threshold generalization kept explicit:
+    # (the jaccard pass was ~40% of this query's build; the pool is
+    # ~162k pairs at sf0.1 because loose banding IS what the calibration
+    # prices).  Threshold generalization kept explicit:
     # j ≥ t ⟺ (1+t)·inter ≥ t·(|a|+|b|) with t = 1/2 ⟹ 3·inter ≥ |a|+|b|.
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    ver = (
-        pool.join(
+    pairs = (
+        left.join(right, ["cfg", "band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.collect_set("cfg").alias("cfgs"))
+    )
+    P = (
+        pairs.join(
             shs.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a"
         )
         .join(shs.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
-        .where(3 * inter >= F.size("sh_a") + F.size("sh_b"))
-        .select("a", "b")
+        .select(
+            "a",
+            "b",
+            "cfgs",
+            (3 * inter >= F.size("sh_a") + F.size("sh_b")).alias("ok"),
+        )
         .localCheckpoint(eager=True)
     )
-    # Counts per config in GROUPED aggregates over the one candidate
-    # table instead of nine scalar-aggregate subplans: n_missed is
-    # |ver| − |ver ∩ cand_cfg| (ver ⊆ pool by construction, so the old
-    # left_anti count equals the difference), which prices the recall
-    # gap without an anti-join per config.
-    nc = cands.groupBy("cfg").agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    nc = (
+        P.select(F.explode("cfgs").alias("cfg"))
+        .groupBy("cfg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     )
     nv = (
-        cands.join(ver, ["a", "b"])
+        P.where("ok")
+        .select(F.explode("cfgs").alias("cfg"))
         .groupBy("cfg")
         .agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
     )
-    nver = ver.agg(F.count(F.lit(1)).cast("long").alias("n_ver_total"))
+    nver = P.where("ok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ver_total")
+    )
     bands_of = {ci: b for ci, (b, _) in enumerate(_CAL_CONFIGS)}
     rows_of = {ci: r for ci, (_, r) in enumerate(_CAL_CONFIGS)}
 
