@@ -1275,9 +1275,16 @@ def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> SDF:
             F.transform("pc", lambda p: p["c"]).alias("cvec"),
         )
     )
-    assigned = S.ivf_assign(
-        x.select("vid", F.col("v").alias("vvec")), cent
-    ).select("vid", "cell")
+    # Narrow (vid, cell) checkpoint — 16 B/row, NO embedding payload, so
+    # the cosine_topk_ivf negative result (wide-payload barrier) does
+    # not apply: both the query-cell probe and the candidate join read
+    # the assignment, and un-staged each consumer re-ran the centroid
+    # scan + broadcast-argmax leg (round 15, guide §1.3).
+    assigned = (
+        S.ivf_assign(x.select("vid", F.col("v").alias("vvec")), cent)
+        .select("vid", "cell")
+        .localCheckpoint(eager=True)
+    )
 
     subs = F.sequence(F.lit(0), F.lit(7))
     # codebook packed per subspace, cid-sorted (emb_pq_codebook shape)

@@ -2115,6 +2115,10 @@ def graph_common_neighbors_sampled(spark: SparkSession, sf_dir: str) -> SDF:
         "dw",
         "jaccard_ppm",
     ).where(F.col("rk") <= _LP_TOPK)
+    # topk is consumed twice (the wedge-prune semi-join build and the
+    # final report join) but deliberately NOT checkpointed: its leg is a
+    # write-once store read + a ~top-k window, and the A/B measured the
+    # barrier costing more than the duplicated leg at sf0.1.
     # sampled leg
     h = (
         ((F.col("s") * 8191 + F.col("d")) * 1103515245 + 12345) % 2147483647
@@ -2129,6 +2133,11 @@ def graph_common_neighbors_sampled(spark: SparkSession, sf_dir: str) -> SDF:
         )
         .where(F.col("rn") <= _LP_SAMPLE)
         .drop("rn")
+        # both sides of the wedge self-join read the sampled adjacency;
+        # the barrier carries (s, d) — 16 B/row, degree-capped — while
+        # un-staged the per-center LCG-rank window ran twice (round 15,
+        # guide §1.3)
+        .localCheckpoint(eager=True)
     )
     scap = F.least(F.col("dg"), F.lit(_LP_SAMPLE))
     cwgt = (
