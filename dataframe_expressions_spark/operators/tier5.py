@@ -2539,6 +2539,11 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> SDF:
     tv = D.spread(docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))).where(
         F.size("toks") > 0
     ).select("doc_id", F.explode("toks").alias("tok"))
+    # Eager checkpoint (round 15, the text_bigram_surprisal fix): the
+    # wordcount leg and the per-doc score join BOTH consume the exploded
+    # (doc_id, tok) rows — un-staged, the tokenize+explode corpus pass
+    # ran twice.
+    tv = tv.localCheckpoint(eager=True)
     vocab = tv.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     tot = vocab.agg(F.sum("n").alias("t"))
     term = vocab.crossJoin(F.broadcast(tot)).select(
@@ -3428,7 +3433,15 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> SDF:
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    ps_eu = ps.join(F.broadcast(eu), ps.sk == eu.s_suppkey)
+    # Eager checkpoint (round 15, guide §1.3): the per-part min subquery
+    # AND the final argmin join both consume ps_eu — despite the one-
+    # (pk, sk)-shuffle story, runtime measured the lineitem aggregate
+    # executing TWICE (no exchange reuse materialized under AQE).  A/B:
+    # warm 1.7 -> 1.25 s at sf0.1; staging ps (pre-eu, narrower) instead
+    # measured slower (the broadcast probe re-ran per consumer).
+    ps_eu = ps.join(F.broadcast(eu), ps.sk == eu.s_suppkey).localCheckpoint(
+        eager=True
+    )
     best = ps_eu.groupBy("pk").agg(F.min("cost").alias("min_cost"))
     part = F.broadcast(
         load_table(spark, sf_dir, "part").where(

@@ -1674,6 +1674,10 @@ def _perplexity_bucket(
         docs.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
         .where(F.size("toks") > 0)
         .select("doc_id", F.explode("toks").alias("tok"))
+        # Eager checkpoint (round 15, the text_bigram_surprisal fix):
+        # the wordcount leg and the per-doc score join both consume the
+        # exploded rows — un-staged, tokenize+explode ran twice.
+        .localCheckpoint(eager=True)
     )
     vocab = tv.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     tot = vocab.agg(F.sum("n").alias("t"))
