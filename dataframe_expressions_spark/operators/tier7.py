@@ -3898,8 +3898,13 @@ def sim_search_recall_audit(spark: SparkSession, sf_dir: str) -> SDF:
     exact = S.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).select(
         "qid", "vid"
     )
-    lsh = S.cosine_topk_lsh(emb, query_ids=[0, 1, 2, 3, 4], k=10).select(
-        "qid", F.col("vid").alias("lvid")
+    # ≤50 rows, consumed twice (the hit join and the per-query n_lsh
+    # count) — un-staged, the whole LSH leg (bucket join + cosine +
+    # top-k window) ran twice (round 15, guide §1.3).
+    lsh = (
+        S.cosine_topk_lsh(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+        .select("qid", F.col("vid").alias("lvid"))
+        .localCheckpoint(eager=True)
     )
     lsh_n = lsh.groupBy("qid").agg(
         F.count(F.lit(1)).cast("long").alias("n_lsh")
@@ -4067,6 +4072,12 @@ def emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> SDF:
         query_ids=[0, 1, 2, 3, 4],
         k=10,
     ).select("qid", F.col("vid").alias("tvid"))
+    # trunc is consumed twice but deliberately NOT checkpointed
+    # (round-15 A/B): the duplicated leg reads 1/4 of the vector bytes
+    # and measured CHEAPER than the eager barrier at sf0.1 (~0.75 vs
+    # ~0.83 s warm) — the sim_search_recall_audit fix does not transfer
+    # because the LSH leg there stacks a bucket join the truncated scan
+    # does not.
     trunc_n = trunc.groupBy("qid").agg(
         F.count(F.lit(1)).cast("long").alias("n_trunc")
     )

@@ -1122,6 +1122,12 @@ def rank_ndcg_audit(spark: SparkSession, sf_dir: str) -> SDF:
             4,
         ).alias("sim"),
     )
+    # exact is consumed twice (the LSH grade join and the ideal-DCG
+    # ranking) but deliberately NOT checkpointed (round-15 A/B): the
+    # barrier measured ~0.3 s SLOWER than re-running the broadcast
+    # cosine map stage at sf0.1 — the dedup_semantic break-even again
+    # (checkpoints pay when the shared leg stacks shuffles/folds, not
+    # for one map stage).
 
     def _grade(s):
         return (
