@@ -3752,24 +3752,30 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> SDF:
     # (measured 4-6 s/round at sf0.1 vs <1 s at 8-way).
     n_edges = 2 * ps.count()
     parts = max(8, min(200, int(n_edges // 250_000) + 1))
-    # Out-degree rides the SAME exchange that pins the loop's edge
-    # partitioning: count over a src-partitioned window instead of a
-    # separate degree aggregate + join (round 15, guide §2.4 — the old
-    # plan shuffled the edges once for deg, once for the join and once
-    # for the explicit repartition; this shuffles them exactly once and
-    # the checkpoint keeps the hash partitioning for every round).
-    ed = (
-        e.repartition(parts, "src")
-        .withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src")))
-        .localCheckpoint(eager=True)
+    # The edge checkpoint carries ONLY (src, dst) — degrees never ride
+    # the edges at all (round 15, third pass): the contribution r/d is
+    # cast per NODE on the broadcast side, so the src-partitioned WINDOW
+    # that previously stamped d onto every edge row (a 1.2M-row
+    # partition sort at sf0.1) and the edge-sized DISTINCT that
+    # recovered the node table from it were both pure overhead.  One
+    # repartition pins the loop's hash partitioning; that is the only
+    # edge-sized exchange in the build.
+    ed = e.repartition(parts, "src").localCheckpoint(eager=True)
+    # node degree table (nodes-sized), checkpointed once: both degree
+    # tables fold map-side off the (s, p) checkpoint (count per s resp.
+    # per p — identical to the per-src edge counts, since each side's
+    # edges are exactly its partners) and each round's rank build
+    # re-attaches the out-degree so the DECIMAL contribution r/d is
+    # cast ONCE PER NODE on the broadcast side (guide §2.3 narrow what
+    # flows per row; same cast on the same double → identical decimals,
+    # identical per-dst fold).
+    deg_s = ps.groupBy(F.col("s").alias("src")).agg(
+        F.count(F.lit(1)).alias("d")
     )
-    # node degree table (nodes-sized), checkpointed once: each round's
-    # rank build re-attaches the node's out-degree so the DECIMAL
-    # contribution r/d is cast ONCE PER NODE on the broadcast side —
-    # the per-EDGE divide+cast-to-decimal(38,18) was the loop's hot
-    # per-task work (guide §2.3 narrow what flows per row; same cast on
-    # the same double → identical decimals, identical per-dst fold).
-    dnodes = ed.select("src", "d").distinct().localCheckpoint(eager=True)
+    deg_p = ps.groupBy((F.lit(1000000) + F.col("p")).alias("src")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    dnodes = deg_s.unionAll(deg_p).localCheckpoint(eager=True)
     # |nodes| off the nodes-sized checkpoint, not a count_distinct pass
     # over the full edge list (same value: dnodes is keyed by src).
     nn = F.broadcast(
