@@ -169,14 +169,12 @@ def cosine_topk_lsh(
     )
 
 
-def ivf_assign(emb: DataFrame, centroids: DataFrame, vec_col: str = "vvec") -> DataFrame:
-    """Assign each vector to its nearest centroid (IVF cell) by cosine.
-
-    ``centroids``: (cell: long, cvec: array<double>), broadcast — the
-    cell count is small by construction (≈ sqrt(n) cells at scale), so
-    assignment is a broadcast nested-loop scored map stage followed by a
-    per-vector argmax; no shuffle of the corpus.
-    """
+def _ivf_assign_expr(
+    emb: DataFrame, centroids: DataFrame, vec_col: str = "vvec"
+) -> DataFrame:
+    """JVM-expression IVF assignment — the pre-r15 shape, kept as the
+    exact-semantics fallback for centroid sets the vectorized kernel
+    does not cover (ragged centroid lengths; see ``ivf_assign``)."""
     # norms staged once per vector / per centroid (bit-identical to
     # cosine() — same fold order, same sqrt) instead of two self-dot
     # folds per (vector, centroid) pair
@@ -206,6 +204,132 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, vec_col: str = "vvec") -> D
         ).alias("_b")
     )
     return best.select("vid", *[F.col(f"_b.{c}").alias(c) for c in keep])
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame, vec_col: str = "vvec") -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF cell) by cosine.
+
+    ``centroids``: (cell: long, cvec: array<double>) — small by
+    construction (≈ sqrt(n) cells at scale), so it is materialized
+    driver-side (bounded collect, same discipline as the curation
+    centroid broadcast) and closure-shipped into ONE vectorized
+    ``mapInPandas`` pass over the corpus: no join, no argmax shuffle —
+    each row maps to its cell in place, preserving the input
+    partitioning (guide §4.2: the interpreted zip_with+aggregate cosine
+    was ~|emb|·|cells|·d boxed lambda steps, CodegenFallback).
+
+    EXACTNESS (pinned by tests/test_similarity_kernels.py against the
+    expression path on real + adversarial embeddings): the numpy
+    dim-loop accumulates dot and self-norm in ascending-dimension order
+    with left association — bit-identical to the sequential
+    ``aggregate(zip_with(...))`` fold and DuckDB's list_inner_product —
+    the divide replays ``dot / (vn * cn)`` with the same operand order,
+    and the argmax scans centroids in ascending-cell order so equal
+    csims keep the lowest cell (``max_by(csim, -cell)`` ≡ first-max).
+    Zero/NULL-norm vectors drop exactly like the ``_vn > 0`` filter;
+    zero-norm centroids drop from the cell set like ``_cn > 0``; a
+    ragged row (len(v) ≠ centroid dim) NULL-pads the JVM fold to a NULL
+    csim for EVERY cell and lands in the lowest live cell — replayed
+    verbatim.  Ragged CENTROID sets (possible only from ragged corpora)
+    fall back to the expression path wholesale.
+
+    Callers guarantee unique ids per row (vec_id is a key in every
+    consumer), matching the expression path's one-row-per-vid argmax.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # Bounded driver materialization: |cells| ≈ labels/√n by construction
+    # (the 25-row-nation-dim precedent); never the corpus.
+    rows = centroids.select("cell", "cvec").collect()
+    live = []
+    for r in rows:
+        cv = r["cvec"]
+        if cv is None or any(x is None for x in cv):
+            continue  # NULL-element fold → NULL _cn → dropped by _cn > 0
+        acc = 0.0
+        for x in cv:  # same left fold + sqrt as the JVM _cn
+            acc = acc + x * x
+        if not (math.sqrt(acc) > 0):
+            continue
+        live.append((r["cell"], list(cv)))
+    live.sort(key=lambda t: t[0])
+
+    out_schema = StructType(
+        list(emb.schema.fields) + [StructField("cell", LongType(), True)]
+    )
+    if not live:
+        # empty cell set → inner join with an empty broadcast → no rows
+        return emb.sparkSession.createDataFrame([], out_schema)
+    dim = len(live[0][1])
+    if any(len(v) != dim for _, v in live):
+        # ragged centroids: mixed NULL/non-NULL csims per row — keep the
+        # exact expression semantics rather than replicate them here
+        return _ivf_assign_expr(emb, centroids, vec_col)
+
+    cells = np.array([c for c, _ in live], dtype=np.int64)
+    C = np.array([v for _, v in live], dtype=np.float64)  # (c, dim)
+    cn = np.zeros(len(live))
+    for k in range(dim):
+        cn = cn + C[:, k] * C[:, k]
+    cn = np.sqrt(cn)
+    lowest_cell = int(cells[0])
+
+    def assign(batches):
+        for pdf in batches:
+            vals = pdf[vec_col].tolist()
+            n = len(vals)
+            if n == 0:
+                continue
+            clean = np.empty(n, dtype=bool)
+            ragged = np.zeros(n, dtype=bool)
+            for i, v in enumerate(vals):
+                if v is None:
+                    clean[i] = False  # NULL vector → NULL _vn → dropped
+                elif len(v) == dim:
+                    clean[i] = True
+                else:
+                    clean[i] = False
+                    # ragged fold → NULL csim every cell → lowest cell,
+                    # unless its own norm is 0/NULL (then dropped)
+                    acc = 0.0
+                    ok = True
+                    for x in v:
+                        if x is None or x != x:
+                            ok = False
+                            break
+                        acc = acc + x * x
+                    ragged[i] = ok and math.sqrt(acc) > 0
+            cell_out = np.full(n, lowest_cell, dtype=np.int64)
+            keep = ragged.copy()
+            if clean.any():
+                idx = np.nonzero(clean)[0]
+                A = np.array([vals[i] for i in idx], dtype=np.float64)
+                vn = np.zeros(len(idx))
+                for k in range(dim):
+                    vn = vn + A[:, k] * A[:, k]
+                vn = np.sqrt(vn)
+                acc = np.zeros((len(idx), len(cells)))
+                for k in range(dim):
+                    acc = acc + np.outer(A[:, k], C[:, k])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    csim = acc / (vn[:, None] * cn[None, :])
+                # vn == 0 or NaN (NULL element) rows drop like _vn > 0;
+                # argmax over ascending-cell columns = first max =
+                # max_by(csim, -cell)
+                alive = vn > 0
+                good = idx[alive]
+                if len(good):
+                    cell_out[good] = cells[np.argmax(csim[alive], axis=1)]
+                    keep[good] = True
+            out = pdf[keep.tolist()].copy()
+            out["cell"] = cell_out[keep]
+            yield out
+
+    return emb.mapInPandas(assign, out_schema)
 
 
 def cosine_topk_ivf(

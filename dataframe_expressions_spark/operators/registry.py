@@ -83,6 +83,12 @@ PANDAS_PLAN_IDS: frozenset = frozenset({
     "rank_mmr",  # greedy MMR over the 20-row pre-rounded pool — one
     # FlatMapGroupsInPandas group by design (the sequential argmax chain
     # is inherently iterative; all heavy work is JVM-side)
+    # ivf_assign's vectorized cosine-argmax pass — MapInPandas with the
+    # sequential-fold numpy kernel (r15); emb_knn_graph (above) is the
+    # fourth consumer
+    "sim_search_ivf",
+    "sim_search_ivf_pq",
+    "emb_ivf_balance_audit",
 })
 
 # Pool-crossing ids whose Python boundary is NOT visible in the audited

@@ -119,6 +119,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
             assert "FlatMapGroupsInPandas" not in plan, qid
             assert "FlatMapCoGroupsInPandas" not in plan, qid
             assert "MapInArrow" not in plan, qid
+            assert "MapInPandas" not in plan, qid
 
 
 def test_sorted_skipping_pushes_date_filter(spark):

@@ -78,8 +78,18 @@ def main() -> None:
     plans_dir = os.path.join(REPO, "plans", "r15")
     os.makedirs(plans_dir, exist_ok=True)
 
+    import gc
+
     out = {}
     for qid in qids:
+        # Same dual-GC discipline as bench.py between queries: Spark's
+        # ContextCleaner frees localCheckpoint blocks via WEAK refs that
+        # only enqueue at a JVM GC — without this, a long profile session
+        # accumulates every query's checkpoint state and late ids read
+        # 2-6x high (observed: agg_groupby 3.08 s in a 299-id sweep vs
+        # 1.25 s in a short session, same code).
+        gc.collect()
+        spark._jvm.System.gc()
         q = queries[qid]
         samples = []
         plan_txt = None
