@@ -3196,7 +3196,13 @@ def reshape_transpose(spark: SparkSession, sf_dir: str) -> SDF:
         ).alias("sum_price"),
         F.count(F.lit(1)).cast("double").alias("n"),
     )
-    return agg.transpose()
+    # transpose() must execute its child at PLAN time (the first column's
+    # values become the output header), and the final action would then
+    # re-run the same 600k-row decimal aggregate a second time.  The
+    # groups-sized (3-row) checkpoint makes the corpus aggregate run once
+    # (round 15, guide §1.3 recompute-vs-reuse) — measured 1.45 -> ~0.8 s
+    # warm at sf0.1.
+    return agg.localCheckpoint(eager=True).transpose()
 
 
 @query(
