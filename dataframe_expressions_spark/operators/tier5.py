@@ -1696,12 +1696,23 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> SDF:
         TX.char_fingerprint(F.col("text")).alias("fp"),
         TX.tokens(F.col("text")).alias("toks"),
     )
+    # Hashed 2-gram shingles (round 15): the string-shingle form carried
+    # ~60 concat-allocated strings per doc through the eager checkpoint
+    # AND through every array_intersect pair probe; 8-byte gram
+    # fingerprints shrink the barrier, the batch-side broadcast and the
+    # per-pair intersect (token_hash_shingles' collision argument —
+    # gram-hash equality ≡ gram equality up to ~2^-64 per co-bucketed
+    # pair — so set sizes, intersections and the Jaccard gate are
+    # unchanged).  Same discipline as text_boilerplate_ngram/
+    # dedup_containment.
     base = D.spread(tk).select(
         "doc_id",
         "n_chars",
         "is_batch",
         "fp",
-        D.word_shingles(F.col("toks"), 2).alias("sh"),
+        D.token_hash_shingles(
+            F.transform(F.col("toks"), lambda t: F.xxhash64(t)), 2
+        ).alias("sh"),
     ).localCheckpoint(eager=True)
     batch = base.where(F.col("is_batch"))
     corpus = base.where(~F.col("is_batch"))
@@ -1725,11 +1736,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> SDF:
     cand = F.broadcast(b_side).join(c_side, "jb").where(
         F.abs(F.col("nc_b") - F.col("nc_c")) <= 4
     )
-    inter = F.size(F.array_intersect("sh_b", "sh_c")).cast("double")
-    union = F.size("sh_b") + F.size("sh_c")
+    # jac >= 0.5 as the exact INTEGER gate 3*|inter| >= |a|+|b| (the
+    # band-calibration rewrite): |union| = |a|+|b|-|inter| > 0 on this
+    # branch, the quotient is never emitted, and the integer compare
+    # skips the double divide per pair.
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
     near_hit = (
-        cand.withColumn("jac", inter / (union - inter))
-        .where(F.col("jac") >= 0.5)
+        cand.where(3 * inter >= F.size("sh_b") + F.size("sh_c"))
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
     )
