@@ -393,7 +393,15 @@ def agg_countmin_heavyhit(spark: SparkSession, sf_dir: str) -> SDF:
     docs = D.spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
     vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    vocab = vocab.withColumn("fp", TX.char_fingerprint(F.col("term")))
+    # Vocab-sized eager checkpoint (round 15): the (term, cnt, fp) table
+    # feeds BOTH the d×w cell rollup and the final exact-count join, and
+    # the un-staged plan re-ran the corpus tokenize+explode+aggregate per
+    # consumer (4 parquet scans, zero exchange reuse) while the duplicated
+    # per-term Horner fingerprint tree alone cost ~1.3 s of Catalyst
+    # analysis.  Heaps'-law vocab rows, never the corpus (guide §1.3).
+    vocab = vocab.withColumn(
+        "fp", TX.char_fingerprint(F.col("term"))
+    ).localCheckpoint(eager=True)
 
     def cell(j: int, fp: F.Column) -> F.Column:
         return (
