@@ -233,13 +233,27 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, vec_col: str = "vvec") -> D
     verbatim.  Ragged CENTROID sets (possible only from ragged corpora)
     fall back to the expression path wholesale.
 
+    INPUT PRECONDITION — no NaN elements (r15 ADVICE): a NaN vector
+    element diverges from the expression path.  Spark orders NaN above
+    every value, so ``_vn > 0`` with ``_vn = NaN`` is TRUE and the
+    expression path KEEPS the row, assigning the lowest live cell
+    through the all-NaN csim tie-break; this kernel's ``vn > 0`` is
+    numpy IEEE (NaN > 0 is False) and DROPS it.  The divergence cannot
+    be repaired inside mapInPandas — Arrow's pandas conversion collapses
+    NULL elements and NaN to the same NaN, and the two must behave
+    differently (NULL element → NULL fold → dropped; NaN element →
+    kept-lowest) — so replicating Spark here would need mapInArrow.
+    Every caller feeds finite embeddings (testdata and all derived
+    frames are NaN-free); the divergence is pinned, not papered over,
+    by test_kernel_nan_divergence_documented in
+    tests/test_similarity_kernels.py.
+
     Callers guarantee unique ids per row (vec_id is a key in every
     consumer), matching the expression path's one-row-per-vid argmax.
     """
     import math
 
     import numpy as np
-    import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
     # Bounded driver materialization: |cells| ≈ labels/√n by construction
@@ -267,8 +281,14 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, vec_col: str = "vvec") -> D
     dim = len(live[0][1])
     if any(len(v) != dim for _, v in live):
         # ragged centroids: mixed NULL/non-NULL csims per row — keep the
-        # exact expression semantics rather than replicate them here
-        return _ivf_assign_expr(emb, centroids, vec_col)
+        # exact expression semantics rather than replicate them here.
+        # Schema normalized to the kernel path's emb.columns + cell
+        # (r15 ADVICE: the raw fallback led with vid and dragged along
+        # any extra centroid columns, so the same input could yield two
+        # different output schemas depending on raggedness).
+        return _ivf_assign_expr(
+            emb, centroids.select("cell", "cvec"), vec_col
+        ).select(*emb.columns, "cell")
 
     cells = np.array([c for c, _ in live], dtype=np.int64)
     C = np.array([v for _, v in live], dtype=np.float64)  # (c, dim)

@@ -91,6 +91,34 @@ def test_kernel_matches_expression_path_on_adversarial_frame(spark):
     assert ragged == {3: 5, 4: 5}
 
 
+def test_kernel_nan_divergence_documented(spark):
+    """r15 ADVICE (similarity.py): a dim-matching NaN-element vector is
+    the ONE input where kernel and expression path legitimately diverge
+    — Spark sorts NaN above every value so ``_vn > 0`` keeps the row
+    (lowest live cell via the all-NaN csim tie-break) while the numpy
+    ``vn > 0`` drops it, and mapInPandas cannot repair it (Arrow folds
+    NULL elements and NaN together, yet the two must differ).  This
+    test PINS the documented divergence instead of letting the
+    docstring claim equality; every production caller is NaN-free."""
+    nan = float("nan")
+    emb = spark.createDataFrame(
+        [(0, [nan, 1.0, 1.0, 1.0]), (1, [1.0, 0.0, 0.0, 0.0])],
+        "vid long, vvec array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(3, [1.0, 0.0, 0.0, 0.0]), (5, [0.0, 1.0, 0.0, 0.0])],
+        "cell long, cvec array<double>",
+    )
+    got = _rows(S.ivf_assign(emb, cent))
+    want = _rows(S._ivf_assign_expr(emb, cent))
+    # the finite row agrees on both paths ...
+    assert [r for r in got if r[0] == 1] == [r for r in want if r[0] == 1]
+    # ... the NaN row is the documented divergence: expression path
+    # keeps it in the lowest live cell, the kernel drops it
+    assert [(vid, cell) for vid, _, cell in want if vid == 0] == [(0, 3)]
+    assert [r for r in got if r[0] == 0] == []
+
+
 def test_kernel_empty_and_ragged_centroid_fallback(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vid long, vvec array<double>"
